@@ -1,0 +1,132 @@
+"""Local replica of the driver's duckdb-oracle correctness check.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count + column names + values
+(order-insensitive: columns sorted by name, rows sorted by all columns).
+Used by tests/ and by ``python -m unicargo_medallion_data_pipeline_spark.oracle`` for fast
+iteration before the driver's own gate runs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from unicargo_medallion_data_pipeline_spark.sources.readers import TESTDATA_TABLES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    return v
+
+
+def _sort_key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def compare_query(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, fn, sql: str, sf_dir: str
+) -> CompareResult:
+    sdf = fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    srows = [
+        tuple(_norm_cell(r[c]) for c in spark_cols) for r in sdf.collect()
+    ]
+    res = con.execute(sql)
+    duck_cols_raw = [d[0] for d in res.description]
+    drows_raw = res.fetchall()
+    duck_cols = sorted(duck_cols_raw)
+    if spark_cols != duck_cols:
+        return CompareResult(name, False, f"columns differ: spark={spark_cols} duckdb={duck_cols}")
+    idx = [duck_cols_raw.index(c) for c in duck_cols]
+    drows = [tuple(_norm_cell(r[i]) for i in idx) for r in drows_raw]
+    if len(srows) != len(drows):
+        return CompareResult(name, False, f"row counts differ: spark={len(srows)} duckdb={len(drows)}")
+    srows.sort(key=_sort_key)
+    drows.sort(key=_sort_key)
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        if a != b:
+            return CompareResult(
+                name, False, f"first value mismatch at sorted row {i}:\n  spark : {a}\n  duckdb: {b}"
+            )
+    return CompareResult(name, True, f"{len(srows)} rows")
+
+
+def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG as catalog  # noqa: PLC0415
+
+    con = duckdb_connection(sf_dir)
+    out: list[CompareResult] = []
+    for qname, q in catalog.items():
+        if names and qname not in names:
+            continue
+        if q.sql is None:
+            try:
+                cnt = q.fn(spark, sf_dir).count()
+                out.append(CompareResult(qname, True, f"(rows-only) {cnt} rows"))
+            except Exception as e:  # noqa: BLE001
+                out.append(CompareResult(qname, False, f"(rows-only) raised: {e}"))
+            continue
+        try:
+            out.append(compare_query(spark, con, qname, q.fn, q.sql, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            out.append(CompareResult(qname, False, f"raised: {e}"))
+    return out
+
+
+def main() -> int:
+    import argparse
+
+    from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*", help="query names (default: all)")
+    args = ap.parse_args()
+    spark = get_spark("oracle-check")
+    results = run_all(spark, args.sf, args.names or None)
+    failed = [r for r in results if not r.ok]
+    for r in results:
+        mark = "PASS" if r.ok else "FAIL"
+        print(f"[{mark}] {r.name}: {r.detail}")
+    print(f"\n{len(results) - len(failed)}/{len(results)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,10 @@
+"""Import every plans module for its registration side effects.
+
+``from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG`` gives the fully
+populated catalog.
+"""
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import CATALOG  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.tpch_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.tpch_gold2  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.docs_gold  # noqa: F401

@@ -1,0 +1,88 @@
+"""Batch sources (SURVEY §2.1 S1-S4).
+
+Reference counterparts:
+  - S1 explicit-schema CSV scan: ``unicargo_etl/scripts/01_bronze/etl_operations.py:4-10``
+  - S2 catalog table scan: gold notebooks cell 2-3
+  - S3 path scan: ``bronze_orchestrator.py:231``
+  - S4 local-collection source: ``src/logging_utils/task_logger_utils.py:169``
+
+The engine is declarative-first: every reader returns a lazy DataFrame so
+Catalyst can push filters/column pruning into the scan.  Schemas are always
+explicit (never inferred) — on a 100 TB lake an inference pass is a full
+extra read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: The driver-provided synthetic tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
+    """S1 — CSV scan with a fixed, explicit schema (no inference pass)."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S3 — columnar path scan; schema optional (parquet is self-describing)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """S2 — managed catalog table scan."""
+    return spark.read.table(name)
+
+
+def from_rows(spark: SparkSession, rows, schema: StructType) -> DataFrame:
+    """S4 — local-collection source (generated dims, log rows)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet) by name.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is on —
+    so events is read with nanos exposed as long and normalized back to a
+    microsecond TimestampType column (truncation, matching how any
+    µs-resolution engine would read it).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:  # pragma: no cover - conf locked in exotic deployments
+            pass
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F  # local import keeps module light
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once: ``t = load_tables(...); t['orders']``."""
+    if not names:
+        names = TESTDATA_TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

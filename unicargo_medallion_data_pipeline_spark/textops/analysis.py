@@ -1,0 +1,103 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+
+All pure Column expressions (whole-stage codegen; no UDFs): at 100 TB these
+run as a single narrow map over the documents scan — no shuffle at all
+until an aggregation asks for one.
+
+Cross-engine determinism: token counts / lengths are exact integers; ratio
+scores are single IEEE divisions of exact integers; fingerprints are md5
+hex (identical on any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword sets used for quality scoring and language
+#: ID.  Deliberately small and frozen: they are part of the engine's
+#: contract (the oracle mirrors them literally).
+STOPWORDS_EN = ("the", "and", "of", "to", "in", "a", "is", "for", "on", "with")
+MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+}
+
+
+def norm_text(col: str | Column = "text") -> Column:
+    """Canonical text normalization: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: str | Column = "text") -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def stopword_count(col: str | Column = "text", stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(sw, x)))
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    """Count of characters in a fixed punctuation set."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Exact-dup document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    signals (the classic pre-training heuristics).  All terms are IEEE
+    divisions of exact integers → deterministic.
+    """
+    n_tok = token_count(col).cast("double")
+    n_chars = F.length(F.col(col) if isinstance(col, str) else col).cast("double")
+    sw_ratio = stopword_count(col).cast("double") / n_tok
+    punct_ratio = punct_count(col).cast("double") / n_chars
+    length_term = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    return (
+        F.lit(0.4) * length_term + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * sw_ratio
+    )
+
+
+def marker_count(lang: str, col: str | Column = "text") -> Column:
+    """How many tokens are markers of ``lang`` (language-ID n-gram heuristic)."""
+    sw = F.array(*[F.lit(s) for s in MARKERS[lang]])
+    return F.size(F.filter(tokens(col), lambda x: F.array_contains(sw, x)))
+
+
+def cjk_char_count(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, "[^一-鿿]", ""))
+
+
+def predicted_lang(col: str | Column = "text") -> Column:
+    """Deterministic argmax over marker counts (ties broken by the fixed
+    chain order zh > en > de > fr > es)."""
+    zh = cjk_char_count(col)
+    counts = {lang: marker_count(lang, col) for lang in MARKERS}
+    expr = F.when(zh > 0, "zh")
+    # strict > against all later languages → deterministic tiebreak chain
+    order = ["en", "de", "fr", "es"]
+    for i, lang in enumerate(order[:-1]):
+        cond = F.lit(True)
+        for other in order[i + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        expr = expr.when(cond, lang)
+    return expr.otherwise(order[-1])
