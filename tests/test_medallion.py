@@ -1,0 +1,158 @@
+"""End-to-end medallion pipeline test on the deterministic flight fixtures
+(FIXTURES.md): bronze ingest → silver star → gold suite, plus the
+reference's runtime quality checks as assertions (SURVEY §5)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def medallion(spark, flight_fixture_dir, test_env_config):
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_medallion
+
+    return run_medallion(
+        spark,
+        {
+            "flights": os.path.join(flight_fixture_dir, "flights.csv"),
+            "airlines": os.path.join(flight_fixture_dir, "airlines.csv"),
+            "airports": os.path.join(flight_fixture_dir, "airports.csv"),
+        },
+        environment="test",
+        config=test_env_config,
+        date_range=("2015-01-01", "2015-12-31"),
+    )
+
+
+def test_bronze_tables_written(spark, medallion):
+    for entity, name in medallion.bronze.items():
+        df = spark.read.table(name)
+        assert df.count() > 0
+        assert "metadata" in df.columns and "processed_timestamp" in df.columns
+
+
+def test_dim_airline_dedup_and_keys(spark, medallion):
+    dim = spark.read.table(medallion.silver["airlines"])
+    rows = dim.collect()
+    codes = [r["iata_code"] for r in rows]
+    assert len(codes) == len(set(codes)), "dedup on iata_code failed"
+    assert None not in codes
+    sks = sorted(r["airline_sk"] for r in rows)
+    assert sks == list(range(1, len(rows) + 1)), "surrogate keys not dense"
+
+
+def test_dim_date_reference_conventions(spark, medallion):
+    dd = spark.read.table(medallion.silver["dates"]).filter(F.col("year") == 2015)
+    assert dd.count() == 365
+    jan1 = dd.filter(F.col("full_date") == "2015-01-01").collect()[0]
+    # 2015-01-01 was a Thursday; reference convention Monday=1 → 4
+    assert jan1["day_of_week"] == 4
+    assert jan1["day_name"] == "Thursday"
+    assert jan1["quarter"] == 1 and jan1["is_weekend"] == 0
+    sat = dd.filter(F.col("day_name") == "Saturday")
+    assert sat.filter(F.col("is_weekend") != 1).count() == 0
+
+
+def test_fact_cleansing_rules(spark, medallion):
+    fact = spark.read.table(medallion.silver["flights"])
+    assert fact.count() > 0
+    assert fact.filter(F.col("origin_airport_sk") == F.col("destination_airport_sk")).count() == 0
+    # business-key dedup survived the hash-key derivation
+    assert fact.select("flight_sk").distinct().count() == fact.count()
+
+
+def test_orphan_fk_audit_zero(spark, medallion):
+    from unicargo_medallion_data_pipeline_spark.quality.validation import orphan_fk_counts
+
+    fact = spark.read.table(medallion.silver["flights"])
+    counts = orphan_fk_counts(
+        fact,
+        {
+            "date_sk": (spark.read.table(medallion.silver["dates"]), "date_sk"),
+            "airline_sk": (spark.read.table(medallion.silver["airlines"]), "airline_sk"),
+            "origin_airport_sk": (spark.read.table(medallion.silver["airports"]), "airport_sk"),
+            "destination_airport_sk": (spark.read.table(medallion.silver["airports"]), "airport_sk"),
+        },
+    )
+    assert all(v == 0 for v in counts.values()), counts
+
+
+def test_day_of_week_consistency(spark, medallion):
+    """Q3 — the fact's carried day_of_week matches the date dim's
+    convention (the engine takes DOW from dim_date, so this must be 0)."""
+    fact = spark.read.table(medallion.silver["flights"])
+    dd = spark.read.table(medallion.silver["dates"])
+    mismatches = (
+        fact.join(dd.select("date_sk", dd.day_of_week.alias("dim_dow")), "date_sk")
+        .filter(F.col("day_of_week") != F.col("dim_dow"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_gold_suite_written_and_nonempty(spark, medallion):
+    assert len(medallion.gold) == 20
+    for name, table in medallion.gold.items():
+        df = spark.read.table(table)
+        assert df.columns, name
+        if name not in ("significant_routes", "flight_number_performance"):
+            assert df.count() > 0, f"{name} unexpectedly empty"
+
+
+def test_gold_route_floor(spark, medallion):
+    sig = spark.read.table(medallion.gold["significant_routes"])
+    assert sig.filter(F.col("total_flights") < 100).count() == 0
+    # fixture biases one route to ~50% of flights → it must pass the floor
+    assert sig.count() >= 1
+
+
+def test_gold_rates_bounded(spark, medallion):
+    summary = spark.read.table(medallion.gold["airline_operational_summary"])
+    bad = summary.filter(
+        (F.col("cancellation_rate_pct") < 0)
+        | (F.col("cancellation_rate_pct") > 100)
+        | (F.col("on_time_rate_pct") < 0)
+        | (F.col("on_time_rate_pct") > 100)
+    )
+    assert bad.count() == 0
+
+
+def test_gold_delay_distribution_shares_sum_to_100(spark, medallion):
+    dist = spark.read.table(medallion.gold["delay_distribution"])
+    total = dist.agg(F.sum("pct_of_all_flights")).collect()[0][0]
+    assert abs(total - 100.0) < 1e-9
+
+
+def test_rolling_otp_window_bounded(spark, medallion):
+    r = spark.read.table(medallion.gold["rolling_on_time_performance"])
+    bad = r.filter((F.col("rolling_7d_otp") < 0) | (F.col("rolling_7d_otp") > 100))
+    assert bad.count() == 0
+
+
+def test_fact_rerun_is_deterministic(spark, flight_fixture_dir, medallion):
+    """SURVEY §7.4 hazard: rerunning the silver build must give identical
+    flight_sk values (the reference's monotonically_increasing_id does
+    not)."""
+    from unicargo_medallion_data_pipeline_spark.pipelines import silver
+    from unicargo_medallion_data_pipeline_spark.schemas.flights import FLIGHTS_SCHEMA
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_csv
+
+    raw = read_csv(spark, os.path.join(flight_fixture_dir, "flights.csv"), FLIGHTS_SCHEMA)
+    clean = silver.clean_flights(raw)
+    fact_existing = spark.read.table(medallion.silver["flights"])
+    rebuilt_keys = {
+        r[0]
+        for r in silver.build_fact_flight(
+            clean.repartition(16),  # different partitioning on purpose
+            spark.read.table(medallion.silver["dates"]),
+            spark.read.table(medallion.silver["airlines"]),
+            spark.read.table(medallion.silver["airports"]),
+        )
+        .select("flight_sk")
+        .collect()
+    }
+    existing_keys = {r[0] for r in fact_existing.select("flight_sk").collect()}
+    assert rebuilt_keys == existing_keys

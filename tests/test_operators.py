@@ -1,0 +1,116 @@
+"""Unit tests: cleaning, keys, transforms, config, quality gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_drop_columns_safe_ignores_unknown(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import drop_columns_safe
+
+    df = spark.createDataFrame([(1, "a")], ["id", "val"])
+    out = drop_columns_safe(df, ["val", "nope"])
+    assert out.columns == ["id"]
+
+
+def test_dedup_full_and_subset(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup, dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], ["k", "v"]
+    )
+    assert dedup(df).count() == 3
+    assert dedup(df, ["k"]).count() == 2
+    # canonical keeps the lexicographically-first v per k
+    rows = {r["k"]: r["v"] for r in canonical_dedup(df, ["k"], ["v"]).collect()}
+    assert rows == {1: "a", 2: "c"}
+
+
+def test_fill_nulls(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import fill_nulls
+
+    df = spark.createDataFrame(
+        [(None, None, None)], "s string, i int, d double"
+    )
+    row = fill_nulls(
+        df, per_column={"s": "x"}, numeric_default=0
+    ).collect()[0]
+    assert row["s"] == "x" and row["i"] == 0 and row["d"] == 0.0
+
+
+def test_cleaning_pipeline_composes(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import CleaningConfig, clean
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, "a", None), (2, "b", "z")], ["k", "v", "w"]
+    )
+    out = clean(
+        df,
+        CleaningConfig(
+            add_timestamp=True,
+            drop_columns=["missing_col"],
+            dedup_subset=None,
+            fill_string_default="?",
+        ),
+    )
+    assert out.count() == 2
+    assert "processed_timestamp" in out.columns
+    assert out.filter(F.col("w") == "?").count() == 1
+
+
+def test_fact_hash_key_deterministic(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.keys import fact_hash_key
+
+    df = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], ["a", "b"])
+    keys = [r[0] for r in df.select(fact_hash_key(["a", "b"])).collect()]
+    assert keys[0] == keys[1] != keys[2]
+    # stable across repartitioning
+    keys2 = [r[0] for r in df.repartition(8).select(fact_hash_key(["a", "b"])).collect()]
+    assert sorted(keys) == sorted(keys2)
+
+
+def test_with_metadata_map(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.transforms import with_metadata
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    row = with_metadata(df, {"pipeline": "p1", "layer": "bronze"}).collect()[0]
+    assert row["metadata"] == {"pipeline": "p1", "layer": "bronze"}
+
+
+def test_table_config_resolution():
+    from unicargo_medallion_data_pipeline_spark.config.tables import get_table_config
+
+    cfg = get_table_config("flights", "silver", "dev")
+    assert cfg.full_name == "dev_silver.fact_flight"
+    assert cfg.partition_by == ("date_sk",)
+    with pytest.raises(KeyError, match="unknown environment"):
+        get_table_config("flights", "silver", "nope")
+    with pytest.raises(KeyError, match="unknown entity"):
+        get_table_config("boats", "silver", "dev")
+
+
+def test_validate_data_quality_gates(spark):
+    from unicargo_medallion_data_pipeline_spark.quality.validation import (
+        DataQualityError,
+        validate_data_quality,
+    )
+
+    # 1 null out of 10 = 10% > 5% threshold → fail; 1/25 = 4% → pass
+    bad = spark.createDataFrame([(None if i == 0 else i,) for i in range(10)], "v int")
+    good = spark.createDataFrame([(None if i == 0 else i,) for i in range(25)], "v int")
+    with pytest.raises(DataQualityError, match="null threshold"):
+        validate_data_quality(bad, "bad", ["v"])
+    profile = validate_data_quality(good, "good", ["v"])
+    assert profile["row_count"] == 25
+    empty = spark.createDataFrame([], "v int")
+    with pytest.raises(DataQualityError, match="empty"):
+        validate_data_quality(empty, "empty", ["v"])
+
+
+def test_null_profile_single_pass(spark):
+    from unicargo_medallion_data_pipeline_spark.quality.validation import null_profile
+
+    df = spark.createDataFrame([(1, None), (None, "x"), (3, "y")], ["a", "b"])
+    p = null_profile(df)
+    assert p == {"row_count": 3, "null_counts": {"a": 1, "b": 1}}

@@ -1,0 +1,142 @@
+"""End-to-end medallion driver: CSV → bronze → silver star → gold suite.
+
+Reference counterpart: the notebook chain sequenced by job dependencies
+(SURVEY §3.2) plus the bronze orchestrator script (§3.1).  Each layer
+materializes before the next reads it — the medallion contract the
+reference establishes (no cross-stage plan fusion), which also keeps
+per-table correctness checks possible.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unicargo_medallion_data_pipeline_spark.config.tables import get_table_config
+from unicargo_medallion_data_pipeline_spark.operators.transforms import with_metadata, with_processed_timestamp
+from unicargo_medallion_data_pipeline_spark.pipelines import gold_flights, silver
+from unicargo_medallion_data_pipeline_spark.quality.validation import validate_data_quality
+from unicargo_medallion_data_pipeline_spark.schemas.flights import (
+    AIRLINES_SCHEMA,
+    AIRPORTS_SCHEMA,
+    FLIGHTS_SCHEMA,
+)
+from unicargo_medallion_data_pipeline_spark.sources.readers import read_csv
+from unicargo_medallion_data_pipeline_spark.sources.writers import ensure_database, save_to_table
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class MedallionResult:
+    bronze: dict[str, str] = field(default_factory=dict)
+    silver: dict[str, str] = field(default_factory=dict)
+    gold: dict[str, str] = field(default_factory=dict)
+    quality: dict[str, dict] = field(default_factory=dict)
+
+
+def run_bronze(
+    spark: SparkSession,
+    csv_paths: dict[str, str],
+    environment: str = "dev",
+    config: dict | None = None,
+    pipeline_id: str = "medallion",
+) -> dict[str, DataFrame]:
+    """Bronze ingest (S1 + P12 + S5): explicit-schema CSV scans enriched
+    with metadata + processed_timestamp, written per entity."""
+    schemas = {
+        "flights": FLIGHTS_SCHEMA,
+        "airlines": AIRLINES_SCHEMA,
+        "airports": AIRPORTS_SCHEMA,
+    }
+    out: dict[str, DataFrame] = {}
+    for entity, path in csv_paths.items():
+        cfg = get_table_config(entity, "bronze", environment, config)
+        df = read_csv(spark, path, schemas[entity])
+        df = with_metadata(
+            with_processed_timestamp(df),
+            {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
+        )
+        save_to_table(df, cfg, spark, mode="overwrite")
+        out[entity] = spark.read.table(cfg.full_name)
+    return out
+
+
+def run_medallion(
+    spark: SparkSession,
+    csv_paths: dict[str, str],
+    environment: str = "dev",
+    config: dict | None = None,
+    gold_names: list[str] | None = None,
+    date_range: tuple[str, str] = ("2015-01-01", "2030-12-31"),
+) -> MedallionResult:
+    """Full bronze→silver→gold run.  Returns the table names written per
+    layer plus quality-gate profiles."""
+    result = MedallionResult()
+
+    bronze = run_bronze(spark, csv_paths, environment, config)
+    for entity in bronze:
+        result.bronze[entity] = get_table_config(entity, "bronze", environment, config).full_name
+
+    # Silver star
+    dim_airline = silver.build_dim_airline(bronze["airlines"])
+    dim_airport = silver.build_dim_airport(bronze["airports"])
+    dim_date = silver.build_dim_date(spark, *date_range)
+    flights_clean = silver.clean_flights(bronze["flights"])
+    fact = silver.build_fact_flight(flights_clean, dim_date, dim_airline, dim_airport)
+
+    silver_tables = {
+        "airlines": dim_airline,
+        "airports": dim_airport,
+        "dates": dim_date,
+        "flights": fact,
+    }
+    for entity, df in silver_tables.items():
+        cfg = get_table_config(entity, "silver", environment, config)
+        save_to_table(df, cfg, spark, mode="overwrite")
+        result.silver[entity] = cfg.full_name
+
+    # Re-read materialized silver (medallion contract: layers decouple).
+    fact_t = spark.read.table(result.silver["flights"])
+    da_t = spark.read.table(result.silver["airlines"])
+    dp_t = spark.read.table(result.silver["airports"])
+    dd_t = spark.read.table(result.silver["dates"])
+
+    # Quality gates (Q1): fail fast before building gold.
+    result.quality["fact_flight"] = validate_data_quality(
+        fact_t, "fact_flight", ["flight_sk", "date_sk", "airline_sk"]
+    )
+
+    # Gold suite
+    ensure_database(spark, f"{environment}_gold")
+    needs = {
+        "route_traffic": (fact_t, dp_t),
+        "top_routes": (fact_t, dp_t),
+        "airline_operational_summary": (fact_t, da_t),
+        "daily_flight_summary": (fact_t, dd_t, da_t),
+        "weekly_flight_summary": (fact_t, dd_t, da_t),
+        "monthly_flight_trends": (fact_t, dd_t, da_t),
+        "airline_scorecard": (fact_t, da_t),
+        "airline_day_of_week": (fact_t, dd_t, da_t),
+        "significant_routes": (fact_t, dp_t),
+        "busiest_routes": (fact_t, dp_t),
+        "airport_traffic": (fact_t, dp_t),
+        "seasonal_flight_summary": (fact_t, dd_t),
+        "weekend_weekday_split": (fact_t, dd_t, da_t),
+        "quarterly_flight_summary": (fact_t, dd_t, da_t),
+        "delay_distribution": (fact_t,),
+        "flight_efficiency": (fact_t, da_t),
+        "aircraft_utilization": (fact_t, dd_t, da_t),
+        "rolling_on_time_performance": (fact_t, dd_t, da_t),
+        "flight_number_performance": (fact_t, da_t),
+        "distance_bucket_stats": (fact_t,),
+    }
+    for name in gold_names or list(needs):
+        fn = gold_flights.GOLD_SUITE[name]
+        df = fn(*needs[name])
+        full_name = f"{environment}_gold.{name}"
+        df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
+        result.gold[name] = full_name
+    return result

@@ -54,12 +54,23 @@ def get_spark(
     ``master=None`` with ``--master`` supplied by spark-submit.
     """
     builder = SparkSession.builder.appName(app_name)
+    local_mode = False
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    if master and master.startswith("local"):
+        local_mode = True
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    # Single-node harness: put shuffle/spill files on tmpfs — the local VM's
+    # disk shows intermittent multi-second stalls that add pure noise to
+    # benchmarks.  Cluster deployments keep Spark's default local dirs
+    # (set explicitly via extra_conf / spark-submit).
+    if local_mode and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        conf.setdefault("spark.local.dir", shm)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -1,0 +1,86 @@
+"""Batch sinks (SURVEY §2.1 S5-S7, S13-S14).
+
+Reference counterparts:
+  - S5 overwrite sink: ``src/io_utils/write_to_table_utils.py:12-48``
+    (``mode("overwrite").option("overwriteSchema","true").saveAsTable``)
+  - S6 append sink: gold notebooks (``mode("append").saveAsTable``)
+  - S7 partitioned log sink: ``write_to_table_utils.py:99-140``
+  - S13/S14 DDL: ``src/io_utils/catalog_utils.py:11-114``
+
+Format policy: Delta when ``delta-spark`` is importable, parquet otherwise
+(this container has no delta-spark; the API is format-agnostic).  Schema
+overwrite on full rewrites mirrors the reference's blunt-but-effective
+evolution strategy.
+
+Scale notes: writes always go through ``partitionBy`` when the config
+declares partition columns (the reference's README prescribes fact
+partitioning but its code never does it — the engine actually does);
+``repartition`` before write controls file count so a 1000-task job does
+not produce 1000 tiny files per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unicargo_medallion_data_pipeline_spark.config.tables import TableConfig
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+DEFAULT_FORMAT = "delta" if delta_available() else "parquet"
+
+
+def ensure_database(spark: SparkSession, database: str, location: str | None = None) -> None:
+    """S13 — idempotent namespace creation (OSS form of CREATE CATALOG/SCHEMA)."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+
+
+def save_to_table(
+    df: DataFrame,
+    config: TableConfig,
+    spark: SparkSession,
+    mode: str = "overwrite",
+    overwrite_schema: bool = True,
+    file_format: str | None = None,
+    target_files_per_partition: int | None = None,
+) -> str:
+    """S5/S6 — write a DataFrame as a managed table and return its name.
+
+    ``mode='overwrite'`` + ``overwrite_schema`` is the full-rewrite path;
+    ``mode='append'`` the incremental gold path.
+    """
+    ensure_database(spark, config.database)
+    fmt = file_format or DEFAULT_FORMAT
+    if target_files_per_partition and config.partition_by:
+        df = df.repartition(target_files_per_partition, *config.partition_by)
+    writer = df.write.mode(mode).format(fmt)
+    if overwrite_schema and mode == "overwrite":
+        writer = writer.option("overwriteSchema", "true")
+    if config.partition_by:
+        writer = writer.partitionBy(*config.partition_by)
+    writer.saveAsTable(config.full_name)
+    return config.full_name
+
+
+def write_partitioned_path(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "append",
+    file_format: str | None = None,
+) -> None:
+    """S7 — partitioned path write (log tables, landing zones)."""
+    fmt = file_format or DEFAULT_FORMAT
+    writer = df.write.mode(mode).format(fmt)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)
