@@ -1,0 +1,134 @@
+"""Semantic tests for the hash-based textops (MinHash/SimHash/LSH) whose
+results can't be oracle-checked in SQL, plus ANN recall vs the exact KNN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_planted_dups(spark):
+    """Driver documents + planted near-duplicates with known overlap."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    # plant exact dups (jaccard 1.0) and a shuffled variant (token-set
+    # jaccard 1.0, different order) for 5 docs
+    exact = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    shuffled = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.array_sort(F.split(F.lower("text"), r"\s+"))).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(shuffled)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_with_planted_dups):
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs_with_planted_dups, shingle_n=1).filter(
+        F.col("jaccard") >= 0.99
+    )
+    found = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in found, f"exact dup of doc {i} missed"
+        assert (i, i + 200000) in found, f"shuffled dup of doc {i} missed"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs_with_planted_dups):
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs_with_planted_dups, shingle_n=1).limit(500).collect()
+    assert pairs, "no candidate pairs at all"
+    err = [abs(r["est_jaccard"] - r["jaccard"]) for r in pairs]
+    # 16 permutations → stderr ~0.12; mean abs error must be well under 0.2
+    assert sum(err) / len(err) < 0.2
+
+
+def test_simhash_identical_and_different(spark):
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import hamming64, simhash64
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark builds scalable data pipelines for large tables"),
+            (2, "spark builds scalable data pipelines for large tables"),
+            (3, "completely unrelated words about gardens and oceans tides"),
+        ],
+        ["id", "text"],
+    )
+    fp = df.select("id", simhash64("text").alias("s")).collect()
+    by_id = {r["id"]: r["s"] for r in fp}
+    assert by_id[1] == by_id[2], "identical text must hash identically"
+    a = spark.createDataFrame([(by_id[1], by_id[3])], ["x", "y"])
+    ham = a.select(hamming64(F.col("x"), F.col("y")).alias("h")).collect()[0]["h"]
+    assert ham > 10, f"unrelated docs should be far apart, got hamming={ham}"
+
+
+def test_shingles_short_doc_edge(spark):
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
+
+    df = spark.createDataFrame([("one two",), ("solo",)], ["text"])
+    rows = df.select(shingles("text", 3).alias("sh")).collect()
+    assert rows[0]["sh"] == ["one two"]
+    assert rows[1]["sh"] == ["solo"]
+
+
+def test_lsh_ann_better_than_random(spark):
+    """The honest ANN contract on unstructured data: returned neighbours
+    must be substantially more similar than random pairs (uniform random
+    64-d embeddings have no cluster structure, so exact-top-5 recall is
+    not a meaningful bar — better-than-random by a clear margin is)."""
+    import statistics
+
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    ann = CATALOG["embedding_knn_lsh"].fn(spark, SF).collect()
+    assert ann, "ANN returned nothing"
+    for r in ann:
+        assert 1 <= r["sim_rank"] <= 5
+    ann_mean = statistics.mean(r["cosine_sim"] for r in ann)
+
+    e = load_table(spark, SF, "embeddings")
+    baseline = (
+        sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=10**9)
+        .agg(F.avg("cosine_sim"), F.stddev("cosine_sim"))
+        .collect()[0]
+    )
+    mean_all, sd_all = baseline[0], baseline[1]
+    assert ann_mean > mean_all + sd_all, (
+        f"ANN mean {ann_mean:.3f} not better than random ({mean_all:.3f}±{sd_all:.3f})"
+    )
+
+
+def test_exact_knn_is_true_topk(spark):
+    """The quantized exact KNN must match a float64 brute-force recompute
+    (quantization error < 1e-6 cannot change a rank unless ties)."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    got = CATALOG["embedding_knn_exact"].fn(spark, SF).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["sim_rank"], r["vid"], r["cosine_sim"]))
+    for qid, hits in by_q.items():
+        qv = vecs[qid]
+        sims = {
+            vid: float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        true_top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got_sorted = [vid for _, vid, _ in sorted(hits)]
+        assert got_sorted == [vid for vid, _ in true_top], f"qid={qid}"

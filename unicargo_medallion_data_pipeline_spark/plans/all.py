@@ -8,3 +8,4 @@ from unicargo_medallion_data_pipeline_spark.plans.catalog import CATALOG  # noqa
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold2  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.docs_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.similarity_gold  # noqa: F401

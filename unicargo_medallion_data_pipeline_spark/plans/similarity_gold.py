@@ -1,0 +1,200 @@
+"""Similarity & near-dup queries over `documents` / `embeddings`
+(north-star dedup + similarity-search surface).
+
+Oracle-checked where the computation is hash-free (token Jaccard, exact
+quantized cosine KNN); xxhash-based operators (MinHash LSH, SimHash)
+carry rows-only checks — DuckDB has no xxhash64 — and their *semantics*
+are asserted in tests/test_textops.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
+from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+from unicargo_medallion_data_pipeline_spark.textops.analysis import tokens
+
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
+_QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
+
+
+@register(
+    "doc_token_jaccard_pairs",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKSET} AS tokset FROM documents
+    )
+    SELECT
+      a.doc_id AS a_id,
+      b.doc_id AS b_id,
+      CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
+        AS jaccard
+    FROM t a, t b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))) >= 0.8
+    """,
+    operators=("P10", "J7"),
+)
+def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs (threshold 0.8).
+
+    Full pairwise — the CORRECTNESS baseline the LSH path approximates.
+    Fine at oracle scale; at lake scale use doc_minhash_near_dups (same
+    jaccard, candidates from banding instead of the cross join)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("tokset"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("a_set"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("b_set"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    j = dd.jaccard(F.col("a_set"), F.col("b_set"))
+    return pairs.select("a_id", "b_id", j.alias("jaccard")).filter(F.col("jaccard") >= 0.8)
+
+
+@register(
+    "doc_minhash_near_dups",
+    sql=None,  # xxhash64-based; semantics asserted in tests vs exact jaccard
+    operators=("P10",),
+    bench=True,
+)
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(2 bands × 8 rows) candidate pairs over 3-token
+    shingles, rescored with exact Jaccard and filtered at 0.3 — the scale
+    path for near-dup dedup (one band-bucket shuffle, no cross join).
+
+    r=8 banding keeps candidates near-linear in corpus size: P(candidate)
+    ≈ 1-(1-j^8)^2 — ~0.7 at j=0.9 but ~1e-4 at j=0.3.  3-gram shingles
+    (not tokens) are the right granularity: this corpus' documents share
+    vocabulary heavily (mean token-set Jaccard ≈ 0.59) but not phrasing,
+    so token-level 'near-dups' would be quadratic noise."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(d, shingle_n=3, bands=2).filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+@register(
+    "doc_simhash_clusters",
+    sql=None,  # xxhash64-based
+    operators=("P10",),
+)
+def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup clustering: 64-bit fingerprints, candidate pairs
+    from 16-bit chunk collisions (classic rotate-and-band), kept when
+    Hamming distance ≤ 12."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", dd.simhash64("text").alias("simhash"))
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sim"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            dd.hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+@register(
+    "embedding_norms",
+    sql=f"""
+    SELECT
+      vec_id,
+      label,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      sqrt(CAST(list_sum(list_transform(embedding,
+            x -> {_QI.format(v='x')} * {_QI.format(v='x')})) AS DOUBLE))
+        / 100000000.0 AS l2_norm
+    FROM embeddings
+    """,
+    operators=("P4", "P5"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms via quantized exact integer sums — validates
+    the array<float> plumbing against the oracle bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantized(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        (F.sqrt(sim.dot_q(q, q).cast("double")) / F.lit(100000000.0)).alias("l2_norm"),
+    )
+
+
+@register(
+    "embedding_knn_exact",
+    sql=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pair AS (
+      SELECT q.vec_id AS qid, c.vec_id AS vid,
+        SUM({_QI.format(v='q.embedding[i.i]')} * {_QI.format(v='c.embedding[i.i]')}) AS dot_q,
+        SUM({_QI.format(v='q.embedding[i.i]')} * {_QI.format(v='q.embedding[i.i]')}) AS qq,
+        SUM({_QI.format(v='c.embedding[i.i]')} * {_QI.format(v='c.embedding[i.i]')}) AS cc
+      FROM q, embeddings c, generate_series(1, 64) i(i)
+      WHERE q.vec_id != c.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, vid,
+        CAST(dot_q AS DOUBLE) / (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+          AS cosine_sim
+      FROM pair
+    ),
+    ranked AS (
+      SELECT qid, vid, cosine_sim,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vid)
+             AS INTEGER) AS sim_rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE sim_rank <= 5
+    """,
+    operators=("W5", "O3"),
+    bench=True,
+)
+def embedding_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a 10-vector query set — the exact
+    baseline for similarity search, quantized for cross-engine bitwise
+    agreement.  Query side broadcasts; corpus side stays partitioned."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@register(
+    "embedding_knn_lsh",
+    sql=None,  # ANN: recall < 1 by construction; accuracy asserted in tests
+    operators=("W5",),
+    bench=True,
+)
+def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 for the same query set — the 100 TB path:
+    candidates from an 8-bit bucket equi-join instead of a cross product."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 10), e, dim=64, k=5, n_planes=8)

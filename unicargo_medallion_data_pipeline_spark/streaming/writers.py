@@ -1,0 +1,127 @@
+"""Streaming sinks (SURVEY §2.1 S10-S11, §2.9 T1-T5).
+
+Reference counterpart: ``src/streaming/writers.py:12-131``:
+  - ``write_stream_to_table``: configurable trigger (availableNow default /
+    processingTime / once), output mode, checkpoint, optional
+    awaitTermination.
+  - ``write_stream_with_merge``: foreachBatch upsert.  The reference has a
+    bug here (SURVEY T4): it creates the temp view from ``batch_df`` but
+    merges ``streaming_df`` — this engine merges the micro-batch, which is
+    the only correct exactly-once shape.
+
+Checkpointing: one checkpoint dir per (table, operation) — reusing a
+checkpoint across different queries corrupts offsets (reference keeps the
+same convention, ``src/streaming/checkpoints.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+from unicargo_medallion_data_pipeline_spark.sources.writers import delta_available
+
+
+def _apply_trigger(writer, trigger: dict | None):
+    """T1 — trigger config: {'availableNow': True} (default),
+    {'processingTime': '10 seconds'}, or {'once': True}."""
+    if trigger is None:
+        trigger = {"availableNow": True}
+    return writer.trigger(**trigger)
+
+
+def write_stream_to_table(
+    df: DataFrame,
+    table: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+    file_format: str | None = None,
+    query_name: str | None = None,
+    partition_by: list[str] | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """S10 — writeStream → managed table with checkpointed progress.
+
+    With the default availableNow trigger this is incremental batch:
+    process everything new, then stop — the reference's ingestion shape.
+    """
+    fmt = file_format or ("delta" if delta_available() else "parquet")
+    writer = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if query_name:
+        writer = writer.queryName(query_name)
+    writer = _apply_trigger(writer, trigger)
+    query = writer.toTable(table)
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def write_stream_to_path(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger: dict | None = None,
+    file_format: str | None = None,
+    partition_by: list[str] | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """S10 variant — writeStream → path sink."""
+    fmt = file_format or ("delta" if delta_available() else "parquet")
+    writer = (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint)
+        .option("path", path)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer = _apply_trigger(writer, trigger)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def write_stream_with_merge(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    merge_keys: list[str],
+    partition_col: str,
+    trigger: dict | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """S11/T4 — foreachBatch upsert: each micro-batch MERGEs into the
+    target (batch_df, not the unbounded streaming frame — fixing the
+    reference's T4 bug).  Exactly-once comes from the checkpoint +
+    idempotent per-key merge."""
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_partitioned(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            merge_keys=merge_keys,
+            partition_col=partition_col,
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    writer = _apply_trigger(writer, trigger)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query

@@ -1,0 +1,183 @@
+"""Near-duplicate detection: shingling, MinHash + LSH banding, SimHash,
+n-gram Jaccard (north-star dedup surface).
+
+Pipeline shape (the only shape that scales to 100 TB):
+
+  1. shingle (narrow map) → 2. minhash signature (narrow map) →
+  3. band hashes (narrow map) → 4. candidate pairs via EQUI-JOIN on
+  (band, band_hash) — one shuffle, no cross product → 5. exact Jaccard
+  rescoring on candidates only.
+
+Everything is built-in higher-order array expressions (transform /
+aggregate / zip_with) running inside the JVM — no Python UDFs.  Hash
+functions are Spark's xxhash64 (seeded by literal prefixes), so results
+are deterministic across runs/partitionings but have no DuckDB
+equivalent — these operators carry rows-only correctness checks, while the
+pure-Jaccard path (no hashing) has a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.textops.analysis import tokens
+
+
+def shingles(col: str | Column = "text", n: int = 3) -> Column:
+    """n-token shingles of the normalized text (array<string>, distinct).
+
+    Short documents (< n tokens) produce one shingle of all tokens.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature (array<long>).
+
+    Each permutation is xxhash64 with a distinct literal seed prefix; the
+    signature component is the min over the document's shingles.  Narrow,
+    codegen'd, O(k·|shingles|) per row.
+    """
+    def _perm(i: int):
+        # closure factory — a defaulted second lambda param would be
+        # misread by PySpark as an (element, index) lambda
+        return lambda s: F.xxhash64(F.lit(f"mh{i}:"), s)
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, _perm(i))) for i in range(k)]
+    )
+
+
+def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature → array<long>.
+
+    Two docs collide in a band iff that band of their signatures is
+    identical; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    """
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(f"band{b}:"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays (ints → one IEEE div)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - F.size(F.array_intersect(a, b))
+    return inter / union
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH.
+
+    Returns (a_id, b_id, est_jaccard, jaccard) with a_id < b_id —
+    est_jaccard from signature agreement, jaccard exact over shingle sets.
+    One shuffle (the band-bucket self-join); no O(n²) stage anywhere.
+    """
+    rows_per_band = k // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    sig = sh.select(
+        "id", "sh", minhash_signature(F.col("sh"), k).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        "sh",
+        "sig",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = banded.select(
+        F.col("id").alias("a_id"),
+        F.col("sh").alias("a_sh"),
+        F.col("sig").alias("a_sig"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col("id").alias("b_id"),
+        F.col("sh").alias("b_sh"),
+        F.col("sig").alias("b_sig"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sh", "b_sh", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a_sig"), F.col("b_sig"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.size(F.col("a_sig"))
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        est.alias("est_jaccard"),
+        jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+    )
+
+
+def simhash64(col: str | Column = "text") -> Column:
+    """64-bit SimHash of the token set (bit-majority of token hashes).
+
+    Built as two nested aggregates over arrays — still a narrow map per
+    row: tokens → per-bit vote counts → packed sign bits.
+    """
+    token_hashes = F.transform(tokens(col), lambda t: F.xxhash64(F.lit("simhash:"), t))
+    # One aggregate per bit (shift amounts must be Python ints); each is a
+    # cheap array fold — 64 folds over ~|tokens| elements, all codegen'd.
+    def _vote_fn(bit: int):
+        # closure factory: PySpark inspects lambda arity, so the bit index
+        # cannot ride along as a defaulted third parameter
+        def _fn(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return _fn
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(token_hashes, F.lit(0).cast("int"), _vote_fn(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's-complement sign bit
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
