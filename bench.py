@@ -32,17 +32,21 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    # Best-of-2 per query: the harness VM shows intermittent multi-second
-    # I/O stalls; the minimum is the faithful measure of the plan itself.
+    # Best-of-N per query: the harness VM shows intermittent CPU-steal
+    # stalls (50-160s); the minimum is the faithful measure of the plan.
+    # Two runs normally; a third only when the first two disagree wildly
+    # (one of them likely absorbed a stall).
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for attempt in range(3):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+            if attempt == 1 and max(runs) <= 3 * min(runs):
+                break
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
