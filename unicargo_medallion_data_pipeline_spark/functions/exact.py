@@ -65,21 +65,31 @@ def rate_pct(cond: Column, denom: Column | None = None) -> Column:
 
 # --- DuckDB oracle SQL fragments mirroring the helpers above ---------------
 # (kept next to the Python so the two stay in sync; used by plans/*.py)
+#
+# Decimal→double casts route through VARCHAR on the DuckDB side: DuckDB
+# casts DECIMAL to DOUBLE as int→double followed by a divide by 10^scale
+# (double rounding, observed 1-ulp-off on DECIMAL(28,4) sums), while
+# Spark's Decimal.toDouble is correctly rounded.  VARCHAR→DOUBLE (strtod)
+# is correctly rounded, making both engines agree bitwise.
+
+def _d2d(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+    return _d2d(f"SUM(CAST({expr} AS DECIMAL(18,2)))")
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr})"
+    return f"{_d2d(f'SUM(CAST({expr} AS DECIMAL(18,2)))')} / COUNT({expr})"
 
 
 def sql_dstddev_samp(expr: str) -> str:
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    sx = f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
-    sxx = (
-        f"CAST(SUM(CAST(CAST({expr} AS DECIMAL(18,2)) * CAST({expr} AS DECIMAL(18,2)) "
-        f"AS DECIMAL(28,4))) AS DOUBLE)"
+    sx = _d2d(f"SUM(CAST({expr} AS DECIMAL(18,2)))")
+    sxx = _d2d(
+        f"SUM(CAST(CAST({expr} AS DECIMAL(18,2)) * CAST({expr} AS DECIMAL(18,2)) "
+        f"AS DECIMAL(28,4)))"
     )
     var = f"(({n}) * ({sxx}) - ({sx}) * ({sx})) / (({n}) * (({n}) - 1.0))"
     return f"CASE WHEN COUNT({expr}) >= 2 THEN SQRT(GREATEST({var}, 0.0)) ELSE NULL END"

@@ -68,7 +68,7 @@ _SQL_DISC_PRICE = (
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    operators=("A2", "A3", "A15", "P5", "P7"),
+    operators=("A2", "A3", "A14", "A15", "P5", "P7"),
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +119,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
-    operators=("A7", "A2", "A3", "J4", "P8"),
+    operators=("A7", "A2", "A3", "J2", "J4", "P8"),
     bench=True,
 )
 def segment_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:

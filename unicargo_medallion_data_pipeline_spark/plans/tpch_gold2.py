@@ -348,7 +348,8 @@ def customer_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT
         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
-        CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity)
              AS INTEGER) AS rn
       FROM lineitem
     )
@@ -365,9 +366,12 @@ def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — fine for its pipeline, unacceptable for hash-compared results and
     for MERGE keys.  The engine's canonical form is row_number over an
     explicit tiebreak order, filtered to rn=1 (one shuffle on the key, no
-    global sort)."""
+    global sort).  The tiebreak must be a TOTAL order over the projected
+    columns — the synthetic corpus repeats l_linenumber within an order."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
     return (
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .withColumn("rn", F.row_number().over(w))

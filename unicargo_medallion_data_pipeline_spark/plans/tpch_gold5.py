@@ -1,0 +1,119 @@
+"""Gold queries, batch 5: cleaning-pipeline composite and degree analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "cleaned_events_pipeline",
+    sql="""
+    WITH dropped AS (
+      SELECT event_id, user_id, event_type, value FROM events
+    ),
+    dedup AS (
+      SELECT DISTINCT * FROM dropped
+    )
+    SELECT
+      event_id,
+      user_id,
+      COALESCE(event_type, 'unknown') AS event_type,
+      COALESCE(value, 0.0) AS value
+    FROM dedup
+    """,
+    operators=("P2", "P13", "P9", "P10"),
+)
+def cleaned_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 — the config-driven cleaning pipeline as a catalog entry
+    (reference composite: ``cleaning.py:132-176``): drop columns → dedup →
+    fill nulls, driven by CleaningConfig.  (The timestamp step is omitted
+    here: current_timestamp is inherently non-reproducible and would
+    defeat the oracle; it is tested separately.)  The whole chain fuses
+    into one stage — function composition adds no materialization."""
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import CleaningConfig, clean
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = CleaningConfig(
+        add_timestamp=False,
+        drop_columns=["ts", "props", "no_such_column"],  # safe-drop warns on unknown
+        dedup_subset=None,
+        fill_per_column={"event_type": "unknown"},
+        fill_numeric_default=0.0,
+    )
+    return clean(ev, cfg)
+
+
+@register(
+    "nation_trade_degree",
+    sql="""
+    WITH supp_side AS (
+      SELECT ns.n_name AS nation,
+             COUNT(DISTINCT nc.n_nationkey) AS customer_nations_served,
+             COUNT(*) AS shipments_out
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      GROUP BY ns.n_name
+    ),
+    cust_side AS (
+      SELECT nc.n_name AS nation,
+             COUNT(DISTINCT ns.n_nationkey) AS supplier_nations_used,
+             COUNT(*) AS shipments_in
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      GROUP BY nc.n_name
+    )
+    SELECT
+      COALESCE(a.nation, b.nation) AS nation,
+      a.customer_nations_served,
+      a.shipments_out,
+      b.supplier_nations_used,
+      b.shipments_in
+    FROM supp_side a FULL OUTER JOIN cust_side b ON a.nation = b.nation
+    """,
+    operators=("A8", "J2", "J6", "J7"),
+)
+def nation_trade_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — in/out degree per nation (reference: airport in/out degree,
+    ``03_gold_unikargo_04_airport_analytics.ipynb:66-108``): how many
+    partner nations each nation ships to / buys from, assembled with a
+    full outer join of the two role aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+    )
+    supp_side = joined.groupBy(F.col("supp_nation").alias("nation")).agg(
+        F.countDistinct("ck").alias("customer_nations_served"),
+        F.count(F.lit(1)).alias("shipments_out"),
+    )
+    cust_side = joined.groupBy(F.col("cust_nation").alias("nation")).agg(
+        F.countDistinct("sk").alias("supplier_nations_used"),
+        F.count(F.lit(1)).alias("shipments_in"),
+    )
+    return supp_side.join(cust_side, "nation", "full")
