@@ -17,6 +17,7 @@ from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
 from unicargo_medallion_data_pipeline_spark.textops.analysis import tokens
+from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
 
 _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
@@ -49,7 +50,9 @@ def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fine at oracle scale; at lake scale use doc_minhash_near_dups (same
     jaccard, candidates from banding instead of the cross join)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("tokset"))
+    t = ensure_parallelism(d).select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tokset")
+    )
     a = t.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("a_set"))
     b = t.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("b_set"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
@@ -89,7 +92,7 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from 16-bit chunk collisions (classic rotate-and-band), kept when
     Hamming distance ≤ 12."""
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", dd.simhash64("text").alias("simhash"))
+    fp = ensure_parallelism(d).select("doc_id", dd.simhash64("text").alias("simhash"))
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.textops.analysis import tokens
+from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
 
 
 def shingles(col: str | Column = "text", n: int = 3) -> Column:
@@ -104,7 +105,7 @@ def minhash_lsh_candidates(
     One shuffle (the band-bucket self-join); no O(n²) stage anywhere.
     """
     rows_per_band = k // bands
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     )
     sig = sh.select(
