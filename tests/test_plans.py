@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the scale properties the engine
+promises (pushdown, pruning, broadcast, top-k without global sort) must
+be visible in the optimized plans, not just hoped for.
+
+These assert on `explain("formatted")` output — substring checks chosen
+to be stable across Spark 3.5/4.x plan renderings.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    return CATALOG
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, catalog):
+    plan = plan_of(catalog["pricing_summary"].fn(spark, SF))
+    # The shipdate predicate must reach the parquet scan...
+    assert "LessThan(l_shipdate" in plan, "date filter not pushed to scan"
+    # ...and the scan must read only the 7 referenced columns.
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert read_schema.count(":") - 1 <= 7, f"scan not column-pruned: {read_schema}"
+    assert "l_comment" not in read_schema
+    # Single shuffle: partial agg -> exchange -> final agg.  ("Exchange (n)"
+    # matches the plan tree only; the detail section renders "(n) Exchange".)
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+
+
+def test_star_joins_broadcast_the_dim_side(spark, catalog):
+    for name in ("segment_scorecard", "top_trade_routes", "nation_trade_degree"):
+        plan = plan_of(catalog[name].fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: unexpected cross product"
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, catalog):
+    plan = plan_of(catalog["top_trade_routes"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, "top-k should plan TakeOrderedAndProject"
+
+
+def test_exact_pair_baselines_are_the_only_cross_products(spark, catalog):
+    # The exact full-pairwise anchors are *documented* cross joins; the
+    # scale paths (LSH) must not contain one.
+    for name in ("doc_minhash_near_dups", "embedding_knn_lsh"):
+        plan = plan_of(catalog[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name}: scale path has a cross product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: scale path has an NL join"
+
+
+def test_fact_scan_prunes_unused_measures(spark, catalog):
+    # daily_order_summary touches a handful of orders columns; the scan
+    # must not read the wide remainder.
+    plan = plan_of(catalog["daily_order_summary"].fn(spark, SF))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_comment" not in read_schema, f"unpruned scan: {read_schema}"
+    assert "o_clerk" not in read_schema
