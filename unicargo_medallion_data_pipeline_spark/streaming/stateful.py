@@ -1,0 +1,167 @@
+"""Custom stateful streaming operator: arbitrary per-key session state via
+``applyInPandasWithState`` (SURVEY §2.9 T6 north-star surface; no
+reference counterpart — the reference has no stateful streaming at all).
+
+``F.session_window`` (streaming/windows.py) covers gap-sessionization
+when the aggregate is expressible as built-in functions.  This operator
+is the escape hatch for session logic that is NOT: per-session event
+caps, first/last-event payloads, custom close conditions.  It keeps the
+scale shape right:
+
+  - state is partitioned by the group key (user_id) — each executor holds
+    only its keys' state, so state scales horizontally;
+  - the watermark + event-time timeout bound state size: a session's
+    state is freed the moment the watermark passes ``last_ts + gap``;
+  - data crosses the JVM→Python boundary in Arrow batches (grouped
+    iterator), not per row.
+
+Used in batch tests via the same function run over a file-source stream
+with ``availableNow`` + checkpoint (deterministic micro-batch replay).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Emitted once per CLOSED session.
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+        StructField("first_event_type", StringType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+#: Open-session state carried between micro-batches (one tuple per key).
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+        StructField("first_type", StringType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _ts_to_us(ts: Any) -> int:
+    return int(ts.value // 1000) if hasattr(ts, "value") else int(
+        ts.replace(tzinfo=_dt.timezone.utc).timestamp() * _US
+    )
+
+
+def _us_to_ts(us: int) -> _dt.datetime:
+    return _dt.datetime.fromtimestamp(us / _US, tz=_dt.timezone.utc).replace(tzinfo=None)
+
+
+def make_session_fn(gap_seconds: int):
+    """Build the per-key stateful function (closure over the gap).
+
+    Contract (Spark's applyInPandasWithState): called per key with an
+    iterator of Arrow-batched pandas frames for this micro-batch, or with
+    an empty iterator and ``state.hasTimedOut`` when the event-time
+    timeout fired.  Emits 0..n rows of SESSION_SCHEMA.
+    """
+    import pandas as pd  # executor-side import
+
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: tuple, pdf_iter: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+
+        def emit(tup) -> "pd.DataFrame":
+            start_us, last_us, n, total, ftype, ltype = tup
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [_us_to_ts(start_us)],
+                    "session_end": [_us_to_ts(last_us)],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                    "first_event_type": [ftype],
+                    "last_event_type": [ltype],
+                }
+            )
+
+        if state.hasTimedOut:
+            # Watermark passed last_ts + gap: close and free the state.
+            tup = state.get
+            state.remove()
+            yield emit(tup)
+            return
+
+        # Fold this micro-batch's rows (event-time order) into the state.
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+        cur = list(state.get) if state.exists else None
+        out: list = []
+        for ts, etype, value in zip(rows["ts"], rows["event_type"], rows["value"]):
+            us = _ts_to_us(ts)
+            if cur is not None and us - cur[1] > gap_us:
+                out.append(emit(tuple(cur)))  # gap exceeded inside the batch
+                cur = None
+            if cur is None:
+                cur = [us, us, 0, 0.0, etype, etype]
+            cur[1] = max(cur[1], us)
+            cur[2] += 1
+            cur[3] += float(value) if pd.notna(value) else 0.0
+            cur[5] = etype
+        state.update(tuple(cur))
+        # Close when the watermark (not wall clock) passes last_ts + gap.
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        yield from iter(out)
+
+    return fn
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions with custom per-session payloads, emitted when
+    the event-time watermark closes them.
+
+    Works on a streaming DataFrame (file/table source); the watermark is
+    mandatory for event-time timeouts.  Output mode must be ``append``.
+    """
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    ).withWatermark("ts", watermark_delay)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
