@@ -132,3 +132,36 @@ def test_exact_knn_is_true_topk(spark):
         true_top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
         got_sorted = [vid for _, vid, _ in sorted(hits)]
         assert got_sorted == [vid for vid, _ in true_top], f"qid={qid}"
+
+
+def test_ivf_ann_better_than_random(spark):
+    """IVF probes n_probe/n_centroids of the corpus; on unstructured
+    embeddings its hits must still be clearly better than random pairs
+    (same honest-ANN contract as the LSH test)."""
+    import statistics
+
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    ann = CATALOG["embedding_knn_ivf"].fn(spark, SF).collect()
+    assert ann, "IVF ANN returned nothing"
+    for r in ann:
+        assert 1 <= r["sim_rank"] <= 5
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["qid"], 0)
+        by_q[r["qid"]] += 1
+    assert all(n <= 5 for n in by_q.values())
+    ann_mean = statistics.mean(r["cosine_sim"] for r in ann)
+
+    e = load_table(spark, SF, "embeddings")
+    baseline = (
+        sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=10**9)
+        .agg(F.avg("cosine_sim"), F.stddev("cosine_sim"))
+        .collect()[0]
+    )
+    mean_all, sd_all = baseline[0], baseline[1]
+    assert ann_mean > mean_all + sd_all, (
+        f"IVF mean {ann_mean:.3f} not better than random ({mean_all:.3f}±{sd_all:.3f})"
+    )

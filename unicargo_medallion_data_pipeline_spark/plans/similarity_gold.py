@@ -201,3 +201,18 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from an 8-bit bucket equi-join instead of a cross product."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 10), e, dim=64, k=5, n_planes=8)
+
+
+@register(
+    "embedding_knn_ivf",
+    sql=None,  # ANN: seeded k-means codebook; accuracy asserted in tests
+    operators=("W5",),
+)
+def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the same query set — the clustered-data scale
+    path: a seeded spherical k-means codebook, cell assignment via one
+    Arrow-batched matmul, probe-join on cell id, exact rescoring."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=16, n_probe=4
+    )
