@@ -33,20 +33,21 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
     # Best-of-N per query: the harness VM shows intermittent CPU-steal
-    # stalls (50-160s); the minimum is the faithful measure of the plan.
-    # Two runs normally; a third only when the first two disagree wildly
-    # (one of them likely absorbed a stall).
-    timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        runs: list[float] = []
-        for attempt in range(3):
+    # stalls (observed 50-160s, occasionally minutes); the minimum is the
+    # faithful measure of the plan.  Attempts are INTERLEAVED round-robin
+    # (all queries once, then again) so a sustained stall cannot swallow
+    # every attempt of one query; a third round runs only for queries
+    # whose first two attempts disagree wildly.
+    runs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for rnd in range(3):
+        for name, q in bench_queries.items():
+            r = runs[name]
+            if rnd == 2 and len(r) == 2 and max(r) <= 3 * min(r):
+                continue
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.count()
-            runs.append(time.perf_counter() - t0)
-            if attempt == 1 and max(runs) <= 3 * min(runs):
-                break
-        timings[name] = round(min(runs), 3)
+            q.fn(spark, sf_dir).count()
+            r.append(time.perf_counter() - t0)
+    timings = {name: round(min(r), 3) for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -1,0 +1,55 @@
+"""Source-format round-trips: JSON-lines and ORC readers with explicit
+schemas, and schema-drift behavior (missing JSON fields -> typed nulls)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+ROWS = [(1, "en", 0.9), (2, "de", 0.5), (3, None, 0.1)]
+
+
+def test_json_lines_roundtrip(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_json
+
+    d = tempfile.mkdtemp(prefix="src_json_")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.mode("overwrite").json(d)
+    got = read_json(spark, d, SCHEMA)
+    assert got.schema == SCHEMA
+    assert sorted((r.doc_id, r.lang, r.score) for r in got.collect()) == sorted(ROWS)
+
+
+def test_json_missing_field_becomes_typed_null(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_json
+
+    d = tempfile.mkdtemp(prefix="src_json_drift_")
+    with open(os.path.join(d, "part.jsonl"), "w") as f:
+        f.write('{"doc_id": 7, "lang": "fr"}\n')  # upstream dropped "score"
+    got = read_json(spark, d, SCHEMA).collect()
+    assert got[0].doc_id == 7 and got[0].lang == "fr" and got[0].score is None
+
+
+def test_orc_roundtrip(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_orc
+
+    d = tempfile.mkdtemp(prefix="src_orc_")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.mode("overwrite").orc(d)
+    got = read_orc(spark, d, SCHEMA)
+    assert got.schema == SCHEMA
+    assert sorted((r.doc_id, r.lang, r.score) for r in got.collect()) == sorted(ROWS)

@@ -47,6 +47,34 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     return reader.parquet(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: StructType, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines scan with a fixed, explicit schema (beyond-reference:
+    the raw-dump format most training-data feeds arrive in).
+
+    The explicit schema matters doubly here: JSON inference is a full
+    extra pass AND schema-on-read drift (a field going missing upstream)
+    surfaces as typed nulls instead of silent shape changes.  Keep
+    ``multiline=False`` for lake-scale inputs — one-object-per-line is
+    splittable; a multiline JSON file is a single task.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .json(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC path scan (beyond-reference) — same pushdown/pruning behavior
+    as parquet via the vectorized ORC reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_table(spark: SparkSession, name: str) -> DataFrame:
     """S2 — managed catalog table scan."""
     return spark.read.table(name)
