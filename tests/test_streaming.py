@@ -156,3 +156,68 @@ def test_streaming_window_plan_is_stateful(spark, events_stream_dir):
     # append mode emits only watermark-finalized windows: everything except
     # the trailing watermark horizon must have been flushed
     assert out is not None and out > 0.8 * src.count()
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Re-delivered keys within the watermark horizon are dropped across
+    micro-batch runs (state persisted in the checkpoint)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = tempfile.mkdtemp(prefix="dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    out = tempfile.mkdtemp(prefix="dedup_out_")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(seconds=s), e) for i, s, e in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            dedup_stream_within_watermark(stream, ["event_id"], "60 seconds")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.schema(schema).parquet(out).collect()
+
+    # Batch 1: id 1 delivered twice in-batch, id 2 once.
+    write_batch("b1", [(1, 0, "a"), (1, 1, "a-dup"), (2, 2, "b")])
+    rows1 = run_once()
+    assert sorted(r.event_id for r in rows1) == [1, 2]
+
+    # Batch 2: id 1 re-delivered within the horizon -> dropped; id 3 new.
+    write_batch("b2", [(1, 5, "a-redelivery"), (3, 10, "c")])
+    rows2 = run_once()
+    assert sorted(r.event_id for r in rows2) == [1, 2, 3]
