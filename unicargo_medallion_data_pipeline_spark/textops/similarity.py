@@ -84,6 +84,51 @@ def cosine_topk_exact(
     )
 
 
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid via ``applyInPandas`` (grouped-map): one numpy
+    column-sum per group instead of a 64-way posexplode + per-dimension
+    shuffle.
+
+    Deterministic cross-engine: components are quantized to int64 BEFORE
+    the group map, the per-dimension sums are exact integer sums, and the
+    centroid is one IEEE division per component — so the result is
+    bitwise-stable under any row order/partitioning and oracle-checkable.
+
+    Scale shape: groups shuffle once on the label; each group's work is a
+    single Arrow-batched matmul-free reduction.  For millions of labels
+    this stays balanced (a label's rows co-locate); for ONE giant label
+    use the two-phase trick (partial sums per salt, merge) — see
+    operators/skew.py.
+    """
+    import pandas as pd  # driver+executor import
+
+    prepared = vectors.select(
+        F.col(label_col).alias("label"), quantized(F.col(vec_col)).alias("q")
+    )
+
+    def centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        M = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        sums = M.sum(axis=0)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "n_vectors": [n],
+                "centroid": [[float(s) / (_SCALE * 1.0 * n) for s in sums]],
+            }
+        )
+
+    return prepared.groupBy("label").applyInPandas(
+        centroid, schema="label int, n_vectors bigint, centroid array<double>"
+    )
+
+
 # --- LSH tier ---------------------------------------------------------------
 
 def _hyperplane(seed: int, dim: int) -> list[float]:
