@@ -1,0 +1,58 @@
+"""As-of join edge semantics: boundary equality, no-match nulls,
+in-between picks, payload collision guard."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (2, 7, "d"), (3, 1, "e")],
+        "k int, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 101), (2, 9, 102)], "k int, t long, ref int"
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, frames):
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left, right = frames
+    got = {
+        (r["k"], r["t"]): r["ref"]
+        for r in asof_join_backward(left, right, on=["k"], ts_col="t").collect()
+    }
+    assert got[(1, 5)] == 100  # boundary equality matches (<=)
+    assert got[(1, 10)] == 100  # in-between picks the earlier row
+    assert got[(1, 20)] == 101  # advances past newer right row
+    assert got[(2, 7)] is None  # right row is in the future -> no match
+    assert got[(3, 1)] is None  # key absent from right -> left-join null
+
+
+def test_asof_rejects_payload_collision(spark, frames):
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left, right = frames
+    with pytest.raises(ValueError, match="collides"):
+        asof_join_backward(left, right.withColumnRenamed("ref", "tag"), ["k"], "t")
+
+
+def test_asof_single_shuffle_plan(spark, frames):
+    """The composition must plan ONE exchange (the key shuffle for the
+    window) — no join node, no cross product."""
+    import contextlib
+    import io
+
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left, right = frames
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join_backward(left, right, ["k"], "t").explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Exchange (") == 1

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
+from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 
@@ -97,4 +98,53 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias(
             "value_quartiles"
         ),
+    )
+
+
+@register(
+    "clicks_asof_purchase",
+    sql="""
+    WITH purchases AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             MAX(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, c.s AS click_s,
+           p.purchase_id, p.s AS purchase_s,
+           c.s - p.s AS secs_since_purchase
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.s >= p.s
+    """,
+    operators=("J7", "W5"),
+)
+def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click joined to the user's latest
+    prior-or-same-second purchase via the engine's as-of join
+    (operators/asof.py — union + carry-forward window, one shuffle);
+    DuckDB's native ASOF JOIN is the oracle.  Purchases are
+    canonicalized per (user, second) first — as-of picks among equal
+    timestamps are arbitrary in any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", s.alias("s")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", s.alias("s"))
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumn("purchase_s", F.col("s"))
+    )
+    j = asof_join_backward(clicks, purchases, on=["user_id"], ts_col="s")
+    return j.select(
+        "click_id",
+        "user_id",
+        F.col("s").alias("click_s"),
+        "purchase_id",
+        "purchase_s",
+        (F.col("s") - F.col("purchase_s")).alias("secs_since_purchase"),
     )
