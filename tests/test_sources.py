@@ -53,3 +53,38 @@ def test_orc_roundtrip(spark):
     got = read_orc(spark, d, SCHEMA)
     assert got.schema == SCHEMA
     assert sorted((r.doc_id, r.lang, r.score) for r in got.collect()) == sorted(ROWS)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with no Exchange on either side (the pay-shuffle-once contract)."""
+    import contextlib
+    import io
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.sources.writers import save_bucketed_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    save_bucketed_table(li, spark, "bucket_test", "li_b", ["l_orderkey"], 4)
+    save_bucketed_table(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        spark, "bucket_test", "o_b", ["l_orderkey"], 4,
+    )
+    # Disable broadcast so the join would otherwise need a shuffle.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucket_test.li_b").join(
+            spark.table("bucket_test.o_b"), "l_orderkey"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange (" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
