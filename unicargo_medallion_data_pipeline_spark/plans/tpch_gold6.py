@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
+from unicargo_medallion_data_pipeline_spark.functions.exact import DEC, sql_dsum
 from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
@@ -98,6 +98,48 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias(
             "value_quartiles"
         ),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    sql=f"""
+    SELECT
+      CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+           AS TIMESTAMP) AS hour_start,
+      event_type,
+      COUNT(*) AS n_events,
+      {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    operators=("A4", "A6"),
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (continuous-aggregate pattern): the hourly
+    aggregate is RE-AGGREGATED from the finished 5-minute aggregate, not
+    from raw events — at lake scale the fine grain is materialized once
+    and every coarser resolution reads 12× (hour) / 288× (day) fewer
+    rows.  The oracle computes hourly DIRECTLY from raw events, proving
+    the re-aggregation is exact.
+
+    Only mergeable aggregates roll up (counts, decimal-exact sums — the
+    5-min bucket sums are exact 2-decimal values, so re-summing through
+    DECIMAL(18,2) loses nothing).  Non-mergeable ones (the 5-min grain's
+    COUNT(DISTINCT user_id)) deliberately do NOT appear here: distinct
+    counts cannot be summed across buckets; at the coarser grain they
+    must be recomputed from raw (or approximated with mergeable HLL
+    sketches — `approx_count_distinct`)."""
+    from unicargo_medallion_data_pipeline_spark.plans.tpch_gold2 import events_tumbling_5min
+
+    fine = events_tumbling_5min(spark, sf_dir)
+    hour = (F.floor(F.unix_timestamp("window_start") / 3600) * 3600).cast("timestamp")
+    return (
+        fine.groupBy(hour.alias("hour_start"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("total_value").cast(DEC)).cast("double").alias("total_value"),
+        )
     )
 
 
