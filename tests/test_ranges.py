@@ -1,0 +1,46 @@
+"""Binned interval join: containment, exclusion, exactly-once matching
+across bin boundaries, collision guard."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_interval_join_semantics(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    points = spark.createDataFrame(
+        [(1, 5, "p1"), (1, 10, "p2"), (1, 99, "p3"), (2, 5, "p4")],
+        "k int, t long, pid string",
+    )
+    # Interval spans many bins (0..95 with bin_width=10) to prove a point
+    # inside still matches exactly once.
+    intervals = spark.createDataFrame(
+        [(1, 0, 95, "iv1"), (1, 200, 210, "iv2"), (3, 0, 100, "iv3")],
+        "k int, s long, e long, ivid string",
+    )
+    got = interval_join_binned(
+        points, intervals, on=["k"], ts_col="t", start_col="s", end_col="e", bin_width=10
+    ).collect()
+    matches = sorted((r["pid"], r["ivid"]) for r in got)
+    # p1, p2 inside iv1 exactly once each; p3=99 outside (end=95); p4's key
+    # has no interval; iv3's key has no points.
+    assert matches == [("p1", "iv1"), ("p2", "iv1")]
+
+
+def test_interval_join_boundary_inclusive(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    points = spark.createDataFrame([(1, 10, "lo"), (1, 20, "hi")], "k int, t long, pid string")
+    intervals = spark.createDataFrame([(1, 10, 20, "iv")], "k int, s long, e long, ivid string")
+    got = interval_join_binned(points, intervals, ["k"], "t", "s", "e", bin_width=7).collect()
+    assert sorted(r["pid"] for r in got) == ["hi", "lo"]
+
+
+def test_interval_join_rejects_collisions(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    points = spark.createDataFrame([(1, 5, "x")], "k int, t long, name string")
+    intervals = spark.createDataFrame([(1, 0, 9, "y")], "k int, s long, e long, name string")
+    with pytest.raises(ValueError, match="collision"):
+        interval_join_binned(points, intervals, ["k"], "t", "s", "e", bin_width=10)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC, sql_dsum
 from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 
@@ -98,6 +99,83 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias(
             "value_quartiles"
         ),
+    )
+
+
+@register(
+    "errors_in_session",
+    sql="""
+    WITH seq AS (
+      SELECT
+        user_id, ts, event_id, value,
+        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(LAG(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_session_start
+      FROM events
+    ),
+    tagged AS (
+      SELECT
+        user_id, ts, event_id,
+        CAST(SUM(is_session_start) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_epoch,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS session_end_epoch
+      FROM tagged GROUP BY user_id, session_seq
+    ),
+    errors AS (
+      SELECT event_id AS error_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS error_s
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT e.error_id, e.user_id, e.error_s,
+           s.session_seq, s.session_start_epoch, s.session_end_epoch,
+           e.error_s - s.session_start_epoch AS secs_into_session
+    FROM errors e JOIN sessions s
+      ON e.user_id = s.user_id
+     AND e.error_s BETWEEN s.session_start_epoch AND s.session_end_epoch
+    """,
+    operators=("J7", "W5", "T6"),
+)
+def errors_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: every error event attached to the session interval
+    containing it, via the engine's binned interval join
+    (operators/ranges.py — interval→bin explode + equi-join + exact
+    BETWEEN filter; one shuffle, no per-key nested loop).  The oracle is
+    DuckDB's inequality join over the same sessionization CTE."""
+    from unicargo_medallion_data_pipeline_spark.plans.tpch_gold2 import events_sessionization
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = events_sessionization(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start_epoch", "session_end_epoch"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("error_s"),
+    )
+    j = interval_join_binned(
+        errors,
+        sessions,
+        on=["user_id"],
+        ts_col="error_s",
+        start_col="session_start_epoch",
+        end_col="session_end_epoch",
+        bin_width=3600,
+    )
+    return j.select(
+        "error_id",
+        "user_id",
+        "error_s",
+        "session_seq",
+        "session_start_epoch",
+        "session_end_epoch",
+        (F.col("error_s") - F.col("session_start_epoch")).alias("secs_into_session"),
     )
 
 
