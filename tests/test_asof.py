@@ -56,3 +56,34 @@ def test_asof_single_shuffle_plan(spark, frames):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan and "Join" not in plan
     assert plan.count("Exchange (") == 1
+
+def test_asof_null_payload_cells_are_not_backfilled(spark):
+    """A matched right row whose payload cell is NULL must surface that
+    NULL — not a value scavenged from an older right row (rows are carried
+    atomically as one struct).  Mirrors DuckDB ASOF JOIN, which joins whole
+    rows."""
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 100, "x"), (1, 20, None, "y")], "k int, t long, ref int, note string"
+    )
+    got = {
+        r["t"]: (r["ref"], r["note"])
+        for r in asof_join_backward(left, right, on=["k"], ts_col="t").collect()
+    }
+    assert got[10] == (100, "x")
+    # t=25 matches the t=20 right row: ref is genuinely NULL there and must
+    # NOT be backfilled with 100 from the t=5 row.
+    assert got[25] == (None, "y")
+
+
+def test_asof_all_null_payload_row_still_counts_as_match(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 30)], "k int, t long")
+    right = spark.createDataFrame(
+        [(1, 5, 7), (1, 20, None)], "k int, t long, ref int"
+    )
+    [row] = asof_join_backward(left, right, on=["k"], ts_col="t").collect()
+    assert row["ref"] is None  # matched the t=20 row (null ref), not t=5

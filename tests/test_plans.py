@@ -71,3 +71,20 @@ def test_fact_scan_prunes_unused_measures(spark, catalog):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_comment" not in read_schema, f"unpruned scan: {read_schema}"
     assert "o_clerk" not in read_schema
+
+
+def test_catalog_outputs_are_scalar_only(spark, catalog):
+    """Driver contract: the correctness harness canonicalizes results with
+    pandas sort_values + hash, which crashes on array/map/struct cells
+    (round-1 casualties: order_value_percentiles, embedding_label_centroids).
+    Every catalog entry must therefore emit atomic columns only — long-form
+    rows or one named column per component."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, q in catalog.items():
+        for f in q.fn(spark, SF).schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"non-scalar output columns: {offenders}"

@@ -39,20 +39,36 @@ def asof_join_backward(
     Left rows with no prior right row keep null payloads (left-join
     semantics).
     """
+    from pyspark.sql import types as T
+
     payload = [c for c in right.columns if c not in {*on, ts_col}]
     collisions = set(payload) & set(left.columns)
     if collisions:
         raise ValueError(f"right payload collides with left columns: {sorted(collisions)}")
+    left_extra = [c for c in left.columns if c not in {*on, ts_col}]
+    if not payload:
+        return left.select(*on, ts_col, *left_extra)
 
-    l_tagged = left.withColumn("_side", F.lit(1))
-    for c in payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r_tagged = right.withColumn("_side", F.lit(0))
-    for c in left.columns:
-        if c not in {*on, ts_col}:
-            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    # Carry the payload as ONE struct column, not per-column last():
+    # per-column carry would backfill a genuinely-NULL payload cell from
+    # an OLDER right row, fabricating a row that never existed and
+    # erasing the no-match/null-payload distinction.  struct(*payload) is
+    # non-null whenever a right row matched (even if every field is
+    # null), so last(ignorenulls) picks whole rows atomically — exactly
+    # DuckDB ASOF JOIN semantics.
+    right_fields = {f.name: f for f in right.schema.fields}
+    payload_t = T.StructType([right_fields[c] for c in payload])
 
-    cols = [*on, ts_col, "_side", *[c for c in left.columns if c not in {*on, ts_col}], *payload]
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(payload_t)
+    )
+    r_tagged = right.withColumn("_side", F.lit(0)).withColumn(
+        "_payload", F.struct(*payload)
+    )
+    for c in left_extra:
+        r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    cols = [*on, ts_col, "_side", *left_extra, "_payload"]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     w = (
@@ -60,6 +76,8 @@ def asof_join_backward(
         .orderBy(ts_col, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1)
     for c in payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(c, F.col("_payload").getField(c))
+    return out.drop("_side", "_payload")

@@ -209,24 +209,21 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH comp AS (
       SELECT label, i.i AS i, {_QI.format(v='embedding[i.i]')} AS q
       FROM embeddings, generate_series(1, 64) i(i)
-    ),
-    per AS (
-      SELECT label, i,
-             CAST(SUM(q) AS DOUBLE) / (100000000.0 * COUNT(*)) AS c,
-             COUNT(*) AS n
-      FROM comp GROUP BY label, i
     )
     SELECT label,
-           CAST(MAX(n) AS BIGINT) AS n_vectors,
-           list(c ORDER BY i) AS centroid
-    FROM per GROUP BY label
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(i - 1 AS INTEGER) AS dim_idx,
+           CAST(SUM(q) AS DOUBLE) / (100000000.0 * COUNT(*)) AS component
+    FROM comp GROUP BY label, i
     """,
     operators=("A13", "P4"),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid via applyInPandas (grouped-map) —
     quantized integer sums make the grouped numpy reduction bitwise
-    oracle-checkable despite crossing into Python."""
+    oracle-checkable despite crossing into Python.  Long-form output
+    (label, dim_idx, component): scalar columns only, per the driver
+    canonicalizer contract."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.label_centroids(e)
 

@@ -78,7 +78,10 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       COUNT(*) AS n_orders,
-      quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS value_quartiles
+      quantile_cont(o_totalprice, 0.25) AS p25,
+      quantile_cont(o_totalprice, 0.50) AS p50,
+      quantile_cont(o_totalprice, 0.75) AS p75,
+      quantile_cont(o_totalprice, 0.95) AS p95
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -89,6 +92,13 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ DuckDB ``quantile_cont``, verified bitwise-identical: both
     interpolate lower + frac·(upper−lower) over the sorted doubles).
 
+    Output is one SCALAR column per requested quantile — the driver's
+    canonicalizer cannot hash array-typed cells (driver contract:
+    scalars only), and four named columns are the friendlier shape for
+    downstream SQL anyway.  Spark still computes all four quantiles in
+    ONE sort per group (Catalyst collapses the four percentile() calls
+    over the same child into a single Percentile aggregate buffer).
+
     Scale note: exact percentile sorts each group's values — fine for
     bounded group cardinality × moderate group size; unbounded-cardinality
     profiling at 100 TB should use approx_percentile (t-digest sketch,
@@ -96,9 +106,10 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.95))").alias(
-            "value_quartiles"
-        ),
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
     )
 
 

@@ -98,6 +98,11 @@ def label_centroids(
     centroid is one IEEE division per component — so the result is
     bitwise-stable under any row order/partitioning and oracle-checkable.
 
+    Output is LONG-form — one row per (label, dim_idx) with a scalar
+    ``component`` — not an array column: the driver's canonicalizer can
+    only hash scalar cells, and the long form joins/pivots freely
+    downstream.
+
     Scale shape: groups shuffle once on the label; each group's work is a
     single Arrow-batched matmul-free reduction.  For millions of labels
     this stays balanced (a label's rows co-locate); for ONE giant label
@@ -118,14 +123,16 @@ def label_centroids(
         n = len(pdf)
         return pd.DataFrame(
             {
-                "label": [pdf["label"].iloc[0]],
-                "n_vectors": [n],
-                "centroid": [[float(s) / (_SCALE * 1.0 * n) for s in sums]],
+                "label": pdf["label"].iloc[0],
+                "n_vectors": n,
+                "dim_idx": np.arange(len(sums), dtype=np.int32),
+                "component": [float(s) / (_SCALE * 1.0 * n) for s in sums],
             }
         )
 
     return prepared.groupBy("label").applyInPandas(
-        centroid, schema="label int, n_vectors bigint, centroid array<double>"
+        centroid,
+        schema="label int, n_vectors bigint, dim_idx int, component double",
     )
 
 
