@@ -61,3 +61,91 @@ def test_merge_is_idempotent(spark):
     out = spark.read.parquet(target)
     assert out.count() == 2
     assert out.filter(F.col("k") == 1).collect()[0]["amount"] == 10.0
+
+
+def test_merge_bootstraps_missing_target(spark):
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+
+    target = os.path.join(tempfile.mkdtemp(prefix="fact_"), "not_yet_there")
+    updates = spark.createDataFrame([(1, "d1", 1.0)], ["k", "day", "amount"])
+    merge_upsert_partitioned(spark, target, updates, ["k"], "day")
+    got = spark.read.parquet(target).collect()
+    assert len(got) == 1 and got[0]["amount"] == 1.0
+
+
+def test_merge_caps_touched_partitions(spark):
+    import pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+
+    target = tempfile.mkdtemp(prefix="fact_")
+    spark.createDataFrame([(0, "d0", 0.0)], ["k", "day", "amount"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(target)
+    wide = spark.createDataFrame(
+        [(i, f"d{i}", float(i)) for i in range(5)], ["k", "day", "amount"]
+    )
+    with pytest.raises(ValueError, match="distinct 'day' partitions"):
+        merge_upsert_partitioned(
+            spark, target, wide, ["k"], "day", max_touched_partitions=3
+        )
+    # under the cap it proceeds
+    merge_upsert_partitioned(
+        spark, target, wide, ["k"], "day", max_touched_partitions=5
+    )
+    # k=0 updated in place, k=1..4 inserted
+    assert spark.read.parquet(target).count() == 5
+
+
+def test_merge_rejects_null_partition_values(spark):
+    import pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+
+    target = tempfile.mkdtemp(prefix="fact_")
+    spark.createDataFrame([(0, "d0", 0.0)], ["k", "day", "amount"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(target)
+    bad = spark.createDataFrame([(1, None, 1.0)], "k int, day string, amount double")
+    with pytest.raises(ValueError, match="NULL 'day'"):
+        merge_upsert_partitioned(spark, target, bad, ["k"], "day")
+
+
+def test_merge_detects_partition_movers_when_asked(spark):
+    import pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+
+    target = tempfile.mkdtemp(prefix="fact_")
+    spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d2", 2.0)], ["k", "day", "amount"]
+    ).write.mode("overwrite").partitionBy("day").parquet(target)
+    mover = spark.createDataFrame([(1, "d2", 9.0)], ["k", "day", "amount"])
+    with pytest.raises(ValueError, match="changed 'day'"):
+        merge_upsert_partitioned(
+            spark, target, mover, ["k"], "day", check_partition_immutability=True
+        )
+
+
+def test_merge_restores_conf_and_cleans_staging(spark):
+    import glob
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    before = set(glob.glob(tempfile.gettempdir() + "/merge_staging_*"))
+    target = tempfile.mkdtemp(prefix="fact_")
+    spark.createDataFrame([(1, "d1", 1.0)], ["k", "day", "amount"]).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(target)
+    merge_upsert_partitioned(
+        spark, target, spark.createDataFrame([(1, "d1", 2.0)], ["k", "day", "amount"]),
+        ["k"], "day",
+    )
+    assert spark.conf.get(key) == "static"  # restored, not left "dynamic"
+    after = set(glob.glob(tempfile.gettempdir() + "/merge_staging_*"))
+    assert after - before == set()  # staging dir removed
+    spark.conf.unset(key)

@@ -30,12 +30,34 @@ def merge_upsert_partitioned(
     merge_keys: list[str],
     partition_col: str,
     file_format: str | None = None,
+    max_touched_partitions: int = 1024,
+    check_partition_immutability: bool = False,
 ) -> None:
     """Upsert ``updates`` into the table at ``target_path``.
 
     Semantics = Delta MERGE whenMatchedUpdateAll/whenNotMatchedInsertAll,
     with updates winning on key collision.  The parquet fallback touches
     only the partitions present in ``updates``.
+
+    Parquet-path contract:
+
+    * ``partition_col`` must be IMMUTABLE for a given merge key — the
+      fallback only rewrites partitions present in ``updates``, so a key
+      that "moves" partitions would leave its stale row alive in the old
+      partition (a duplicate).  Delta MERGE has no such restriction.
+      Opt into ``check_partition_immutability=True`` to detect movers with
+      one column-pruned anti-scan of the target before writing (reads only
+      ``merge_keys + partition_col`` — cheap relative to the rewrite, but
+      a full-table scan, hence opt-in).
+    * A batch touching more than ``max_touched_partitions`` distinct
+      partitions fails fast BEFORE any driver collect or write: the
+      partition list is collected to the driver to scope the rewrite, and
+      an unbounded list (e.g. a mis-partitioned update keyed on a
+      high-cardinality column) would OOM the driver and rewrite the
+      whole table anyway — at that point a full overwrite is the honest
+      operation.
+    * First call against a missing/empty target bootstraps it with a plain
+      partitioned write.
     """
     fmt = file_format or ("delta" if delta_available() else "parquet")
     if fmt == "delta":
@@ -53,10 +75,63 @@ def merge_upsert_partitioned(
         return
 
     # Parquet path: partition-scoped read-merge-rewrite.
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = (
-        spark.read.parquet(target_path).filter(F.col(partition_col).isin(parts))
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing_all = spark.read.parquet(target_path)
+        existing_all.schema  # force resolution now, not at the join
+    except AnalysisException:
+        # Target doesn't exist yet: bootstrap with a plain write.
+        (
+            updates.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy(partition_col)
+            .save(target_path)
+        )
+        return
+
+    # Bounded driver collect: limit(cap+1) so an over-cap batch costs one
+    # small job, never an unbounded collect.
+    part_rows = (
+        updates.select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
     )
+    if len(part_rows) > max_touched_partitions:
+        raise ValueError(
+            f"merge batch touches > {max_touched_partitions} distinct "
+            f"'{partition_col}' partitions; partition-scoped upsert would "
+            "degenerate into a full-table rewrite. Repartition the batch, "
+            "raise max_touched_partitions explicitly, or use a plain "
+            "overwrite."
+        )
+    parts = [r[0] for r in part_rows]
+    if any(p is None for p in parts):
+        raise ValueError(
+            f"updates contain NULL '{partition_col}' values; partitioned "
+            "upsert requires a non-null partition column"
+        )
+
+    if check_partition_immutability:
+        movers = (
+            existing_all.select(*merge_keys, partition_col)
+            .join(
+                updates.select(
+                    *merge_keys, F.col(partition_col).alias("_new_part")
+                ).distinct(),
+                merge_keys,
+            )
+            .filter(F.col(partition_col) != F.col("_new_part"))
+        )
+        if movers.limit(1).count() > 0:
+            raise ValueError(
+                f"merge key(s) changed '{partition_col}' between target and "
+                "updates; the parquet fallback would leave stale rows in the "
+                "old partition. Use Delta MERGE or delete the old rows first."
+            )
+
+    existing = existing_all.filter(F.col(partition_col).isin(parts))
     # new rows win: anti-join existing on the merge keys, then union
     survivors = existing.join(
         updates.select(*merge_keys).distinct(), merge_keys, "left_anti"
@@ -65,15 +140,27 @@ def merge_upsert_partitioned(
     # Spark cannot overwrite a path it is reading from: stage the merged
     # partitions to a scratch dir first (they are only the touched
     # partitions, not the table), then dynamic-overwrite the target.
+    # Session hygiene: the staging dir is removed and the prior
+    # partitionOverwriteMode restored even on failure (this runs per
+    # micro-batch under write_stream_with_merge — leaks would compound).
+    import shutil
     import tempfile
 
     staging = tempfile.mkdtemp(prefix="merge_staging_")
-    merged.write.mode("overwrite").parquet(staging)
-    staged = spark.read.parquet(staging)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        staged.write.mode("overwrite")
-        .format("parquet")
-        .partitionBy(partition_col)
-        .save(target_path)
-    )
+    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            staged.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy(partition_col)
+            .save(target_path)
+        )
+    finally:
+        if prior_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
+        shutil.rmtree(staging, ignore_errors=True)
