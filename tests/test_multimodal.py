@@ -68,8 +68,63 @@ def test_frame_sampling(spark, assets):
     assert frames.filter(F.col("ts_ms") % 1000 != 0).count() == 0
 
 
-def test_resize_is_explicit_stub(spark, assets):
+def test_resize_end_to_end_with_fake_codec(spark, assets):
+    """decode → nearest-neighbour resample → encode runs end-to-end with
+    the deterministic numpy codec: no NotImplementedError anywhere."""
     from unicargo_medallion_data_pipeline_spark.textops.multimodal import resize_images
 
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        resize_images(assets, 32, 32).count()
+    out = {r["asset_id"]: r for r in resize_images(assets, 32, 24).collect()}
+    assert len(out) == 64
+    resized = [r for a, r in out.items() if a % 13 != 0]
+    for r in resized:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+        assert len(r["content"]) == 32 * 24 * r["meta"]["n_channels"]
+    # corrupt (empty) assets pass through unchanged, stage survives
+    for a in (0, 13, 26, 39, 52):
+        assert bytes(out[a]["content"]) == b""
+    # deterministic: same input → bit-identical output
+    again = {r["asset_id"]: bytes(r["content"])
+             for r in resize_images(assets, 32, 24).collect()}
+    assert all(bytes(out[a]["content"]) == again[a] for a in out)
+
+
+def test_resize_nearest_neighbour_values(spark, assets):
+    """Spot-check the resample math against a driver-side recomputation."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        FakeNumpyCodec, resize_images,
+    )
+
+    row = assets.filter(F.col("asset_id") == 1).collect()[0]
+    w0, h0, nc = row["meta"]["width"], row["meta"]["height"], row["meta"]["n_channels"]
+    img = FakeNumpyCodec().decode(bytes(row["content"]), w0, h0, nc)
+    rows_ = np.minimum(np.floor((np.arange(24) + 0.5) * h0 / 24).astype(int), h0 - 1)
+    cols_ = np.minimum(np.floor((np.arange(32) + 0.5) * w0 / 32).astype(int), w0 - 1)
+    expected = FakeNumpyCodec().encode(img[rows_][:, cols_])
+    got = resize_images(assets.filter(F.col("asset_id") == 1), 32, 24).collect()[0]
+    assert bytes(got["content"]) == expected
+
+
+def test_frame_grab_pipeline(spark, assets):
+    """decode → features → resize → frame-grab chained end-to-end."""
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        extract_features, resize_images, sample_frames,
+    )
+
+    small = resize_images(assets, 16, 16)
+    feats = extract_features(small)
+    assert feats.filter(F.col("decode_status") == "ok").count() == 59
+    frames = sample_frames(small, every_ms=1000, grab=True).collect()
+    assert len(frames) > 0
+    # every sampled frame of a non-corrupt video decodes to a hash;
+    # frame 0's hash differs from frame 1's (the fake codec 'seeks')
+    by_asset = {}
+    for fr in frames:
+        by_asset.setdefault(fr["asset_id"], {})[fr["frame_idx"]] = fr["frame_hash"]
+    multi = [h for h in by_asset.values() if len(h) >= 2 and None not in h.values()]
+    assert multi and all(h[0] != h[1] for h in multi)
+    # deterministic across reruns
+    again = sample_frames(small, every_ms=1000, grab=True).collect()
+    assert sorted((f["asset_id"], f["frame_idx"], f["frame_hash"]) for f in frames) == \
+           sorted((f["asset_id"], f["frame_idx"], f["frame_hash"]) for f in again)

@@ -73,3 +73,54 @@ def test_run_log_batched_flush(spark):
     failed = logs.filter(F.col("status") == "FAILED").collect()[0]
     assert "boom in beta" in failed["error_message"]
     assert failed["execution_time_ms"] >= 0
+
+
+def test_failed_entity_leaves_no_stale_result(spark):
+    """A failed entity must not expose its last successful intermediate
+    DataFrame in results — callers iterating results would consume
+    partial data."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.orchestrator import run_tasks
+
+    tasks, _ = _tasks(spark, fail_transform_for="alpha")
+    result = run_tasks(tasks)
+    assert "alpha" not in result.results  # not the read-stage DataFrame
+    assert "beta" in result.results
+
+
+def test_cli_runs_medallion_on_fixture_csvs(flight_fixture_dir):
+    """`python -m unicargo_medallion_data_pipeline_spark --environment dev ...` runs the
+    pipeline end-to-end in a fresh interpreter (the spark-submit shape),
+    mirroring the reference's argparse param chain."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    wh = tempfile.mkdtemp(prefix="cli_wh_")
+    logp = os.path.join(tempfile.mkdtemp(prefix="cli_log_"), "task_log")
+    env = dict(os.environ, UNICARGO_SPARK_PIPELINE_ID="env_chain_pipeline")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "unicargo_medallion_data_pipeline_spark",
+            "--environment", "dev",
+            "--data-dir", flight_fixture_dir,
+            "--gold", "route_traffic,airline_scorecard",
+            "--run-id", "cli_test_run",
+            "--log-path", logp,
+            "--master", "local[4]",
+            "--warehouse-dir", wh,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["status"] == "SUCCESS"
+    assert summary["pipeline_id"] == "env_chain_pipeline"  # env-var layer
+    assert summary["run_id"] == "cli_test_run"  # explicit flag wins
+    assert set(summary["gold"]) == {"route_traffic", "airline_scorecard"}
+    assert summary["quality"]["fact_flight"]["row_count"] > 0
+    # task log flushed as ONE partitioned write
+    import glob
+
+    assert glob.glob(logp + "/environment=dev/log_date=*/*.parquet")

@@ -66,3 +66,13 @@ def test_two_phase_distinct_matches_plain(spark, skewed):
         for r in salted_two_phase_distinct(skewed, "k", "val", buckets=16).collect()
     }
     assert two == plain
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """All copies of a byte-identical hot row must NOT land in one salt
+    bucket (the per-partition row index breaks the tie)."""
+    from unicargo_medallion_data_pipeline_spark.operators.skew import with_salt
+
+    dup = spark.createDataFrame([("hot", 1)] * 400, "k string, v int").repartition(4)
+    n_buckets = with_salt(dup, 8).select("_salt").distinct().count()
+    assert n_buckets >= 4

@@ -88,3 +88,26 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_overwrite_schema_evolution_parquet(spark):
+    """S5's overwrite_schema contract on the parquet fallback (no
+    delta-spark in this container — see docs/COVERAGE.md environmental
+    gap): a full overwrite may change the schema (add/drop/retype
+    columns), and the table reflects the NEW schema afterwards — the
+    reference's blunt evolution strategy (write_to_table_utils.py:43-44)."""
+    from unicargo_medallion_data_pipeline_spark.config.tables import TableConfig
+    from unicargo_medallion_data_pipeline_spark.sources.writers import save_to_table
+
+    cfg = TableConfig(
+        entity="t1", layer="evolve", environment="test",
+        table="t1", storage_root="/tmp/evolve_test",
+    )
+    v1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    save_to_table(v1, cfg, spark)
+    v2 = spark.createDataFrame([(2, 3.5, True)], "k int, score double, flag boolean")
+    save_to_table(v2, cfg, spark)  # schema changed wholesale
+    back = spark.read.table(cfg.full_name)
+    assert set(back.columns) == {"k", "score", "flag"}
+    assert back.collect()[0]["score"] == 3.5
+    spark.sql(f"DROP TABLE {cfg.full_name}")

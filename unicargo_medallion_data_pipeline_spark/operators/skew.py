@@ -31,10 +31,23 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic row salt in [0, buckets): xxhash64 of the full row —
-    rerun-stable (no rand()), and spreads a hot key's rows uniformly."""
+    """Deterministic row salt in [0, buckets): xxhash64 of the full row
+    plus a per-partition row index — rerun-stable (no rand()), and spreads
+    a hot key's rows uniformly EVEN WHEN they are byte-identical
+    duplicates (common in dedup-less event feeds; a pure row hash would
+    send all copies of a duplicated hot row to one bucket, defeating the
+    mitigation exactly when it's needed).
+
+    Determinism caveat: distinct rows salt identically across reruns; for
+    duplicate rows the salt depends on the scan's partitioning/order,
+    which is stable for a fixed input file set but not across arbitrary
+    repartitionings.  Join RESULTS are unaffected either way — the salt
+    only routes rows."""
     cols = [F.col(c) for c in df.columns]
-    return df.withColumn(col_name, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int"))
+    seq = F.monotonically_increasing_id()  # partition-id << 33 | row index
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*cols, seq), F.lit(buckets)).cast("int")
+    )
 
 
 def salted_join(

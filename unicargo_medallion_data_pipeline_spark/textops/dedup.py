@@ -133,11 +133,8 @@ def minhash_lsh_candidates(
         "band_idx",
         "band_hash",
     )
-    pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sh", "b_sh", "a_sig", "b_sig")
-        .dropDuplicates(["a_id", "b_id"])
+    pairs = left.join(right, ["band_idx", "band_hash"]).filter(
+        F.col("a_id") < F.col("b_id")
     )
     est = (
         F.size(
@@ -148,11 +145,20 @@ def minhash_lsh_candidates(
         ).cast("double")
         / F.size(F.col("a_sig"))
     )
-    return pairs.select(
+    # A pair colliding in several bands appears once per collision: score
+    # every occurrence (identical values) and merge with a narrow
+    # (a_id, b_id, double, double) max-aggregation — map-side partial agg
+    # shrinks the shuffle to unique pairs, instead of dropDuplicates
+    # shuffling rows that still carry both shingle arrays and signatures.
+    scored = pairs.select(
         "a_id",
         "b_id",
         est.alias("est_jaccard"),
         jaccard(F.col("a_sh"), F.col("b_sh")).alias("jaccard"),
+    )
+    return scored.groupBy("a_id", "b_id").agg(
+        F.max("est_jaccard").alias("est_jaccard"),
+        F.max("jaccard").alias("jaccard"),
     )
 
 

@@ -14,11 +14,15 @@ decodes in bulk, and emits an Arrow batch, so Python crossing cost is per
 batch, not per row, and the operation parallelizes per partition exactly
 like any narrow map.
 
-The actual codec calls are STUBBED (``NotImplementedError`` or a
-deterministic fake) because this container has no image/audio libraries —
-the Spark-side plumbing (schemas, batch iteration, partitioning) is real
-and tested.  Swap ``_decode_image_stub`` for PIL/torchvision in a real
-deployment.
+Codecs are pluggable: every decode-touching stage takes a ``codec``
+object with ``decode(content, width, height, n_channels) -> ndarray`` and
+``encode(ndarray) -> bytes``.  The default is ``FakeNumpyCodec`` — a
+deterministic pure-numpy stand-in (this container has no image/audio
+libraries) that fabricates pixels by tiling the asset's own bytes, so the
+whole decode → features → resize → frame-sample pipeline runs end-to-end
+and is pytest-verified.  A real deployment swaps in a PIL/opencv/ffmpeg
+codec with the same two methods; none of the Spark-side plumbing
+(schemas, Arrow batching, partitioning, error channel) changes.
 """
 
 from __future__ import annotations
@@ -68,15 +72,59 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_image_stub(content: bytes) -> dict:
-    """STUB decode: deterministic fake 'decode' from the raw bytes.
+class FakeNumpyCodec:
+    """Deterministic pure-numpy stand-in codec.
 
-    A real deployment replaces this with e.g. PIL.Image.open; the
-    surrounding batch plumbing does not change.  Raises on empty content
-    (exercises the per-row error channel).
+    ``decode`` fabricates a (height, width, n_channels) uint8 pixel array
+    by tiling the asset's own bytes — fake pixels, but a REAL array with
+    real dims, bit-identical on every run/partitioning, so resize and
+    frame-sampling exercise genuine numpy work end-to-end.  ``encode`` is
+    the raw C-order bytes.  Raises ``ValueError`` on empty content
+    (exercises the per-row decode-error channel).
+
+    A real deployment swaps this object for one backed by PIL / opencv /
+    ffmpeg with the same two methods; the mapInPandas plumbing is
+    codec-agnostic.
     """
+
+    def decode(self, content: bytes, width: int, height: int, n_channels: int):
+        import numpy as np
+
+        if not content:
+            raise ValueError("empty asset: nothing to decode")
+        buf = np.frombuffer(bytes(content), dtype=np.uint8)
+        need = width * height * n_channels
+        reps = -(-need // len(buf))
+        return np.tile(buf, reps)[:need].reshape(height, width, n_channels)
+
+    def encode(self, arr) -> bytes:
+        import numpy as np
+
+        return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+DEFAULT_CODEC = FakeNumpyCodec()
+
+#: Fallback dims when an asset carries no metadata.
+_DEFAULT_DIMS = (16, 16, 3)
+
+
+def _dims(meta) -> tuple[int, int, int]:
+    if meta is None:
+        return _DEFAULT_DIMS
+    return (
+        meta["width"] or _DEFAULT_DIMS[0],
+        meta["height"] or _DEFAULT_DIMS[1],
+        meta["n_channels"] or _DEFAULT_DIMS[2],
+    )
+
+
+def _decode_image_stub(content: bytes) -> dict:
+    """Byte-level 'decode' for the feature stage: raw-byte statistics only
+    (no pixel fabrication needed).  Raises on empty content (exercises the
+    per-row error channel)."""
     if not content:
-        raise NotImplementedError("empty asset: no codec available in this container")
+        raise ValueError("empty asset: nothing to decode")
     return {
         "mean_byte": float(sum(content) / len(content)),
     }
@@ -107,7 +155,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     feat = _decode_image_stub(bytes(content))
                     means.append(feat["mean_byte"])
                     statuses.append("ok")
-                except NotImplementedError as e:
+                except (ValueError, NotImplementedError) as e:
                     means.append(None)
                     statuses.append(f"error: {e}")
             out["mean_byte"] = means
@@ -117,36 +165,87 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(_batches, schema=FEATURES_SCHEMA)
 
 
-def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage: STUB (no codec in container) — the real signature and
-    batch shape, with the pixel work behind NotImplementedError."""
+def resize_images(
+    assets: DataFrame, width: int, height: int, codec=None
+) -> DataFrame:
+    """Resize every decodable asset to (width, height) via Arrow-batched
+    mapInPandas: codec.decode → nearest-neighbour resample (pure numpy,
+    codec-agnostic) → codec.encode, with updated meta.
+
+    Undecodable assets (empty content) pass through unchanged rather than
+    killing the stage — same error philosophy as extract_features.  Swap
+    ``codec`` for a real image library in deployment; the resample and all
+    Spark plumbing stay as-is."""
+    cdc = codec or DEFAULT_CODEC
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL/opencv) not present "
-            "in this container; plug it into this mapInPandas body"
-        )
-        yield  # pragma: no cover
+        import numpy as np
+
+        for pdf in batches:
+            contents, metas = [], []
+            for _, r in pdf.iterrows():
+                w0, h0, nc = _dims(r["meta"])
+                try:
+                    img = cdc.decode(bytes(r["content"]), w0, h0, nc)
+                except (ValueError, NotImplementedError):
+                    contents.append(bytes(r["content"]))
+                    metas.append(r["meta"])
+                    continue
+                # Nearest-neighbour resample: pixel-center index mapping.
+                rows = np.minimum(
+                    (np.floor((np.arange(height) + 0.5) * h0 / height)).astype(int),
+                    h0 - 1,
+                )
+                cols = np.minimum(
+                    (np.floor((np.arange(width) + 0.5) * w0 / width)).astype(int),
+                    w0 - 1,
+                )
+                contents.append(cdc.encode(img[rows][:, cols]))
+                meta = dict(r["meta"]) if r["meta"] is not None else {
+                    "width": None, "height": None, "n_channels": nc, "duration_ms": None
+                }
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            out = pdf.copy()
+            out["content"] = contents
+            out["meta"] = metas
+            yield out
 
     return assets.mapInPandas(_batches, schema=assets.schema)
 
 
-def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling stage for video assets: STUB with real plumbing.
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, grab: bool = False, codec=None
+) -> DataFrame:
+    """Frame-sampling stage for video assets.
 
-    Emits one row per sampled frame (deterministic fake frame ids derived
-    from duration metadata; the actual frame-grab is the stubbed part)."""
-    frames_schema = StructType(
-        [
-            StructField("asset_id", IntegerType(), False),
-            StructField("frame_idx", IntegerType(), False),
-            StructField("ts_ms", IntegerType(), False),
-        ]
-    )
+    Default (``grab=False``): emits one (asset_id, frame_idx, ts_ms) row
+    per sampled timestamp from duration metadata alone — only those two
+    columns cross into Python (column pruning matters double for Arrow
+    transfer).
+
+    ``grab=True`` additionally decodes each sampled frame through the
+    codec (frame i = the asset bytes rotated by i, then decoded — the
+    deterministic fake's notion of seeking; a real ffmpeg codec seeks for
+    real) and emits its md5 as ``frame_hash``, so the full
+    decode-per-frame path runs end-to-end."""
+    cdc = codec or DEFAULT_CODEC
+    fields = [
+        StructField("asset_id", IntegerType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+    ]
+    if grab:
+        fields.append(StructField("frame_hash", StringType(), True))
+    frames_schema = StructType(fields)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
         for pdf in batches:
-            rows = {"asset_id": [], "frame_idx": [], "ts_ms": []}
+            rows = {f.name: [] for f in fields}
             for _, r in pdf.iterrows():
                 duration = r["meta"]["duration_ms"] if r["meta"] is not None else None
                 if duration is None:
@@ -155,11 +254,26 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["asset_id"].append(r["asset_id"])
                     rows["frame_idx"].append(i)
                     rows["ts_ms"].append(ts)
-            yield pd.DataFrame(rows, dtype="int32")
+                    if grab:
+                        w0, h0, nc = _dims(r["meta"])
+                        try:
+                            buf = np.frombuffer(bytes(r["content"]), dtype=np.uint8)
+                            frame = cdc.decode(
+                                np.roll(buf, -i).tobytes(), w0, h0, nc
+                            )
+                            rows["frame_hash"].append(
+                                hashlib.md5(cdc.encode(frame)).hexdigest()
+                            )
+                        except (ValueError, NotImplementedError):
+                            rows["frame_hash"].append(None)
+            out = pd.DataFrame({
+                k: pd.Series(v, dtype="object" if k == "frame_hash" else "int32")
+                for k, v in rows.items()
+            })
+            yield out
 
-    # Only the columns the sampler needs cross into Python (column pruning
-    # matters double for Arrow transfer).
-    return assets.select("asset_id", "meta").mapInPandas(_batches, schema=frames_schema)
+    cols = ["asset_id", "meta"] + (["content"] if grab else [])
+    return assets.select(*cols).mapInPandas(_batches, schema=frames_schema)
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
