@@ -88,3 +88,18 @@ def test_catalog_outputs_are_scalar_only(spark, catalog):
             if isinstance(f.dataType, complex_types):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, f"non-scalar output columns: {offenders}"
+
+
+def test_curation_query_plan_shapes(spark, catalog):
+    """Training-data curation operators keep their scale shapes:
+    - deterministic sample: pure narrow filter, zero exchanges
+    - stratified cap: WindowGroupLimit (per-key top-k), ONE exchange
+    - contamination scan: benchmark side broadcast, no cross product"""
+    p = plan_of(catalog["doc_deterministic_sample"].fn(spark, SF))
+    assert p.count("Exchange (") == 0, "sample must not shuffle"
+    p = plan_of(catalog["doc_stratified_cap"].fn(spark, SF))
+    assert "WindowGroupLimit" in p, "per-stratum cap should push the rank limit"
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 1
+    p = plan_of(catalog["doc_contamination_overlap"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p, "benchmark side must broadcast"
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -262,3 +262,173 @@ def doc_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_MD5_INT = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "doc_deterministic_sample",
+    sql=f"""
+    SELECT doc_id, lang, source,
+           CAST({_MD5_INT} % 10 AS BIGINT) AS sample_bucket
+    FROM documents
+    WHERE {_MD5_INT} % 10 = 0
+    """,
+    operators=("P8", "P4"),
+)
+def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by content hash (training-data
+    curation primitive).
+
+    ``rand()``-based sampling is rerun- and partitioning-dependent; a
+    content-hash bucket (md5 prefix mod N) is reproducible on any engine,
+    any run, any partitioning — the only acceptable shape for carving
+    train/holdout splits at 100 TB.  Pure narrow filter: no shuffle,
+    fully pushdown-friendly, and the SAME rows fall in the sample when
+    the corpus is re-ingested.  (15 hex digits = 60 bits, exact in both
+    engines' signed 64-bit ints.)"""
+    d = load_table(spark, sf_dir, "documents")
+    md5_int = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        d.select(
+            "doc_id", "lang", "source", (md5_int % 10).alias("sample_bucket")
+        )
+        .filter(F.col("sample_bucket") == 0)
+    )
+
+
+@register(
+    "doc_stratified_cap",
+    sql=f"""
+    WITH raw AS (
+      SELECT
+        doc_id, lang,
+        CAST({_NTOK} AS INTEGER) AS n_tokens,
+        CAST({_NSW} AS INTEGER) AS n_stopwords,
+        CAST({_NPUNCT} AS INTEGER) AS n_punct,
+        CAST(length(text) AS INTEGER) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+          + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+          + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+          AS quality_score
+      FROM raw
+    )
+    SELECT doc_id, lang, quality_score, lang_rank FROM (
+      SELECT *,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY quality_score DESC, doc_id
+        ) AS INTEGER) AS lang_rank
+      FROM scored
+    ) WHERE lang_rank <= 25
+    """,
+    operators=("W5", "O3", "A13"),
+)
+def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-language cap: keep the 25 highest-quality documents
+    per language (training-data curation primitive — cap dominant strata
+    so one source/language cannot swamp the mixture).
+
+    Shape: narrow quality scoring (no shuffle) then ONE window shuffle on
+    the stratum key; with a rank predicate Spark runs it as a
+    WindowGroupLimit (top-k per key pushed before the full sort at rank
+    time).  Deterministic: quality_score is bit-stable cross-engine
+    (same exact-int ratios as doc_quality_scores) and ties break on
+    doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        "lang",
+        ta.token_count("text").alias("n_tokens"),
+        ta.stopword_count("text").alias("n_stopwords"),
+        ta.punct_count("text").alias("n_punct"),
+        F.length("text").alias("n_chars"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
+    n_chars = F.col("n_chars").cast("double")
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("n_punct").cast("double") / n_chars)
+        + F.lit(0.3) * (F.col("n_stopwords").cast("double") / n_tok)
+    )
+    scored = raw.select("doc_id", "lang", score.alias("quality_score"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("lang_rank", F.row_number().over(w))
+        .filter(F.col("lang_rank") <= 25)
+    )
+
+
+@register(
+    "doc_contamination_overlap",
+    sql=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 7, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS s
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+      )
+    ),
+    bench AS (
+      SELECT doc_id AS b_id, len(s) AS b_n, unnest(s) AS g FROM sh WHERE doc_id < 10
+    ),
+    corpus AS (
+      SELECT doc_id AS d_id, unnest(s) AS g FROM sh
+    )
+    SELECT b_id, d_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) AS DOUBLE) / MAX(b_n) AS containment
+    FROM bench JOIN corpus USING (g)
+    WHERE b_id != d_id
+    GROUP BY b_id, d_id
+    HAVING COUNT(*) >= 3
+    """,
+    operators=("J4", "A13", "P10"),
+)
+def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (training-data curation primitive):
+    how much of each 'benchmark' document (here: doc_id < 10 as the held
+    set) appears verbatim inside other corpus documents, measured as
+    shared distinct 8-token shingles and containment (shared / benchmark
+    shingles).
+
+    Shape: the classic inverted-index join — shingle explode is a narrow
+    map on both sides, the match is an EQUI-join on the shingle string,
+    then one pair-keyed count.  At 100 TB the benchmark side is tiny and
+    BROADCAST, so the corpus never shuffles for the join; only the
+    (b_id, d_id) count aggregation shuffles, and that is bounded by
+    actual overlap, not corpus size.  No cross product anywhere."""
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles("text", 8).alias("s"))
+    bench = (
+        sh.filter(F.col("doc_id") < 10)
+        .select(
+            F.col("doc_id").alias("b_id"),
+            F.size("s").alias("b_n"),
+            F.explode("s").alias("g"),
+        )
+    )
+    corpus = sh.select(F.col("doc_id").alias("d_id"), F.explode("s").alias("g"))
+    return (
+        F.broadcast(bench)
+        .join(corpus, "g")
+        .filter(F.col("b_id") != F.col("d_id"))
+        .groupBy("b_id", "d_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            (F.count(F.lit(1)).cast("double") / F.max("b_n")).alias("containment"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
