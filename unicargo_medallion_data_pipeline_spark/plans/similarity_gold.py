@@ -2,9 +2,13 @@
 (north-star dedup + similarity-search surface).
 
 Oracle-checked where the computation is hash-free (token Jaccard, exact
-quantized cosine KNN); xxhash-based operators (MinHash LSH, SimHash)
-carry rows-only checks — DuckDB has no xxhash64 — and their *semantics*
-are asserted in tests/test_textops.py instead.
+quantized cosine KNN).  MinHash LSH carries a HYBRID oracle: candidates
+are rescored with exact jaccard and thresholded, and the oracle is the
+exact all-pairs SQL — a full value check whenever LSH recall at the
+threshold is 1 (it is on this corpus; see doc_minhash_near_dups).
+Remaining xxhash/ANN operators (SimHash, hyperplane-LSH / IVF KNN) carry
+rows-only checks — DuckDB has no xxhash64 and ANN recall < 1 by
+construction — with semantics asserted in tests/test_textops.py.
 """
 
 from __future__ import annotations
@@ -147,17 +151,19 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = chunks.select(
         F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sim"), "chunk_idx", "chunk"
     )
-    return (
+    scored = (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .select(
             "a_id",
             "b_id",
             dd.hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"),
         )
+        # Filter BEFORE the pair dedup shuffle: random 16-bit chunk
+        # collisions (hamming ~32) die map-side instead of shuffling.
         .filter(F.col("hamming") <= 12)
     )
+    return scored.groupBy("a_id", "b_id").agg(F.max("hamming").alias("hamming"))
 
 
 @register(
