@@ -1,0 +1,95 @@
+"""Small-file compaction: census, per-partition file-count control,
+untouched-partition preservation, data fidelity, session hygiene."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _files(path, part):
+    return sorted(
+        f for f in glob.glob(os.path.join(path, part, "*.parquet"))
+    )
+
+
+def _make_table(spark, n_small=20):
+    path = tempfile.mkdtemp(prefix="compact_tbl_")
+    big = spark.createDataFrame(
+        [(i, f"d{i % 2}", float(i)) for i in range(2000)], "k int, day string, v double"
+    )
+    # two fragmented partitions: 20 files each
+    big.repartition(n_small).write.mode("append").partitionBy("day").parquet(path)
+    # one already-compact partition: 1 file
+    one = spark.createDataFrame([(9999, "d9", 9.0)], "k int, day string, v double")
+    one.coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    return path
+
+
+def test_compaction_reduces_files_and_preserves_data(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path, partition_file_census,
+    )
+
+    path = _make_table(spark)
+    before = spark.read.parquet(path)
+    before_rows = sorted((r.k, r.day, r.v) for r in before.collect())
+    census = partition_file_census(spark, path)
+    assert census["day=d0"][1] == 20 and census["day=d1"][1] == 20
+
+    d9_file_before = _files(path, "day=d9")
+    done = compact_partitioned_path(
+        spark, path, ["day"], target_file_bytes=1 << 30
+    )
+    assert set(done) == {"day=d0", "day=d1"} and done["day=d0"] == 20
+
+    after_census = partition_file_census(spark, path)
+    assert after_census["day=d0"][1] == 1  # ceil(bytes/1GB) = 1 file
+    assert after_census["day=d1"][1] == 1
+    # untouched partition: same single file, not rewritten
+    assert _files(path, "day=d9") == d9_file_before
+    after_rows = sorted((r.k, r.day, r.v) for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows
+
+
+def test_compaction_respects_multi_file_target(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path, partition_file_census,
+    )
+
+    path = _make_table(spark)
+    nbytes, nfiles = partition_file_census(spark, path)["day=d0"]
+    # pick a target that needs 2-4 files per partition
+    target = max(1, nbytes // 3)
+    compact_partitioned_path(spark, path, ["day"], target_file_bytes=target)
+    after = partition_file_census(spark, path)
+    want = -(-nbytes // target)
+    assert 1 <= after["day=d0"][1] <= want
+    assert after["day=d0"][1] < nfiles
+
+
+def test_compaction_noop_when_already_compact(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path,
+    )
+
+    path = tempfile.mkdtemp(prefix="compact_noop_")
+    df = spark.createDataFrame([(1, "d1", 1.0)], "k int, day string, v double")
+    df.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(path)
+    assert compact_partitioned_path(spark, path, ["day"]) == {}
+
+
+def test_compaction_restores_overwrite_mode(spark):
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    path = _make_table(spark)
+    compact_partitioned_path(spark, path, ["day"], target_file_bytes=1 << 30)
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
