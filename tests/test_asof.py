@@ -87,3 +87,45 @@ def test_asof_all_null_payload_row_still_counts_as_match(spark):
     )
     [row] = asof_join_backward(left, right, on=["k"], ts_col="t").collect()
     assert row["ref"] is None  # matched the t=20 row (null ref), not t=5
+
+
+def test_asof_randomized_against_reference(spark):
+    """Differential test: 300 random rows vs a brute-force driver-side
+    reference (latest right row with ts <= left ts per key, whole-row)."""
+    import random
+
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    rng = random.Random(2024)
+    left_rows = [
+        (rng.randrange(8), rng.randrange(100), i) for i in range(300)
+    ]
+    right_rows = []
+    used = set()
+    for j in range(120):
+        k, t = rng.randrange(8), rng.randrange(100)
+        if (k, t) in used:  # contract: right unique per (key, ts)
+            continue
+        used.add((k, t))
+        right_rows.append((k, t, j if j % 5 else None))  # some null payloads
+
+    left = spark.createDataFrame(left_rows, "k int, t long, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t long, ref int")
+    got = {
+        r["lid"]: r["ref"]
+        for r in asof_join_backward(left, right, on=["k"], ts_col="t").collect()
+    }
+
+    by_key = {}
+    for k, t, ref in right_rows:
+        by_key.setdefault(k, []).append((t, ref))
+    for rows in by_key.values():
+        rows.sort()
+    for k, t, lid in left_rows:
+        best = None
+        for rt, ref in by_key.get(k, []):
+            if rt <= t:
+                best = ref
+            else:
+                break
+        assert got[lid] == best, (k, t, lid)

@@ -44,3 +44,34 @@ def test_interval_join_rejects_collisions(spark):
     intervals = spark.createDataFrame([(1, 0, 9, "y")], "k int, s long, e long, name string")
     with pytest.raises(ValueError, match="collision"):
         interval_join_binned(points, intervals, ["k"], "t", "s", "e", bin_width=10)
+
+
+def test_interval_join_randomized_against_reference(spark):
+    """Differential test: random points/intervals vs a brute-force
+    reference; every containment must surface exactly once."""
+    import random
+
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    rng = random.Random(7)
+    points = [(rng.randrange(5), rng.randrange(200), i) for i in range(250)]
+    intervals = []
+    for j in range(60):
+        k, s = rng.randrange(5), rng.randrange(190)
+        intervals.append((k, s, s + rng.randrange(1, 40), j))
+
+    p = spark.createDataFrame(points, "k int, ts long, pid int")
+    iv = spark.createDataFrame(intervals, "k int, s long, e long, iid int")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join_binned(
+            p, iv, on=["k"], ts_col="ts", start_col="s", end_col="e", bin_width=16
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for k, ts, pid in points
+        for k2, s, e, iid in intervals
+        if k == k2 and s <= ts <= e
+    )
+    assert got == want
