@@ -50,7 +50,7 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs_with_planted_dups):
 
 
 def test_simhash_identical_and_different(spark):
-    from unicargo_medallion_data_pipeline_spark.textops.dedup import hamming64, simhash64
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import hamming64, simhash60
 
     df = spark.createDataFrame(
         [
@@ -60,7 +60,7 @@ def test_simhash_identical_and_different(spark):
         ],
         ["id", "text"],
     )
-    fp = df.select("id", simhash64("text").alias("s")).collect()
+    fp = df.select("id", simhash60("text").alias("s")).collect()
     by_id = {r["id"]: r["s"] for r in fp}
     assert by_id[1] == by_id[2], "identical text must hash identically"
     a = spark.createDataFrame([(by_id[1], by_id[3])], ["x", "y"])

@@ -1,14 +1,23 @@
 """Similarity & near-dup queries over `documents` / `embeddings`
 (north-star dedup + similarity-search surface).
 
-Oracle-checked where the computation is hash-free (token Jaccard, exact
-quantized cosine KNN).  MinHash LSH carries a HYBRID oracle: candidates
-are rescored with exact jaccard and thresholded, and the oracle is the
-exact all-pairs SQL — a full value check whenever LSH recall at the
-threshold is 1 (it is on this corpus; see doc_minhash_near_dups).
-Remaining xxhash/ANN operators (SimHash, hyperplane-LSH / IVF KNN) carry
-rows-only checks — DuckDB has no xxhash64 and ANN recall < 1 by
-construction — with semantics asserted in tests/test_textops.py.
+Every entry here is value-level oracle-checked except IVF:
+
+* hash-free computations (token Jaccard, exact quantized cosine KNN) —
+  direct SQL mirrors;
+* MinHash LSH — HYBRID oracle: candidates rescored with exact jaccard
+  and thresholded; the oracle is the exact all-pairs SQL — a full value
+  check whenever LSH recall at the threshold is 1 (provably ≈1 here;
+  see doc_minhash_near_dups);
+* SimHash — FULL oracle: md5-based fingerprints DuckDB recomputes
+  bit-for-bit, and the ≤3-of-60 Hamming threshold with 4-chunk banding
+  has recall exactly 1 by pigeonhole;
+* hyperplane LSH KNN — FULL oracle: ±1 planes × int64-quantized vectors
+  make bucketing exact integer arithmetic both engines reproduce.
+
+Only embedding_knn_ivf stays rows-only: its codebook is an ITERATIVE
+seeded k-means no single SQL query can express — semantics are asserted
+in tests/test_textops.py instead.
 """
 
 from __future__ import annotations
@@ -121,25 +130,71 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SIMHASH60 = r"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS t
+        FROM documents
+      ),
+      h AS (
+        SELECT doc_id, ('0x'||substr(md5('simhash:'||t),1,15))::BIGINT AS h FROM tok
+      ),
+      votes AS (
+        SELECT doc_id, CAST(b.b AS INTEGER) AS bit,
+               SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN generate_series(0, 59) b(b) GROUP BY 1, 2
+      ),
+      fp AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)::BIGINT
+                 AS simhash
+        FROM votes GROUP BY doc_id
+      )
+"""
+
+
 @register(
     "doc_simhash_clusters",
-    sql=None,  # xxhash64-based
+    sql=f"""
+    {_SQL_SIMHASH60}
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
     operators=("P10",),
 )
 def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup clustering: 64-bit fingerprints, candidate pairs
-    from 16-bit chunk collisions (classic rotate-and-band), kept when
-    Hamming distance ≤ 12."""
+    """SimHash near-dup pairs: 60-bit md5-based fingerprints, candidate
+    pairs from 15-bit chunk collisions (classic band-and-rotate), kept
+    when Hamming distance ≤ 3.
+
+    FULL ORACLE, exact by construction (not probabilistic): with 4
+    chunks, two fingerprints within Hamming distance 3 differ in at most
+    3 chunks, so at LEAST one chunk is identical (pigeonhole) — every
+    qualifying pair is guaranteed to be a candidate, and the engine
+    output equals the all-pairs DuckDB SQL on ANY corpus.  (Contrast the
+    recall <1 banding regimes: threshold must stay < n_chunks for the
+    guarantee.)  The fingerprint itself is cross-engine deterministic:
+    md5 token hashes + integer bit votes (textops/dedup.py::simhash60).
+
+    Scale shape: fingerprint is a narrow map; candidates come from a
+    chunk equi-join (one shuffle), hamming is filtered map-side before
+    the pair-dedup aggregation.  Unigram SimHash on a vocabulary-shared
+    corpus keeps chunk buckets small only with wide chunks — 15 bits
+    here; at larger corpora widen chunks / add rotations rather than
+    raising the threshold past the pigeonhole bound."""
     d = load_table(spark, sf_dir, "documents")
-    fp = ensure_parallelism(d).select("doc_id", dd.simhash64("text").alias("simhash"))
+    fp = ensure_parallelism(d).select("doc_id", dd.simhash60("text").alias("simhash"))
     chunks = fp.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("simhash"), 15 * i)
+                    .bitwiseAND(F.lit(0x7FFF))
                     for i in range(4)
                 ]
             )
@@ -157,11 +212,11 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            dd.hamming64(F.col("a_sim"), F.col("b_sim")).alias("hamming"),
+            dd.hamming64(F.col("a_sim"), F.col("b_sim")).cast("int").alias("hamming"),
         )
-        # Filter BEFORE the pair dedup shuffle: random 16-bit chunk
-        # collisions (hamming ~32) die map-side instead of shuffling.
-        .filter(F.col("hamming") <= 12)
+        # Filter BEFORE the pair dedup shuffle: random chunk collisions
+        # (hamming ~30) die map-side instead of shuffling.
+        .filter(F.col("hamming") <= 3)
     )
     return scored.groupBy("a_id", "b_id").agg(F.max("hamming").alias("hamming"))
 
@@ -231,15 +286,86 @@ def embedding_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42) -> str:
+    """DuckDB mirror of cosine_topk_lsh: same ±1 plane literals (from the
+    same generator), same int64 quantization, so bucket ids / candidate
+    set / scores / ranks reproduce the engine bit-for-bit."""
+    def proj(s):
+        plane = ", ".join(str(v) for v in sim.rademacher_plane(s, dim))
+        return (
+            f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+            f" j -> q[j] * ([{plane}])[j])) AS BIGINT)"
+        )
+
+    def bucket(t):
+        return " + ".join(
+            f"(CASE WHEN {proj(seed + 1000 * t + p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    bucket_cols = ",\n             ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    any_table = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    dotsum = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> a.q[j] * b.q[j])) AS BIGINT)"
+    )
+    sqsum = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}),"
+        " j -> {v}.q[j] * {v}.q[j])) AS BIGINT)"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, q,
+             {bucket_cols}
+      FROM qv
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+      FROM sig a JOIN sig b ON ({any_table})
+      WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    scored AS (
+      SELECT cand.qid, cand.vid,
+             CAST({dotsum} AS DOUBLE)
+               / (sqrt(CAST({sqsum.format(d=dim, v='a')} AS DOUBLE))
+                  * sqrt(CAST({sqsum.format(d=dim, v='b')} AS DOUBLE))) AS cosine_sim
+      FROM cand
+      JOIN qv a ON a.vec_id = cand.qid
+      JOIN qv b ON b.vec_id = cand.vid
+    ),
+    ranked AS (
+      SELECT qid, vid, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vid)
+                  AS INTEGER) AS sim_rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE sim_rank <= {k}
+    """
+
+
 @register(
     "embedding_knn_lsh",
-    sql=None,  # ANN: recall < 1 by construction; accuracy asserted in tests
+    sql=_lsh_oracle_sql(),
     operators=("W5",),
     bench=True,
 )
 def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-5 for the same query set — the 100 TB path:
-    candidates from an 8-bit bucket equi-join instead of a cross product."""
+    candidates from a multi-table bucket equi-join instead of a cross
+    product.
+
+    FULL ORACLE despite being ANN: approximate ≠ nondeterministic.  The
+    ±1 (Rademacher) planes and int64 quantization make bucket assignment
+    exact integer arithmetic, so the DuckDB oracle regenerates the SAME
+    candidate set from the same plane literals and checks scores and
+    ranks value-for-value — the approximation (recall < 1 vs exact KNN)
+    is part of the contract being verified, not noise."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 10), e, dim=64, k=5, n_planes=8)
 

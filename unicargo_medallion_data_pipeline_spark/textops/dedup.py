@@ -9,11 +9,11 @@ Pipeline shape (the only shape that scales to 100 TB):
   rescoring on candidates only.
 
 Everything is built-in higher-order array expressions (transform /
-aggregate / zip_with) running inside the JVM — no Python UDFs.  Hash
-functions are Spark's xxhash64 (seeded by literal prefixes), so results
-are deterministic across runs/partitionings but have no DuckDB
-equivalent — these operators carry rows-only correctness checks, while the
-pure-Jaccard path (no hashing) has a full SQL oracle.
+aggregate / zip_with) running inside the JVM — no Python UDFs.  MinHash
+permutations use Spark's xxhash64 (fast; verified through a hybrid
+exact-jaccard oracle — see plans/similarity_gold.py), while SimHash uses
+md5-derived 60-bit token hashes so an independent engine can recompute
+the fingerprints bit-for-bit (full DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -153,33 +153,60 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(col: str | Column = "text") -> Column:
-    """64-bit SimHash of the token set (bit-majority of token hashes).
+#: SimHash width: 60 bits = 15 hex digits of md5 — the widest slice that
+#: fits a signed 64-bit int on every engine (DuckDB's ``('0x'||…)::BIGINT``
+#: and Spark's ``conv(…,16,10)`` agree exactly on 15 digits).
+SIMHASH_BITS = 60
 
-    Built as two nested aggregates over arrays — still a narrow map per
-    row: tokens → per-bit vote counts → packed sign bits.
+#: SQL text of the per-token 60-bit hash (Spark dialect).  md5 rather than
+#: xxhash64 so an independent engine can recompute the fingerprint
+#: bit-for-bit (DuckDB mirror: ``('0x'||substr(md5('simhash:'||t),1,15))::BIGINT``).
+#: A throughput-first deployment can swap in ``xxhash64(t)`` here — any
+#: 64-bit hash yields a valid SimHash — at the cost of that verifiability.
+_TOKEN_HASH_SQL = (
+    "CAST(conv(substring(md5(concat('simhash:', t)), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+def token_hashes_sql(text_sql: str) -> str:
+    """Spark-SQL text: array of 60-bit md5 token hashes of ``text_sql``."""
+    norm = rf"trim(regexp_replace(lower({text_sql}), '\\s+', ' '))"
+    return f"transform(split({norm}, ' '), t -> {_TOKEN_HASH_SQL})"
+
+
+def simhash60(col: str | Column = "text") -> Column:
+    """60-bit SimHash of the token stream (bit-majority of token hashes).
+
+    Two nested ``aggregate`` folds built as ONE expression string (a
+    per-bit Python loop would emit 60 Column trees = 60 py4j round trips
+    of driver time): outer fold over bit positions, inner fold counting
+    the bit's vote across token hashes.  Still a narrow per-row map —
+    no shuffle, codegen'd, O(60·|tokens|) per row.
+
+    Deterministic across engines: md5 token hashes and integer votes have
+    exact cross-engine mirrors, so a DuckDB oracle can recompute the
+    fingerprint (see plans/similarity_gold.py::doc_simhash_clusters).
     """
-    token_hashes = F.transform(tokens(col), lambda t: F.xxhash64(F.lit("simhash:"), t))
-    # One aggregate per bit (shift amounts must be Python ints); each is a
-    # cheap array fold — 64 folds over ~|tokens| elements, all codegen'd.
-    def _vote_fn(bit: int):
-        # closure factory: PySpark inspects lambda arity, so the bit index
-        # cannot ride along as a defaulted third parameter
-        def _fn(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return _fn
-
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        vote = F.aggregate(token_hashes, F.lit(0).cast("int"), _vote_fn(i))
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's-complement sign bit
-        out = out.bitwiseOR(
-            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError("simhash60 needs a column NAME (it builds a SQL string)")
+    th = token_hashes_sql(f"`{name}`")
+    # Bind the hash array ONCE via a single-element fold (`h_arr`): writing
+    # {th} inside the per-bit lambda would re-run the md5 pipeline 60×/row.
+    return F.expr(
+        f"""
+        aggregate(
+          array({th}),
+          CAST(0 AS BIGINT),
+          (acc0, h_arr) -> acc0 + aggregate(
+            sequence(0, {SIMHASH_BITS - 1}),
+            CAST(0 AS BIGINT),
+            (acc, i) -> acc + IF(
+              aggregate(h_arr, 0, (a, h) -> a + IF((shiftright(h, i) & 1) = 1, 1, -1)) > 0,
+              shiftleft(CAST(1 AS BIGINT), i),
+              CAST(0 AS BIGINT))))
+        """
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -138,36 +138,37 @@ def label_centroids(
 
 # --- LSH tier ---------------------------------------------------------------
 
-def _hyperplane(seed: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit-ish hyperplane (pure Python, tiny)."""
-    # xorshift-style LCG; components in [-1, 1). Deterministic across runs.
-    vals = []
+def rademacher_plane(seed: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random ±1 hyperplane (sign random projection).
+
+    Rademacher vectors are a standard LSH family for angular distance
+    (they concentrate like Gaussian planes by Khintchine's inequality),
+    and they make the projection of a QUANTIZED int64 vector an EXACT
+    integer sum — order-independent and bit-identical on any engine, so
+    the whole bucket assignment is oracle-checkable (no float summation
+    order to disagree on).  Pure Python LCG; deterministic across runs.
+    """
+    signs = []
     state = (seed * 2654435761 + 1) & 0xFFFFFFFF
     for _ in range(dim):
         state = (1103515245 * state + 12345) & 0x7FFFFFFF
-        vals.append(state / 0x40000000 - 1.0)
-    return vals
+        signs.append(1 if state & 0x10000 else -1)
+    return signs
 
 
-def _plane_sql(seed: int, dim: int) -> str:
-    """One hyperplane as a SQL array literal.  Components go through
-    ``CAST('<repr>' AS DOUBLE)`` — strtod round-trips Python's repr
-    exactly, so the values are bit-identical to the former ``F.lit``
-    construction."""
-    comps = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in _hyperplane(seed, dim))
-    return f"array({comps})"
-
-
-def _proj_sql(vec_sql: str, seed: int, dim: int) -> str:
+def _proj_sql(qvec_sql: str, seed: int, dim: int) -> str:
+    """Exact integer projection of a quantized array onto a ±1 plane."""
+    plane = ", ".join(str(s) for s in rademacher_plane(seed, dim))
     return (
-        f"aggregate(zip_with({vec_sql}, {_plane_sql(seed, dim)}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+        f"aggregate(zip_with({qvec_sql}, array({plane}), "
+        f"(x, y) -> x * CAST(y AS BIGINT)), CAST(0 AS BIGINT), "
         f"(acc, v) -> acc + v)"
     )
 
 
-def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int = 8, seed: int = 42) -> str:
-    """SQL text for one table's bucket id (n_planes sign bits in a long).
+def lsh_bucket_sql(qvec_sql: str, dim: int, n_planes: int = 8, seed: int = 42) -> str:
+    """SQL text for one table's bucket id (n_planes sign bits in a long)
+    over a QUANTIZED (array<long>) vector expression.
 
     Built as ONE expression string, not a tree of per-component ``F.lit``
     Columns: a 32-plane × 64-dim signature is ~4k literals, and building
@@ -177,24 +178,25 @@ def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int = 8, seed: int = 42) ->
     identical.
     """
     terms = " + ".join(
-        f"IF({_proj_sql(vec_sql, seed + p, dim)} >= 0, {1 << p}L, 0L)"
+        f"IF({_proj_sql(qvec_sql, seed + p, dim)} >= 0, {1 << p}L, 0L)"
         for p in range(n_planes)
     )
     return f"CAST({terms} AS BIGINT)"
 
 
-def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+def lsh_bucket(qvec_col: str, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane signature: n_planes sign bits packed into a long.
 
     Vectors with small angular distance share buckets with high
     probability; candidate pairs are then generated by an equi-join on
-    the bucket id (one shuffle, no cross product).
+    the bucket id (one shuffle, no cross product).  Takes the name of a
+    pre-quantized array<long> column (see ``quantized``).
     """
-    return F.expr(lsh_bucket_sql(f"`{vec_col}`", dim, n_planes, seed))
+    return F.expr(lsh_bucket_sql(f"`{qvec_col}`", dim, n_planes, seed))
 
 
 def lsh_buckets_multi(
-    vec_col: str, dim: int, n_planes: int, n_tables: int, seed: int = 42
+    qvec_col: str, dim: int, n_planes: int, n_tables: int, seed: int = 42
 ) -> Column:
     """n_tables independent LSH bucket ids (array<long>), one per table.
 
@@ -203,7 +205,7 @@ def lsh_buckets_multi(
     probability p = (1-θ/π)^n_planes.
     """
     buckets = ", ".join(
-        lsh_bucket_sql(f"`{vec_col}`", dim, n_planes, seed=seed + 1000 * t)
+        lsh_bucket_sql(f"`{qvec_col}`", dim, n_planes, seed=seed + 1000 * t)
         for t in range(n_tables)
     )
     return F.expr(f"array({buckets})")
@@ -330,6 +332,12 @@ def cosine_topk_lsh(
     n_tables (linear candidate cost) or n_planes (exponential
     selectivity).
 
+    Fully deterministic cross-engine: planes are ±1 (Rademacher), vectors
+    are int64-quantized, so every projection is an exact integer sum and
+    the bucket ids — hence the candidate set, scores, and ranks — can be
+    recomputed bit-for-bit by an independent SQL engine (the DuckDB
+    oracle for embedding_knn_lsh does exactly that).
+
     Multi-table de-dup is an aggregation, not dropDuplicates: a (qid,
     vid) pair colliding in several tables is scored per collision and
     merged with ``max`` over NARROW (qid, vid, double) rows — map-side
@@ -338,22 +346,26 @@ def cosine_topk_lsh(
     both quantized embedding arrays (measured 4.03s → this shape at
     sf0.1; 39% of the round-1 headline wall).
     """
-    # Norms once per vector (before the per-table explode), so candidate
-    # scoring is one dot product + one division, not three dot products.
+    # Quantize FIRST (one narrow projection), then derive norms and the
+    # per-table buckets from the integer array: the bucket assignment is
+    # exact integer arithmetic end-to-end (see rademacher_plane), and the
+    # norms are computed once per vector, before the per-table explode.
     q_q = quantized(F.col(vec_col))
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        q_q.alias("q_emb"),
-        F.sqrt(dot_q(q_q, q_q).cast("double")).alias("q_norm"),
-        F.posexplode(lsh_buckets_multi(vec_col, dim, n_planes, n_tables)).alias(
+    q = queries.select(F.col(id_col).alias("qid"), q_q.alias("q_emb")).select(
+        "qid",
+        "q_emb",
+        F.sqrt(dot_q(F.col("q_emb"), F.col("q_emb")).cast("double")).alias("q_norm"),
+        F.posexplode(lsh_buckets_multi("q_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
     c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("vid"),
-        q_q.alias("c_emb"),
-        F.sqrt(dot_q(q_q, q_q).cast("double")).alias("c_norm"),
-        F.posexplode(lsh_buckets_multi(vec_col, dim, n_planes, n_tables)).alias(
+        F.col(id_col).alias("vid"), q_q.alias("c_emb")
+    ).select(
+        "vid",
+        "c_emb",
+        F.sqrt(dot_q(F.col("c_emb"), F.col("c_emb")).cast("double")).alias("c_norm"),
+        F.posexplode(lsh_buckets_multi("c_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
