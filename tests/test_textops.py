@@ -165,3 +165,78 @@ def test_ivf_ann_better_than_random(spark):
     assert ann_mean > mean_all + sd_all, (
         f"IVF mean {ann_mean:.3f} not better than random ({mean_all:.3f}±{sd_all:.3f})"
     )
+
+
+def test_pii_redaction_planted(spark):
+    from unicargo_medallion_data_pipeline_spark.textops.pii import pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or bob@site.io today"),
+            (2, "my ssn is 123-45-6789 thanks"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "nothing sensitive here at all"),
+            (5, "mixed: a@b.org then 987-65-4321 then 555-867-5309"),
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii_count("email", "text").alias("em"),
+            pii_count("ssn", "text").alias("ss"),
+            pii_count("phone", "text").alias("ph"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert rows[1]["em"] == 2 and "<EMAIL>" in rows[1]["red"]
+    assert "alice" not in rows[1]["red"] and "bob@" not in rows[1]["red"]
+    assert rows[2]["ss"] == 1 and "<SSN>" in rows[2]["red"]
+    assert rows[3]["ph"] == 1 and "<PHONE>" in rows[3]["red"]
+    assert rows[4]["em"] == rows[4]["ss"] == rows[4]["ph"] == 0
+    assert rows[4]["red"] == "nothing sensitive here at all"
+    # ordering: SSN labelled as <SSN>, not swallowed by the phone pattern
+    assert rows[5]["em"] == 1 and rows[5]["ss"] == 1
+    assert "<EMAIL>" in rows[5]["red"] and "<SSN>" in rows[5]["red"]
+    assert "<PHONE>" in rows[5]["red"]
+
+
+def test_repetition_signals_detect_degenerate_doc(spark):
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    out = {r["doc_id"]: r for r in CATALOG["doc_repetition_signals"].fn(spark, SF).collect()}
+    assert out, "no rows"
+    for r in out.values():
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] <= 1.0
+        assert r["n_bigrams"] == max(r["n_tokens"] - 1, 0)
+    # a synthetic fully-repeated doc must max out the signals
+    df = spark.createDataFrame([(1, "spam spam spam spam spam spam")], ["doc_id", "text"])
+    from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+    row = df.select(
+        ta.max_element_count(ta.tokens("text")).alias("top"),
+        ta.duplicated_instance_count(ta.bigrams("text")).alias("dup"),
+        F.size(ta.bigrams("text")).alias("nbg"),
+    ).collect()[0]
+    assert row["top"] == 6 and row["dup"] == row["nbg"] == 5
+
+
+def test_shard_packing_invariants(spark):
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    rows = CATALOG["doc_shard_packing"].fn(spark, SF).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            # offsets reconstruct the concatenated stream exactly
+            assert r["shard_idx"] * 4096 + r["shard_offset"] == cum
+            cum += r["n_tokens"]
+        # shard indices are dense from 0
+        assert rs[0]["shard_idx"] == 0

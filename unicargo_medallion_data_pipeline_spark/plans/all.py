@@ -9,6 +9,7 @@ import unicargo_medallion_data_pipeline_spark.plans.tpch_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold2  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.docs_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.similarity_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.docs_gold2  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold3  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold4  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold5  # noqa: F401

@@ -1,0 +1,219 @@
+"""Pre-training corpus preparation queries over `documents` (north-star
+training-data surface, part 2): repetition quality signals, PII
+redaction, and deterministic sequence packing into token-budget shards.
+
+Each query pairs a pure-Column Spark implementation with a literal
+DuckDB mirror; all exported values are exact integers or single IEEE
+divisions of exact integers, so the driver's hash compare is bitwise.
+
+Reference parity: the reference pipeline has no corpus-prep surface;
+these extend it per the build brief (dedup/curation family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+from unicargo_medallion_data_pipeline_spark.textops import pii
+from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+#: DuckDB mirrors of textops/analysis.py's array-expression helpers.
+_BIGRAMS = (
+    f"CASE WHEN len({_TOKS}) >= 2 THEN "
+    f"list_transform(generate_series(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i + 1]) "
+    f"ELSE [] END"
+)
+
+
+def _max_count(arr: str) -> str:
+    return (
+        f"coalesce(list_max(list_transform(list_distinct({arr}), "
+        f"t -> len(list_filter({arr}, x -> x = t)))), 0)"
+    )
+
+
+def _dup_instances(arr: str) -> str:
+    return (
+        f"coalesce(CAST(list_sum(list_transform(list_distinct({arr}), "
+        f"t -> CASE WHEN len(list_filter({arr}, x -> x = t)) >= 2 "
+        f"THEN len(list_filter({arr}, x -> x = t)) ELSE 0 END)) AS BIGINT), 0)"
+    )
+
+
+@register(
+    "doc_repetition_signals",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, {_BIGRAMS} AS bg FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST({_max_count('toks')} AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             AS top_token_frac,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN CAST({_max_count('bg')} AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(bg) > 0
+                THEN CAST({_dup_instances('bg')} AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM base
+    """,
+    operators=("P4", "P5"),
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: fraction of
+    tokens that are the single most-frequent token, and the top /
+    duplicated bigram fractions (high values flag boilerplate and
+    degenerate repetition — standard pre-training filters).
+
+    Pure narrow map: multiplicities are computed as array expressions
+    per row (O(distinct·n) per doc, codegen'd, zero shuffle) — not a
+    posexplode + groupBy, which would shuffle every token of the corpus
+    to compute a per-document mode."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ta.tokens("text")
+    bg = ta.bigrams("text")
+    base = ensure_parallelism(d).select(
+        "doc_id", toks.alias("toks"), bg.alias("bg")
+    )
+    n = F.size("toks")
+    nbg = F.size("bg")
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (
+            ta.max_element_count(F.col("toks")).cast("double") / n.cast("double")
+        ).alias("top_token_frac"),
+        nbg.alias("n_bigrams"),
+        F.when(
+            nbg > 0,
+            ta.max_element_count(F.col("bg")).cast("double") / nbg.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            nbg > 0,
+            ta.duplicated_instance_count(F.col("bg")).cast("double")
+            / nbg.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def _pii_count_sql(kind: str) -> str:
+    pattern = next(p for k, p, _ in pii.PII_PATTERNS if k == kind)
+    escaped = pattern.replace("'", "''")
+    return f"CAST(len(regexp_extract_all(text, '{escaped}')) AS INTEGER)"
+
+
+def _redacted_sql() -> str:
+    out = "text"
+    for _, pattern, repl in pii.PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{escaped}', '{repl}', 'g')"
+    return out
+
+
+@register(
+    "doc_pii_redaction",
+    sql=f"""
+    SELECT doc_id,
+           {_pii_count_sql('email')} AS n_emails,
+           {_pii_count_sql('ssn')} AS n_ssns,
+           {_pii_count_sql('phone')} AS n_phones,
+           md5({_redacted_sql()}) AS redacted_fp
+    FROM documents
+    """,
+    operators=("P4", "P8"),
+)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report per document: match counts per kind plus the md5
+    of the fully redacted text.
+
+    The oracle recomputes both with DuckDB's RE2 engine — the patterns
+    live in the Java-regex ∩ RE2 deterministic subset (textops/pii.py),
+    so counts and the redacted fingerprint must agree byte-for-byte.
+    This corpus is synthetic and PII-free (counts are 0 and the
+    fingerprint equals the original text's), so the behavioral cases —
+    planted emails/phones/SSNs, placeholder substitution, pattern
+    ordering — are additionally pytest-asserted in
+    tests/test_textops.py.  Narrow map at scan throughput; no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return ensure_parallelism(d).select(
+        "doc_id",
+        pii.pii_count("email", "text").alias("n_emails"),
+        pii.pii_count("ssn", "text").alias("n_ssns"),
+        pii.pii_count("phone", "text").alias("n_phones"),
+        F.md5(pii.redact_pii("text")).alias("redacted_fp"),
+    )
+
+
+#: Tokens per training shard for doc_shard_packing.
+_SHARD_BUDGET = 4096
+
+
+@register(
+    "doc_shard_packing",
+    sql=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(CAST(n_tokens AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_tok
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(start_tok // {_SHARD_BUDGET} AS BIGINT) AS shard_idx,
+           CAST(start_tok % {_SHARD_BUDGET} AS BIGINT) AS shard_offset
+    FROM packed
+    """,
+    operators=("W3", "A2"),
+)
+def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing: concatenate each language's
+    documents in doc_id order and split the token stream into
+    fixed-budget training shards ({budget} tokens).  Emits each doc's
+    shard index and starting offset — the standard pack-and-straddle
+    layout a pre-training data loader consumes.
+
+    Exact integer arithmetic end-to-end (window cumsum, integer div/mod)
+    → bitwise oracle.  Scale shape: ONE window partitioned by lang —
+    each partition's cumsum is a single sorted pass; for a lake-scale
+    corpus pack within finer natural partitions (lang × source × date)
+    or pre-bucket by the partition key so no single window partition
+    outgrows an executor.""".format(budget=_SHARD_BUDGET)
+    d = load_table(spark, sf_dir, "documents")
+    sized = ensure_parallelism(d).select(
+        "doc_id", "lang", ta.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col("n_tokens").cast("long")).over(w) - F.col("n_tokens")).alias(
+        "start_tok"
+    )
+    packed = sized.select("doc_id", "lang", "n_tokens", start)
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"CAST(start_tok DIV {_SHARD_BUDGET} AS BIGINT)").alias("shard_idx"),
+        F.expr(f"CAST(start_tok % {_SHARD_BUDGET} AS BIGINT)").alias("shard_offset"),
+    )

@@ -101,3 +101,44 @@ def predicted_lang(col: str | Column = "text") -> Column:
             cond = cond & (counts[lang] >= counts[other])
         expr = expr.when(cond, lang)
     return expr.otherwise(order[-1])
+
+
+def bigrams(col: str | Column = "text") -> Column:
+    """Adjacent token bigrams (array<string>; empty for 1-token docs).
+
+    Guarded by IF(n>=2,...): Spark's ``sequence(1, 0)`` would COUNT DOWN
+    ([1, 0]) rather than produce an empty range.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def max_element_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty).
+
+    O(|distinct| · |arr|) per row as a pure codegen'd array expression —
+    the right trade for documents (tokens ≪ 10^4); no shuffle, unlike a
+    posexplode + groupBy mode computation.
+    """
+    counts = F.transform(
+        F.array_distinct(arr), lambda t: F.size(F.filter(arr, lambda x: x == t))
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def duplicated_instance_count(arr: Column) -> Column:
+    """How many elements of ``arr`` belong to a value occurring ≥ 2 times
+    (the numerator of Gopher-style duplicate-n-gram fractions)."""
+    per_distinct = F.transform(
+        F.array_distinct(arr), lambda t: F.size(F.filter(arr, lambda x: x == t))
+    )
+    return F.aggregate(
+        per_distinct,
+        F.lit(0),
+        lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
+    )

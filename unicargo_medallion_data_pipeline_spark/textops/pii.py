@@ -1,0 +1,47 @@
+"""PII detection & redaction for pre-training corpora (north-star surface).
+
+Pure Column expressions over Spark's JVM regex engine — a narrow map per
+row, no shuffle, no UDFs: at lake scale redaction runs at parquet-scan
+throughput.
+
+Pattern policy: every pattern stays inside the common deterministic
+subset of Java regex (Spark) and RE2 (DuckDB, the oracle engine) —
+character classes, bounded repetition, ``\\d``/``\\b``, non-capturing
+groups; no backreferences, no lookaround.  Within that subset greedy
+matching picks the same leftmost match in both engines, so the oracle
+can recompute match counts and the md5 of the redacted text exactly.
+
+Reference parity: the reference pipeline has no PII surface; this module
+extends it for training-data curation per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (kind, pattern, replacement) — applied in order.  Email first so the
+#: phone pattern cannot eat an address's digit runs; SSN before phone so
+#: a 3-2-4 digit group is labelled specifically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d(). -]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Text with every PII match replaced by its typed placeholder."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_count(kind: str, col: str | Column = "text") -> Column:
+    """Match count for one PII kind over the ORIGINAL text (counts are
+    taken before any replacement, so kinds don't shadow each other
+    beyond the documented pattern order)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pattern = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.regexp_count(c, F.lit(pattern))
