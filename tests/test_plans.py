@@ -103,3 +103,19 @@ def test_curation_query_plan_shapes(spark, catalog):
     p = plan_of(catalog["doc_contamination_overlap"].fn(spark, SF))
     assert "BroadcastHashJoin" in p, "benchmark side must broadcast"
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_corpus_prep_plan_shapes(spark, catalog):
+    """Corpus-prep operators keep their scale shapes:
+    - repetition signals & PII redaction: pure narrow maps — no KEYED
+      shuffle (multiplicities via array expressions, never
+      posexplode+groupBy).  ensure_parallelism's round-robin spread of
+      the single-file local scan is allowed (no-op on real lake scans).
+    - shard packing: exactly ONE keyed shuffle (the lang window)"""
+    for name in ("doc_repetition_signals", "doc_pii_redaction"):
+        p = plan_of(catalog[name].fn(spark, SF))
+        assert "hashpartitioning" not in p, f"{name} must not shuffle on a key"
+        assert "Generate" not in p, f"{name} must not explode"
+    p = plan_of(catalog["doc_shard_packing"].fn(spark, SF))
+    assert p.count("hashpartitioning") == 1, "packing is one window shuffle"
+    assert "Window" in p
