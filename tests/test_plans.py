@@ -119,3 +119,11 @@ def test_corpus_prep_plan_shapes(spark, catalog):
     p = plan_of(catalog["doc_shard_packing"].fn(spark, SF))
     assert p.count("hashpartitioning") == 1, "packing is one window shuffle"
     assert "Window" in p
+
+
+def test_curation_pipeline_is_two_keyed_shuffles(spark, catalog):
+    """The composed curation pipeline (gates -> dedup window -> packing
+    window) must cost exactly two keyed shuffles no matter the corpus."""
+    p = plan_of(catalog["doc_curation_pipeline"].fn(spark, SF))
+    assert p.count("hashpartitioning") == 2, "expected fp + lang windows only"
+    assert "CartesianProduct" not in p

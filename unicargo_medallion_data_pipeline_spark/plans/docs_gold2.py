@@ -217,3 +217,114 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(start_tok DIV {_SHARD_BUDGET} AS BIGINT)").alias("shard_idx"),
         F.expr(f"CAST(start_tok % {_SHARD_BUDGET} AS BIGINT)").alias("shard_offset"),
     )
+
+
+#: Curation thresholds (fixed contract values; corpus quality median is
+#: ~0.54 and the 95th-pct top-token fraction ~0.16, so both gates bite).
+_MIN_QUALITY = 0.45
+_MAX_TOP_TOKEN_FRAC = 0.15
+
+_QUALITY_SQL = (
+    "0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)"
+    " + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+    " + 0.3 * (CAST(n_sw AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+)
+
+
+@register(
+    "doc_curation_pipeline",
+    sql=f"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+             len(list_filter({_TOKS},
+                 x -> list_contains(['the','and','of','to','in','a','is','for','on','with'], x)))
+               AS n_sw,
+             (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS n_punct,
+             length(text) AS n_chars,
+             {_max_count(_TOKS)} AS top_cnt,
+             md5({_NORM}) AS fp
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lang, n_tokens, {_QUALITY_SQL} AS quality_score, fp
+      FROM raw
+      WHERE {_QUALITY_SQL} >= {_MIN_QUALITY}
+        AND CAST(top_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= {_MAX_TOP_TOKEN_FRAC}
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+      ) WHERE rn = 1
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens, quality_score,
+             SUM(CAST(n_tokens AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_tok
+      FROM deduped
+    )
+    SELECT doc_id, lang, n_tokens, quality_score,
+           CAST(start_tok // {_SHARD_BUDGET} AS BIGINT) AS shard_idx,
+           CAST(start_tok % {_SHARD_BUDGET} AS BIGINT) AS shard_offset
+    FROM packed
+    """,
+    operators=("P4", "P10", "W1", "W3"),
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: quality gate
+    (composite score ≥ {q}) → repetition gate (top-token fraction ≤ {r})
+    → exact dedup (first doc per md5 fingerprint) → greedy packing of the
+    survivors into {b}-token shards.
+
+    The flagship composition of the curation family: every stage is a
+    filter, window, or narrow map, so Catalyst fuses the gates into the
+    scan projection and the whole pipeline costs exactly two keyed
+    shuffles (fingerprint window, lang window) regardless of corpus
+    size.  Values stay exact (integer counts, single IEEE divisions), so
+    the DuckDB mirror hash-matches bitwise."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = ensure_parallelism(d).select(
+        "doc_id",
+        "lang",
+        ta.token_count("text").alias("n_tokens"),
+        ta.max_element_count(ta.tokens("text")).alias("top_cnt"),
+        ta.quality_score("text").alias("quality_score"),
+        ta.fingerprint("text").alias("fp"),
+    )
+    gated = raw.filter(
+        (F.col("quality_score") >= _MIN_QUALITY)
+        & (
+            F.col("top_cnt").cast("double") / F.col("n_tokens").cast("double")
+            <= _MAX_TOP_TOKEN_FRAC
+        )
+    )
+    dedup_w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp", "top_cnt")
+    )
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = deduped.withColumn(
+        "start_tok",
+        F.sum(F.col("n_tokens").cast("long")).over(pack_w) - F.col("n_tokens"),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality_score",
+        F.expr(f"CAST(start_tok DIV {_SHARD_BUDGET} AS BIGINT)").alias("shard_idx"),
+        F.expr(f"CAST(start_tok % {_SHARD_BUDGET} AS BIGINT)").alias("shard_offset"),
+    )
+
+
+doc_curation_pipeline.__doc__ = doc_curation_pipeline.__doc__.format(
+    q=_MIN_QUALITY, r=_MAX_TOP_TOKEN_FRAC, b=_SHARD_BUDGET
+)
