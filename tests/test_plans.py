@@ -127,3 +127,11 @@ def test_curation_pipeline_is_two_keyed_shuffles(spark, catalog):
     p = plan_of(catalog["doc_curation_pipeline"].fn(spark, SF))
     assert p.count("hashpartitioning") == 2, "expected fp + lang windows only"
     assert "CartesianProduct" not in p
+
+
+def test_sketch_profile_invariants_hold(spark, catalog):
+    """The sketch invariant booleans must be TRUE (a false==false oracle
+    match would hide a broken sketch)."""
+    for r in catalog["events_sketch_profile"].fn(spark, SF).collect():
+        assert r["users_sketch_within_5pct"] is True
+        assert r["p50_sketch_within_bound"] is True

@@ -117,3 +117,65 @@ def nation_trade_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("shipments_in"),
     )
     return supp_side.join(cust_side, "nation", "full")
+
+
+@register(
+    "events_sketch_profile",
+    sql="""
+    WITH agg AS (
+      SELECT event_type,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS exact_users,
+             approx_count_distinct(user_id) AS approx_users,
+             quantile_cont(value, 0.5) AS exact_p50,
+             approx_quantile(value, 0.5) AS approx_p50,
+             quantile_cont(value, 0.95) - quantile_cont(value, 0.05) AS p_range
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(exact_users AS BIGINT) AS exact_users,
+           (abs(CAST(approx_users AS DOUBLE) - exact_users) <= 0.05 * exact_users)
+             AS users_sketch_within_5pct,
+           (abs(approx_p50 - exact_p50) <= 0.05 * p_range) AS p50_sketch_within_bound
+    FROM agg
+    """,
+    operators=("A8", "A15"),
+)
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling — the 100 TB path for distinct counts and
+    quantiles: HyperLogLog (approx_count_distinct, rsd 2%) and a
+    quantile sketch (approx_percentile) are single-pass, mergeable,
+    fixed-memory aggregates, where exact COUNT(DISTINCT) needs an Expand
+    + full shuffle of the key space and exact percentile a sort.
+
+    INVARIANT ORACLE: sketch values are engine-specific (Spark HLL++ vs
+    DuckDB's HLL; different quantile sketches), so the query exports the
+    exact values (hard bitwise check) plus BOOLEAN error-bound
+    invariants — each engine checks ITS OWN sketch against ITS OWN exact
+    value, and the booleans must agree (true) for the driver hash to
+    match.  This is the same contract a sketch keeps at lake scale.
+
+    The exact aggregates stay in the query deliberately at test scale;
+    at 100 TB you would drop them and keep only the sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile(value, 0.95) - percentile(value, 0.05)").alias("p_range"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("users_sketch_within_5pct"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 0.05 * F.col("p_range")).alias(
+            "p50_sketch_within_bound"
+        ),
+    )
