@@ -221,3 +221,60 @@ def test_streaming_dedup_within_watermark(spark):
     write_batch("b2", [(1, 5, "a-redelivery"), (3, 10, "c")])
     rows2 = run_once()
     assert sorted(r.event_id for r in rows2) == [1, 2, 3]
+
+
+def test_streaming_curation_composes(spark):
+    """The corpus-prep projections (PII redaction, fingerprinting,
+    quality gating) are plain Column expressions, so the SAME code runs
+    unchanged inside a stream: ingest documents with planted duplicates
+    → redact → gate → state-bounded fingerprint dedup → parquet sink."""
+    import shutil
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.streaming.dedup import dedup_stream_exact
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import write_stream_to_path
+    from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+    from unicargo_medallion_data_pipeline_spark.textops.pii import redact_pii
+
+    src = tempfile.mkdtemp(prefix="docs_src_")
+    out = tempfile.mkdtemp(prefix="docs_cur_")
+    ckpt = tempfile.mkdtemp(prefix="docs_ckpt_")
+    try:
+        docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+        docs.write.mode("overwrite").parquet(src)
+        # re-deliver 10 docs under new ids (same content → same fingerprint)
+        docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000).write.mode(
+            "append"
+        ).parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = read_streaming_path(spark, src, schema)
+        curated = dedup_stream_exact(
+            stream.select(
+                "doc_id",
+                "lang",
+                redact_pii("text").alias("text"),
+                ta.fingerprint("text").alias("fp"),
+                ta.quality_score("text").alias("quality"),
+            ).filter(F.col("quality") >= 0.45),
+            ["fp"],
+        )
+        write_stream_to_path(curated, out, ckpt, await_termination=True)
+
+        got = spark.read.parquet(out)
+        want = (
+            docs.select(
+                "doc_id", ta.fingerprint("text").alias("fp"), ta.quality_score("text").alias("q")
+            )
+            .filter(F.col("q") >= 0.45)
+            .select("fp")
+            .distinct()
+            .count()
+        )
+        assert got.count() == want > 0, "stream must emit one row per surviving fingerprint"
+        assert got.filter(F.col("quality") < 0.45).count() == 0
+    finally:
+        for d in (src, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
