@@ -1,0 +1,105 @@
+"""Scalable global ranking (100 TB design surface).
+
+``Window.orderBy(...)`` with no partition key moves EVERY row to one
+partition (Spark warns ``WindowExec: No Partition Defined``) — fine for
+dim-sized inputs (see plans/tpch_gold.py::nation_dim, documented), fatal
+for fact-sized ones.  This module implements the classic distributed
+alternative:
+
+  1. ``repartitionByRange`` on the order keys — each partition holds a
+     contiguous key range, partitions ordered by range;
+  2. ``sortWithinPartitions`` — rows ordered inside each partition, so
+     the global order is (partition order, intra-partition order);
+  3. per-partition row counts — one tiny aggregation whose result is
+     bounded by the partition COUNT, not the row count — turned into
+     cumulative offsets and joined back via a broadcast;
+  4. intra-partition positions from ``monotonically_increasing_id``
+     (pid << 33 | local index, local index dense from 0 in task row
+     order, which step 2 made the sorted order).
+
+Global rank = offset[pid] + local index + 1.  No single-partition
+stage anywhere; the only full shuffle is the range exchange.  The
+ranked frame is persisted internally — range sampling is per-job, so
+the counts pass and the final pass MUST observe the same boundaries
+(at lake scale, materialize to a table instead of cache residency).
+
+Ranks are total and deterministic ONLY if the order keys are a total
+tiebreak (unique): same contract as every top-k in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: monotonically_increasing_id packs the partition id above bit 33.
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str],
+    rank_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based global row numbers over ``order_by`` without a
+    single-partition window.  ``order_by`` must be a unique key set."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranked = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(*order_by)
+
+    with_mid = ranked.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
+        "_pid", F.shiftrightunsigned(F.col("_mid"), 33)
+    )
+    # PERSIST before the two passes: repartitionByRange SAMPLES the input
+    # to pick range boundaries per job, so without pinning, the counts
+    # job and the final job can see different partitionings (observed:
+    # AQE shifts the boundaries) and the offsets would be applied to the
+    # wrong partitions.  At lake scale, materialize the ranked frame to a
+    # table instead of relying on cache residency.
+    with_mid = with_mid.persist()
+    # One tiny job: rows per partition -> cumulative offset per partition.
+    counts = (
+        with_mid.groupBy("_pid").count().orderBy("_pid").collect()
+    )  # bounded by n_parts, never by |df|
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid bigint, _offset bigint"
+    )
+    return (
+        with_mid.join(F.broadcast(offset_df), "_pid")
+        .withColumn(
+            rank_col,
+            (F.col("_offset") + F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)) + 1),
+        )
+        .drop("_mid", "_pid", "_offset")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: list[str],
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """NTILE(n) over a global order without a single-partition window.
+
+    Matches SQL NTILE exactly: the first ``total % n`` tiles get
+    ``ceil(total / n)`` rows, the rest ``floor(total / n)``.
+    """
+    ranked = global_row_number(df, order_by, "_rn", num_partitions)
+    # The row total is a scalar the driver already knows from the offset
+    # pass conceptually; a count() keeps the API self-contained (a global
+    # max-window would reintroduce the single partition this exists to
+    # avoid).
+    n_total = ranked.count()
+    base, rem = divmod(n_total, n)
+    boundary = rem * (base + 1)
+    tile = F.when(
+        F.col("_rn") <= F.lit(boundary),
+        (F.col("_rn") - 1) / F.lit(base + 1),
+    ).otherwise(F.lit(rem) + (F.col("_rn") - 1 - F.lit(boundary)) / F.lit(max(base, 1)))
+    return ranked.withColumn(tile_col, F.floor(tile).cast("int") + 1).drop("_rn")

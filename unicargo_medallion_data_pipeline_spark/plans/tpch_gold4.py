@@ -74,7 +74,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_rank + ntile customer tiering — completes the §2.5 W5 family
     (row_number/lag covered elsewhere).  ntile carries a full tiebreak so
-    tile boundaries are deterministic."""
+    tile boundaries are deterministic.
+
+    Scale hazard (SURVEY §4 hazard 1): the unpartitioned windows move
+    all customers to ONE partition — acceptable for an aggregated
+    per-customer frame, not for fact-sized inputs.  The engine's scale
+    twin is operators/ranks.py (range-partition + offset composition,
+    no Window node, differential-tested against these exact
+    semantics)."""
     o = load_table(spark, sf_dir, "orders")
     revenue = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("customer_revenue"),
