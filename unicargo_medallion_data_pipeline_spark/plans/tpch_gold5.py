@@ -179,3 +179,45 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_sketch_within_bound"
         ),
     )
+
+
+@register(
+    "customer_revenue_rank",
+    sql="""
+    WITH revenue AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS customer_revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, customer_revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY customer_revenue DESC, o_custkey)
+                AS BIGINT) AS revenue_rank
+    FROM revenue
+    """,
+    operators=("W1", "W5"),
+)
+def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global revenue leaderboard over ALL customers, computed with the
+    SCALABLE ranking operator (operators/ranks.py) instead of an
+    unpartitioned window: range exchange + broadcast offset join, no
+    Window node, no single-partition stage — yet the oracle is plain SQL
+    ROW_NUMBER, checked value-for-value.
+
+    The operator runs two bounded driver-side steps inside query
+    construction (per-partition counts, ≤ #partitions rows — same class
+    as the IVF codebook fit), documented in operators/ranks.py."""
+    from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    revenue = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("customer_revenue")
+    )
+    ranked = global_row_number(
+        revenue.withColumn("_neg_rev", -F.col("customer_revenue")),
+        ["_neg_rev", "o_custkey"],
+        rank_col="revenue_rank",
+    )
+    return ranked.select(
+        "o_custkey", "customer_revenue", F.col("revenue_rank").cast("long")
+    )
