@@ -135,3 +135,9 @@ def test_sketch_profile_invariants_hold(spark, catalog):
     for r in catalog["events_sketch_profile"].fn(spark, SF).collect():
         assert r["users_sketch_within_5pct"] is True
         assert r["p50_sketch_within_bound"] is True
+
+
+def test_token_df_plans_take_ordered(spark, catalog):
+    p = plan_of(catalog["corpus_token_df"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p, "top-100 must not globally sort"
+    assert "CartesianProduct" not in p

@@ -33,6 +33,12 @@ _BIGRAMS = (
 )
 
 
+def _marker(lang: str) -> str:
+    """DuckDB mirror of textops/analysis.marker_count (same fixed sets)."""
+    words = ", ".join(f"'{w}'" for w in ta.MARKERS[lang])
+    return f"len(list_filter({_TOKS}, x -> list_contains([{words}], x)))"
+
+
 def _max_count(arr: str) -> str:
     return (
         f"coalesce(list_max(list_transform(list_distinct({arr}), "
@@ -328,3 +334,82 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_curation_pipeline.__doc__ = doc_curation_pipeline.__doc__.format(
     q=_MIN_QUALITY, r=_MAX_TOP_TOKEN_FRAC, b=_SHARD_BUDGET
 )
+
+
+@register(
+    "corpus_token_df",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    stats AS (
+      SELECT token,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+             CAST(COUNT(*) AS BIGINT) AS total_occurrences
+      FROM tok GROUP BY token
+    )
+    SELECT token, doc_freq, total_occurrences
+    FROM stats
+    ORDER BY doc_freq DESC, token
+    LIMIT 100
+    """,
+    operators=("A1", "A8", "O3"),
+)
+def corpus_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document-frequency table: top-100 tokens by the number of
+    documents containing them (the IR statistic behind idf weighting,
+    stopword discovery, and vocabulary pruning).
+
+    The one corpus-prep shape that NEEDS an explode: per-token stats are
+    a corpus-level aggregate, so tokens explode once and aggregate on
+    the token key — partial aggregation collapses each task's token
+    multiset before the single shuffle, and the top-100 is
+    TakeOrderedAndProject (no global sort).  Integer counts only →
+    bitwise oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = ensure_parallelism(d).select(
+        "doc_id", F.explode(ta.tokens("text")).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_occurrences"),
+    )
+    return stats.orderBy(F.col("doc_freq").desc(), "token").limit(100)
+
+
+@register(
+    "lang_id_confusion",
+    sql=f"""
+    WITH scored AS (
+      SELECT
+        lang,
+        CASE
+          WHEN (length(text) - length(regexp_replace(text, '[^一-鿿]', '', 'g'))) > 0
+            THEN 'zh'
+          WHEN {_marker('en')} >= {_marker('de')} AND {_marker('en')} >= {_marker('fr')}
+               AND {_marker('en')} >= {_marker('es')} THEN 'en'
+          WHEN {_marker('de')} >= {_marker('fr')} AND {_marker('de')} >= {_marker('es')}
+            THEN 'de'
+          WHEN {_marker('fr')} >= {_marker('es')} THEN 'fr'
+          ELSE 'es'
+        END AS predicted_lang
+      FROM documents
+    )
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY lang, predicted_lang
+    """,
+    operators=("A3", "A8"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labelled lang × predicted lang with
+    document counts — the evaluation aggregate for the marker-based
+    classifier (doc_language_id emits the per-document view; this is the
+    corpus-level quality summary a curation run reports).  One keyed
+    aggregation; the classifier itself is a narrow map."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ensure_parallelism(d)
+        .select("lang", ta.predicted_lang("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
