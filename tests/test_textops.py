@@ -240,3 +240,25 @@ def test_shard_packing_invariants(spark):
             cum += r["n_tokens"]
         # shard indices are dense from 0
         assert rs[0]["shard_idx"] == 0
+
+
+def test_ivf_scores_equal_exact_rescore(spark):
+    """Every (qid, vid, cosine) the IVF path emits must equal the exact
+    quantized cosine for that pair — the probe structure decides WHICH
+    pairs surface, but never their scores (closes the rows-only oracle
+    gap from the value side)."""
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    e = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["qid"], r["vid"]): r["cosine_sim"]
+        for r in sim.cosine_topk_exact(
+            e.filter(F.col("vec_id") < 10), e, k=10**9
+        ).collect()
+    }
+    ann = CATALOG["embedding_knn_ivf"].fn(spark, SF).collect()
+    assert ann
+    for r in ann:
+        assert exact[(r["qid"], r["vid"])] == r["cosine_sim"], (r["qid"], r["vid"])
