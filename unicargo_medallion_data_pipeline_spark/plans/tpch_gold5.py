@@ -221,3 +221,41 @@ def customer_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "o_custkey", "customer_revenue", F.col("revenue_rank").cast("long")
     )
+
+
+@register(
+    "customer_revenue_decile",
+    sql="""
+    WITH revenue AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS customer_revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, customer_revenue,
+           CAST(NTILE(10) OVER (ORDER BY customer_revenue DESC, o_custkey)
+                AS INTEGER) AS revenue_decile
+    FROM revenue
+    """,
+    operators=("W5",),
+)
+def customer_revenue_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue deciles via the SCALABLE ntile operator
+    (operators/ranks.py::global_ntile — range exchange + offset
+    arithmetic, no Window node) against a plain SQL NTILE oracle: the
+    distributed composition must reproduce SQL tile semantics exactly,
+    including the ceil/floor boundary when the row count is not
+    divisible by 10."""
+    from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    revenue = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("customer_revenue")
+    )
+    tiled = global_ntile(
+        revenue.withColumn("_neg_rev", -F.col("customer_revenue")),
+        10,
+        ["_neg_rev", "o_custkey"],
+        tile_col="revenue_decile",
+    )
+    return tiled.select("o_custkey", "customer_revenue", "revenue_decile")
