@@ -50,6 +50,38 @@ def test_star_joins_broadcast_the_dim_side(spark, catalog):
         assert "CartesianProduct" not in plan, f"{name}: unexpected cross product"
 
 
+def hints_of(df) -> str:
+    """The analyzed logical plan, where explicit join hints are visible
+    exactly once each (the optimizer folds them into Join nodes)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(extended=True)
+    text = buf.getvalue()
+    return text.split("== Analyzed Logical Plan ==")[1].split(
+        "== Optimized Logical Plan =="
+    )[0]
+
+
+def test_no_broadcast_hints_on_linear_growth_tables(spark, catalog):
+    """customer/supplier/part grow linearly with SF; a hard F.broadcast
+    hint overrides autoBroadcastJoinThreshold and OOMs at 100 TB.  Hints
+    are allowed only on fixed-cardinality dims (nation=25, region=5).
+    The planner must still PICK broadcast at oracle scale on its own —
+    asserted by test_star_joins_broadcast_the_dim_side above."""
+    expected_hints = {
+        "segment_scorecard": 0,      # customer: no hint
+        "top_trade_routes": 2,       # nation x2 roles only
+        "nation_trade_degree": 4,    # nation x2 roles, subtree reused x2
+        "orphan_fk_audit": 0,        # part/customer anti-joins: no hint
+        "customer_intensity_by_segment": 0,
+        "top_customers_per_segment": 0,
+    }
+    for name, want in expected_hints.items():
+        logical = hints_of(catalog[name].fn(spark, SF))
+        got = logical.count("ResolvedHint")
+        assert got == want, f"{name}: {got} broadcast hints, expected {want}"
+
+
 def test_topk_uses_take_ordered_not_global_sort(spark, catalog):
     plan = plan_of(catalog["top_trade_routes"].fn(spark, SF))
     assert "TakeOrderedAndProject" in plan, "top-k should plan TakeOrderedAndProject"

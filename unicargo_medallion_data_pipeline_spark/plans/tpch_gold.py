@@ -10,9 +10,15 @@ IEEE division; top-k queries carry full tiebreak keys; date parts are cast
 to INTEGER on the oracle side to match Spark's int32 outputs.
 
 Scale notes: every aggregation here is a map-side-combinable hash agg; the
-dim joins (customer/supplier/nation/region) are broadcast-sized at any SF
-(dims grow ~linearly but stay tiny relative to facts); the only full
-shuffles are on high-cardinality group keys, which AQE coalesces.
+only full shuffles are on high-cardinality group keys, which AQE coalesces.
+Broadcast policy: explicit ``F.broadcast`` hints are reserved for
+fixed-cardinality dims (nation=25, region=5, generated date dims).
+customer/supplier/part grow LINEARLY with SF (~3.5 GB at sf100, TBs at
+100 TB) — a hard hint there overrides the size threshold and OOMs at
+scale, so those joins carry no hint and the planner's
+autoBroadcastJoinThreshold / AQE picks broadcast only while the table
+actually fits (which it does at every oracle/bench SF; plan-asserted in
+tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -126,13 +132,15 @@ def segment_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scorecard per market segment (reference: airline scorecard,
     ``03_gold_unikargo_02_airline_performance.ipynb:69-82``).
 
-    customer is dim-sized → broadcast-hash join, no fact shuffle for the
-    join; one hash-agg shuffle on the 5-value segment key.
+    customer grows linearly with SF, so the join carries no broadcast
+    hint: the size threshold/AQE broadcasts it while it fits and falls
+    back to a shuffle join beyond that; one hash-agg shuffle on the
+    5-value segment key either way.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("total_orders"),
@@ -299,9 +307,12 @@ def top_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor at line 80 — scaled to ≥10 for the synthetic corpus' route
     cardinality; role-playing join ``...create_fact_flights.ipynb:262-300``).
 
-    nation is joined twice under different roles via aliased selects.  All
-    dims broadcast; the only shuffle is the orderkey join and the final
-    16-ish-row agg.  Tie-broken ORDER BY keeps top-k hash-stable.
+    nation is joined twice under different roles via aliased selects.
+    Only the fixed-25-row nation roles carry broadcast hints;
+    supplier/customer grow linearly with SF so their joins are left to
+    the size threshold/AQE (broadcast at oracle scale, shuffle beyond).
+    The orderkey join and the final 16-ish-row agg are the only required
+    shuffles.  Tie-broken ORDER BY keeps top-k hash-stable.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -316,8 +327,8 @@ def top_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
     )
@@ -513,8 +524,9 @@ def orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: ``...create_fact_flights.ipynb:435-444``).
 
     Expressed as three left-anti joins aggregated to single counts, then
-    cross-joined into one row — fully lazy, no driver-side collects.  The
-    anti-joins broadcast the dim side."""
+    cross-joined into one row — fully lazy, no driver-side collects.
+    part/customer grow linearly with SF, so the anti-joins carry no
+    broadcast hint (the planner broadcasts while they fit)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
@@ -524,11 +536,11 @@ def orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("orphan_lineitem_orders"))
     )
     a2 = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_lineitem_part"))
     )
     a3 = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_orders_customer"))
     )
     return a1.crossJoin(a2).crossJoin(a3)

@@ -194,7 +194,7 @@ def customer_intensity_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     per_customer = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.count(F.lit(1)).alias("orders_per_customer"))
     )
@@ -284,7 +284,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     revenue = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("customer_revenue"))
     )

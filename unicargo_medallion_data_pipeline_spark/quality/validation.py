@@ -67,13 +67,15 @@ def orphan_fk_counts(fact: DataFrame, dims: dict[str, tuple[DataFrame, str]]) ->
     """Q2 — for each FK, count fact rows with no matching dim row.
 
     ``dims`` maps fk_col → (dim_df, dim_key_col).  Each check is a
-    broadcast left-anti join (dims are broadcast-sized by definition).
+    left-anti join on the key column only; no broadcast hint is forced —
+    the planner broadcasts dims that fit autoBroadcastJoinThreshold and
+    falls back to a shuffled anti-join for linear-growth dims at scale.
     """
     out: dict[str, int] = {}
     for fk, (dim, dim_key) in dims.items():
         out[fk] = (
             fact.join(
-                F.broadcast(dim.select(F.col(dim_key).alias("__k"))),
+                dim.select(F.col(dim_key).alias("__k")),
                 fact[fk] == F.col("__k"),
                 "left_anti",
             ).count()
