@@ -84,10 +84,19 @@ def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two distinct-element arrays (ints → one IEEE div)."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = (F.size(a) + F.size(b)).cast("double") - F.size(F.array_intersect(a, b))
-    return inter / union
+    """Exact Jaccard over two distinct-element arrays (ints → one IEEE div).
+
+    ``array_intersect`` — the expensive op on the rescore path — is bound
+    ONCE via a single-element fold so it cannot be re-evaluated for the
+    union denominator (|a ∪ b| = |a| + |b| − |a ∩ b|), independent of
+    whether codegen's subexpression elimination kicks in.
+    """
+    return F.aggregate(
+        F.array(F.size(F.array_intersect(a, b))),
+        F.lit(0.0),
+        lambda _acc, inter: inter.cast("double")
+        / (F.size(a) + F.size(b) - inter).cast("double"),
+    )
 
 
 def minhash_lsh_candidates(
