@@ -262,3 +262,59 @@ def test_ivf_scores_equal_exact_rescore(spark):
     assert ann
     for r in ann:
         assert exact[(r["qid"], r["vid"])] == r["cosine_sim"], (r["qid"], r["vid"])
+
+
+def test_ivf_fit_path_valid_topk(spark):
+    """The per-run k-means IVF path (ivf_codebook fit + Arrow-batched
+    assignment) — no longer what the catalog query serves, which runs the
+    frozen codebook — must still produce ranked output whose every score
+    equals the exact quantized cosine for that pair."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    e = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["qid"], r["vid"]): r["cosine_sim"]
+        for r in sim.cosine_topk_exact(
+            e.filter(F.col("vec_id") < 10), e, k=10**9
+        ).collect()
+    }
+    out = sim.cosine_topk_ivf(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=8, n_probe=2
+    ).collect()
+    assert out, "fit-path IVF returned nothing"
+    for r in out:
+        assert 1 <= r["sim_rank"] <= 5
+        assert exact[(r["qid"], r["vid"])] == r["cosine_sim"], (r["qid"], r["vid"])
+
+
+def test_ivf_frozen_assignment_matches_numpy(spark):
+    """The JVM-side frozen-codebook assignment (one SQL expression) must
+    agree with an independent numpy recompute from the same literals —
+    same int64 dot products, same double division, same (score desc,
+    cid asc) order."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
+        FROZEN_CENTROIDS_Q,
+        FROZEN_NORMS,
+    )
+
+    C = np.asarray(FROZEN_CENTROIDS_Q, dtype=np.int64)
+    norms = np.asarray(FROZEN_NORMS, dtype=np.float64)
+    e = load_table(spark, SF, "embeddings")
+    rows = e.select(
+        "vec_id",
+        sim.quantized(F.col("embedding")).alias("q"),
+        F.expr(sim.ivf_assign_sql("transform(embedding, "
+                                  "x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT))", 4)
+               ).alias("probes"),
+    ).collect()
+    assert rows
+    for r in rows:
+        q = np.asarray(r["q"], dtype=np.int64)
+        scores = (C @ q).astype(np.float64) / norms
+        want = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[:4]
+        assert list(r["probes"]) == want, r["vec_id"]

@@ -13,11 +13,12 @@ Every entry here is value-level oracle-checked except IVF:
   bit-for-bit, and the ≤3-of-60 Hamming threshold with 4-chunk banding
   has recall exactly 1 by pigeonhole;
 * hyperplane LSH KNN — FULL oracle: ±1 planes × int64-quantized vectors
-  make bucketing exact integer arithmetic both engines reproduce.
-
-Only embedding_knn_ivf stays rows-only: its codebook is an ITERATIVE
-seeded k-means no single SQL query can express — semantics are asserted
-in tests/test_textops.py instead.
+  make bucketing exact integer arithmetic both engines reproduce;
+* IVF KNN — FULL oracle: assignment against a FROZEN quantized codebook
+  (``textops.ivf_frozen``) is exact integer arithmetic + divisions by
+  shared literals, so DuckDB reproduces cells/candidates/scores/ranks.
+  The iterative k-means FIT is the one remaining non-SQL-expressible
+  piece; it is a separate operator asserted in tests/test_textops.py.
 """
 
 from __future__ import annotations
@@ -395,16 +396,89 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(e)
 
 
+def _ivf_oracle_sql(dim=64, k=5, n_probe=4) -> str:
+    """DuckDB mirror of cosine_topk_ivf_frozen: the same frozen-codebook
+    literals (``textops.ivf_frozen``), int64 quantization, and
+    (score desc, cid asc) assignment order, so cells, probes, candidate
+    set, scores, and ranks reproduce the engine bit-for-bit."""
+    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
+        FROZEN_CENTROIDS_Q,
+        FROZEN_NORMS,
+    )
+
+    cent_rows = ",\n      ".join(
+        f"({cid}, [{', '.join(str(v) for v in c)}], CAST('{n!r}' AS DOUBLE))"
+        for cid, (c, n) in enumerate(zip(FROZEN_CENTROIDS_Q, FROZEN_NORMS))
+    )
+    dotsum = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> a.q[j] * b.q[j])) AS BIGINT)"
+    )
+    sqsum = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}),"
+        " j -> {v}.q[j] * {v}.q[j])) AS BIGINT)"
+    )
+    return f"""
+    WITH cent(cid, c, nrm) AS (VALUES
+      {cent_rows}
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT qv.vec_id, cent.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qv.vec_id
+               ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, {dim}),
+                          j -> qv.q[j] * cent.c[j])) AS BIGINT) AS DOUBLE) / cent.nrm
+                        DESC, cent.cid) AS arn
+      FROM qv CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, cid FROM assign WHERE arn = 1),
+    probes AS (SELECT vec_id, cid FROM assign WHERE arn <= {n_probe} AND vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS qid, c.vec_id AS vid
+      FROM probes p JOIN cells c USING (cid)
+      WHERE p.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT cand.qid, cand.vid,
+             CAST({dotsum} AS DOUBLE)
+               / (sqrt(CAST({sqsum.format(d=dim, v='a')} AS DOUBLE))
+                  * sqrt(CAST({sqsum.format(d=dim, v='b')} AS DOUBLE))) AS cosine_sim
+      FROM cand
+      JOIN qv a ON a.vec_id = cand.qid
+      JOIN qv b ON b.vec_id = cand.vid
+    ),
+    ranked AS (
+      SELECT qid, vid, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vid)
+                  AS INTEGER) AS sim_rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE sim_rank <= {k}
+    """
+
+
 @register(
     "embedding_knn_ivf",
-    sql=None,  # ANN: seeded k-means codebook; accuracy asserted in tests
+    sql=_ivf_oracle_sql(),
     operators=("W5",),
 )
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for the same query set — the clustered-data scale
-    path: a seeded spherical k-means codebook, cell assignment via one
-    Arrow-batched matmul, probe-join on cell id, exact rescoring."""
+    path: corpus vectors live in their nearest-codebook cell, queries
+    probe their 4 nearest cells, candidates come from a cell-id
+    equi-join, exact quantized rescoring ranks them.
+
+    FULL ORACLE: assignment runs against the FROZEN codebook
+    (``textops.ivf_frozen`` — seeded spherical k-means fit offline, then
+    quantized to int64 literals), so the whole pipeline is exact integer
+    arithmetic + IEEE divisions by shared literals that DuckDB
+    reproduces bit-for-bit.  The iterative k-means fit itself
+    (``sim.ivf_codebook``) is a separate operator covered by pytest."""
     e = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_ivf(
-        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=16, n_probe=4
-    )
+    return sim.cosine_topk_ivf_frozen(e.filter(F.col("vec_id") < 10), e, k=5, n_probe=4)

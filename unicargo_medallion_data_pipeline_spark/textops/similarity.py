@@ -386,3 +386,80 @@ def cosine_topk_lsh(
         merged.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+# --- Frozen-codebook IVF tier ----------------------------------------------
+
+def ivf_assign_sql(qvec_sql: str, n_probe: int) -> str:
+    """SQL text assigning a quantized vector to its ``n_probe`` nearest
+    frozen-codebook cells (array<int> of centroid ids, best first).
+
+    Score for centroid i is ``CAST(dot(q, C[i]) AS DOUBLE) / norm[i]`` —
+    an exact int64 dot product (centroids are pre-quantized literals)
+    followed by one IEEE division by a shared shortest-repr double
+    literal, so any engine reproduces the assignment bit-for-bit.  Sorts
+    (score desc, cid asc) via array_sort over (negated-score, cid)
+    structs.  One expression STRING, not ~1k ``F.lit`` Columns — see
+    ``lsh_bucket_sql`` for why (py4j round-trip cost); the centroid
+    array literal is constant-folded once by Catalyst.
+    """
+    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
+        FROZEN_CENTROIDS_Q,
+        FROZEN_NORMS,
+    )
+
+    cc = ", ".join(
+        "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in FROZEN_CENTROIDS_Q
+    )
+    nn = ", ".join(f"CAST('{n!r}' AS DOUBLE)" for n in FROZEN_NORMS)
+    k = len(FROZEN_CENTROIDS_Q)
+    dot = (
+        f"aggregate(zip_with({qvec_sql}, array({cc})[i], (x, y) -> x * y), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(slice(array_sort(transform(sequence(0, {k - 1}), "
+        f"i -> named_struct('ns', -(CAST({dot} AS DOUBLE) / array({nn})[i]), "
+        f"'cid', i))), 1, {n_probe}), s -> s.cid)"
+    )
+
+
+def cosine_topk_ivf_frozen(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k against the FROZEN codebook (``textops.ivf_frozen``).
+
+    Same plan shape as ``cosine_topk_ivf`` — corpus vectors live in their
+    top-1 cell, queries probe their ``n_probe`` nearest cells, candidates
+    come from a cell-id equi-join, exact quantized rescoring — but cell
+    assignment is pure JVM integer arithmetic over centroid literals
+    instead of an Arrow-batched matmul against a per-run fitted model.
+    That is both the production serving shape (the codebook is fit
+    offline, on a sample at lake scale, then frozen) and what makes the
+    query fully value-oracle-checkable: an independent engine recomputes
+    cells, candidates, scores, and ranks from the frozen literals.
+    """
+    corpus_cells = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("c_emb")
+    ).select(
+        "vid", "c_emb", F.expr(ivf_assign_sql("`c_emb`", 1))[0].alias("cell")
+    )
+    query_cells = queries.select(
+        F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
+    ).select(
+        "qid", "q_emb", F.explode(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell")
+    )
+    pairs = query_cells.join(corpus_cells, "cell").filter(F.col("qid") != F.col("vid"))
+    scored = pairs.select(
+        "qid", "vid", cosine_q(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vid").asc())
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+    )
