@@ -259,3 +259,35 @@ def customer_revenue_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tile_col="revenue_decile",
     )
     return tiled.select("o_custkey", "customer_revenue", "revenue_decile")
+
+
+@register(
+    "urgent_order_customers",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    operators=("J7", "P7"),
+)
+def urgent_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi leg — customers with at least one urgent order, as a
+    LEFT SEMI join (the dedicated oracle row for the semi variant; the
+    other J7 legs have their own rows).
+
+    Scale shape: the priority filter pushes to the orders scan, the semi
+    join keeps only the key column of the probe side and emits each
+    customer at most once with no payload duplication — at lake scale it
+    shuffles both sides on custkey (or broadcasts the filtered probe
+    side when it fits), never materializing the multiplicity an inner
+    join + distinct would."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
