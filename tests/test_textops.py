@@ -193,6 +193,8 @@ def test_pii_redaction_planted(spark):
     assert rows[1]["em"] == 2 and "<EMAIL>" in rows[1]["red"]
     assert "alice" not in rows[1]["red"] and "bob@" not in rows[1]["red"]
     assert rows[2]["ss"] == 1 and "<SSN>" in rows[2]["red"]
+    # an SSN must NOT also count as a phone (counts mirror redaction order)
+    assert rows[2]["ph"] == 0
     assert rows[3]["ph"] == 1 and "<PHONE>" in rows[3]["red"]
     assert rows[4]["em"] == rows[4]["ss"] == rows[4]["ph"] == 0
     assert rows[4]["red"] == "nothing sensitive here at all"

@@ -19,9 +19,12 @@ alternative:
 
 Global rank = offset[pid] + local index + 1.  No single-partition
 stage anywhere; the only full shuffle is the range exchange.  The
-ranked frame is persisted internally — range sampling is per-job, so
-the counts pass and the final pass MUST observe the same boundaries
-(at lake scale, materialize to a table instead of cache residency).
+ranked frame is pinned internally via an eager localCheckpoint —
+range sampling is per-job, so the counts pass and the final pass MUST
+observe the same boundaries; checkpoint blocks are freed by the
+ContextCleaner when the result frame is released, unlike a persist()
+this function could never safely unpersist (at lake scale,
+materialize to a table instead).
 
 Ranks are total and deterministic ONLY if the order keys are a total
 tiebreak (unique): same contract as every top-k in this engine.
@@ -50,13 +53,18 @@ def global_row_number(
     with_mid = ranked.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
         "_pid", F.shiftrightunsigned(F.col("_mid"), 33)
     )
-    # PERSIST before the two passes: repartitionByRange SAMPLES the input
-    # to pick range boundaries per job, so without pinning, the counts
-    # job and the final job can see different partitionings (observed:
-    # AQE shifts the boundaries) and the offsets would be applied to the
-    # wrong partitions.  At lake scale, materialize the ranked frame to a
-    # table instead of relying on cache residency.
-    with_mid = with_mid.persist()
+    # PIN before the two passes: repartitionByRange SAMPLES the input to
+    # pick range boundaries per job, so without pinning, the counts job
+    # and the final job can see different partitionings (observed: AQE
+    # shifts the boundaries) and the offsets would be applied to the
+    # wrong partitions.  localCheckpoint rather than persist(): both pin
+    # the partitioning (the checkpoint truncates lineage, so nothing can
+    # resample), but a persist here would sit in the CacheManager for the
+    # session lifetime — this function cannot unpersist before the
+    # caller's action consumes the result — whereas checkpoint blocks are
+    # released by the ContextCleaner once the returned frame is dropped.
+    # At lake scale, materialize the ranked frame to a table instead.
+    with_mid = with_mid.localCheckpoint(eager=True)
     # One tiny job: rows per partition -> cumulative offset per partition.
     counts = (
         with_mid.groupBy("_pid").count().orderBy("_pid").collect()

@@ -104,10 +104,15 @@ def merge_additive_rollup(
         )
     )
 
-    import shutil
-    import tempfile
+    # Staging is a sibling of the target on the same filesystem (see
+    # sources/staging.py) — a driver-local tempdir would only work in
+    # local mode, at odds with this module's scale framing.
+    from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        remove_path,
+        staging_path,
+    )
 
-    staging = tempfile.mkdtemp(prefix="rollup_staging_")
+    staging = staging_path(target_path, "rollup")
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         combined.write.mode("overwrite").parquet(staging)
@@ -124,4 +129,4 @@ def merge_additive_rollup(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        shutil.rmtree(staging, ignore_errors=True)
+        remove_path(spark, staging)

@@ -31,22 +31,24 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame:
-    """Deterministic row salt in [0, buckets): xxhash64 of the full row
-    plus a per-partition row index — rerun-stable (no rand()), and spreads
-    a hot key's rows uniformly EVEN WHEN they are byte-identical
-    duplicates (common in dedup-less event feeds; a pure row hash would
-    send all copies of a duplicated hot row to one bucket, defeating the
-    mitigation exactly when it's needed).
+    """Deterministic row salt in [0, buckets): xxhash64 of the full row —
+    a pure function of row VALUES, so it is stable across reruns AND task
+    retries.  (An earlier variant mixed ``monotonically_increasing_id``
+    into the hash to spread byte-identical duplicates; that id depends on
+    partition order, and when the upstream is itself a shuffle output a
+    retried task can see a different order and re-salt rows BETWEEN
+    attempts — the SPARK-23207 class of silent duplicate/loss.  A salt
+    that routes rows into a shuffle must never depend on scan order.)
 
-    Determinism caveat: distinct rows salt identically across reruns; for
-    duplicate rows the salt depends on the scan's partitioning/order,
-    which is stable for a fixed input file set but not across arbitrary
-    repartitionings.  Join RESULTS are unaffected either way — the salt
-    only routes rows."""
+    Known limitation: byte-identical duplicate rows share a bucket, so a
+    hot key whose rows are FULL-ROW duplicates still hotspots.  If that
+    is your data, add a genuinely distinguishing column upstream (an
+    event id, or file+offset captured AT THE SCAN where order is frozen)
+    before salting — only the caller knows which source column is stable
+    under retries."""
     cols = [F.col(c) for c in df.columns]
-    seq = F.monotonically_increasing_id()  # partition-id << 33 | row index
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*cols, seq), F.lit(buckets)).cast("int")
+        col_name, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
     )
 
 

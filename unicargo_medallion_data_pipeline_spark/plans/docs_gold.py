@@ -394,6 +394,7 @@ def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 3
     """,
     operators=("J4", "A13", "P10"),
+    bench=True,
 )
 def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan (training-data curation primitive):

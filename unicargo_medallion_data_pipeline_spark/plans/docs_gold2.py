@@ -117,9 +117,16 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_count_sql(kind: str) -> str:
-    pattern = next(p for k, p, _ in pii.PII_PATTERNS if k == kind)
-    escaped = pattern.replace("'", "''")
-    return f"CAST(len(regexp_extract_all(text, '{escaped}')) AS INTEGER)"
+    # Mirrors pii_count: count on the text with every EARLIER pattern
+    # already redacted, so overlapping kinds (SSN vs phone) don't
+    # double-count.
+    text = "text"
+    for k, pattern, repl in pii.PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        if k == kind:
+            return f"CAST(len(regexp_extract_all({text}, '{escaped}')) AS INTEGER)"
+        text = f"regexp_replace({text}, '{escaped}', '{repl}', 'g')"
+    raise KeyError(kind)
 
 
 def _redacted_sql() -> str:
@@ -277,6 +284,7 @@ _QUALITY_SQL = (
     FROM packed
     """,
     operators=("P4", "P10", "W1", "W3"),
+    bench=True,
 )
 def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in ONE declarative plan: quality gate

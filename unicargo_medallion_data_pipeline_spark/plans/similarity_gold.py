@@ -165,6 +165,7 @@ _SQL_SIMHASH60 = r"""
       AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     operators=("P10",),
+    bench=True,
 )
 def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 60-bit md5-based fingerprints, candidate
@@ -467,6 +468,7 @@ def _ivf_oracle_sql(dim=64, k=5, n_probe=4) -> str:
     "embedding_knn_ivf",
     sql=_ivf_oracle_sql(),
     operators=("W5",),
+    bench=True,
 )
 def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for the same query set — the clustered-data scale

@@ -25,6 +25,7 @@ Untouched partitions are never read or rewritten.
 from __future__ import annotations
 
 import posixpath
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,12 +54,36 @@ def partition_file_census(
     return out
 
 
-def _partition_filter(part_dir: str):
-    """'day=d1/country=US' → equality filter Column (hive-style dirs)."""
-    cond = F.lit(True)
+#: Hive's directory name for a NULL partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+_ESC = re.compile("%([0-9A-Fa-f]{2})")
+
+
+def _unescape_hive(name: str) -> str:
+    """Decode Hive/Spark partition-dir escaping (special chars → %XX)."""
+    return _ESC.sub(lambda m: chr(int(m.group(1), 16)), name)
+
+
+def _parse_partition_dir(part_dir: str) -> list[tuple[str, str | None]]:
+    """'day=d1/country=US%3AWA' → [(col, value-or-None)] with dir-name
+    escaping decoded and the Hive null sentinel mapped to None."""
+    out: list[tuple[str, str | None]] = []
     for piece in part_dir.split("/"):
-        col, _, val = piece.partition("=")
-        cond = cond & (F.col(col).cast("string") == F.lit(val))
+        col, _, raw = piece.partition("=")
+        out.append((_unescape_hive(col), None if raw == _HIVE_NULL else _unescape_hive(raw)))
+    return out
+
+
+def _partition_filter(part_dir: str):
+    """Equality filter Column for one hive-style partition dir.
+
+    Values are unescaped before comparing (a dir 'c=a%3Ab' stores value
+    'a:b'), and the Hive null sentinel compares with eqNullSafe so null
+    partitions match instead of silently dropping out."""
+    cond = F.lit(True)
+    for col, val in _parse_partition_dir(part_dir):
+        cond = cond & F.col(col).cast("string").eqNullSafe(F.lit(val))
     return cond
 
 
@@ -89,42 +114,57 @@ def compact_partitioned_path(
     if not todo:
         return {}
 
-    df = spark.read.parquet(path)
-    keep = None
-    for part_dir in todo:
-        cond = _partition_filter(part_dir)
-        keep = cond if keep is None else (keep | cond)
-    targeted = df.filter(keep)
-
-    # Tiny (partition values -> n_target) map, broadcast-joined so each
-    # row learns its partition's target file count.
-    map_rows = []
-    for part_dir, (n_target, _) in todo.items():
-        vals = tuple(p.partition("=")[2] for p in part_dir.split("/"))
-        map_rows.append((*vals, n_target))
-    plan_map = spark.createDataFrame(
-        map_rows, [*(f"_pv_{c}" for c in partition_cols), "_n_target"]
-    )
-    join_cond = None
-    for c in partition_cols:
-        eq = F.col(c).cast("string") == F.col(f"_pv_{c}")
-        join_cond = eq if join_cond is None else (join_cond & eq)
-    tagged = targeted.join(F.broadcast(plan_map), join_cond).withColumn(
-        "_bucket",
-        F.pmod(F.xxhash64(*[F.col(c) for c in targeted.columns]), F.col("_n_target")),
-    )
-    # (partition cols, bucket) hash-repartition: each tuple lives in one
-    # task => at most n_target files per partition after the write.
-    compacted = tagged.repartition(*partition_cols, "_bucket").drop(
-        "_bucket", "_n_target", *[f"_pv_{c}" for c in partition_cols]
+    from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        remove_path,
+        staging_path,
     )
 
-    import shutil
-    import tempfile
-
-    staging = tempfile.mkdtemp(prefix="compact_staging_")
+    # Partition-column TYPE INFERENCE must be off for the rewrite: with it
+    # on, a dir like day=00 reads back as int 0 and would be REWRITTEN
+    # under a renamed dir (day=0), leaving the original files behind as
+    # duplicates.  With inference off the values stay strings and the
+    # write escapes them back to the exact original dir names.
+    prior_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", None
+    )
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    staging = staging_path(path, "compact")
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
+        df = spark.read.parquet(path)
+        keep = None
+        for part_dir in todo:
+            cond = _partition_filter(part_dir)
+            keep = cond if keep is None else (keep | cond)
+        targeted = df.filter(keep)
+
+        # Tiny (partition values -> n_target) map, broadcast-joined so
+        # each row learns its partition's target file count.  Values are
+        # the UNESCAPED forms (None for the Hive null sentinel), joined
+        # null-safely to match the scan's view of the data.
+        map_rows = []
+        for part_dir, (n_target, _) in todo.items():
+            vals = tuple(v for _, v in _parse_partition_dir(part_dir))
+            map_rows.append((*vals, n_target))
+        plan_map = spark.createDataFrame(
+            map_rows, [*(f"_pv_{c}" for c in partition_cols), "_n_target"]
+        )
+        join_cond = None
+        for c in partition_cols:
+            eq = F.col(c).cast("string").eqNullSafe(F.col(f"_pv_{c}"))
+            join_cond = eq if join_cond is None else (join_cond & eq)
+        tagged = targeted.join(F.broadcast(plan_map), join_cond).withColumn(
+            "_bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in targeted.columns]), F.col("_n_target")
+            ),
+        )
+        # (partition cols, bucket) hash-repartition: each tuple lives in
+        # one task => at most n_target files per partition after the write.
+        compacted = tagged.repartition(*partition_cols, "_bucket").drop(
+            "_bucket", "_n_target", *[f"_pv_{c}" for c in partition_cols]
+        )
+
         # Staging is written ALREADY partitioned and bucketed-by-task, so
         # every staged file holds one (partition, bucket) tuple; the final
         # pass maps staged files onto tasks (possibly merging, never
@@ -134,6 +174,11 @@ def compact_partitioned_path(
             .partitionBy(*partition_cols)
             .parquet(staging)
         )
+        # Report HONESTLY: only partitions whose rewrite actually staged
+        # rows count as compacted (a filter that matched nothing — e.g. a
+        # dir name this code failed to decode — must not be reported).
+        staged_dirs = set(partition_file_census(spark, staging))
+        done = {d: nf for d, (_, nf) in todo.items() if d in staged_dirs}
         staged = spark.read.parquet(staging)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
@@ -147,5 +192,11 @@ def compact_partitioned_path(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
-        shutil.rmtree(staging, ignore_errors=True)
-    return {part_dir: nfiles for part_dir, (_, nfiles) in todo.items()}
+        if prior_infer is None:
+            spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionColumnTypeInference.enabled", prior_infer
+            )
+        remove_path(spark, staging)
+    return done

@@ -140,13 +140,18 @@ def merge_upsert_partitioned(
     # Spark cannot overwrite a path it is reading from: stage the merged
     # partitions to a scratch dir first (they are only the touched
     # partitions, not the table), then dynamic-overwrite the target.
-    # Session hygiene: the staging dir is removed and the prior
-    # partitionOverwriteMode restored even on failure (this runs per
-    # micro-batch under write_stream_with_merge — leaks would compound).
-    import shutil
-    import tempfile
+    # Staging is a SIBLING of the target on the same filesystem (see
+    # sources/staging.py — a driver-local tempdir would be invisible to
+    # executors on a real cluster).  Session hygiene: the staging dir is
+    # removed and the prior partitionOverwriteMode restored even on
+    # failure (this runs per micro-batch under write_stream_with_merge —
+    # leaks would compound).
+    from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        remove_path,
+        staging_path,
+    )
 
-    staging = tempfile.mkdtemp(prefix="merge_staging_")
+    staging = staging_path(target_path, "merge")
     prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         merged.write.mode("overwrite").parquet(staging)
@@ -163,4 +168,4 @@ def merge_upsert_partitioned(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
-        shutil.rmtree(staging, ignore_errors=True)
+        remove_path(spark, staging)

@@ -1,0 +1,36 @@
+"""Cluster-safe staging directories for write-stage-swap patterns.
+
+``tempfile.mkdtemp`` is DRIVER-LOCAL: on a real cluster the executors
+cannot see a path under the driver's ``/tmp``, so a staged write +
+read-back through one only works in local mode.  Every stage-then-swap
+in this engine (MERGE, rollup maintenance, compaction) instead stages to
+a sibling directory on the SAME filesystem as the target — visible to
+every executor wherever the target lives (file://, hdfs://, s3a://) —
+and removes it through the Hadoop FileSystem API.
+
+The sibling starts with ``_`` so that even when the parent directory is
+itself scanned as a table root, Spark's file index ignores the staging
+remnants (same convention as ``_SUCCESS`` / ``_temporary``).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+
+from pyspark.sql import SparkSession
+
+
+def staging_path(target_path: str, prefix: str) -> str:
+    """A unique staging dir next to ``target_path`` (same filesystem)."""
+    clean = target_path.rstrip("/")
+    parent = posixpath.dirname(clean) or "."
+    return posixpath.join(parent, f"_{prefix}_staging_{uuid.uuid4().hex}")
+
+
+def remove_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FileSystem API."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)

@@ -39,9 +39,16 @@ def redact_pii(col: str | Column = "text") -> Column:
 
 
 def pii_count(kind: str, col: str | Column = "text") -> Column:
-    """Match count for one PII kind over the ORIGINAL text (counts are
-    taken before any replacement, so kinds don't shadow each other
-    beyond the documented pattern order)."""
+    """Match count for one PII kind, taken on the text with every
+    EARLIER pattern already redacted — exactly mirroring the sequential
+    semantics of ``redact_pii``, so each kind counts the matches its
+    replacement actually consumes.  Counting every kind on the original
+    text instead would double-count overlaps: the phone pattern also
+    matches an SSN-shaped 123-45-6789, so every SSN would inflate
+    n_phones by one."""
     c = F.col(col) if isinstance(col, str) else col
-    pattern = next(p for k, p, _ in PII_PATTERNS if k == kind)
-    return F.regexp_count(c, F.lit(pattern))
+    for k, pattern, repl in PII_PATTERNS:
+        if k == kind:
+            return F.regexp_count(c, F.lit(pattern))
+        c = F.regexp_replace(c, pattern, repl)
+    raise KeyError(kind)
