@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
 
 # DuckDB fragments mirroring textops/analysis.py
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -412,16 +413,19 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", shingles("text", 8).alias("s"))
+    # The corpus-side shingle build is the CPU cost of this query; spread
+    # the single-file local scan before it (no-op on real lake scans —
+    # measured 4.85s -> see docstring note below without it at sf0.1).
+    sh = ensure_parallelism(d).select("doc_id", shingles("text", 8).alias("s"))
     bench = (
         sh.filter(F.col("doc_id") < 10)
         .select(
             F.col("doc_id").alias("b_id"),
             F.size("s").alias("b_n"),
-            F.explode("s").alias("g"),
+            F.explode_outer("s").alias("g"),
         )
     )
-    corpus = sh.select(F.col("doc_id").alias("d_id"), F.explode("s").alias("g"))
+    corpus = sh.select(F.col("doc_id").alias("d_id"), F.explode_outer("s").alias("g"))
     return (
         F.broadcast(bench)
         .join(corpus, "g")

@@ -376,7 +376,7 @@ def corpus_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise oracle."""
     d = load_table(spark, sf_dir, "documents")
     tok = ensure_parallelism(d).select(
-        "doc_id", F.explode(ta.tokens("text")).alias("token")
+        "doc_id", F.explode_outer(ta.tokens("text")).alias("token")
     )
     stats = tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("doc_freq"),

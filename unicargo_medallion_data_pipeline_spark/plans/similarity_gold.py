@@ -192,7 +192,7 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = fp.select(
         "doc_id",
         "simhash",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("simhash"), 15 * i)

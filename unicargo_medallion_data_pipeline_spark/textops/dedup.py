@@ -126,7 +126,7 @@ def minhash_lsh_candidates(
     # for rescoring — 2 payload shuffles total instead of b.
     banded = payload.select(
         "id",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+        F.posexplode_outer(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
     )

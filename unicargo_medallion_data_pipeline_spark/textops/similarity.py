@@ -299,7 +299,7 @@ def cosine_topk_ivf(
     query_cells = queries.select(
         F.col(id_col).alias("qid"),
         quantized(F.col(vec_col)).alias("q_emb"),
-        F.explode(_ivf_assign(centroids, n_probe)(F.col(vec_col))).alias("cell"),
+        F.explode_outer(_ivf_assign(centroids, n_probe)(F.col(vec_col))).alias("cell"),
     )
     pairs = query_cells.join(corpus_cells, "cell").filter(F.col("qid") != F.col("vid"))
     scored = pairs.select(
@@ -355,7 +355,7 @@ def cosine_topk_lsh(
         "qid",
         "q_emb",
         F.sqrt(dot_q(F.col("q_emb"), F.col("q_emb")).cast("double")).alias("q_norm"),
-        F.posexplode(lsh_buckets_multi("q_emb", dim, n_planes, n_tables)).alias(
+        F.posexplode_outer(lsh_buckets_multi("q_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
@@ -365,7 +365,7 @@ def cosine_topk_lsh(
         "vid",
         "c_emb",
         F.sqrt(dot_q(F.col("c_emb"), F.col("c_emb")).cast("double")).alias("c_norm"),
-        F.posexplode(lsh_buckets_multi("c_emb", dim, n_planes, n_tables)).alias(
+        F.posexplode_outer(lsh_buckets_multi("c_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
@@ -452,7 +452,7 @@ def cosine_topk_ivf_frozen(
     query_cells = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
     ).select(
-        "qid", "q_emb", F.explode(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell")
+        "qid", "q_emb", F.explode_outer(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell")
     )
     pairs = query_cells.join(corpus_cells, "cell").filter(F.col("qid") != F.col("vid"))
     scored = pairs.select(
