@@ -173,3 +173,25 @@ def test_token_df_plans_take_ordered(spark, catalog):
     p = plan_of(catalog["corpus_token_df"].fn(spark, SF))
     assert "TakeOrderedAndProject" in p, "top-100 must not globally sort"
     assert "CartesianProduct" not in p
+
+
+def test_no_inferred_size_filters_on_expensive_arrays(spark, catalog):
+    """Non-outer explode triggers InferFiltersFromGenerate, whose
+    size(arr) > 0 filter gets the FULL array expression substituted in by
+    predicate pushdown and lands below the parallelizing exchange — the
+    expensive compute then re-runs on the unspread scan partition
+    (measured 9x on doc_contamination_overlap at sf0.1).  The engine uses
+    the _outer variants on provably non-empty arrays; pin that no plan
+    regrows a size-of-computed-array filter."""
+    for name in (
+        "doc_contamination_overlap",
+        "doc_minhash_near_dups",
+        "doc_simhash_clusters",
+        "embedding_knn_lsh",
+        "embedding_knn_ivf",
+        "corpus_token_df",
+    ):
+        p = plan_of(catalog[name].fn(spark, SF))
+        assert "(size(array_distinct" not in p, f"{name}: inferred shingle filter"
+        assert "(size(transform" not in p, f"{name}: inferred transform filter"
+        assert "(size(aggregate" not in p, f"{name}: inferred fold filter"
