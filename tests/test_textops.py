@@ -320,3 +320,46 @@ def test_ivf_frozen_assignment_matches_numpy(spark):
         scores = (C @ q).astype(np.float64) / norms
         want = sorted(range(len(scores)), key=lambda i: (-scores[i], i))[:4]
         assert list(r["probes"]) == want, r["vec_id"]
+
+
+def test_minhash_expr_matches_column_loop(spark):
+    """The one-string expr forms of minhash_signature / band_hashes must be
+    BIT-IDENTICAL to the per-permutation Column-loop forms they replaced
+    (the loop emitted k py4j round trips of driver time): same argument
+    types reach xxhash64, so any divergence is a rewrite bug that would
+    silently shift LSH recall."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
+
+    K, B, R = 8, 4, 2
+    d = load_table(spark, SF, "documents").limit(50)
+    sh = d.select("doc_id", dd.shingles("text", 3).alias("sh"))
+
+    base = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+
+    def _perm(i):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    loop_sig = F.array(*[F.array_min(F.transform(base, _perm(i))) for i in range(K)])
+    assert (
+        sh.select((loop_sig != dd.minhash_signature("sh", K)).alias("ne"))
+        .filter("ne").count() == 0
+    )
+
+    sig = sh.select(dd.minhash_signature("sh", K).alias("sig"))
+    loop_bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(f"band{b}:"),
+                F.concat_ws(
+                    ",",
+                    *[F.element_at(F.col("sig"), b * R + r + 1).cast("string") for r in range(R)],
+                ),
+            )
+            for b in range(B)
+        ]
+    )
+    assert (
+        sig.select((loop_bands != dd.band_hashes("sig", B, R)).alias("ne"))
+        .filter("ne").count() == 0
+    )

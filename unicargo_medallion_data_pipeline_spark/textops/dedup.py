@@ -37,49 +37,52 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature (array<long>).
+def minhash_signature(shingle_col: str = "sh", k: int = 16) -> Column:
+    """k-permutation MinHash signature (array<long>) of a shingle column.
 
-    Each permutation is xxhash64 with a distinct literal seed prefix; the
+    Each permutation is xxhash64 re-seeded with the permutation index; the
     signature component is the min over the document's shingles.  Narrow,
     codegen'd, O(k·|shingles|) per row.
+
+    Built as ONE expression string: the per-permutation Python loop this
+    replaces emitted k Column trees (k py4j round trips — ~0.4s of pure
+    driver time per plan at k=32; see docs/PLANS.md rule 2).  Hash values
+    are bit-identical to the loop form (same argument types: STRING
+    shingle → BIGINT base hash → xxhash64(BIGINT, INT) per permutation),
+    pinned by tests/test_textops.py::test_minhash_expr_matches_column_loop.
+    Each shingle STRING is hashed once (bound via the single-element fold),
+    then the k permutations re-hash the 64-bit value — k long-hashes
+    instead of k string-hashes per shingle.
     """
-    # Hash each shingle STRING once, then derive the k permutations by
-    # re-hashing the resulting 64-bit value with the permutation index —
-    # k long-hashes instead of k string-hashes per shingle (~an order of
-    # magnitude less hashing work on realistic shingle lengths).
-    base_hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
-
-    def _perm(i: int):
-        # closure factory — a defaulted second lambda param would be
-        # misread by PySpark as an (element, index) lambda
-        return lambda h: F.xxhash64(h, F.lit(i))
-
-    return F.array(
-        *[F.array_min(F.transform(base_hashes, _perm(i))) for i in range(k)]
+    if not isinstance(shingle_col, str):
+        raise TypeError("minhash_signature needs a column NAME (it builds a SQL string)")
+    base = f"transform(`{shingle_col}`, s -> xxhash64(s))"
+    return F.expr(
+        f"aggregate(array({base}), CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, base) -> transform(sequence(0, {k - 1}), "
+        f"i -> array_min(transform(base, h -> xxhash64(h, i)))))"
     )
 
 
-def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: hash each band of the signature → array<long>.
+def band_hashes(signature: str, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature column → array<long>.
 
     Two docs collide in a band iff that band of their signatures is
     identical; P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+
+    One expression string for the same driver-time reason as
+    ``minhash_signature``; bit-identical to the per-band Column loop
+    (``concat('band', CAST(b AS STRING), ':')`` == the old literal
+    ``f"band{b}:"``, and ``concat_ws`` over a sliced array equals the
+    varargs form).
     """
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(f"band{b}:"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
-            )
-            for b in range(bands)
-        ]
+    if not isinstance(signature, str):
+        raise TypeError("band_hashes needs a column NAME (it builds a SQL string)")
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(concat('band', CAST(b AS STRING), ':'), "
+        f"concat_ws(',', transform(slice(`{signature}`, b * {rows_per_band} + 1, "
+        f"{rows_per_band}), x -> CAST(x AS STRING)))))"
     )
 
 
@@ -117,7 +120,7 @@ def minhash_lsh_candidates(
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     )
-    payload = sh.select("id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
+    payload = sh.select("id", "sh", minhash_signature("sh", k).alias("sig"))
     # The band self-join carries ONLY (id, band_idx, band_hash): with b
     # bands every document explodes b ways, and dragging shingle arrays /
     # signatures through that join would shuffle b copies of each
@@ -126,7 +129,7 @@ def minhash_lsh_candidates(
     # for rescoring — 2 payload shuffles total instead of b.
     banded = payload.select(
         "id",
-        F.posexplode_outer(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+        F.posexplode_outer(band_hashes("sig", bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
     )
