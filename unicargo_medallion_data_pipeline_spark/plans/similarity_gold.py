@@ -188,7 +188,16 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; at larger corpora widen chunks / add rotations rather than
     raising the threshold past the pigeonhole bound."""
     d = load_table(spark, sf_dir, "documents")
-    fp = ensure_parallelism(d).select("doc_id", dd.simhash60("text").alias("simhash"))
+    # Pin the fingerprints before the self-join: both join sides would
+    # otherwise re-evaluate the md5+60-bit-vote fold (~0.33s/pass at
+    # sf0.1, the bulk of the query).  Same localCheckpoint-over-persist
+    # rationale as operators/ranks.py; at lake scale the fingerprint
+    # column is written once to the signature table.
+    fp = (
+        ensure_parallelism(d)
+        .select("doc_id", dd.simhash60("text").alias("simhash"))
+        .localCheckpoint(eager=True)
+    )
     chunks = fp.select(
         "doc_id",
         "simhash",

@@ -109,18 +109,31 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash LSH.
 
     Returns (a_id, b_id, est_jaccard, jaccard) with a_id < b_id —
     est_jaccard from signature agreement, jaccard exact over shingle sets.
     One shuffle (the band-bucket self-join); no O(n²) stage anywhere.
-    """
+
+    ``materialize`` pins the (id, shingles, signature) frame with an eager
+    ``localCheckpoint`` before it fans out: the frame feeds THREE plan
+    branches (band explode + both rescore sides), and Spark re-evaluates
+    a subtree per branch — without pinning, the shingle+signature hash
+    work runs 3× per query (measured ~0.3s/pass at sf0.1, i.e. most of
+    the query's runtime).  localCheckpoint rather than persist() for the
+    reason documented in operators/ranks.py: checkpoint blocks are freed
+    by the ContextCleaner when the frame is dropped, a persist here would
+    outlive the call.  At lake scale, write the signature table once and
+    join against it instead (docs/SCALE.md)."""
     rows_per_band = k // bands
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
     )
     payload = sh.select("id", "sh", minhash_signature("sh", k).alias("sig"))
+    if materialize:
+        payload = payload.localCheckpoint(eager=True)
     # The band self-join carries ONLY (id, band_idx, band_hash): with b
     # bands every document explodes b ways, and dragging shingle arrays /
     # signatures through that join would shuffle b copies of each
