@@ -53,6 +53,13 @@ _PRIORITY = [
     "nation_trade_degree",
     "order_priority_pivot",
     "order_status_priority_cube",
+    # new in r3 — first-ever verification
+    "order_grouping_sets",
+    "customer_revenue_percentiles",
+    "nation_shipments_salted_join",
+    "doc_tfidf_top_terms",
+    "doc_editdist_near_dups",
+    "doc_decontaminated_sample",
     # plans changed this round — need fresh verification
     "top_trade_routes",
     "segment_scorecard",
@@ -68,6 +75,8 @@ _PRIORITY = [
 # margin first so that if the catalog grows, the *last* entries are the
 # ones that drop out of the 50-query window.
 _TAIL = [
+    "doc_token_stats",
+    "doc_quality_scores",
     "daily_order_summary",
     "weekly_order_stats",
     "monthly_order_trends",

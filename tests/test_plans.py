@@ -195,3 +195,67 @@ def test_no_inferred_size_filters_on_expensive_arrays(spark, catalog):
         assert "(size(array_distinct" not in p, f"{name}: inferred shingle filter"
         assert "(size(transform" not in p, f"{name}: inferred transform filter"
         assert "(size(aggregate" not in p, f"{name}: inferred fold filter"
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, catalog):
+    """GROUPING SETS evaluates both grains in one pass: one Expand over
+    the scan, one keyed exchange after partial aggregation — never a
+    union of per-grain scans."""
+    p = plan_of(catalog["order_grouping_sets"].fn(spark, SF))
+    assert "Expand" in p, "grouping sets should plan an Expand"
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 1
+    assert "Union" not in p, "grains must share one scan"
+
+
+def test_editdist_block_join_is_equi(spark, catalog):
+    """The edit-distance blocker must plan an equi-join on (lang, blk)
+    — a cross product here would be corpus-quadratic."""
+    p = plan_of(catalog["doc_editdist_near_dups"].fn(spark, SF))
+    assert "CartesianProduct" not in p, "block join degenerated to a cross product"
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_decontamination_never_shuffles_corpus(spark, catalog):
+    """Decontamination is scan + broadcast semi + broadcast anti; the
+    only keyed exchanges are over benchmark grams / contaminated ids
+    (bounded by overlap), never the corpus itself."""
+    p = plan_of(catalog["doc_decontaminated_sample"].fn(spark, SF))
+    assert "SortMergeJoin" not in p, "corpus-side join must broadcast"
+    assert "CartesianProduct" not in p
+    joins = p.count("BroadcastHashJoin")
+    assert joins >= 2, f"expected semi+anti broadcast joins, saw {joins}"
+
+
+def test_tfidf_topk_prunes_mapside(spark, catalog):
+    """Per-doc top-5 must push the rank limit (WindowGroupLimit), and
+    the corpus-size factor joins as a broadcast single row."""
+    p = plan_of(catalog["doc_tfidf_top_terms"].fn(spark, SF))
+    assert "WindowGroupLimit" in p, "top-5 filter should prune below the window"
+    assert "CartesianProduct" not in p
+
+
+def test_salted_join_is_equi_and_row_identical_shape(spark, catalog):
+    """The salted join must stay an equi-join on (key, salt) — no cross
+    product from the build-side replication — and the final aggregation
+    must be the only keyed exchange above it."""
+    p = plan_of(catalog["nation_shipments_salted_join"].fn(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_native_count_distinct_spreads_hot_keys(spark):
+    """Why salted_two_phase_distinct is NOT used for single distinct
+    aggs: Catalyst's RewriteDistinctAggregates already dedups on
+    (group key, distinct value) — the hot key is spread by the value
+    column in the first exchange.  Pin that plan property; if a Spark
+    upgrade loses it, the salted rewrite becomes worth routing to."""
+    import pyspark.sql.functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    p = plan_of(li.groupBy("l_suppkey").agg(F.countDistinct("l_partkey")))
+    assert "hashpartitioning(l_suppkey" in p
+    assert "l_partkey" in p.split("hashpartitioning", 2)[1], (
+        "first exchange no longer includes the distinct column"
+    )

@@ -7,9 +7,15 @@ the shuffle.  What it does NOT cover:
 
   - a broadcast-ineligible join where one side's key distribution has a
     few extreme keys AND the join is hash-partitioned (salting spreads
-    the hot key's rows over N reducer partitions);
-  - count-distinct-per-hot-key style aggregations, where partial
-    aggregation cannot collapse rows.
+    the hot key's rows over N reducer partitions).
+
+(Single per-key COUNT(DISTINCT x) is NOT such a case: Catalyst's
+RewriteDistinctAggregates dedups on (key, x) first, which spreads a hot
+key by its distinct values — plan-pinned in test_plans.py.  The salted
+two-phase below measured one exchange WORSE than that native plan; it
+remains for compositions the rewrite handles badly, e.g. several
+distinct aggregates in one pass, where the native plan Expands the scan
+N ways.)
 
 ``salted_join`` implements the classic pattern declaratively: the skewed
 (big) side gets a deterministic salt in [0, N); the build (small-ish but
