@@ -88,11 +88,14 @@ def from_rows(spark: SparkSession, rows, schema: StructType) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (parquet) by name.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects outright unless ``spark.sql.legacy.parquet.nanosAsLong`` is on —
-    so events is read with nanos exposed as long and normalized back to a
-    microsecond TimestampType column (truncation, matching how any
-    µs-resolution engine would read it).
+    ``events.ts`` has shipped in two physical forms across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on) and µs TIMESTAMP_NTZ
+    (isAdjustedToUTC=false). Both are normalized to a session-zone
+    TimestampType column: nanos truncate to µs; NTZ casts wall-clock-
+    preserving under the engine's pinned UTC session zone
+    (``session.py:32``). The LTZ form is required downstream — event-time
+    watermarks (``withWatermark``) reject TIMESTAMP_NTZ outright.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -103,8 +106,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F  # local import keeps module light
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
