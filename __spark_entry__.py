@@ -54,12 +54,16 @@ _PRIORITY = [
     "order_priority_pivot",
     "order_status_priority_cube",
     # new in r3 — first-ever verification
+    "urgent_order_customers",
     "order_grouping_sets",
     "customer_revenue_percentiles",
     "nation_shipments_salted_join",
     "doc_tfidf_top_terms",
     "doc_editdist_near_dups",
     "doc_decontaminated_sample",
+    "cheapest_shipment_supplier",
+    "customer_order_dates",
+    "order_measures_unpivot",
     # plans changed this round — need fresh verification
     "top_trade_routes",
     "segment_scorecard",

@@ -259,3 +259,49 @@ def test_native_count_distinct_spreads_hot_keys(spark):
     assert "l_partkey" in p.split("hashpartitioning", 2)[1], (
         "first exchange no longer includes the distinct column"
     )
+
+
+def test_argmin_window_is_single_fact_shuffle(spark, catalog):
+    """cheapest_shipment_supplier: the per-part argmin must be a window
+    min over ONE l_partkey exchange of a 3-column projection — not the
+    decorrelated aggregate-plus-self-join (two fact shuffles) a SQL
+    engine would synthesize from the oracle's correlated subquery."""
+    p = plan_of(catalog["cheapest_shipment_supplier"].fn(spark, SF))
+    assert "Window" in p, "argmin should be a window min, not a self-join"
+    assert "CartesianProduct" not in p
+    read_schema = next(
+        l for l in p.splitlines() if "ReadSchema" in l and "l_partkey" in l
+    )
+    assert "l_comment" not in read_schema and "l_quantity" not in read_schema, (
+        f"lineitem scan not pruned to the 3 argmin columns: {read_schema}"
+    )
+
+
+def test_order_history_cap_bounds_array(spark, catalog):
+    """customer_order_dates: arrays are sorted and capped at 100 —
+    the bounded-state contract that survives a hot key at scale."""
+    rows = catalog["customer_order_dates"].fn(spark, SF).collect()
+    assert rows, "no customer histories produced"
+    for r in rows:
+        dates = r["order_dates"]
+        assert len(dates) <= 100
+        assert dates == sorted(dates), "array not sorted"
+        assert len(dates) == min(r["n_orders"], 100)
+        assert dates[0] == r["first_order"]
+
+
+def test_unpivot_expands_after_aggregation(spark, catalog):
+    """order_measures_unpivot: the Expand must sit ABOVE the aggregate
+    (3x a handful of rows), with the fact-table scan shuffled exactly
+    once for the groupBy."""
+    p = plan_of(catalog["order_measures_unpivot"].fn(spark, SF))
+    assert "Expand" in p, "unpivot should plan an Expand"
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 1, (
+        "expected exactly one keyed exchange (the status groupBy)"
+    )
+    # Expand above HashAggregate in the tree: the aggregate id must be
+    # larger (deeper) than the Expand id in the formatted plan ordering.
+    lines = p.splitlines()
+    expand_i = next(i for i, l in enumerate(lines) if "Expand" in l)
+    agg_i = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    assert expand_i < agg_i, "Expand should be above the aggregate in the plan"
