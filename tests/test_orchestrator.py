@@ -124,3 +124,61 @@ def test_cli_runs_medallion_on_fixture_csvs(flight_fixture_dir):
     import glob
 
     assert glob.glob(logp + "/environment=dev/log_date=*/*.parquet")
+
+
+def test_run_tasks_parallel_entities_match_sequential(spark):
+    """max_workers>1 runs entity chains concurrently but must produce the
+    same results, failure isolation, and log rows as the sequential path."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.orchestrator import RunLog, run_tasks
+
+    tasks, written = _tasks(spark, fail_transform_for="alpha")
+    run_log = RunLog("pipe1", "run_par", environment="test")
+    result = run_tasks(tasks, run_log, max_workers=4)
+    assert "transform_alpha" in result.failures
+    assert "alpha" not in result.results and "beta" in result.results
+    assert "alpha" not in written and written["beta"] == 2
+    statuses = dict(result.statuses)
+    assert statuses["write_alpha"] == "SKIPPED"
+    assert statuses["write_beta"] == "SUCCESS"
+    # 3 alpha statuses (read ok, transform fail, write skip) + 3 beta
+    assert len(result.statuses) == 6
+    # log: read+transform for alpha (write skipped logs nothing) + 3 beta
+    assert len(run_log.rows) == 5
+
+    seq_tasks, seq_written = _tasks(spark, fail_transform_for="alpha")
+    seq = run_tasks(seq_tasks)
+    assert dict(seq.statuses) == statuses
+    assert set(seq.results) == set(result.results)
+
+
+def test_run_tasks_parallel_many_entities(spark):
+    """Eight concurrent entity chains, no failures: every entity's chain
+    runs in order and every write lands."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.orchestrator import (
+        Task,
+        create_entity_tasks,
+        run_tasks,
+    )
+
+    written = {}
+    tasks: list[Task] = []
+    for i in range(8):
+        entity = f"e{i}"
+
+        def make(entity=entity):
+            def read_fn():
+                return spark.createDataFrame([(entity, 1)], ["name", "v"])
+
+            def transform_fn(df):
+                return df.withColumn("v2", F.col("v") + 1)
+
+            def write_fn(df):
+                written[entity] = df.count()
+
+            return create_entity_tasks(entity, read_fn, transform_fn, write_fn)
+
+        tasks.extend(make())
+    result = run_tasks(tasks, max_workers=4)
+    assert not result.failures
+    assert len(written) == 8 and all(v == 1 for v in written.values())
+    assert len(result.results) == 8

@@ -19,8 +19,10 @@ from __future__ import annotations
 
 import datetime as dt
 import logging
+import threading
 import time
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +83,7 @@ class RunLog:
     run_id: str
     environment: str = "dev"
     rows: list[tuple] = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def record(
         self,
@@ -91,20 +94,20 @@ class RunLog:
         started_at: dt.datetime,
         elapsed_ms: int,
     ) -> None:
-        self.rows.append(
-            (
-                self.pipeline_id,
-                self.run_id,
-                entity,
-                task_name,
-                status,
-                error,
-                elapsed_ms,
-                started_at,
-                self.environment,
-                started_at.date().isoformat(),
-            )
+        row = (
+            self.pipeline_id,
+            self.run_id,
+            entity,
+            task_name,
+            status,
+            error,
+            elapsed_ms,
+            started_at,
+            self.environment,
+            started_at.date().isoformat(),
         )
+        with self._lock:
+            self.rows.append(row)
 
     def flush(self, spark: SparkSession, path: str) -> None:
         """S7 — ONE partitioned append for the whole run."""
@@ -127,39 +130,87 @@ class RunResult:
     statuses: list[tuple[str, str]] = field(default_factory=list)
 
 
-def run_tasks(
-    tasks: list[Task],
-    run_log: RunLog | None = None,
-) -> RunResult:
-    """Sequential execution with per-entity DataFrame threading and
-    failure isolation: a failed task marks its entity failed and skips its
-    remaining tasks, but other entities continue
-    (``bronze_orchestrator.py:216-217``)."""
-    out = RunResult()
-    last_df: dict[str, DataFrame | None] = {}
-    failed_entities: set[str] = set()
-    for task in tasks:
-        if task.entity in failed_entities:
-            out.statuses.append((task.name, "SKIPPED"))
+def _run_entity_chain(
+    entity: str,
+    chain: list[Task],
+    run_log: RunLog | None,
+) -> tuple[DataFrame | None, bool, dict[str, str], list[tuple[str, str]]]:
+    """Run one entity's tasks in order; isolation boundary for failures.
+
+    Returns (final DataFrame or None, failed?, {task: error},
+    [(task, status)]).  RunLog.record is thread-safe, so recording from
+    concurrent chains is fine.
+    """
+    last_df: DataFrame | None = None
+    failed = False
+    failures: dict[str, str] = {}
+    statuses: list[tuple[str, str]] = []
+    for task in chain:
+        if failed:
+            statuses.append((task.name, "SKIPPED"))
             continue
         started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         t0 = time.perf_counter()
         try:
-            result = task.fn(last_df.get(task.entity))
-            last_df[task.entity] = result
-            out.results[task.entity] = result
+            last_df = task.fn(last_df)
             status, err = "SUCCESS", None
         except Exception as e:  # noqa: BLE001 — isolation is the contract
             status, err = "FAILED", f"{type(e).__name__}: {e}"
-            failed_entities.add(task.entity)
-            out.failures[task.name] = err
-            # No partial data: a caller iterating results must never see a
-            # failed entity's stale intermediate DataFrame (e.g. the read
-            # output after its transform failed).
-            out.results.pop(task.entity, None)
+            failed = True
+            failures[task.name] = err
             log.warning("task %s failed: %s", task.name, err)
         elapsed_ms = int((time.perf_counter() - t0) * 1000)
-        out.statuses.append((task.name, status))
+        statuses.append((task.name, status))
         if run_log is not None:
             run_log.record(task.entity, task.name, status, err, started, elapsed_ms)
+    return last_df, failed, failures, statuses
+
+
+def run_tasks(
+    tasks: list[Task],
+    run_log: RunLog | None = None,
+    max_workers: int = 1,
+) -> RunResult:
+    """Execute tasks with per-entity DataFrame threading and failure
+    isolation: a failed task marks its entity failed and skips its
+    remaining tasks, but other entities continue
+    (``bronze_orchestrator.py:216-217``).
+
+    ``max_workers > 1`` runs INDEPENDENT entity chains concurrently
+    (order within an entity is always preserved) — the scale upgrade
+    over the reference's strictly sequential loop: with N source
+    entities, N read/write jobs overlap in the Spark scheduler, hiding
+    scan/commit latency behind compute.  Spark job submission is
+    thread-safe; on a shared cluster pair this with a FAIR scheduler
+    pool per entity so one entity's large scan cannot starve the rest.
+    Results and statuses are merged in first-appearance entity order, so
+    the output is deterministic regardless of completion order.
+    """
+    # Group into per-entity chains, preserving first-appearance order.
+    chains: dict[str, list[Task]] = {}
+    for task in tasks:
+        chains.setdefault(task.entity, []).append(task)
+
+    out = RunResult()
+    if max_workers <= 1 or len(chains) <= 1:
+        chain_results = {
+            entity: _run_entity_chain(entity, chain, run_log)
+            for entity, chain in chains.items()
+        }
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = {
+                entity: pool.submit(_run_entity_chain, entity, chain, run_log)
+                for entity, chain in chains.items()
+            }
+            chain_results = {entity: fut.result() for entity, fut in futures.items()}
+
+    for entity, (last_df, failed, failures, statuses) in chain_results.items():
+        # No partial data: a caller iterating results must never see a
+        # failed entity's stale intermediate DataFrame (e.g. the read
+        # output after its transform failed).
+        if not failed:
+            out.results[entity] = last_df
+        out.failures.update(failures)
+        out.statuses.extend(statuses)
     return out
