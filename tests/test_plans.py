@@ -278,16 +278,18 @@ def test_argmin_window_is_single_fact_shuffle(spark, catalog):
 
 
 def test_order_history_cap_bounds_array(spark, catalog):
-    """customer_order_dates: arrays are sorted and capped at 100 —
-    the bounded-state contract that survives a hot key at scale."""
+    """customer_order_dates: histories are sorted, capped at 100, and
+    serialized to a SCALAR string column (driver harness rejects array
+    cells) — the bounded-state contract that survives a hot key."""
     rows = catalog["customer_order_dates"].fn(spark, SF).collect()
     assert rows, "no customer histories produced"
     for r in rows:
-        dates = r["order_dates"]
+        assert isinstance(r["order_dates"], str)
+        dates = r["order_dates"].split(",")
         assert len(dates) <= 100
-        assert dates == sorted(dates), "array not sorted"
+        assert dates == sorted(dates), "history not sorted"
         assert len(dates) == min(r["n_orders"], 100)
-        assert dates[0] == r["first_order"]
+        assert dates[0] == r["first_order"].strftime("%Y-%m-%d %H:%M:%S")
 
 
 def test_unpivot_expands_after_aggregation(spark, catalog):

@@ -91,8 +91,11 @@ def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_orders,
       MIN(o.o_orderdate) AS first_order,
       MAX(o.o_orderdate) AS last_order,
-      list_slice(list(o.o_orderdate ORDER BY o.o_orderdate), 1, 100)
-        AS order_dates
+      array_to_string(
+        list_transform(
+          list_slice(list(o.o_orderdate ORDER BY o.o_orderdate), 1, 100),
+          d -> strftime(d, '%Y-%m-%d %H:%M:%S')),
+        ',') AS order_dates
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
@@ -101,8 +104,13 @@ def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: each customer's order-date history as a
-    sorted, CAPPED array column — the feature-engineering shape (event
-    history per entity) that precedes sequence models.
+    sorted, CAPPED array — the feature-engineering shape (event history
+    per entity) that precedes sequence models.  Emitted as a
+    comma-joined string column because the driver's correctness harness
+    canonicalizes with pandas sort+hash, which rejects array cells
+    (pinned by ``test_catalog_outputs_are_scalar_only``); the array
+    stays an array inside the plan and is serialized only at the output
+    projection.
 
     ``collect_list`` is order-nondeterministic under parallelism, so the
     engine sorts the collected array (``array_sort``) rather than relying
@@ -128,9 +136,13 @@ def customer_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),
-            F.slice(F.array_sort(F.collect_list("o_orderdate")), 1, 100).alias(
-                "order_dates"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("o_orderdate")), 1, 100),
+                    lambda d: F.date_format(d, "yyyy-MM-dd HH:mm:ss"),
+                ),
+                ",",
+            ).alias("order_dates"),
         )
     )
 
