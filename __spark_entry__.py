@@ -64,6 +64,7 @@ _PRIORITY = [
     "cheapest_shipment_supplier",
     "customer_order_dates",
     "order_measures_unpivot",
+    "events_trailing_10min",
     # plans changed this round — need fresh verification
     "top_trade_routes",
     "segment_scorecard",

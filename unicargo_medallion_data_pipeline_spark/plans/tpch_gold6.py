@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC, sql_dsum
 from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
@@ -278,4 +279,62 @@ def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_s",
         (F.col("s") - F.col("purchase_s")).alias("secs_since_purchase"),
+    )
+
+
+@register(
+    "events_trailing_10min",
+    sql="""
+    SELECT
+      event_id,
+      user_id,
+      epoch_us(ts) AS ts_us,
+      CAST(COUNT(*) OVER w AS BIGINT) AS n_events_10m,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE)
+        AS value_10m
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts)
+      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    operators=("W3", "W5"),
+)
+def events_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (``rangeBetween``): at every event, the
+    user's event count and exact value sum over the trailing 10 minutes
+    *of event time* — the per-entity rolling-rate shape (rate limiting,
+    burst detection, velocity features) that a row-count frame (W3's
+    ``rowsBetween``) cannot express, because the lookback must follow the
+    clock, not the row count.
+
+    Both engines order by the same integer — microseconds since epoch
+    (`unix_micros` / `epoch_us`) — so the frame boundary comparison is
+    exact integer arithmetic, with no interval or timezone semantics in
+    play; the frame is value-inclusive on both ends in both engines.
+    The windowed sum routes through DECIMAL(18,2) (functions/exact.py),
+    so its value is independent of intra-frame addition order and
+    hash-matches DuckDB bitwise.
+
+    Scale: one hash exchange on ``user_id`` plus a per-partition sort by
+    time — the same cost as any per-entity window.  Frame state is
+    bounded by the 10-minute width, not partition size (Spark's
+    WindowExec keeps a sliding buffer for range frames), so a hot user
+    with months of history streams through without buffering it all.
+    The streaming twin for unbounded data is the watermarked sliding
+    window (streaming/windows.py); this batch form is the backfill path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_events_10m"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_10m"),
     )
