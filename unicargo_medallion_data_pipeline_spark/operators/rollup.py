@@ -14,9 +14,17 @@ Only MERGEABLE aggregates may live in such a table:
   - ``min`` / ``max`` → combine with least / greatest
 
 Non-mergeable aggregates (exact COUNT DISTINCT, exact percentiles) must
-be recomputed from raw or replaced by mergeable sketches
-(``approx_count_distinct`` HLL, t-digest) — same rule
-``events_hourly_rollup`` documents for its grain hierarchy.
+be recomputed from raw or replaced by mergeable sketches — and the
+sketch path is provided here: store a Datasketches HLL per rollup row
+(``hll_sketch("user_id")``) and combine with ``"hll_union"``
+(register-wise max — commutative, associative, idempotent, so an
+incremental merge REPRESENTS exactly the set a full recompute would,
+and ``hll_estimate`` returns the identical number for both; the
+serialized bytes may differ only in low-cardinality "list mode", where
+Datasketches stores raw hashes in arrival order).  Exact percentiles
+stay out — rank
+information is genuinely not mergeable; use t-digest
+(``approx_percentile``) recomputed per grain instead.
 
 Scale shape: identical to ``sources/merge.py`` — the increment's touched
 partitions (bounded, collected with a cap) are read back, combined with
@@ -27,7 +35,7 @@ O(touched partitions), not O(table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: measure name -> (combine aggregate over the unioned rows)
@@ -35,7 +43,32 @@ _COMBINERS = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # Datasketches HLL union: register-wise max over binary sketches.
+    # The represented set (hence the estimate) is order-independent;
+    # serialized bytes can permute in low-cardinality list mode.
+    "hll_union": F.hll_union_agg,
 }
+
+
+def hll_sketch(col: str, lg_config_k: int = 12) -> Column:
+    """Build the mergeable distinct-count measure for a rollup grain.
+
+    Use in the fine-grain aggregation (``.agg(hll_sketch("user_id")
+    .alias("users_hll"))``); store the binary column; combine across
+    increments/grains with the ``"hll_union"`` rule.  ``lg_config_k``
+    fixes the register count (2^k) — all sketches that will ever be
+    unioned must share it, so it is part of the table contract, not a
+    per-call tuning knob.  12 → 4 KiB per sketch, ~±1.6% standard error
+    at any cardinality: the fixed-memory shape that makes 10^9-key
+    rollups safe where an exact COUNT(DISTINCT) would need unbounded
+    per-key state.
+    """
+    return F.hll_sketch_agg(col, lg_config_k)
+
+
+def hll_estimate(col: str) -> Column:
+    """Read a stored/combined sketch as a cardinality estimate (bigint)."""
+    return F.hll_sketch_estimate(col)
 
 
 def merge_additive_rollup(
