@@ -307,3 +307,13 @@ def test_unpivot_expands_after_aggregation(spark, catalog):
     expand_i = next(i for i, l in enumerate(lines) if "Expand" in l)
     agg_i = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
     assert expand_i < agg_i, "Expand should be above the aggregate in the plan"
+
+
+def test_range_frame_window_single_exchange(spark, catalog):
+    """events_trailing_10min: ONE hash exchange on user_id feeding a
+    RangeFrame window; the scan reads only the 4 referenced columns."""
+    plan = plan_of(catalog["events_trailing_10min"].fn(spark, SF))
+    assert plan.count(") Exchange") == 1, "range-frame window should cost one exchange"
+    assert "RangeFrame" in plan, "frame must be value-based (rangeBetween), not row-based"
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read_schema and "event_type" not in read_schema
