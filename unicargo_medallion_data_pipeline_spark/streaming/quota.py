@@ -1,0 +1,179 @@
+"""Per-key streaming quota enforcement (admission control).
+
+The operator shape every ingest pipeline needs: each key (user, tenant,
+device) carries a running accepted-count; events beyond ``limit`` are
+emitted flagged ``accepted = false`` rather than silently dropped, so
+downstream can route rejects to a quarantine table and replays stay
+idempotent at the row level.
+
+Two interchangeable engines behind one API:
+
+- **state v2** (``transformWithStateInPandas``, Spark 4 / SPARK-49564):
+  named typed state variables, per-state TTL, RocksDB-backed — the
+  surface a long-lived pipeline should target, and the one that makes
+  100-TB state feasible (executor-local RocksDB with changelog
+  checkpointing, not JVM heap).  Its Python driver worker needs the
+  ``protobuf`` package at runtime (``pyspark/sql/streaming/proto``), so
+  environments without it cannot run this path.
+- **state v1** (``applyInPandasWithState``): tuple-typed per-key state,
+  no TTL/timers, but fully functional everywhere PySpark runs.
+
+``enforce_quota(..., api="auto")`` picks v2 when ``protobuf`` is
+importable, else v1.  Both engines implement the SAME determinism
+contract: per key, events are processed in ``order_cols`` order WITHIN
+each micro-batch; across batches, order is batch arrival order — the
+same rule every streaming aggregation lives with.  State is one bigint
+per key, the smallest possible footprint.
+
+v2 additionally requires the RocksDB state store provider
+(``use_rocksdb_state``); v1 runs on any provider.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Importable without protobuf (only the v2 RUNTIME workers need it);
+# subclassing keeps the base's default handleExpiredTimer /
+# handleInitialState implementations.
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+#: Output schema of :func:`enforce_quota`.
+QUOTA_SCHEMA = (
+    "user_id bigint, ts timestamp, event_type string, value double, "
+    "seq bigint, accepted boolean"
+)
+
+#: Per-key state: accepted-count so far.
+STATE_SCHEMA = "n bigint"
+
+
+def state_v2_available() -> bool:
+    """transformWithState's Python workers import google.protobuf."""
+    try:
+        # find_spec raises (rather than returning None) when the parent
+        # 'google' namespace package itself is absent.
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch the session's state store to RocksDB (v2-API requirement;
+    also the right provider for large state generally)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+
+
+def _annotate(chunk: "pd.DataFrame", n: int, limit: int, order_cols: list[str]):
+    """Sort one pandas chunk, assign running seq from offset ``n``; the
+    shared kernel of both engines."""
+    import numpy as np
+
+    chunk = chunk.sort_values(order_cols, kind="mergesort")
+    seq = np.arange(1, len(chunk) + 1, dtype="int64") + n
+    out = chunk.assign(seq=seq, accepted=seq <= limit)
+    return out, (int(seq[-1]) if len(seq) else n)
+
+
+def _make_v1_fn(limit: int, order_cols: tuple[str, ...]):
+    cols = list(order_cols)
+
+    def fn(
+        key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        n = state.get[0] if state.exists else 0
+        for chunk in pdfs:
+            out, n = _annotate(chunk, n, limit, cols)
+            yield out
+        state.update((n,))
+
+    return fn
+
+
+class QuotaProcessor(StatefulProcessor):
+    """state-v2 processor: accepted-count in a named ValueState; ``ttl_ms``
+    optionally expires idle keys' counters (the leak-prevention contract
+    at unbounded key cardinality — the v1 API has no equivalent)."""
+
+    def __init__(self, limit: int, order_cols: tuple[str, ...], ttl_ms: int | None):
+        self._limit = limit
+        self._order_cols = list(order_cols)
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: Any) -> None:
+        self._count = handle.getValueState("accepted_count", STATE_SCHEMA, self._ttl_ms)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
+    ) -> Iterator["pd.DataFrame"]:
+        state = self._count.get()
+        n = int(state[0]) if state is not None else 0
+        for chunk in rows:
+            out, n = _annotate(chunk, n, self._limit, self._order_cols)
+            yield out
+        self._count.update((n,))
+
+    def close(self) -> None:
+        pass
+
+
+def enforce_quota(
+    events: DataFrame,
+    limit: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts",),
+    ttl_ms: int | None = None,
+    api: str = "auto",
+) -> DataFrame:
+    """Annotate a stream with per-key admission decisions.
+
+    Every input event is emitted exactly once with ``seq`` (1-based
+    running order index per key) and ``accepted`` (seq within
+    ``limit``).  ``api``: ``"v2"`` | ``"v1"`` | ``"auto"`` (v2 when its
+    protobuf dependency is importable).  ``ttl_ms`` is honored by v2
+    only; v1 raises if it is set, rather than silently leaking state.
+    """
+    if api == "auto":
+        api = "v2" if state_v2_available() else "v1"
+    if api not in ("v1", "v2"):
+        raise ValueError(f"api must be v1|v2|auto, got {api!r}")
+    if api == "v1" and ttl_ms is not None:
+        raise ValueError("state TTL requires the v2 API (transformWithState)")
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    grouped = prepared.groupBy("user_id")
+    if api == "v2":
+        return grouped.transformWithStateInPandas(
+            statefulProcessor=QuotaProcessor(limit, order_cols, ttl_ms),
+            outputStructType=QUOTA_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return grouped.applyInPandasWithState(
+        _make_v1_fn(limit, order_cols),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
