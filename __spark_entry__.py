@@ -76,10 +76,17 @@ _PRIORITY = [
     "embedding_label_centroids",
 ]
 
-# Tail: green in BOTH r1 and r2, untouched this round.  Listed largest-
-# margin first so that if the catalog grows, the *last* entries are the
-# ones that drop out of the 50-query window.
+# Tail: already driver-verified green, untouched this round.  Ordered
+# least-verified first (r2-only-green before r1+r2-double-green) so the
+# entries nearest the window boundary are the ones that most benefit if
+# space opens up; the deepest tail is the safest to leave unsampled.
 _TAIL = [
+    # r2-green only (single driver verification)
+    "doc_shard_packing",
+    "doc_curation_pipeline",
+    "corpus_token_df",
+    "lang_id_confusion",
+    # green in BOTH r1 and r2
     "doc_token_stats",
     "doc_quality_scores",
     "daily_order_summary",
