@@ -65,6 +65,7 @@ _PRIORITY = [
     "customer_order_dates",
     "order_measures_unpivot",
     "events_trailing_10min",
+    "events_props_variant",
     # plans changed this round — need fresh verification
     "top_trade_routes",
     "segment_scorecard",
@@ -82,6 +83,7 @@ _PRIORITY = [
 # space opens up; the deepest tail is the safest to leave unsampled.
 _TAIL = [
     # r2-green only (single driver verification)
+    "doc_pii_redaction",
     "doc_shard_packing",
     "doc_curation_pipeline",
     "corpus_token_df",

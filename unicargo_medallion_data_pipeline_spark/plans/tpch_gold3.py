@@ -204,3 +204,53 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_symbol_tokens"
         ),
     )
+
+
+@register(
+    "events_props_variant",
+    sql="""
+    WITH e AS (
+      SELECT
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        event_type
+      FROM events
+    )
+    SELECT
+      CAST(floor(k / 10.0) AS BIGINT) AS k_bucket,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+      MIN(k) AS min_k,
+      MAX(k) AS max_k
+    FROM e
+    GROUP BY 1
+    """,
+    operators=("P4", "A12"),
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type
+    (``parse_json`` → binary variant → ``variant_get``), the scale path
+    ``events_props_json``'s per-extract string parsing is not: variant
+    parses each payload ONCE into a typed binary encoding, and every
+    subsequent field probe is an O(depth) binary lookup instead of a
+    regex/JSON re-parse — at a silver layer you materialize the variant
+    column and fan out dozens of extracts for free.  The DuckDB oracle
+    reads the same field from the raw JSON text, proving the
+    variant-routed values are identical to direct JSON extraction.
+
+    The aggregation itself is the A12 histogram shape over the extracted
+    field (decade buckets of ``k``), so the query also demonstrates that
+    variant extracts compose with ordinary relational operators —
+    grouping keys, distinct counts — inside one codegen'd stage with a
+    single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "event_type")
+        .groupBy(F.floor(F.col("k") / 10.0).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
