@@ -111,3 +111,51 @@ def test_overwrite_schema_evolution_parquet(spark):
     assert set(back.columns) == {"k", "score", "flag"}
     assert back.collect()[0]["score"] == 3.5
     spark.sql(f"DROP TABLE {cfg.full_name}")
+
+
+def test_csv_quarantine_split_preserves_all_lines(spark):
+    """Good rows flow typed; every malformed ORIGINAL line survives
+    verbatim in the quarantine frame; one scan feeds both."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    d = tempfile.mkdtemp(prefix="quarantine_")
+    p = os.path.join(d, "docs.csv")
+    with open(p, "w") as f:
+        f.write(
+            "doc_id,lang,score\n"
+            "1,en,0.9\n"
+            "oops,de,0.5\n"          # doc_id not a long
+            "3,fr,0.1\n"
+            "4,pt\n"                 # missing column
+            "5,it,0.7,extra,cols\n"  # too many columns
+        )
+    good, bad = read_csv_with_quarantine(spark, p, SCHEMA)
+    assert sorted((r.doc_id, r.lang, float(r.score)) for r in good.collect()) == [
+        (1, "en", 0.9),
+        (3, "fr", 0.1),
+    ]
+    assert sorted(r.raw_line for r in bad.collect()) == [
+        "4,pt",
+        "5,it,0.7,extra,cols",
+        "oops,de,0.5",
+    ]
+    # The quarantine column never leaks into the good schema.
+    assert "_corrupt_record" not in good.columns
+    # Counts conserve: every input line is exactly one of good/bad.
+    assert good.count() + bad.count() == 5
+
+
+def test_csv_quarantine_rejects_reserved_column(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    bad_schema = StructType([StructField("_corrupt_record", StringType())])
+    with _pytest.raises(ValueError, match="already contains"):
+        read_csv_with_quarantine(spark, "/tmp/x.csv", bad_schema)

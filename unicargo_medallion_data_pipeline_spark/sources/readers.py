@@ -66,6 +66,60 @@ def read_json(
     )
 
 
+#: Column name used to capture unparseable source lines.
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened for production ingest: ``(good, quarantine)`` split.
+
+    ``read_csv``'s PERMISSIVE default silently nulls malformed cells —
+    at lake scale that quietly corrupts downstream aggregates, while
+    FAILFAST turns one bad upstream line into a dead pipeline and
+    DROPMALFORMED loses the evidence.  The quarantine pattern keeps all
+    three properties: good rows flow typed, every rejected ORIGINAL line
+    is preserved verbatim for replay/debugging, and nothing aborts.
+
+    One physical pass over the input: the parsed frame (with the
+    corrupt-record column populated by the CSV parser itself) is pinned
+    with an eager ``localCheckpoint`` and both splits read the
+    materialized blocks.  The pin is also a correctness requirement —
+    Spark's analyzer rejects lazy queries that reference ONLY the
+    internal corrupt-record column ([UNSUPPORTED_FEATURE.
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN]: under CSV column pruning the
+    parser would never populate it); checkpointing materializes the full
+    parse first, exactly as the Spark docs prescribe (their variant uses
+    ``cache()`` — localCheckpoint blocks are instead freed by the
+    ContextCleaner when the frames are dropped, the same no-leak
+    rationale as textops/dedup.py).  A row quarantines when ANY cell
+    fails its declared type or the column count is wrong.  Note the scan
+    therefore executes at call time, not lazily.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema already contains {CORRUPT_COL!r}")
+    aug = StructType([*schema.fields]).add(CORRUPT_COL, StringType())
+    df = (
+        spark.read.schema(aug)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    ).localCheckpoint(eager=True)
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
+
+
 def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """ORC path scan (beyond-reference) — same pushdown/pruning behavior
     as parquet via the vectorized ORC reader."""
