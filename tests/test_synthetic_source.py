@@ -120,3 +120,31 @@ def test_stream_drains_to_cap_and_resumes_without_duplicates(spark):
     # The full drained output is byte-identical to a batch read of the
     # same row range (stream and batch share the generation contract).
     assert _fingerprint(both) == _fingerprint(_read(spark, rows=1_500, seed=9))
+
+
+def test_gen_batch_slice_independence_property():
+    """Property (no Spark needed): concatenating _gen_batch over ANY
+    partitioning of [0, n) equals one whole-range batch — the retry /
+    rescale safety contract at its core."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from unicargo_medallion_data_pipeline_spark.sources.synthetic import _gen_batch
+
+    import pyarrow as pa
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=2**31),
+        n=st.integers(min_value=1, max_value=500),
+        cuts=st.sets(st.integers(min_value=1, max_value=499), max_size=6),
+    )
+    def check(seed, n, cuts):
+        bounds = [0, *sorted(c for c in cuts if c < n), n]
+        whole = pa.Table.from_batches([_gen_batch(seed, 0, n, 37)])
+        sliced = pa.Table.from_batches(
+            [_gen_batch(seed, lo, hi, 37) for lo, hi in zip(bounds, bounds[1:])]
+        )
+        assert whole.equals(sliced)
+
+    check()
