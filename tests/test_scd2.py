@@ -1,0 +1,127 @@
+"""SCD2 dimension maintenance: bootstrap, close+insert on change,
+no-op on identical snapshots (idempotent re-delivery), chained version
+history, out-of-order rejection, point-in-time reconstruction."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "airline_id long, name string, country string, effective_ts timestamp"
+
+T = lambda d: dt.datetime(2024, 1, d, 0, 0, 0)
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(
+        [(i, n, c, T(d)) for i, n, c, d in rows], SCHEMA
+    )
+
+
+def _apply(spark, path, rows):
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
+
+    apply_scd2(
+        spark, path, _updates(spark, rows),
+        key_cols=["airline_id"], tracked_cols=["name", "country"],
+    )
+
+
+def _state(spark, path):
+    return {
+        (r["airline_id"], r["effective_from"], r["effective_to"]): (
+            r["name"], r["country"], r["is_current"]
+        )
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_bootstrap_then_change_then_replay(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim_airline")
+
+    _apply(spark, path, [(1, "AirOne", "US", 1), (2, "BlueJet", "DE", 1)])
+    assert _state(spark, path) == {
+        (1, T(1), None): ("AirOne", "US", True),
+        (2, T(1), None): ("BlueJet", "DE", True),
+    }
+
+    # Day 5: airline 1 renamed, airline 2 unchanged, airline 3 appears.
+    _apply(spark, path, [
+        (1, "AirOne Intl", "US", 5),
+        (2, "BlueJet", "DE", 5),
+        (3, "SkyHop", "FR", 5),
+    ])
+    after = _state(spark, path)
+    assert after == {
+        (1, T(1), T(5)): ("AirOne", "US", False),   # closed version
+        (1, T(5), None): ("AirOne Intl", "US", True),
+        (2, T(1), None): ("BlueJet", "DE", True),   # untouched
+        (3, T(5), None): ("SkyHop", "FR", True),
+    }
+
+    # Re-delivering the same batch is a pure no-op (same file state).
+    _apply(spark, path, [
+        (1, "AirOne Intl", "US", 5),
+        (2, "BlueJet", "DE", 5),
+        (3, "SkyHop", "FR", 5),
+    ])
+    assert _state(spark, path) == after
+
+
+def test_version_chain_and_point_in_time(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import as_of
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(1, "A", "US", 1)])
+    _apply(spark, path, [(1, "B", "US", 10)])
+    _apply(spark, path, [(1, "B", "CA", 20)])
+
+    dim = spark.read.parquet(path)
+    # Intervals chain with no gaps or overlaps.
+    assert _state(spark, path) == {
+        (1, T(1), T(10)): ("A", "US", False),
+        (1, T(10), T(20)): ("B", "US", False),
+        (1, T(20), None): ("B", "CA", True),
+    }
+    # Point-in-time: what did the dimension say on day 15?
+    seen = as_of(dim, T(15)).collect()
+    assert [(r["name"], r["country"]) for r in seen] == [("B", "US")]
+    # Boundary semantics: a version is effective AT its from-instant.
+    assert [(r["name"]) for r in as_of(dim, T(10)).collect()] == ["B"]
+
+
+def test_out_of_order_batch_rejected(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(1, "A", "US", 10)])
+    with pytest.raises(ValueError, match="time order"):
+        _apply(spark, path, [(1, "Z", "US", 5)])
+
+
+def test_within_batch_latest_snapshot_wins(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(1, "Old", "US", 1), (1, "New", "US", 3)])
+    assert _state(spark, path) == {(1, T(3), None): ("New", "US", True)}
+
+
+def test_current_partition_is_pruned_read(spark):
+    """The hot path (ordinary dim join) reads only the current
+    partition — partition pruning on scd_state must reach the scan."""
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(1, "A", "US", 1)])
+    _apply(spark, path, [(1, "B", "US", 5)])
+    cur = spark.read.parquet(path).filter(F.col("scd_state") == "current")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cur.explain("formatted")
+    pf_line = next(
+        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+    )
+    assert "scd_state" in pf_line, f"no partition pruning: {pf_line}"
+    assert cur.count() == 1

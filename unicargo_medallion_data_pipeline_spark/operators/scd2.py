@@ -1,0 +1,235 @@
+"""Slowly-changing dimension, type 2: versioned history with
+``effective_from`` / ``effective_to`` / ``is_current``.
+
+The reference rebuilds its dimensions wholesale every run
+(``NB_SILVER/02_silver_unicargo_create_dim_airlines.ipynb:99-105`` —
+dedup + fresh surrogate keys, no change tracking), which loses history:
+an airline renamed in March silently rewrites February's facts'
+context.  SCD2 is the standard dimensional-modeling answer and the one
+classic dimension operator the medallion layer otherwise lacks: every
+change CLOSES the old version (stamping ``effective_to``) and INSERTS a
+new current one, so point-in-time joins (`fact.ts BETWEEN
+effective_from AND effective_to`) reconstruct what the dimension said
+when the fact happened.
+
+Storage layout = partitioned by ``scd_state`` (``'current'`` /
+``'history'`` — a string twin of ``is_current``, because parquet
+partition values read back as strings, so partitioning by the boolean
+itself would mangle its type): the current partition is compact (one
+row per key — the only part read by ordinary joins and by the next
+merge), history is append-only.  Per batch the engine
+rewrites ONLY the current partition and appends closed rows to history;
+at 100 TB the per-batch cost is O(|current| + |batch|), never
+O(history).
+
+Parquet-fallback honesty (same posture as ``sources/merge.py``): the
+close-append and the current-partition overwrite are two writes, not
+one transaction.  A crash between them can leave duplicate closed rows
+in history after a retry (never a wrong current partition — that is
+written last, and rerunning the same batch is a no-op once current
+matches).  Delta's single atomic ``MERGE`` (the classic union-staging
+SCD2 merge) removes the window; wire it through ``delta_available()``
+when the dependency lands.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: SCD2 bookkeeping columns added to the caller's schema.
+SCD2_COLS = ("effective_from", "effective_to", "is_current", "scd_state")
+
+
+def _with_state(df):
+    """Derive the string partition twin of ``is_current``."""
+    return df.withColumn(
+        "scd_state", F.when(F.col("is_current"), "current").otherwise("history")
+    )
+
+
+def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
+                    tracked_cols: list[str]) -> DataFrame:
+    """One version per key per batch: latest by ``ts``; ties broken by a
+    payload hash so the pick is deterministic (documented contract — a
+    batch carrying two DIFFERENT payloads at the identical timestamp has
+    no meaningful order; the engine picks reproducibly rather than
+    randomly)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts).desc(), F.xxhash64(*tracked_cols).desc()
+    )
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_scd2(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str = "effective_ts",
+) -> None:
+    """Fold one batch of dimension snapshots into the SCD2 table.
+
+    ``updates`` columns: ``key_cols + tracked_cols + [effective_ts_col]``
+    — a *snapshot* of each key's attributes as of that timestamp (the
+    shape a source extract naturally produces).  Change detection is
+    null-safe equality over ``tracked_cols`` (``<=>`` conjunction — no
+    hash-collision risk); an identical snapshot is a no-op, which makes
+    re-running a batch idempotent.
+
+    Out-of-order protection: a batch whose ``effective_ts`` is ≤ the
+    current version's ``effective_from`` for a CHANGED key raises —
+    silently applying it would fabricate a negative-length interval.
+    Replays of history must be applied in order (or rebuild the table).
+    """
+    cols = [*key_cols, *tracked_cols]
+    u = _latest_per_key(
+        updates.select(*cols, F.col(effective_ts_col).alias("_ts")),
+        key_cols, "_ts", tracked_cols,
+    )
+
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(target_path)
+        existing.schema
+    except AnalysisException:
+        (
+            _with_state(
+                u.select(
+                    *cols,
+                    F.col("_ts").alias("effective_from"),
+                    F.lit(None).cast("timestamp").alias("effective_to"),
+                    F.lit(True).alias("is_current"),
+                )
+            )
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("scd_state")
+            .save(target_path)
+        )
+        return
+
+    # Prune on the partition twin: only the current partition's files
+    # are listed/read, however large history has grown.
+    current = existing.filter(F.col("scd_state") == "current").drop("scd_state")
+    cur = current.select(
+        *[F.col(c).alias(f"_cur_{c}") for c in cols],
+        F.col("effective_from").alias("_cur_from"),
+    )
+    key_eq = [F.col(k) == F.col(f"_cur_{k}") for k in key_cols]
+    joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left")
+
+    same_payload = reduce(
+        lambda a, b: a & b,
+        [F.col(t).eqNullSafe(F.col(f"_cur_{t}")) for t in tracked_cols],
+    )
+    has_match = F.col(f"_cur_{key_cols[0]}").isNotNull()
+    changed = joined.filter(has_match & ~same_payload)
+    new_keys = joined.filter(~has_match)
+
+    # One classification pass gates everything: out-of-order rejection,
+    # the idempotence fast-path (identical snapshot → zero writes), and
+    # skipping the history append when nothing closed (an empty staged
+    # frame could not be read back anyway).
+    gate = joined.agg(
+        F.sum((has_match & ~same_payload).cast("int")).alias("n_changed"),
+        F.sum((~has_match).cast("int")).alias("n_new"),
+        F.sum(
+            (has_match & ~same_payload & (F.col("_ts") <= F.col("_cur_from"))).cast("int")
+        ).alias("n_stale"),
+    ).collect()[0]
+    if gate["n_stale"]:
+        raise ValueError(
+            f"{gate['n_stale']} changed key(s) arrive with effective_ts <= "
+            "the current version's effective_from — batches must be applied "
+            "in time order"
+        )
+    if not gate["n_changed"] and not gate["n_new"]:
+        return  # pure re-delivery: every snapshot matches current
+
+    # Rows of the NEW current partition: new versions of changed keys,
+    # brand-new keys, and untouched current rows.
+    fresh = changed.unionByName(new_keys).select(
+        *cols,
+        F.col("_ts").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed_keys = changed.select(
+        *[F.col(f"_cur_{k}").alias(k) for k in key_cols],
+        F.col("_ts").alias("_close_ts"),
+    )
+    closed = (
+        current.join(changed_keys, key_cols, "inner")
+        .select(
+            *cols,
+            "effective_from",
+            F.col("_close_ts").alias("effective_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched = current.join(changed_keys.select(*key_cols), key_cols, "left_anti").select(
+        *cols, "effective_from", "effective_to", "is_current"
+    )
+    new_current = _with_state(untouched.unionByName(fresh))
+    closed = _with_state(closed)
+
+    # Stage on the target's filesystem (driver tempdirs only work in
+    # local mode — see sources/staging.py), because new_current reads the
+    # partition it will overwrite.
+    from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        remove_path,
+        staging_path,
+    )
+
+    staging = staging_path(target_path, "scd2")
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        if gate["n_changed"]:
+            closed.write.mode("overwrite").parquet(staging + "/closed")
+        new_current.write.mode("overwrite").parquet(staging + "/current")
+        # History append FIRST, current overwrite LAST: a crash between
+        # the two leaves the old current partition intact (retry then
+        # re-closes — duplicate history rows, dedupable on the full row —
+        # but never a current partition that forgot its history).
+        if gate["n_changed"]:
+            (
+                spark.read.parquet(staging + "/closed")
+                .write.mode("append")
+                .format("parquet")
+                .partitionBy("scd_state")
+                .save(target_path)
+            )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            spark.read.parquet(staging + "/current")
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("scd_state")
+            .save(target_path)
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        remove_path(spark, staging)
+
+
+def as_of(dim: DataFrame, ts) -> DataFrame:
+    """Point-in-time view: the version of each key effective at ``ts``
+    (the join side of every SCD2 fact build)."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col("effective_from") <= t)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
+    )
