@@ -153,3 +153,34 @@ def test_v2_batch_mode_matches_v1_stream_semantics(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_admission_order_spans_arrow_chunk_boundaries(spark):
+    """A key's micro-batch rows arrive as multiple Arrow chunks when they
+    exceed arrow.maxRecordsPerBatch; admission must still follow event
+    time across ALL chunks (regression: a per-chunk sort made seq depend
+    on the chunking)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        root = tempfile.mkdtemp(prefix="quota_chunks_")
+        src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+        os.makedirs(src)
+        # 30 rows for one user, timestamps shuffled so event-time order
+        # disagrees with arrival order across chunk boundaries.
+        secs = [(s * 13) % 30 for s in range(30)]
+        _drain(spark, src, out, ckpt, "b1",
+               [(1, s, f"e{s}", float(s)) for s in secs], limit=10)
+        rows = sorted(
+            spark.read.schema(OUT_SCHEMA).parquet(out).collect(),
+            key=lambda r: r["seq"],
+        )
+        assert [r["ts"] for r in rows] == sorted(r["ts"] for r in rows)
+        accepted = {r["event_type"] for r in rows if r["accepted"]}
+        assert accepted == {f"e{s}" for s in range(10)}  # 10 earliest by ts
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

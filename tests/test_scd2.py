@@ -125,3 +125,20 @@ def test_current_partition_is_pruned_read(spark):
     )
     assert "scd_state" in pf_line, f"no partition pruning: {pf_line}"
     assert cur.count() == 1
+
+
+def test_null_key_rows_match_null_safely(spark):
+    """A null-keyed snapshot must update its existing null-keyed current
+    row (close + insert), not duplicate it — and re-delivery stays a
+    no-op.  (Plain == would classify every null-keyed snapshot as a new
+    key.)"""
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(None, "Unknown", "??", 1)])
+    _apply(spark, path, [(None, "Unknown", "??", 5)])  # identical → no-op
+    assert _state(spark, path) == {(None, T(1), None): ("Unknown", "??", True)}
+
+    _apply(spark, path, [(None, "Recovered", "US", 9)])  # real change
+    assert _state(spark, path) == {
+        (None, T(1), T(9)): ("Unknown", "??", False),
+        (None, T(9), None): ("Recovered", "US", True),
+    }

@@ -84,7 +84,8 @@ def merge_additive_rollup(
 
     ``delta`` has columns ``keys + measures`` and is already aggregated to
     the rollup grain (one row per key tuple).  ``measures`` maps each
-    measure column to its combine rule: ``"sum"`` | ``"min"`` | ``"max"``.
+    measure column to its combine rule: ``"sum"`` | ``"min"`` | ``"max"``
+    | ``"hll_union"`` (binary HLL sketches built with :func:`hll_sketch`).
     ``partition_col`` must be one of ``keys`` (the grain's time bucket,
     typically) — it scopes which stored partitions are touched.
     """

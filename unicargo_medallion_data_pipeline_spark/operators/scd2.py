@@ -100,7 +100,6 @@ def apply_scd2(
 
     try:
         existing = spark.read.parquet(target_path)
-        existing.schema
     except AnalysisException:
         (
             _with_state(
@@ -125,14 +124,27 @@ def apply_scd2(
         *[F.col(c).alias(f"_cur_{c}") for c in cols],
         F.col("effective_from").alias("_cur_from"),
     )
-    key_eq = [F.col(k) == F.col(f"_cur_{k}") for k in key_cols]
-    joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left")
+    # Null-safe key equality: with plain ==, a null-keyed snapshot would
+    # never match its existing current row and every re-delivery would
+    # append another duplicate "new" current row for it.  (Null-safe
+    # equality still hash-joins — Spark plans EqualNullSafe join keys.)
+    key_eq = [F.col(k).eqNullSafe(F.col(f"_cur_{k}")) for k in key_cols]
+    # Pin the dedup + classification join: it feeds the gate action AND
+    # both staged writes; unpinned, the window shuffle and current-
+    # partition join would run three times per batch (and a non-
+    # deterministic `updates` could diverge between gate and write).
+    joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left").localCheckpoint(
+        eager=True
+    )
 
     same_payload = reduce(
         lambda a, b: a & b,
         [F.col(t).eqNullSafe(F.col(f"_cur_{t}")) for t in tracked_cols],
     )
-    has_match = F.col(f"_cur_{key_cols[0]}").isNotNull()
+    # Match marker must not be a key column (a null key matches null-
+    # safely but would look unmatched); _cur_from is non-null on every
+    # matched row by construction.
+    has_match = F.col("_cur_from").isNotNull()
     changed = joined.filter(has_match & ~same_payload)
     new_keys = joined.filter(~has_match)
 
@@ -164,20 +176,25 @@ def apply_scd2(
         F.lit(None).cast("timestamp").alias("effective_to"),
         F.lit(True).alias("is_current"),
     )
-    changed_keys = changed.select(
-        *[F.col(f"_cur_{k}").alias(k) for k in key_cols],
-        F.col("_ts").alias("_close_ts"),
+    # Closed versions come straight off the classification join (the
+    # _cur_* columns ARE the old current row), avoiding a second join
+    # that would need its own null-safe key handling.
+    closed = changed.select(
+        *[F.col(f"_cur_{c}").alias(c) for c in cols],
+        F.col("_cur_from").alias("effective_from"),
+        F.col("_ts").alias("effective_to"),
+        F.lit(False).alias("is_current"),
     )
-    closed = (
-        current.join(changed_keys, key_cols, "inner")
-        .select(
-            *cols,
-            "effective_from",
-            F.col("_close_ts").alias("effective_to"),
-            F.lit(False).alias("is_current"),
-        )
+    # Untouched current rows: anti-join must also be null-safe, or a
+    # null-keyed current row would survive alongside its replacement.
+    ck = changed.select(
+        *[F.col(f"_cur_{k}").alias(f"_k_{k}") for k in key_cols]
     )
-    untouched = current.join(changed_keys.select(*key_cols), key_cols, "left_anti").select(
+    anti_cond = reduce(
+        lambda a, b: a & b,
+        [current[k].eqNullSafe(ck[f"_k_{k}"]) for k in key_cols],
+    )
+    untouched = current.join(ck, anti_cond, "left_anti").select(
         *cols, "effective_from", "effective_to", "is_current"
     )
     new_current = _with_state(untouched.unionByName(fresh))

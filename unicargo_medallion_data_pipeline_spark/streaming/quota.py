@@ -79,14 +79,23 @@ def use_rocksdb_state(spark: SparkSession) -> None:
     )
 
 
-def _annotate(chunk: "pd.DataFrame", n: int, limit: int, order_cols: list[str]):
-    """Sort one pandas chunk, assign running seq from offset ``n``; the
-    shared kernel of both engines."""
+def _annotate(pdfs: Iterator["pd.DataFrame"], n: int, limit: int,
+              order_cols: list[str]):
+    """Assign running seq from offset ``n``; the shared kernel of both
+    engines.  The iterator is drained and CONCATENATED before sorting —
+    both state APIs deliver one key's micro-batch rows as arbitrarily
+    split Arrow chunks (``spark.sql.execution.arrow.maxRecordsPerBatch``
+    boundaries), and a per-chunk sort would make admission depend on the
+    chunking rather than on event time (same pattern as
+    streaming/stateful.py's session fold)."""
     import numpy as np
+    import pandas as pd
 
-    chunk = chunk.sort_values(order_cols, kind="mergesort")
-    seq = np.arange(1, len(chunk) + 1, dtype="int64") + n
-    out = chunk.assign(seq=seq, accepted=seq <= limit)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        order_cols, kind="mergesort"
+    )
+    seq = np.arange(1, len(rows) + 1, dtype="int64") + n
+    out = rows.assign(seq=seq, accepted=seq <= limit)
     return out, (int(seq[-1]) if len(seq) else n)
 
 
@@ -97,9 +106,8 @@ def _make_v1_fn(limit: int, order_cols: tuple[str, ...]):
         key: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
         n = state.get[0] if state.exists else 0
-        for chunk in pdfs:
-            out, n = _annotate(chunk, n, limit, cols)
-            yield out
+        out, n = _annotate(pdfs, n, limit, cols)
+        yield out
         state.update((n,))
 
     return fn
@@ -123,9 +131,8 @@ class QuotaProcessor(StatefulProcessor):
     ) -> Iterator["pd.DataFrame"]:
         state = self._count.get()
         n = int(state[0]) if state is not None else 0
-        for chunk in rows:
-            out, n = _annotate(chunk, n, self._limit, self._order_cols)
-            yield out
+        out, n = _annotate(rows, n, self._limit, self._order_cols)
+        yield out
         self._count.update((n,))
 
     def close(self) -> None:
@@ -147,7 +154,19 @@ def enforce_quota(
     running order index per key) and ``accepted`` (seq within
     ``limit``).  ``api``: ``"v2"`` | ``"v1"`` | ``"auto"`` (v2 when its
     protobuf dependency is importable).  ``ttl_ms`` is honored by v2
-    only; v1 raises if it is set, rather than silently leaking state.
+    only (and switches the query to processing-time mode, which Spark
+    requires for TTL state); v1 raises if it is set, rather than
+    silently leaking state.
+
+    Checkpoint pinning: the two engines are DIFFERENT stateful physical
+    operators with incompatible checkpointed state.  ``"auto"`` is for
+    new queries; a production query that must survive restarts should
+    pin ``api`` explicitly, because an environment change (protobuf
+    appearing) would otherwise re-resolve "auto" to an engine that
+    cannot read the existing checkpoint.  The v2 path additionally
+    requires the RocksDB provider (``use_rocksdb_state``) to be set
+    before start — deliberately NOT auto-applied here, since mutating
+    session conf inside an operator would leak far past this query.
     """
     if api == "auto":
         api = "v2" if state_v2_available() else "v1"
@@ -164,11 +183,14 @@ def enforce_quota(
     )
     grouped = prepared.groupBy("user_id")
     if api == "v2":
+        # Spark rejects TTL state unless the query runs in processing-
+        # time mode (StateStoreErrors.cannotProvideTTLConfigForTimeMode),
+        # so the time mode follows the TTL request.
         return grouped.transformWithStateInPandas(
             statefulProcessor=QuotaProcessor(limit, order_cols, ttl_ms),
             outputStructType=QUOTA_SCHEMA,
             outputMode="append",
-            timeMode="none",
+            timeMode="processingTime" if ttl_ms is not None else "none",
         )
     return grouped.applyInPandasWithState(
         _make_v1_fn(limit, order_cols),
