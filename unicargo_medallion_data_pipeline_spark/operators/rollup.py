@@ -12,6 +12,8 @@ Only MERGEABLE aggregates may live in such a table:
 
   - ``sum`` / counts  → combine with ``+``   (counts are sums of 1s)
   - ``min`` / ``max`` → combine with least / greatest
+  - distinct counts of integer keys → ``"bitmap_or"`` (EXACT — bitwise
+    OR of domain-bucketed bitmaps, see :func:`bitmap_grain`)
 
 Non-mergeable aggregates (exact COUNT DISTINCT, exact percentiles) must
 be recomputed from raw or replaced by mergeable sketches — and the
@@ -47,6 +49,9 @@ _COMBINERS = {
     # The represented set (hence the estimate) is order-independent;
     # serialized bytes can permute in low-cardinality list mode.
     "hll_union": F.hll_union_agg,
+    # Roaring-style bitmap OR: EXACT mergeable distinct counting for
+    # integer keys (see bitmap_grain / bitmap_distinct).
+    "bitmap_or": F.bitmap_or_agg,
 }
 
 
@@ -69,6 +74,52 @@ def hll_sketch(col: str, lg_config_k: int = 12) -> Column:
 def hll_estimate(col: str) -> Column:
     """Read a stored/combined sketch as a cardinality estimate (bigint)."""
     return F.hll_sketch_estimate(col)
+
+
+#: Name of the hidden bucket key a bitmap grain adds (each bitmap covers a
+#: fixed range of the integer domain; distinct values land in exactly one
+#: bucket, so bucket bitmaps are disjoint and counts SUM exactly).
+BITMAP_BUCKET_COL = "_bitmap_bucket"
+
+
+def bitmap_grain(
+    df: DataFrame, keys: list[str], value_col: str, out_col: str = "bitmap"
+) -> DataFrame:
+    """EXACT mergeable distinct counts for an INTEGER-keyed value column.
+
+    Where :func:`hll_sketch` trades ~1.6% error for a fixed 4 KiB of
+    state on ANY type, the bitmap form is exact: each distinct value
+    sets one bit in the bitmap of its domain bucket.  The cost model is
+    different — state grows with the size of the *occupied value
+    domain*, not a constant — so bitmaps fit surrogate-keyed entities
+    (user ids, product ids) and HLL fits unbounded/hashed domains.
+
+    Returns the fine-grain frame at ``keys + [BITMAP_BUCKET_COL]`` with a
+    binary ``out_col``; store it as the rollup measure and combine
+    increments with the ``"bitmap_or"`` rule (bitwise OR — commutative,
+    associative, idempotent, so incremental maintenance is EXACTLY a
+    full recompute, not an estimate of one).  Read with
+    :func:`bitmap_distinct`.  Nulls are excluded, matching
+    ``COUNT(DISTINCT ...)``.
+    """
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, F.bitmap_bucket_number(v).alias(BITMAP_BUCKET_COL))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position(v)).alias(out_col))
+    )
+
+
+def bitmap_distinct(
+    df: DataFrame, keys: list[str], bitmap_col: str = "bitmap"
+) -> DataFrame:
+    """Collapse a stored bitmap grain to exact per-``keys`` distinct
+    counts (``n_distinct`` bigint): count bits per bucket bitmap, then
+    sum — buckets partition the value domain, so the sum is exact."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.sum(F.bitmap_count(F.col(bitmap_col))).alias("n_distinct"))
+    )
 
 
 def merge_additive_rollup(
