@@ -66,6 +66,7 @@ _PRIORITY = [
     "order_measures_unpivot",
     "events_trailing_10min",
     "events_props_variant",
+    "distinct_users_bitmap",
     # plans changed this round — need fresh verification
     "top_trade_routes",
     "segment_scorecard",
@@ -89,6 +90,7 @@ _TAIL = [
     "corpus_token_df",
     "lang_id_confusion",
     # green in BOTH r1 and r2
+    "doc_repetition_signals",
     "doc_token_stats",
     "doc_quality_scores",
     "daily_order_summary",

@@ -338,3 +338,41 @@ def events_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_10m"),
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_10m"),
     )
+
+
+@register(
+    "distinct_users_bitmap",
+    sql="""
+    SELECT
+      event_type,
+      COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY event_type
+    """,
+    operators=("A1", "A17"),
+)
+def distinct_users_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting routed through the MERGEABLE bitmap form
+    (operators/rollup.py ``bitmap_grain``/``bitmap_distinct``): each
+    distinct user sets one bit in its domain-bucket bitmap, per-type
+    counts are sums of per-bucket bit counts.  The DuckDB oracle is the
+    plain ``COUNT(DISTINCT ...)`` — the hash-match proves the bitmap
+    path is exact, not approximate, which is what qualifies it to live
+    in an incrementally-maintained rollup (bitwise-OR increments ==
+    full recompute) where a plain COUNT DISTINCT cannot.
+
+    Plan: two keyed shuffles — (type, bucket) bitmap build, then the
+    per-type sum.  A one-shot ``countDistinct`` also needs two exchanges
+    at this shape; the bitmap form's win is not the one-shot query, it
+    is that the intermediate is STORABLE and mergeable, so at 100 TB the
+    second shuffle reads a tiny maintained grain instead of re-scanning
+    the fact table.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.rollup import (
+        bitmap_distinct,
+        bitmap_grain,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    grain = bitmap_grain(ev, ["event_type"], "user_id")
+    return bitmap_distinct(grain, ["event_type"])
