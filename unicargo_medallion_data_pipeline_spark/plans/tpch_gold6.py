@@ -1,4 +1,6 @@
-"""Gold queries, batch 6: pivot, cube grouping sets, exact percentiles.
+"""Gold queries, batch 6: pivot, cube grouping sets, exact percentiles,
+and the events-family time/state queries (interval join, as-of, range
+frame, hourly rollup, bitmap distinct).
 
 Beyond-reference breadth (the reference's A2 builds pivot-style measures
 by hand with when/otherwise ladders — ``03_gold_flight_analytics.ipynb:
