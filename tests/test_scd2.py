@@ -142,3 +142,33 @@ def test_null_key_rows_match_null_safely(spark):
         (None, T(1), T(9)): ("Unknown", "??", False),
         (None, T(9), None): ("Recovered", "US", True),
     }
+
+
+def test_null_effective_ts_rejected(spark):
+    """Null timestamps would bootstrap a null effective_from, evade the
+    stale gate (NULL comparison), and close versions as_of reads as
+    still-open — rejected at both entry paths."""
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    null_batch = spark.createDataFrame([(1, "A", "US", None)], SCHEMA)
+    with pytest.raises(ValueError, match="NULL 'effective_ts'"):
+        apply_scd2(spark, path, null_batch,
+                   key_cols=["airline_id"], tracked_cols=["name", "country"])
+    _apply(spark, path, [(1, "A", "US", 1)])  # real bootstrap
+    with pytest.raises(ValueError, match="NULL 'effective_ts'"):
+        apply_scd2(spark, path, null_batch,
+                   key_cols=["airline_id"], tracked_cols=["name", "country"])
+
+
+def test_reserved_column_collision_rejected(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    export = spark.createDataFrame(
+        [(1, "A", True, T(1))],
+        "airline_id long, name string, is_current boolean, effective_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="collide with SCD2 bookkeeping"):
+        apply_scd2(spark, path, export,
+                   key_cols=["airline_id"], tracked_cols=["name", "is_current"])

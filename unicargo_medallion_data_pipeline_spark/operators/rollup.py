@@ -136,7 +136,9 @@ def merge_additive_rollup(
     ``delta`` has columns ``keys + measures`` and is already aggregated to
     the rollup grain (one row per key tuple).  ``measures`` maps each
     measure column to its combine rule: ``"sum"`` | ``"min"`` | ``"max"``
-    | ``"hll_union"`` (binary HLL sketches built with :func:`hll_sketch`).
+    | ``"hll_union"`` (binary HLL sketches built with :func:`hll_sketch`)
+    | ``"bitmap_or"`` (exact distinct bitmaps built with
+    :func:`bitmap_grain`).
     ``partition_col`` must be one of ``keys`` (the grain's time bucket,
     typically) — it scopes which stored partitions are touched.
     """

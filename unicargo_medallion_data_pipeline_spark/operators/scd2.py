@@ -91,6 +91,14 @@ def apply_scd2(
     Replays of history must be applied in order (or rebuild the table).
     """
     cols = [*key_cols, *tracked_cols]
+    # Reserved-name guard (same posture as read_csv_with_quarantine): a
+    # snapshot re-ingested from an SCD2 export would otherwise produce
+    # duplicate/ambiguous columns deep inside the merge instead of a
+    # clear error at the API boundary.
+    reserved = {*SCD2_COLS, "_ts", "_rn"}
+    clashes = [c for c in cols if c in reserved or c.startswith("_cur_")]
+    if clashes:
+        raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
     u = _latest_per_key(
         updates.select(*cols, F.col(effective_ts_col).alias("_ts")),
         key_cols, "_ts", tracked_cols,
@@ -101,6 +109,13 @@ def apply_scd2(
     try:
         existing = spark.read.parquet(target_path)
     except AnalysisException:
+        # Null timestamps corrupt every interval derived from them; the
+        # non-bootstrap path rejects them in its gate aggregation, the
+        # bootstrap pays one explicit (first-time-only) check.
+        if u.filter(F.col("_ts").isNull()).limit(1).count():
+            raise ValueError(
+                f"updates contain NULL {effective_ts_col!r} values"
+            )
         (
             _with_state(
                 u.select(
@@ -158,7 +173,17 @@ def apply_scd2(
         F.sum(
             (has_match & ~same_payload & (F.col("_ts") <= F.col("_cur_from"))).cast("int")
         ).alias("n_stale"),
+        F.sum(F.col("_ts").isNull().cast("int")).alias("n_null_ts"),
     ).collect()[0]
+    if gate["n_null_ts"]:
+        # A null ts evades the stale check (NULL comparison), would
+        # bootstrap a null effective_from (misclassifying every later
+        # snapshot of that key as new), and would close versions with a
+        # null effective_to that as_of reads as still-open.
+        raise ValueError(
+            f"{gate['n_null_ts']} update row(s) carry NULL "
+            f"{effective_ts_col!r} values"
+        )
     if gate["n_stale"]:
         raise ValueError(
             f"{gate['n_stale']} changed key(s) arrive with effective_ts <= "

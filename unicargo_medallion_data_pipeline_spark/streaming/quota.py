@@ -91,7 +91,12 @@ def _annotate(pdfs: Iterator["pd.DataFrame"], n: int, limit: int,
     import numpy as np
     import pandas as pd
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+    chunks = list(pdfs)
+    if not chunks:
+        # Timer/timeout invocations deliver zero chunks; emit nothing
+        # rather than crashing in pd.concat.
+        return None, n
+    rows = pd.concat(chunks, ignore_index=True).sort_values(
         order_cols, kind="mergesort"
     )
     seq = np.arange(1, len(rows) + 1, dtype="int64") + n
@@ -107,7 +112,8 @@ def _make_v1_fn(limit: int, order_cols: tuple[str, ...]):
     ) -> Iterator["pd.DataFrame"]:
         n = state.get[0] if state.exists else 0
         out, n = _annotate(pdfs, n, limit, cols)
-        yield out
+        if out is not None:
+            yield out
         state.update((n,))
 
     return fn
@@ -132,7 +138,8 @@ class QuotaProcessor(StatefulProcessor):
         state = self._count.get()
         n = int(state[0]) if state is not None else 0
         out, n = _annotate(rows, n, self._limit, self._order_cols)
-        yield out
+        if out is not None:
+            yield out
         self._count.update((n,))
 
     def close(self) -> None:
