@@ -117,6 +117,65 @@ def test_in_batch_ordering_follows_event_time_not_arrival(spark):
     assert [r["accepted"] for r in rows] == [True, True, False]
 
 
+def test_string_key_carries_through_with_own_counter(spark):
+    """A non-numeric key (string tenant id) must key its own quota
+    counter with its original name/type — regression for the cast-to-
+    long projection that collapsed non-numeric keys to one NULL
+    counter (or failed under ANSI)."""
+    from unicargo_medallion_data_pipeline_spark.streaming.quota import enforce_quota
+
+    schema = StructType(
+        [
+            StructField("tenant", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("payload", StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="quota_str_")
+    src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    rows = [
+        ("acme", T0 + dt.timedelta(seconds=s), f"a{s}") for s in range(3)
+    ] + [("beta", T0 + dt.timedelta(seconds=s), f"b{s}") for s in range(2)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        enforce_quota(stream, limit=2, key_col="tenant")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema(
+        "tenant string, ts timestamp, payload string, seq long, accepted boolean"
+    ).parquet(out)
+    by_tenant = {}
+    for r in got.collect():
+        assert r["tenant"] is not None  # never NULL-collapsed
+        by_tenant.setdefault(r["tenant"], []).append((r["seq"], r["accepted"]))
+    assert sorted(by_tenant["acme"]) == [(1, True), (2, True), (3, False)]
+    assert sorted(by_tenant["beta"]) == [(1, True), (2, True)]
+
+
+def test_quota_validates_columns_at_api_boundary(spark):
+    from unicargo_medallion_data_pipeline_spark.streaming.quota import enforce_quota
+
+    df = _rows(spark, [(1, 0, "x", 1.0)])
+    with pytest.raises(ValueError, match="missing quota columns"):
+        enforce_quota(df, limit=1, key_col="tenant")
+    with pytest.raises(ValueError, match="collide with quota output"):
+        enforce_quota(df.withColumn("seq", df.user_id), limit=1)
+
+
 def test_v1_rejects_ttl_rather_than_leaking(spark):
     from unicargo_medallion_data_pipeline_spark.streaming.quota import enforce_quota
 

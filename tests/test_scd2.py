@@ -161,6 +161,50 @@ def test_null_effective_ts_rejected(spark):
                    key_cols=["airline_id"], tracked_cols=["name", "country"])
 
 
+def test_shadowed_null_ts_row_still_rejected(spark):
+    """A null-ts row shadowed by a later non-null snapshot of the SAME
+    key in the same batch must raise (reject-all-nulls contract), not be
+    silently dropped by latest-per-key dedup."""
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    batch = spark.createDataFrame(
+        [(1, "A", "US", None), (1, "B", "US", T(5))], SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL 'effective_ts'"):
+        apply_scd2(spark, path, batch,
+                   key_cols=["airline_id"], tracked_cols=["name", "country"])
+    # ...on the incremental path too.
+    _apply(spark, path, [(1, "A", "US", 1)])
+    with pytest.raises(ValueError, match="NULL 'effective_ts'"):
+        apply_scd2(spark, path, batch,
+                   key_cols=["airline_id"], tracked_cols=["name", "country"])
+
+
+def test_as_of_dedups_crash_window_duplicates(spark):
+    """Simulate the documented parquet crash window (history append
+    committed twice after a retry): as_of must return each closed
+    version once, not fan out fact joins."""
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import as_of
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_"), "dim")
+    _apply(spark, path, [(1, "A", "US", 1)])
+    _apply(spark, path, [(1, "B", "US", 10)])
+    dim = spark.read.parquet(path)
+    closed = dim.filter(~F.col("is_current"))
+    # Re-append the closed rows — byte-identical duplicates, exactly
+    # what a retried history append leaves behind.
+    closed.write.mode("append").format("parquet").partitionBy(
+        "scd_state"
+    ).save(path)
+
+    dup = spark.read.parquet(path)
+    assert dup.filter(~F.col("is_current")).count() == 2  # window exists
+    seen = as_of(dup, T(5)).collect()
+    assert [(r["name"], r["country"]) for r in seen] == [("A", "US")]
+    assert as_of(dup, T(5), dedup=False).count() == 2  # escape hatch
+
+
 def test_reserved_column_collision_rejected(spark):
     from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
 

@@ -122,6 +122,27 @@ def test_stream_drains_to_cap_and_resumes_without_duplicates(spark):
     assert _fingerprint(both) == _fingerprint(_read(spark, rows=1_500, seed=9))
 
 
+def test_adjacent_seed_channels_not_correlated():
+    """Regression: with seed*2+{1,2,3} channel salts, seed N's value salt
+    (2N+3) equaled seed N+1's base salt (2(N+1)+1), so seed N's
+    (value*100) % 4 reproduced seed N+1's event_type code row-for-row.
+    Striding salts by 4 removes the overlap."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.sources.synthetic import (
+        EVENT_TYPES,
+        _gen_batch,
+    )
+
+    a = _gen_batch(5, 0, 400, 37)
+    b = _gen_batch(6, 0, 400, 37)
+    a_value_mod4 = (
+        np.rint(np.asarray(a["value"], dtype=np.float64) * 100).astype(np.int64) % 4
+    )
+    b_codes = np.array([EVENT_TYPES.index(t) for t in b["event_type"].to_pylist()])
+    assert (a_value_mod4 == b_codes).mean() < 0.5  # ~0.25 when independent
+
+
 def test_gen_batch_slice_independence_property():
     """Property (no Spark needed): concatenating _gen_batch over ANY
     partitioning of [0, n) equals one whole-range batch — the retry /

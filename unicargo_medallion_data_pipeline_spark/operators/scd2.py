@@ -99,23 +99,22 @@ def apply_scd2(
     clashes = [c for c in cols if c in reserved or c.startswith("_cur_")]
     if clashes:
         raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
-    u = _latest_per_key(
-        updates.select(*cols, F.col(effective_ts_col).alias("_ts")),
-        key_cols, "_ts", tracked_cols,
-    )
+    u_raw = updates.select(*cols, F.col(effective_ts_col).alias("_ts"))
+    # Reject NULL timestamps on the RAW batch, before latest-per-key
+    # dedup: a null-ts row shadowed by a later non-null snapshot of the
+    # same key would otherwise be dropped silently instead of raising —
+    # the documented contract is reject-all-nulls.  (The gate agg below
+    # re-checks the surviving rows as defense in depth against a
+    # non-deterministic `updates` source.)
+    if u_raw.filter(F.col("_ts").isNull()).limit(1).count():
+        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
+    u = _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
 
     from pyspark.errors import AnalysisException
 
     try:
         existing = spark.read.parquet(target_path)
     except AnalysisException:
-        # Null timestamps corrupt every interval derived from them; the
-        # non-bootstrap path rejects them in its gate aggregation, the
-        # bootstrap pays one explicit (first-time-only) check.
-        if u.filter(F.col("_ts").isNull()).limit(1).count():
-            raise ValueError(
-                f"updates contain NULL {effective_ts_col!r} values"
-            )
         (
             _with_state(
                 u.select(
@@ -267,11 +266,23 @@ def apply_scd2(
         remove_path(spark, staging)
 
 
-def as_of(dim: DataFrame, ts) -> DataFrame:
+def as_of(dim: DataFrame, ts, dedup: bool = True) -> DataFrame:
     """Point-in-time view: the version of each key effective at ``ts``
-    (the join side of every SCD2 fact build)."""
+    (the join side of every SCD2 fact build).
+
+    ``dedup`` (default on) drops full-row duplicates first, defending
+    against the parquet crash window documented in the module docstring:
+    a retry after "history append committed, current overwrite not"
+    re-appends byte-identical closed rows, which would otherwise return
+    twice here and fan out every fact join.  The duplicates are exact
+    full-row copies (same key, same interval, same payload), so a
+    full-row ``dropDuplicates`` removes precisely them.  Pass
+    ``dedup=False`` to skip the shuffle once the atomic Delta MERGE path
+    is active (no crash window there).
+    """
+    src = dim.dropDuplicates() if dedup else dim
     t = F.lit(ts).cast("timestamp")
-    return dim.filter(
+    return src.filter(
         (F.col("effective_from") <= t)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > t))
     )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
@@ -62,8 +63,12 @@ def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Full pairwise — the CORRECTNESS baseline the LSH path approximates.
     Fine at oracle scale; at lake scale use doc_minhash_near_dups (same
-    jaccard, candidates from banding instead of the cross join)."""
-    d = load_table(spark, sf_dir, "documents")
+    jaccard, candidates from banding instead of the cross join).
+    Size-guarded: refuses corpora beyond ALL_PAIRS_GUARD_ROWS."""
+    d = guard_all_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_token_jaccard_pairs", "doc_minhash_near_dups",
+    )
     t = ensure_parallelism(d).select(
         "doc_id", F.array_distinct(tokens("text")).alias("tokset")
     )

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
+from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
@@ -38,8 +39,11 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-pairwise baseline (north-star embedding dedup).  At lake scale
     the same rescoring runs on LSH-bucketed candidates instead of the
     cross join (see cosine_topk_lsh); this entry is the correctness
-    anchor for that path."""
-    e = load_table(spark, sf_dir, "embeddings")
+    anchor for that path.  Size-guarded beyond ALL_PAIRS_GUARD_ROWS."""
+    e = guard_all_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        "embedding_near_dup_pairs", "cosine_topk_lsh (embedding_knn_lsh)",
+    )
     a = e.select(F.col("vec_id").alias("a_id"), sim.quantized(F.col("embedding")).alias("a_q"))
     b = e.select(F.col("vec_id").alias("b_id"), sim.quantized(F.col("embedding")).alias("b_q"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))

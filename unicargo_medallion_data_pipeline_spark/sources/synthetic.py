@@ -80,11 +80,15 @@ def _gen_batch(seed: int, start: int, end: int, n_users: int):
         x ^= x >> np.uint64(31)
         return x
 
-    base = mix(idx, seed * 2 + 1)
-    user = (mix(idx, seed * 2 + 2) % np.uint64(n_users)).astype(np.int64)
+    # Channel salts stride by 4 (channels 1..3, slot 0 unused), so no two
+    # (seed, channel) pairs ever share a salt: seed*2+{1,2,3} would give
+    # seed N's value channel the same salt as seed N+1's base channel,
+    # correlating nominally independent seeds.
+    base = mix(idx, seed * 4 + 1)
+    user = (mix(idx, seed * 4 + 2) % np.uint64(n_users)).astype(np.int64)
     etype_code = (base % np.uint64(len(EVENT_TYPES))).astype(np.int64)
     # value in [0, 100) with 2 decimals — same shape as events.value.
-    value = ((mix(idx, seed * 2 + 3) % np.uint64(10_000)).astype(np.float64)) / 100.0
+    value = ((mix(idx, seed * 4 + 3) % np.uint64(10_000)).astype(np.float64)) / 100.0
     # ~3 events/second arrival: monotone in event_id, jittered within.
     ts_us = (
         _T0_US

@@ -51,14 +51,21 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
-#: Output schema of :func:`enforce_quota`.
-QUOTA_SCHEMA = (
-    "user_id bigint, ts timestamp, event_type string, value double, "
-    "seq bigint, accepted boolean"
-)
-
 #: Per-key state: accepted-count so far.
 STATE_SCHEMA = "n bigint"
+
+
+def quota_output_schema(events: DataFrame) -> "StructType":
+    """Output schema of :func:`enforce_quota`: the input schema (key kept
+    with its original name and type — a string tenant id is as valid a
+    quota key as a bigint user id) plus ``seq``/``accepted``."""
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    return StructType(
+        [*events.schema.fields,
+         StructField("seq", LongType(), nullable=False),
+         StructField("accepted", BooleanType(), nullable=False)]
+    )
 
 
 def state_v2_available() -> bool:
@@ -150,16 +157,17 @@ def enforce_quota(
     events: DataFrame,
     limit: int,
     key_col: str = "user_id",
-    ts_col: str = "ts",
     order_cols: tuple[str, ...] = ("ts",),
     ttl_ms: int | None = None,
     api: str = "auto",
 ) -> DataFrame:
     """Annotate a stream with per-key admission decisions.
 
-    Every input event is emitted exactly once with ``seq`` (1-based
-    running order index per key) and ``accepted`` (seq within
-    ``limit``).  ``api``: ``"v2"`` | ``"v1"`` | ``"auto"`` (v2 when its
+    Every input event is emitted exactly once — all input columns pass
+    through unchanged (``key_col`` keeps its original name AND type, so
+    string tenant ids work) — with ``seq`` (1-based running order index
+    per key) and ``accepted`` (seq within ``limit``) appended.
+    ``api``: ``"v2"`` | ``"v1"`` | ``"auto"`` (v2 when its
     protobuf dependency is importable).  ``ttl_ms`` is honored by v2
     only (and switches the query to processing-time mode, which Spark
     requires for TTL state); v1 raises if it is set, rather than
@@ -182,26 +190,34 @@ def enforce_quota(
     if api == "v1" and ttl_ms is not None:
         raise ValueError("state TTL requires the v2 API (transformWithState)")
 
-    prepared = events.select(
-        F.col(key_col).cast("long").alias("user_id"),
-        F.col(ts_col).alias("ts"),
-        F.col("event_type"),
-        F.col("value").cast("double").alias("value"),
-    )
-    grouped = prepared.groupBy("user_id")
+    # The key is carried through with its ORIGINAL name and type (never
+    # cast): a string tenant id grouped as-is keys correctly, whereas a
+    # cast-to-long would fail under ANSI or collapse every non-numeric
+    # key to one NULL quota counter.  All other input columns pass
+    # through untouched; the output schema is derived from the input.
+    names = set(events.columns)
+    missing = [c for c in (key_col, *order_cols) if c not in names]
+    if missing:
+        raise ValueError(f"input is missing quota columns: {missing}")
+    clashes = [c for c in ("seq", "accepted") if c in names]
+    if clashes:
+        raise ValueError(f"input columns collide with quota output: {clashes}")
+
+    out_schema = quota_output_schema(events)
+    grouped = events.groupBy(key_col)
     if api == "v2":
         # Spark rejects TTL state unless the query runs in processing-
         # time mode (StateStoreErrors.cannotProvideTTLConfigForTimeMode),
         # so the time mode follows the TTL request.
         return grouped.transformWithStateInPandas(
             statefulProcessor=QuotaProcessor(limit, order_cols, ttl_ms),
-            outputStructType=QUOTA_SCHEMA,
+            outputStructType=out_schema,
             outputMode="append",
             timeMode="processingTime" if ttl_ms is not None else "none",
         )
     return grouped.applyInPandasWithState(
         _make_v1_fn(limit, order_cols),
-        outputStructType=QUOTA_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

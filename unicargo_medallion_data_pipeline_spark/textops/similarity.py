@@ -64,7 +64,16 @@ def cosine_topk_exact(
     Output: (qid, vid, cosine_sim, sim_rank).  Scale shape: |Q| × |C|
     pairs — intended for small query sets against a large corpus (the
     corpus side stays partitioned; the query side is broadcast).
+    Size-guarded on |Q|: a query side beyond ALL_PAIRS_GUARD_ROWS is
+    both an over-sized broadcast and a quadratic self-KNN — refused
+    with a pointer to the bucketed paths.
     """
+    from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
+
+    queries = guard_all_pairs(
+        queries, "cosine_topk_exact",
+        "cosine_topk_lsh (embedding_knn_lsh) or cosine_topk_ivf (embedding_knn_ivf)",
+    )
     q = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
     )
