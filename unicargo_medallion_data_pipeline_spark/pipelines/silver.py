@@ -125,7 +125,11 @@ def clean_flights(flights_raw: DataFrame) -> DataFrame:
         .filter(F.col("origin_airport") != F.col("destination_airport"))
         .withColumn(
             "flight_date",
-            F.to_date(
+            # try_to_date, not to_date: calendar-invalid source rows
+            # (Feb 30) must become NULL and be filtered — under ANSI mode
+            # (Spark 4 default in a vanilla session) plain to_date would
+            # throw on the first bad row instead.
+            F.try_to_date(
                 F.concat_ws(
                     "-",
                     F.col("year"),

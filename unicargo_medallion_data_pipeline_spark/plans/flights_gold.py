@@ -1,0 +1,251 @@
+"""Flight-domain gold queries under the driver's DuckDB oracle.
+
+Until round 4 the reference's OWN domain — the 15 gold flight analytics
+(``NB_GOLD/03_gold_*.ipynb``), mirrored by ``pipelines/gold_flights.py``
+— was verified only by pytest on tiny fixtures while the hash gate ran
+exclusively on the TPC-H-ish analogues.  These entries close that gap:
+each one drives the REAL silver build (``pipelines/silver.py`` —
+canonical dedup, try_to_date null-handling, star join) over the
+deterministic FIXTURES.md tables (``sources/flights_fixture.py``,
+committed parquet both engines read), then a gold builder, and
+hash-compares against DuckDB SQL that re-derives the same silver model.
+
+Bitwise-determinism notes (why these three compare exactly):
+
+* every flight measure is an INTEGER, so sums are exact in any engine
+  at any parallelism and ``avg = exact_sum / count`` is a single IEEE
+  division — no DECIMAL routing needed (``pipelines/gold_flights.py``
+  module note);
+* surrogate keys are single-partition ``row_number`` over the deduped
+  natural key (dim-sized by construction), reproduced in SQL as
+  ``ROW_NUMBER() OVER (ORDER BY iata_code)``;
+* canonical_dedup's tiebreak (``scheduled_departure, tail_number``) is
+  mirrored with explicit ``NULLS FIRST`` (Spark's asc default; DuckDB
+  defaults to NULLS LAST);
+* the rolling-OTP entry uses the flight-WEIGHTED 7-day rate
+  (``100·Σ7(on_time)/Σ7(flights)`` — integer window sums, one final
+  division) rather than the reference notebook's avg-of-daily-rates
+  (``03_gold_unikargo_07...ipynb:98-108``, kept verbatim in
+  ``gold_flights.rolling_on_time_performance`` under pytest): a
+  windowed AVG over arbitrary doubles is summation-order-dependent
+  (DuckDB's segment-tree window combine vs Spark's sequential frame
+  scan), while the weighted form is exact — and it is the
+  operationally-correct rate (days with 1 flight no longer count as
+  much as days with 100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.pipelines import gold_flights as G
+from unicargo_medallion_data_pipeline_spark.pipelines.silver import (
+    build_dim_airline,
+    build_dim_airport,
+    build_dim_date,
+    build_fact_flight,
+    clean_flights,
+)
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.flights_fixture import (
+    FIXTURE_DIR,
+    ensure_flights_fixture,
+)
+
+
+def _silver(spark: SparkSession):
+    """Fixture parquet → silver star schema (the real pipeline path)."""
+    paths = ensure_flights_fixture()
+    dim_airline = build_dim_airline(spark.read.parquet(paths["airlines"]))
+    dim_airport = build_dim_airport(spark.read.parquet(paths["airports"]))
+    dim_date = build_dim_date(spark, "2015-01-01", "2015-12-31")
+    fact = build_fact_flight(
+        clean_flights(spark.read.parquet(paths["flights"])),
+        dim_date,
+        dim_airline,
+        dim_airport,
+    )
+    return fact, dim_airline, dim_airport, dim_date
+
+
+# Shared oracle prelude re-deriving the silver model in DuckDB SQL.
+# NULLS FIRST mirrors Spark's ascending-null ordering; try_strptime
+# mirrors try_to_date's calendar-invalid → NULL behavior (both verified
+# to reject Feb 30 / Apr 31 and accept Jan 29 identically).
+_PRELUDE = f"""
+WITH al AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY iata_code) AS INTEGER) AS airline_sk,
+         iata_code, airline
+  FROM (
+    SELECT iata_code, airline,
+           ROW_NUMBER() OVER (PARTITION BY iata_code
+                              ORDER BY airline ASC NULLS FIRST) AS dup_rn
+    FROM read_parquet('{FIXTURE_DIR}/airlines.parquet')
+    WHERE iata_code IS NOT NULL
+  ) WHERE dup_rn = 1
+),
+ap AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY iata_code) AS INTEGER) AS airport_sk,
+         iata_code
+  FROM (
+    SELECT iata_code,
+           ROW_NUMBER() OVER (PARTITION BY iata_code
+                              ORDER BY airline ASC NULLS FIRST) AS dup_rn
+    FROM read_parquet('{FIXTURE_DIR}/airports.parquet')
+    WHERE iata_code IS NOT NULL
+  ) WHERE dup_rn = 1
+),
+fl AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY flight_number, flight_date, origin_airport, destination_airport
+        ORDER BY scheduled_departure ASC NULLS FIRST,
+                 tail_number ASC NULLS FIRST) AS dedup_rn
+    FROM (
+      SELECT *, CAST(try_strptime(printf('%04d-%02d-%02d', year, month, day),
+                                  '%Y-%m-%d') AS DATE) AS flight_date
+      FROM read_parquet('{FIXTURE_DIR}/flights.parquet')
+      WHERE airline IS NOT NULL AND origin_airport IS NOT NULL
+        AND destination_airport IS NOT NULL
+        AND origin_airport <> destination_airport
+    ) WHERE flight_date IS NOT NULL
+  ) WHERE dedup_rn = 1
+),
+fact AS (
+  SELECT f.*, al.airline_sk, al.airline AS carrier, al.iata_code AS carrier_code,
+         o.airport_sk AS origin_airport_sk, d.airport_sk AS destination_airport_sk
+  FROM fl f
+  JOIN al ON f.airline = al.iata_code
+  JOIN ap o ON f.origin_airport = o.iata_code
+  JOIN ap d ON f.destination_airport = d.iata_code
+)
+"""
+
+
+@register(
+    "flight_airline_scorecard",
+    sql=_PRELUDE
+    + """
+    SELECT carrier AS airline, carrier_code AS iata_code,
+      COUNT(*) AS total_flights,
+      CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay) AS avg_departure_delay,
+      CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay) AS avg_arrival_delay,
+      CAST(SUM(distance) AS DOUBLE) / COUNT(distance) AS avg_distance,
+      CAST(SUM(distance) AS BIGINT) AS total_distance,
+      CAST(SUM(air_time) AS DOUBLE) / COUNT(air_time) AS avg_air_time,
+      CAST(SUM(taxi_out) AS DOUBLE) / COUNT(taxi_out) AS avg_taxi_out,
+      CAST(SUM(taxi_in) AS DOUBLE) / COUNT(taxi_in) AS avg_taxi_in,
+      CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        / COUNT(*) AS cancellation_rate_pct,
+      CAST(SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        / COUNT(*) AS on_time_rate_pct,
+      COUNT(DISTINCT tail_number) AS fleet_size
+    FROM fact GROUP BY 1, 2
+    """,
+    operators=("A7", "J2", "P10", "W1"),
+    bench=True,
+)
+def flight_airline_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 11-aggregate airline scorecard
+    (``03_gold_unikargo_02_airline_performance.ipynb:69-82``) over the
+    REAL silver build — bronze fixture → cleanse/dedup → star join →
+    gold.  ``sf_dir`` is unused: the committed FIXTURES.md tables are
+    the scale-independent correctness input."""
+    del sf_dir
+    fact, dim_airline, _, _ = _silver(spark)
+    return G.airline_scorecard(fact, dim_airline)
+
+
+@register(
+    "flight_busiest_routes",
+    sql=_PRELUDE
+    + """
+    , rt AS (
+      SELECT origin_airport_sk, destination_airport_sk,
+        COUNT(*) AS total_flights,
+        COUNT(DISTINCT airline_sk) AS airlines_on_route,
+        COUNT(DISTINCT tail_number) AS unique_aircraft,
+        CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay) AS avg_departure_delay,
+        CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay) AS avg_arrival_delay,
+        origin_airport AS origin_code,
+        destination_airport AS dest_code
+      FROM fact
+      GROUP BY origin_airport_sk, destination_airport_sk, origin_airport, destination_airport
+    )
+    SELECT * FROM rt
+    ORDER BY total_flights DESC, origin_code, dest_code
+    LIMIT 50
+    """,
+    operators=("A1", "J3", "O3"),
+)
+def flight_busiest_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 busiest routes with the role-playing airport dim and a
+    deterministic tiebreak (``03_gold_unikargo_03_route_analytics.ipynb:
+    101-131``), over the real silver build."""
+    del sf_dir
+    fact, _, dim_airport, _ = _silver(spark)
+    return G.busiest_routes(fact, dim_airport, k=50)
+
+
+@register(
+    "flight_rolling_otp",
+    sql=_PRELUDE
+    + """
+    , daily AS (
+      SELECT carrier AS airline, flight_date AS full_date,
+        COUNT(*) AS total_flights,
+        CAST(SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS on_time_flights
+      FROM fact GROUP BY 1, 2
+    )
+    SELECT airline, full_date, total_flights, on_time_flights,
+      CAST(on_time_flights AS DOUBLE) * 100.0 / total_flights AS daily_otp,
+      CAST(SUM(total_flights) OVER w AS BIGINT) AS rolling_7d_flights,
+      CAST(SUM(on_time_flights) OVER w AS BIGINT) AS rolling_7d_on_time,
+      CAST(SUM(on_time_flights) OVER w AS DOUBLE) * 100.0
+        / CAST(SUM(total_flights) OVER w AS DOUBLE) AS rolling_7d_otp
+    FROM daily
+    WINDOW w AS (PARTITION BY airline ORDER BY full_date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    operators=("W3", "A4"),
+)
+def flight_rolling_otp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling on-time performance per airline — the flight-
+    weighted exact variant of ``gold_flights.rolling_on_time_performance``
+    (``03_gold_unikargo_07_operational_efficiency_analytics.ipynb:98-108``;
+    see module docstring for why the weighted form is the hash-gatable
+    one).  Window state is 7 per-(airline, day) rows — partition-
+    parallel at any scale."""
+    del sf_dir
+    fact, dim_airline, _, _ = _silver(spark)
+    daily = (
+        fact.join(F.broadcast(dim_airline.select("airline_sk", "airline")), "airline_sk")
+        .groupBy("airline", F.col("flight_date").alias("full_date"))
+        .agg(
+            F.count(F.lit(1)).alias("total_flights"),
+            F.sum(F.when(F.col("arrival_delay") <= 0, 1).otherwise(0)).alias(
+                "on_time_flights"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("airline")
+        .orderBy("full_date")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.withColumn(
+            "daily_otp",
+            F.col("on_time_flights").cast("double") * 100.0 / F.col("total_flights"),
+        )
+        .withColumn("rolling_7d_flights", F.sum("total_flights").over(w))
+        .withColumn("rolling_7d_on_time", F.sum("on_time_flights").over(w))
+        .withColumn(
+            "rolling_7d_otp",
+            F.col("rolling_7d_on_time").cast("double")
+            * 100.0
+            / F.col("rolling_7d_flights").cast("double"),
+        )
+    )
