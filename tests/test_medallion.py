@@ -132,6 +132,39 @@ def test_rolling_otp_window_bounded(spark, medallion):
     assert bad.count() == 0
 
 
+def test_bronze_quarantine_row_conservation(spark):
+    """The default bronze path splits malformed lines into a quarantine
+    side table, and good + quarantined == raw data lines (the gate
+    raises otherwise).  Malformed here = wrong column count."""
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_bronze
+
+    d = tempfile.mkdtemp(prefix="quarantine_")
+    p = os.path.join(d, "airlines.csv")
+    with open(p, "w") as f:
+        f.write("iata_code,airline\n")
+        f.write("AA,American Airlines\n")
+        f.write("DL,Delta Air Lines\n")
+        f.write("XX,Broken Line,unexpected,extra,columns\n")
+    cfg = {
+        "environments": {"qtest": {"storage_root": tempfile.mkdtemp(prefix="qwh_")}},
+        "tables": {
+            "airlines": {"bronze": {"table": "airlines_raw", "source_format": "csv"}}
+        },
+    }
+    out = run_bronze(spark, {"airlines": p}, environment="qtest", config=cfg)
+    assert out["airlines"].count() == 2
+    q = spark.read.table("qtest_bronze.airlines_raw_quarantine")
+    rows = q.collect()
+    assert len(rows) == 1
+    # The ORIGINAL line is preserved verbatim for replay.
+    assert rows[0]["raw_line"] == "XX,Broken Line,unexpected,extra,columns"
+    assert rows[0]["entity"] == "airlines"
+    # 2 good + 1 quarantined == 3 raw data lines: conservation held
+    # (run_bronze would have raised otherwise).
+
+
 def test_fact_rerun_is_deterministic(spark, flight_fixture_dir, medallion):
     """SURVEY §7.4 hazard: rerunning the silver build must give identical
     flight_sk values (the reference's monotonically_increasing_id does

@@ -214,6 +214,64 @@ def test_v2_batch_mode_matches_v1_stream_semantics(spark):
             spark.conf.set(key, prior)
 
 
+#: TTL differential scenario, encoded as data so the expectation is
+#: pinned NOW and provable the moment a protobuf-enabled environment
+#: appears (same auto-activation posture as tests/test_delta_activation).
+#: With ttl_ms well under the inter-batch gap, user 1's accepted-counter
+#: must EXPIRE between drains: batch 2 restarts at seq 1 (accepted again)
+#: rather than continuing 4,5 (rejected).  Without TTL the continuation
+#: behavior is what test_stream_quota_counts_span_micro_batches pins.
+TTL_SCENARIO = {
+    "limit": 2,
+    "ttl_ms": 1_000,
+    "gap_seconds": 5.0,
+    "batch1": [(1, 0, "a", 1.0), (1, 1, "b", 2.0), (1, 2, "c", 3.0)],
+    "batch2": [(1, 10, "d", 4.0), (1, 11, "e", 5.0)],
+    "expected": {  # event_type -> (seq, accepted)
+        "a": (1, True),
+        "b": (2, True),
+        "c": (3, False),
+        "d": (1, True),  # state expired → counter reset
+        "e": (2, True),
+    },
+}
+
+
+@pytest.mark.skipif(not _v2_available(), reason="protobuf runtime absent")
+def test_v2_ttl_expires_idle_counters(spark):
+    """State-v2 TTL semantics against the recorded TTL_SCENARIO vector."""
+    import time
+
+    from unicargo_medallion_data_pipeline_spark.streaming.quota import (
+        use_rocksdb_state,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    use_rocksdb_state(spark)
+    try:
+        root = tempfile.mkdtemp(prefix="quota_ttl_")
+        src, out, ckpt = (os.path.join(root, d) for d in ("src", "out", "ckpt"))
+        os.makedirs(src)
+        _drain(spark, src, out, ckpt, "b1", TTL_SCENARIO["batch1"],
+               limit=TTL_SCENARIO["limit"], ttl_ms=TTL_SCENARIO["ttl_ms"],
+               api="v2")
+        time.sleep(TTL_SCENARIO["gap_seconds"])
+        _drain(spark, src, out, ckpt, "b2", TTL_SCENARIO["batch2"],
+               limit=TTL_SCENARIO["limit"], ttl_ms=TTL_SCENARIO["ttl_ms"],
+               api="v2")
+        got = {
+            r["event_type"]: (r["seq"], r["accepted"])
+            for r in spark.read.schema(OUT_SCHEMA).parquet(out).collect()
+        }
+        assert got == TTL_SCENARIO["expected"]
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def test_admission_order_spans_arrow_chunk_boundaries(spark):
     """A key's micro-batch rows arrive as multiple Arrow chunks when they
     exceed arrow.maxRecordsPerBatch; admission must still follow event

@@ -10,7 +10,7 @@ per-table correctness checks possible.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,7 +23,10 @@ from unicargo_medallion_data_pipeline_spark.schemas.flights import (
     AIRPORTS_SCHEMA,
     FLIGHTS_SCHEMA,
 )
-from unicargo_medallion_data_pipeline_spark.sources.readers import read_csv
+from unicargo_medallion_data_pipeline_spark.sources.readers import (
+    read_csv,
+    read_csv_with_quarantine,
+)
 from unicargo_medallion_data_pipeline_spark.sources.writers import ensure_database, save_to_table
 
 log = logging.getLogger(__name__)
@@ -43,9 +46,20 @@ def run_bronze(
     environment: str = "dev",
     config: dict | None = None,
     pipeline_id: str = "medallion",
+    quarantine: bool = True,
 ) -> dict[str, DataFrame]:
     """Bronze ingest (S1 + P12 + S5): explicit-schema CSV scans enriched
-    with metadata + processed_timestamp, written per entity."""
+    with metadata + processed_timestamp, written per entity.
+
+    ``quarantine`` (default) ingests through
+    ``read_csv_with_quarantine``: malformed source lines land verbatim
+    in a ``<table>_quarantine`` side table instead of flowing downstream
+    as silently-nulled cells, and a row-conservation gate (good +
+    quarantined == raw data lines) raises if the split ever loses or
+    fabricates rows.  ``quarantine=False`` keeps the reference's
+    PERMISSIVE single-table behavior."""
+    from pyspark.sql import functions as F
+
     schemas = {
         "flights": FLIGHTS_SCHEMA,
         "airlines": AIRLINES_SCHEMA,
@@ -54,7 +68,25 @@ def run_bronze(
     out: dict[str, DataFrame] = {}
     for entity, path in csv_paths.items():
         cfg = get_table_config(entity, "bronze", environment, config)
-        df = read_csv(spark, path, schemas[entity])
+        if quarantine:
+            good, bad = read_csv_with_quarantine(spark, path, schemas[entity])
+            # Row conservation: every raw data line is either typed or
+            # quarantined.  Raw line count excludes one header per file.
+            raw = spark.read.text(path)
+            n_raw = raw.count() - len(raw.inputFiles())
+            n_good, n_bad = good.count(), bad.count()
+            if n_good + n_bad != n_raw:
+                raise ValueError(
+                    f"{entity}: quarantine split lost rows — raw={n_raw}, "
+                    f"good={n_good}, quarantined={n_bad}"
+                )
+            qcfg = replace(cfg, table=f"{cfg.table}_quarantine", partition_by=())
+            save_to_table(
+                bad.withColumn("entity", F.lit(entity)), qcfg, spark, mode="overwrite"
+            )
+            df = good
+        else:
+            df = read_csv(spark, path, schemas[entity])
         df = with_metadata(
             with_processed_timestamp(df),
             {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},

@@ -1,0 +1,177 @@
+"""One-query-shaped projections of the MUTATION operators (SCD2,
+additive rollup) so they sit under the driver's hash gate, not just
+pytest.
+
+Both operators maintain a stored table across batches; a catalog query
+must be a pure ``(spark, sf_dir) → DataFrame``.  The bridge: apply a
+FIXED, deterministic batch schedule (derived from the shared testdata
+tables, so the oracle can re-derive it) to a session-temp table
+in-plan, then project the final state.  The DuckDB oracle computes the
+same end state declaratively — window SQL for SCD2 version compression,
+a straight GROUP BY for the rollup — so a green row proves the
+incremental maintenance path equals the from-scratch computation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.functions.exact import DEC, sql_dsum
+from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+from unicargo_medallion_data_pipeline_spark.operators.rollup import merge_additive_rollup
+from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2, as_of
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+_AS_OF = "1995-06-15"
+_B1, _B2 = "1994-01-01", "1996-01-01"
+
+
+@register(
+    "scd2_as_of_snapshot",
+    sql=f"""
+    WITH snap AS (
+      SELECT custkey, priority, ts FROM (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               CAST(o_orderdate AS TIMESTAMP) AS ts,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+    ),
+    staged AS (
+      SELECT *, CASE WHEN ts < TIMESTAMP '{_B1}' THEN 1
+                     WHEN ts < TIMESTAMP '{_B2}' THEN 2 ELSE 3 END AS batch
+      FROM snap
+    ),
+    surv AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, batch
+                                     ORDER BY ts DESC) AS rn
+        FROM staged) WHERE rn = 1
+    ),
+    vers AS (
+      SELECT custkey, priority, ts AS effective_from,
+             LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS effective_to
+      FROM (
+        SELECT *, LAG(priority) OVER (PARTITION BY custkey ORDER BY batch) AS prev
+        FROM surv)
+      WHERE prev IS NULL OR prev <> priority
+    )
+    SELECT custkey, priority, effective_from, effective_to,
+           (effective_to IS NULL) AS is_current
+    FROM vers
+    WHERE effective_from <= TIMESTAMP '{_AS_OF}'
+      AND (effective_to IS NULL OR effective_to > TIMESTAMP '{_AS_OF}')
+    """,
+    operators=("P10", "W1", "J7"),
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 end-to-end under the hash gate: fold three time-ordered
+    batches of customer-priority snapshots (latest order priority per
+    customer per day, from ``orders``) into a versioned dimension via
+    ``apply_scd2`` — bootstrap, close+insert, no-op re-delivery all
+    exercised — then project the point-in-time view at {_AS_OF}.
+
+    The oracle re-derives the identical version chain declaratively:
+    per-batch surviving snapshot → LAG-compressed change sequence →
+    LEAD-closed intervals.  A green row therefore proves the
+    incremental close/insert/no-op machinery equals the from-scratch
+    window computation, value-for-value (timestamps, open intervals,
+    is_current flags).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    snaps = canonical_dedup(
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("timestamp").alias("effective_ts"),
+            "o_orderkey",
+        ),
+        keys=["custkey", "effective_ts"],
+        order_by=["o_orderkey"],
+    ).drop("o_orderkey")
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_q_"), "dim")
+    ts = F.col("effective_ts")
+    batches = (
+        ts < F.lit(_B1).cast("timestamp"),
+        (ts >= F.lit(_B1).cast("timestamp")) & (ts < F.lit(_B2).cast("timestamp")),
+        ts >= F.lit(_B2).cast("timestamp"),
+    )
+    for cond in batches:
+        apply_scd2(
+            spark,
+            path,
+            snaps.filter(cond),
+            key_cols=["custkey"],
+            tracked_cols=["priority"],
+        )
+    dim = spark.read.parquet(path)
+    return as_of(dim, _AS_OF).select(
+        "custkey", "priority", "effective_from", "effective_to", "is_current"
+    )
+
+
+@register(
+    "rollup_incremental_equals_full",
+    sql=f"""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+      COUNT(*) AS n_events,
+      {sql_dsum("value")} AS value_sum,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    operators=("A4", "A15"),
+)
+def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-rollup invariant under the hash gate: three increments
+    (events sliced by ``user_id % 3``, so EVERY (date, type) grain
+    receives contributions from every increment and the combine path
+    genuinely merges) folded into a materialized rollup via
+    ``merge_additive_rollup``; the oracle recomputes the rollup from
+    raw in one GROUP BY.  Green ⇔ incremental == full.
+
+    Exactness: counts are longs, the value sum is DECIMAL(18,2)-routed
+    (sums of sums stay exact), min/max are order-free — so the compare
+    is bitwise, not approximate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="rollup_q_"), "rollup")
+    slice_key = F.coalesce(F.col("user_id") % 3, F.lit(0))
+    for s in range(3):
+        delta = (
+            e.filter(slice_key == s)
+            .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).alias("value_sum"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        merge_additive_rollup(
+            spark,
+            path,
+            delta,
+            keys=["event_date", "event_type"],
+            measures={
+                "n_events": "sum",
+                "value_sum": "sum",
+                "min_value": "min",
+                "max_value": "max",
+            },
+            partition_col="event_type",
+        )
+    return spark.read.parquet(path).select(
+        "event_date",
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "min_value",
+        "max_value",
+    )
