@@ -90,7 +90,8 @@ _PRIORITY = [
     "events_trailing_10min",
     "events_props_variant",
     "distinct_users_bitmap",
-    "events_sketch_profile",
+    # new in r4 (second batch)
+    "doc_chunking",
 ]
 
 # Tail: r3-green, untouched in r4.  Ordered least-verified first (r3-only
@@ -98,6 +99,7 @@ _PRIORITY = [
 # entries that most benefit from re-sampling sit closest if space opens.
 _TAIL = [
     # r3-green only (single driver verification ever)
+    "events_sketch_profile",
     "customer_revenue_rank",
     "customer_revenue_decile",
     "order_value_percentiles",

@@ -277,3 +277,56 @@ def doc_decontaminated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "lang", ta.token_count("text").cast("long").alias("n_tokens"))
     )
+
+
+@register(
+    "doc_chunking",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+      CAST((start - 1) // 48 AS INTEGER) AS chunk_idx,
+      CAST(start AS INTEGER) AS start_token,
+      CAST(len(list_slice(toks, start, start + 63)) AS INTEGER) AS n_tokens,
+      md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS chunk_hash
+    FROM s
+    """,
+    operators=("P4", "P10"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the canonical pre-training
+    prep step between curation and tokenization: each document becomes
+    overlapping 64-token windows at stride 48 (16-token overlap, so no
+    boundary context is lost), each chunk carrying its position and an
+    md5 content hash (the join key for chunk-level dedup downstream).
+
+    Scale shape: one narrow pass — tokenization, the window-start
+    ``sequence``, ``posexplode``, and per-chunk ``slice``/``md5`` are
+    all map-side; output size is input size × ~4/3 (the overlap factor)
+    with zero shuffles, so chunking 100 TB is scan-bound.  The oracle
+    recomputes every chunk hash bitwise in DuckDB (same normalization
+    and slicing; generate_series/list_slice mirror sequence/slice
+    exactly, both 1-based inclusive)."""
+    W, S = 64, 48
+    t = ensure_parallelism(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", ta.tokens("text").alias("toks")
+    )
+    ex = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(1), F.size("toks"), F.lit(S))).alias(
+            "chunk_idx", "start_token"
+        ),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_token"), W)
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
