@@ -89,9 +89,9 @@ _PRIORITY = [
     "order_measures_unpivot",
     "events_trailing_10min",
     "events_props_variant",
-    "distinct_users_bitmap",
     # new in r4 (second batch)
     "doc_chunking",
+    "doc_neardup_components",
 ]
 
 # Tail: r3-green, untouched in r4.  Ordered least-verified first (r3-only
@@ -100,6 +100,7 @@ _PRIORITY = [
 _TAIL = [
     # r3-green only (single driver verification ever)
     "events_sketch_profile",
+    "distinct_users_bitmap",
     "customer_revenue_rank",
     "customer_revenue_decile",
     "order_value_percentiles",

@@ -1,0 +1,69 @@
+"""Connected components: chains close transitively, singletons keep
+their own label, and the convergence guard is loud, not infinite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc(spark, nodes, edges, **kw):
+    from unicargo_medallion_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    e = spark.createDataFrame(edges, "u long, v long")
+    out = connected_components(n, e, **kw)
+    return {r["node"]: r["component_id"] for r in out.collect()}
+
+
+def test_chain_closes_transitively(spark):
+    """1-2, 2-3, 3-4 chain: 4 never touches 1 directly but must join
+    component 1 (needs multiple propagation rounds)."""
+    got = _cc(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_components_and_direction_symmetry(spark):
+    """Edges are undirected regardless of the order given."""
+    got = _cc(spark, [1, 2, 3, 10, 11], [(2, 1), (3, 2), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_within_iteration_budget(spark):
+    """The min label travels one hop per round; an 11-hop chain needs
+    11 rounds and must converge inside the default 25-round guard."""
+    n = 12
+    got = _cc(spark, list(range(n)), [(i, i + 1) for i in range(n - 1)])
+    assert set(got.values()) == {0}
+
+
+def test_guard_raises_instead_of_looping(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 4)], max_iterations=1)
+
+
+def test_component_representative_invariants_on_corpus(spark):
+    """Catalog-level invariants on real data: every component's
+    representative is its min doc_id, sizes sum to the corpus, and every
+    near-dup pair lands in one component."""
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    comp = CATALOG["doc_neardup_components"].fn(spark, sf)
+    rows = comp.collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        assert cid == min(m["doc_id"] for m in members)
+        reps = [m for m in members if m["is_representative"]]
+        assert len(reps) == 1 and reps[0]["doc_id"] == cid
+        assert all(m["component_size"] == len(members) for m in members)
+    assert len(rows) == sum(len(m) for m in by_comp.values())
+
+    pairs = CATALOG["doc_minhash_near_dups"].fn(spark, sf).collect()
+    label = {r["doc_id"]: r["component_id"] for r in rows}
+    for p in pairs:
+        assert label[p["a_id"]] == label[p["b_id"]]

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from unicargo_medallion_data_pipeline_spark.operators.graph import connected_components
 from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
@@ -498,3 +499,67 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sim.ivf_codebook``) is a separate operator covered by pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_ivf_frozen(e.filter(F.col("vec_id") < 10), e, k=5, n_probe=4)
+
+
+@register(
+    "doc_neardup_components",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.v AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, component_id,
+      CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
+      doc_id = component_id AS is_representative
+    FROM comp
+    """,
+    operators=("P10", "J7"),
+)
+def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    minhash near-dup edge set (``operators/graph.py`` min-label
+    propagation), every document labeled with its component's min doc_id,
+    component size, and a keep-one representative flag — the decision
+    output a production dedup pass actually applies.
+
+    Pairs alone under-delete: A~B and B~C chain into one {{A,B,C}}
+    component even when A and C never matched directly; the transitive
+    closure is the correct dedup unit.  Edges here are
+    ``doc_minhash_near_dups`` (LSH candidates ∩ exact jaccard ≥ 0.3 —
+    recall 1 on this corpus, see that query's oracle argument), so the
+    oracle can rebuild the IDENTICAL edge set from exact all-pairs SQL
+    and close it transitively with a recursive CTE: an iterative
+    distributed algorithm hash-verified against a declarative fixpoint.
+
+    Scale: each propagation round is one equi-join + min-groupBy on the
+    node key (linear state, AQE-handled skew); rounds = component
+    diameter, which for near-dup graphs is small (dup clusters are
+    dense, not chains).  The all-docs node frame keeps singletons as
+    their own representative."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = doc_minhash_near_dups(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(
+        d.select("doc_id"), edges,
+        node_col="doc_id", src_col="a_id", dst_col="b_id",
+    )
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
+    )
