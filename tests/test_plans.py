@@ -50,6 +50,20 @@ def test_star_joins_broadcast_the_dim_side(spark, catalog):
         assert "CartesianProduct" not in plan, f"{name}: unexpected cross product"
 
 
+def test_chunking_is_shuffle_free(spark, catalog):
+    """doc_chunking promises a pure map-side plan: tokenize → sequence →
+    posexplode → slice/md5 with ZERO exchanges — chunking 100 TB must be
+    scan-bound."""
+    plan = plan_of(catalog["doc_chunking"].fn(spark, SF))
+    # The only allowed exchange is ensure_parallelism's round-robin
+    # spread of a small single-file scan (a no-op on a many-split lake
+    # scan); a HASH exchange would mean the op acquired a keyed shuffle.
+    assert "hashpartitioning" not in plan, "chunking plan acquired a keyed shuffle"
+    assert plan.count("Exchange (") <= 1
+    assert "RoundRobinPartitioning" in plan or plan.count("Exchange (") == 0
+    assert "Generate" in plan  # the posexplode
+
+
 def test_stats_still_broadcast_linear_dims_at_bench_sf(spark, catalog):
     """r3 verdict follow-up: after the deliberate hint removal from
     linear-growth tables (customer/supplier/part), the planner must

@@ -307,7 +307,9 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow pass — tokenization, the window-start
     ``sequence``, ``posexplode``, and per-chunk ``slice``/``md5`` are
     all map-side; output size is input size × ~4/3 (the overlap factor)
-    with zero shuffles, so chunking 100 TB is scan-bound.  The oracle
+    with no keyed shuffle (the only exchange is ensure_parallelism's
+    conditional round-robin spread of tiny test scans — a no-op on a
+    many-split lake scan), so chunking 100 TB is scan-bound.  The oracle
     recomputes every chunk hash bitwise in DuckDB (same normalization
     and slicing; generate_series/list_slice mirror sequence/slice
     exactly, both 1-based inclusive)."""
