@@ -60,10 +60,6 @@ _PRIORITY = [
     "distinct_order_profiles",
     "order_id_formatting",
     "nation_dim",
-    "generated_dim_date",
-    "fillna_cleaned_events",
-    "metadata_enriched_orders",
-    "order_priority_rollup",
     "rolling_7day_revenue",
     "pricing_summary",
     # new in r4 — first-ever verification (flight-domain gold + mutation ops)
@@ -92,12 +88,24 @@ _PRIORITY = [
     # new in r4 (second batch)
     "doc_chunking",
     "doc_neardup_components",
+    # new in r4 (third batch: index / incremental / split / weighted-sample)
+    "doc_inverted_index",
+    "doc_incremental_dedup",
+    "doc_train_val_test_split",
+    "doc_weighted_sample",
 ]
 
-# Tail: r3-green, untouched in r4.  Ordered least-verified first (r3-only
-# single-green nearest the window boundary; deep multi-green last) so the
-# entries that most benefit from re-sampling sit closest if space opens.
+# Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
+# least-verified first (single-green nearest the window boundary; deep
+# multi-green last) so the entries that most benefit from re-sampling sit
+# closest if space opens.
 _TAIL = [
+    # twice-green (r1+r2) simple plans, rotated out to make room for the
+    # four never-verified r4 batch-3 queries
+    "generated_dim_date",
+    "fillna_cleaned_events",
+    "metadata_enriched_orders",
+    "order_priority_rollup",
     # r3-green only (single driver verification ever)
     "events_sketch_profile",
     "distinct_users_bitmap",

@@ -19,3 +19,4 @@ import unicargo_medallion_data_pipeline_spark.plans.docs_gold3  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.tpch_gold8  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.flights_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.mutation_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.docs_gold4  # noqa: F401

@@ -1,0 +1,236 @@
+"""Document-corpus gold queries, batch 4: inverted index, incremental
+(cross-snapshot) dedup, deterministic train/val/test split, weighted
+sampling.
+
+These are the remaining batch primitives a recurring 100 TB
+text-curation pipeline runs between ingestion and shard packing:
+
+* an inverted index (term -> capped posting list) is the retrieval /
+  keyword-audit structure built once per corpus snapshot;
+* incremental dedup keeps only NEW documents whose content fingerprint
+  has never been seen in the historical corpus — the anti-join that
+  makes daily re-crawls O(new batch), not O(corpus);
+* the split assignment carves train/val/test by content hash so the
+  same document lands in the same split on every engine, every rerun,
+  every repartitioning;
+* weighted sampling (Efraimidis–Spirakis exponential keys) draws a
+  size-biased sample deterministically — the standard way to sample
+  "proportional to length/quality" without rand().
+
+All four are hash-verified against DuckDB oracles over the same
+parquet; the SQL fragments mirror ``textops/analysis.py`` bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+# DuckDB fragments mirroring textops/analysis.py (same as docs_gold.py)
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_FP = f"md5({_NORM})"
+
+# 60-bit integer from an md5 prefix — exact in both engines' int64
+# (same shape as docs_gold.py's _MD5_INT, but salted so the split
+# assignment is independent of the sampling bucket).
+_SPLIT_INT = "CAST(('0x' || substr(md5('split:' || text), 1, 15)) AS BIGINT)"
+_WS_INT = "CAST(('0x' || substr(md5('wsample:' || text), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "doc_inverted_index",
+    sql=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+      )
+    )
+    SELECT token,
+           COUNT(*) AS doc_freq,
+           list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+    operators=("A1", "P11", "O3"),
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: term -> document frequency plus a
+    capped, sorted posting list (first 10 doc_ids).
+
+    Scale shape: explode -> distinct(doc_id, token) -> hash aggregate on
+    token.  Both the distinct and the groupBy are single hash shuffles on
+    bounded keys with full map-side partial aggregation; the posting list
+    is CAPPED (slice 10) so no row exceeds a fixed size even for
+    stopword-grade terms that appear in every document — an uncapped
+    collect_set on a 100 TB corpus is a straight OOM.  The df >= 10 floor
+    drops the long hapax tail (the dominant row count) before it is ever
+    materialized to the driver or a sink.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(ta.tokens("text")).alias("token"))
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 10)
+    )
+
+
+@register(
+    "doc_incremental_dedup",
+    sql=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, {_FP} AS fp, doc_id % 5 = 4 AS is_new
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+    survivors AS (
+      SELECT n.doc_id, n.lang, n.fp
+      FROM fp n
+      WHERE n.is_new
+        AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = n.fp)
+    )
+    SELECT doc_id, lang, fp FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM survivors
+    ) WHERE rn = 1
+    """,
+    operators=("J5", "P10", "W1"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: from the "new batch" (docs with
+    ``doc_id % 5 == 4``, a stand-in for today's crawl), keep only
+    documents whose content fingerprint never appeared in the historical
+    corpus, then dedup within the batch itself (first doc_id per
+    fingerprint).
+
+    This is the shape that keeps a recurring ingest O(|new batch|): the
+    historical side reduces to a DISTINCT fingerprint projection (32-byte
+    keys, no payload) before the LEFT ANTI join, so the corpus text is
+    never shuffled — only its fingerprints.  On a real lake the
+    fingerprint table is a maintained bronze artifact (written once per
+    batch by this same job), not recomputed; here both sides derive from
+    the one test table.  The within-batch dedup is a keyed window over
+    the already-filtered survivors — tiny by construction.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", ta.fingerprint("text").alias("fp")
+    )
+    new_batch = d.filter(F.col("doc_id") % 5 == 4)
+    hist_fps = d.filter(F.col("doc_id") % 5 != 4).select("fp").distinct()
+    survivors = new_batch.join(hist_fps, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "fp")
+    )
+
+
+@register(
+    "doc_train_val_test_split",
+    sql=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_SPLIT_INT} % 100 < 90 THEN 'train'
+                  WHEN {_SPLIT_INT} % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned
+    GROUP BY lang, split
+    """,
+    operators=("P4", "A13"),
+)
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by salted content
+    hash, summarized per (lang, split).
+
+    The split key is md5('split:' || text) — salted so it is independent
+    of the sampling bucket in ``doc_deterministic_sample`` (the two
+    partitions of the corpus must not correlate), and content-derived so
+    exact duplicates land in the SAME split (no train->test leakage from
+    dup pairs).  Pure narrow map + one hash aggregate on (lang, split):
+    no joins, no windows, scan-throughput at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    split_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("text"))), 1, 15), 16, 10
+    ).cast("long")
+    bucket = split_int % 100
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "doc_weighted_sample",
+    sql=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST({_WS_INT} % 1073741824 AS DOUBLE) + 1.0) / 1073741824.0)
+               / CAST(n_chars AS DOUBLE) AS es_key
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    operators=("O3", "P4"),
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of 50 documents, selection
+    probability proportional to length (Efraimidis–Spirakis A-Res).
+
+    Each doc gets key ln(u)/w where u in (0,1] derives from a salted
+    content hash (not rand() — reproducible across engines, reruns and
+    partitionings) and w = n_chars; the top-50 keys are a weighted
+    sample without replacement.  The float key is computed identically
+    in both engines (same hash -> same u, libm ln on the same host) and
+    is only used for ORDERING — it is not emitted, so the hash compare
+    is over exact integers/strings.  Spark executes the top-k as
+    TakeOrderedAndProject (per-partition heap + driver merge of 50-row
+    heads), never a global sort — the only scalable global top-k shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsample:"), F.col("text"))), 1, 15), 16, 10
+    ).cast("long")
+    u = (F.col("ws_int") % 1073741824 + 1).cast("double") / F.lit(1073741824.0)
+    return (
+        d.select("doc_id", "lang", "n_chars", ws_int.alias("ws_int"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
