@@ -49,15 +49,11 @@ _PRIORITY = [
     "daily_order_summary",
     "weekly_order_stats",
     "monthly_order_trends",
-    "quarterly_order_trends",
     "seasonal_order_agg",
-    "weekend_vs_weekday_orders",
     "customer_intensity_by_segment",
     "customer_order_gaps",
     "top_customers_per_segment",
-    "customer_cohort_set_ops",
     "first_lineitem_per_order",
-    "distinct_order_profiles",
     "order_id_formatting",
     "nation_dim",
     "rolling_7day_revenue",
@@ -93,6 +89,12 @@ _PRIORITY = [
     "doc_incremental_dedup",
     "doc_train_val_test_split",
     "doc_weighted_sample",
+    # new in r4 (fourth batch: graph motif / gap-fill / SQL front door /
+    # outlier gate)
+    "nation_trade_triangles",
+    "daily_order_spine_filled",
+    "sql_frontdoor_revenue",
+    "events_value_outliers",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -106,6 +108,10 @@ _TAIL = [
     "fillna_cleaned_events",
     "metadata_enriched_orders",
     "order_priority_rollup",
+    "quarterly_order_trends",
+    "weekend_vs_weekday_orders",
+    "customer_cohort_set_ops",
+    "distinct_order_profiles",
     # r3-green only (single driver verification ever)
     "events_sketch_profile",
     "distinct_users_bitmap",

@@ -1,0 +1,263 @@
+"""Gold queries, batch 9: graph triangles, calendar gap-fill, the SQL
+front door, and statistical outlier detection.
+
+Four analytics shapes the earlier batches don't exercise:
+
+* triangle counting — the classic "join the edge list to itself twice"
+  graph motif, all-integer so it hash-verifies bitwise;
+* calendar spine gap-fill — generate a dense date spine and left-join
+  facts onto it so missing days surface as explicit zeros (every
+  time-series dashboard needs this, and naive groupBy silently drops
+  empty days);
+* a query expressed as ANSI SQL through ``spark.sql`` over temp views,
+  proving the engine's SQL entry point end-to-end against DuckDB
+  running near-identical text;
+* z-score outlier counts — the |x − μ| > 2σ gate computed from exact
+  decimal sums (``functions/exact.py``) so the float threshold compares
+  identically on any engine at any parallelism.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.functions.exact import (
+    davg,
+    dstddev_samp,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+)
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "nation_trade_triangles",
+    sql="""
+    WITH pairs AS (
+      SELECT DISTINCT
+        LEAST(s.s_nationkey, c.c_nationkey) AS a,
+        GREATEST(s.s_nationkey, c.c_nationkey) AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= DATE '1997-01-01'
+        AND o.o_orderdate < DATE '1997-04-01'
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b, nc.n_name AS nation_c
+    FROM tri
+    JOIN nation na ON tri.a = na.n_nationkey
+    JOIN nation nb ON tri.b = nb.n_nationkey
+    JOIN nation nc ON tri.c = nc.n_nationkey
+    """,
+    operators=("J6", "P11", "A8"),
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the nation trade graph: triples of
+    nations that all trade pairwise (the clustering/motif primitive of
+    graph analytics, cf. the connected-components operator in
+    ``operators/graph.py``).
+
+    Scale shape: the fact join projects to bare integer nation-key
+    pairs BEFORE the distinct (payload-free shuffle), and the edge list
+    is oriented a < b so each triangle is produced exactly once — the
+    standard deduped triangle join, 1/6 the work of the naive version.
+    Edge lists are |V|²-bounded (625 max here; graph edges generally ≪
+    facts), so the self-joins run on a table many orders of magnitude
+    smaller than the input and AQE broadcasts them.  The edge predicate
+    (urgent orders, 1997 Q1) keeps the graph PARTIAL at the test scales
+    — a complete graph would make every nation triple a triangle and
+    the oracle undiscriminating.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit(datetime.date(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(datetime.date(1997, 4, 1)))
+    ).select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    return (
+        tri.join(F.broadcast(n.withColumnsRenamed({"n_nationkey": "ka", "n_name": "nation_a"})), F.col("a") == F.col("ka"))
+        .join(F.broadcast(n.withColumnsRenamed({"n_nationkey": "kb", "n_name": "nation_b"})), F.col("b") == F.col("kb"))
+        .join(F.broadcast(n.withColumnsRenamed({"n_nationkey": "kc", "n_name": "nation_c"})), F.col("c") == F.col("kc"))
+        .select("nation_a", "nation_b", "nation_c")
+    )
+
+
+@register(
+    "daily_order_spine_filled",
+    sql="""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS order_day
+      FROM generate_series(DATE '1997-01-01', DATE '1997-12-31',
+                           INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS cnt
+      FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT s.order_day, COALESCE(daily.cnt, 0) AS n_orders
+    FROM spine s LEFT JOIN daily ON s.order_day = daily.order_day
+    """,
+    operators=("S4", "J7", "P9", "A4"),
+)
+def daily_order_spine_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: one row per 1997 day with the order count,
+    zero for days with no orders.
+
+    A bare groupBy(order_day) silently DROPS empty days — every
+    time-series consumer downstream (rolling windows, day-over-day
+    deltas, charts) then mis-computes.  The fix is a generated dense
+    date spine (``sequence`` + explode — a generated local relation,
+    never a driver loop) left-joined to the fact aggregate.  The spine
+    is 365 rows regardless of data scale, so Spark broadcasts the
+    aggregate join; at 100 TB the aggregate side is |distinct days| ≤
+    spine size — this plan is scan-bound, full stop.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(datetime.date(1997, 1, 1)), F.lit(datetime.date(1997, 12, 31))
+            )
+        ).alias("order_day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(datetime.date(1997, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(datetime.date(1998, 1, 1)))
+        )
+        .select(F.col("o_orderdate").cast("date").alias("order_day"))
+        .groupBy("order_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return spine.join(daily, "order_day", "left").select(
+        "order_day", F.coalesce("cnt", F.lit(0)).alias("n_orders")
+    )
+
+
+#: The Spark-side SQL text for the front-door query.  Same ANSI shape as
+#: the DuckDB oracle below; the only divergence is the documented
+#: decimal→double cast detour DuckDB needs (functions/exact.py).
+_SQL_FRONTDOOR_SPARK = """
+    SELECT
+      o_orderpriority,
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM {view}
+    GROUP BY o_orderpriority, year(o_orderdate)
+"""
+
+
+@register(
+    "sql_frontdoor_revenue",
+    sql=f"""
+    SELECT
+      o_orderpriority,
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      COUNT(*) AS n_orders,
+      {sql_dsum('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY o_orderpriority, year(o_orderdate)
+    """,
+    operators=("A13", "P5"),
+)
+def sql_frontdoor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority × year, expressed as ANSI SQL text run
+    through ``spark.sql`` over a registered temp view — the engine's SQL
+    front door, end-to-end.
+
+    Every other catalog entry uses the DataFrame API; a user of the
+    reference writes plain SQL too, and this entry proves that path
+    compiles through the same Catalyst pipeline to the same results
+    (DuckDB runs near-identical text as the oracle).  SQL text and
+    DataFrame code produce literally identical plans in Spark, so
+    everything the plan tests pin for DataFrame queries (pushdown,
+    partial aggregation, AQE) holds here too.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sqlfd_orders")
+    return spark.sql(_SQL_FRONTDOOR_SPARK.format(view="sqlfd_orders"))
+
+
+@register(
+    "events_value_outliers",
+    sql=f"""
+    WITH stats AS (
+      SELECT event_type,
+             {sql_davg('value')} AS mu,
+             {sql_dstddev_samp('value')} AS sigma
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN abs(e.value - s.mu) > 2.0 * s.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+    operators=("A3", "A13", "J2"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type count of 2-sigma outliers — the data-quality /
+    anomaly gate run before metrics are trusted.
+
+    The flag is |x − μ| > 2σ (no division: one subtraction and one
+    multiply fewer than a z-score, same decision boundary).  μ and σ
+    come from exact decimal sums (``functions/exact.py``), so the
+    comparison's float inputs are bit-identical on Spark and DuckDB at
+    any parallelism — a naive ``stddev(value)`` would drift in the last
+    ulps and flip boundary rows.  Plan: one partial-aggregated pass for
+    stats (|event_type| rows), broadcast back over the fact scan, one
+    final aggregate — two scans, zero wide shuffles of the fact.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        davg("value").alias("mu"), dstddev_samp("value").alias("sigma")
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("value") - F.col("mu")) > 2.0 * F.col("sigma"), 1).otherwise(0)
+        ).alias("n_outliers"),
+    )
