@@ -31,10 +31,12 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 # last round rotate to the tail.  Anything newly registered and not named
 # below lands in the middle — inside the sampled window.
 
-# r4 window: the 28 entries rotated OUT of the r3 sample (5 of them have
-# only one green row ever), the 5 queries new in r4, the 3 anchors whose
-# code changed in r4 (size guards), and 14 single-green r3 entries
-# re-sampled so they reach two green rows.
+# r4 window (50): the r2-only / r1+r2 entries rotated OUT of the r3
+# sample (staleness re-check; 5 had only one green row ever), every query
+# NEW in r4 (flight gold, mutation ops, batches 2–4, heavy hitters — 14
+# first-ever verifications), the 3 anchors whose code changed in r4 (size
+# guards), and 12 single-green r3 entries re-sampled toward two green
+# rows.  Nine twice-green r1+r2 entries rotated to the tail to make room.
 _PRIORITY = [
     # r2-green only (single driver verification ever) — most stale first
     "doc_pii_redaction",
@@ -48,7 +50,6 @@ _PRIORITY = [
     "doc_quality_scores",
     "daily_order_summary",
     "weekly_order_stats",
-    "monthly_order_trends",
     "seasonal_order_agg",
     "customer_intensity_by_segment",
     "customer_order_gaps",
@@ -95,6 +96,7 @@ _PRIORITY = [
     "daily_order_spine_filled",
     "sql_frontdoor_revenue",
     "events_value_outliers",
+    "corpus_heavy_hitters",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -109,6 +111,7 @@ _TAIL = [
     "metadata_enriched_orders",
     "order_priority_rollup",
     "quarterly_order_trends",
+    "monthly_order_trends",
     "weekend_vs_weekday_orders",
     "customer_cohort_set_ops",
     "distinct_order_profiles",

@@ -352,3 +352,51 @@ def test_range_frame_window_single_exchange(spark, catalog):
     assert "RangeFrame" in plan, "frame must be value-based (rangeBetween), not row-based"
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """When a fact-to-dim join cannot broadcast, Spark's runtime bloom
+    filter (on by default at lake scale; size-gated in this tiny harness)
+    must inject a might_contain pre-filter on the fact side — the
+    row-group pruning path this engine relies on for 100 TB fact joins.
+    The thresholds are lowered only inside this test to make the tiny
+    local tables eligible; semantics are unchanged (bloom is a
+    pre-filter, the exact join still runs)."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF, "lineitem").select("l_partkey", "l_quantity")
+        p = load_table(spark, SF, "part").filter(F.col("p_size") == 1)
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, "runtime bloom filter not injected"
+        # exact join result unchanged by the pre-filter
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    n_plain = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_quantity")
+        .join(load_table(spark, SF, "part").filter(F.col("p_size") == 1),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .count()
+    )
+    assert n_bloom == n_plain

@@ -53,7 +53,8 @@ _WS_INT = "CAST(('0x' || substr(md5('wsample:' || text), 1, 15)) AS BIGINT)"
     )
     SELECT token,
            COUNT(*) AS doc_freq,
-           list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+           array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10),
+                           ',') AS postings
     FROM tok
     GROUP BY token
     HAVING COUNT(*) >= 10
@@ -71,18 +72,23 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-grade terms that appear in every document — an uncapped
     collect_set on a 100 TB corpus is a straight OOM.  The df >= 10 floor
     drops the long hapax tail (the dominant row count) before it is ever
-    materialized to the driver or a sink.
+    materialized to the driver or a sink.  Postings are emitted as a
+    comma-joined string (catalog contract: scalar output columns only —
+    see ``test_catalog_outputs_are_scalar_only``).
     """
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(ta.tokens("text")).alias("token"))
         .distinct()
     )
+    postings = F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10)
     return (
         tok.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias("postings"),
+            F.array_join(
+                F.transform(postings, lambda x: x.cast("string")), ","
+            ).alias("postings"),
         )
         .filter(F.col("doc_freq") >= 10)
     )
@@ -234,3 +240,38 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "corpus_heavy_hitters",
+    sql=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS item FROM documents
+    )
+    SELECT item, COUNT(*) AS count_lb
+    FROM tok
+    GROUP BY item
+    ORDER BY count_lb DESC, item
+    LIMIT 10
+    """,
+    operators=("A1", "O3"),
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens via the mergeable Misra-Gries summary
+    (``operators/freq.py``) — the fixed-memory heavy-hitters path for
+    key domains too large to hash-aggregate (raw n-grams, URLs).
+
+    The oracle compares against EXACT counts, which is sound here
+    because the corpus vocabulary (31 tokens) is under the summary
+    capacity (64): no decrement ever fires and Misra-Gries degenerates
+    to exact counting.  The approximate regime (capacity < distinct)
+    carries no bitwise oracle by nature; its frequency and error-bound
+    guarantees are property-tested adversarially in
+    ``tests/test_freq.py``.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.freq import heavy_hitters
+    from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(ta.tokens("text")).alias("token"))
+    return heavy_hitters(toks, "token", k=10, capacity=64)
