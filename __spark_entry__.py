@@ -46,10 +46,7 @@ _PRIORITY = [
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
     "doc_repetition_signals",
-    "doc_token_stats",
-    "doc_quality_scores",
     "daily_order_summary",
-    "weekly_order_stats",
     "seasonal_order_agg",
     "customer_intensity_by_segment",
     "customer_order_gaps",
@@ -97,6 +94,10 @@ _PRIORITY = [
     "sql_frontdoor_revenue",
     "events_value_outliers",
     "corpus_heavy_hitters",
+    # new in r4 (fifth batch: event-sequence analytics)
+    "events_funnel_conversion",
+    "user_weekly_retention",
+    "event_transition_matrix",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -112,6 +113,9 @@ _TAIL = [
     "order_priority_rollup",
     "quarterly_order_trends",
     "monthly_order_trends",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "weekly_order_stats",
     "weekend_vs_weekday_orders",
     "customer_cohort_set_ops",
     "distinct_order_profiles",

@@ -1,0 +1,207 @@
+"""Event-sequence analytics: conversion funnel, cohort retention,
+transition matrix.
+
+The product-analytics trio every event pipeline ships: "how many users
+complete view→click→purchase in order", "of the users who first showed
+up in week W, how many were still active in week W+k", and "which event
+usually follows which".  All three are pure groupBy/window/join
+compositions over the events fact — no UDFs, no driver loops — and all
+outputs are integers/dates, so they hash-verify bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+
+@register(
+    "events_funnel_conversion",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v) AS n_viewed,
+      (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+      (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    operators=("A2", "A15", "J2"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase:
+    users counted at step k only if step k's first event happens AFTER
+    their first step-(k−1) event.
+
+    Each stage is a type-filtered aggregate equi-joined on user_id to
+    the previous stage's first-touch timestamps — keyed shuffles on the
+    funnel population (which shrinks every stage), never a window over
+    the whole fact.  The unordered "has all three types" shortcut gives
+    WRONG funnels (a purchase before the first view must not count) —
+    sequencing needs the stage joins.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+#: Deterministic user-day activity thinning (keep ~1 in 5).  The synthetic
+#: corpus has every user active essentially every day, which collapses
+#: cohort analysis to a single cohort; hashing (user_id, day) spreads
+#: first-activity days across the month IDENTICALLY on both engines, so
+#: the retention matrix has real structure to verify.  Production drops
+#: this filter — the operator shape is unchanged.
+_THIN_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0"
+)
+
+
+@register(
+    "user_weekly_retention",
+    sql=f"""
+    WITH thinned AS (
+      SELECT user_id, ts FROM events WHERE {_THIN_SQL}
+    ),
+    first_week AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM thinned GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+      FROM thinned
+    )
+    SELECT
+      f.cohort_week,
+      CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT) AS week_offset,
+      COUNT(*) AS n_users
+    FROM first_week f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    operators=("A13", "J2", "P11"),
+)
+def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    (thinned) activity, counted in every later week they were active
+    (long-form (cohort_week, week_offset, n_users) — the pivot to a
+    triangle matrix is presentation, not computation).
+
+    Shape: one aggregate for first-touch (user grain), one distinct for
+    (user, week) activity — both partial-aggregate map-side — then an
+    equi-join on user_id and a final small aggregate.  Both
+    intermediates are user-grain (≪ fact), so the join shuffles rows
+    proportional to |users|·|weeks|, not |events|.  The deterministic
+    hash thinning (see ``_THIN_SQL``) exists only to de-degenerate the
+    synthetic corpus's everyone-active-always pattern.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = F.col("ts").cast("date")
+    thin_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thinned = ev.filter(thin_key % 5 == 0)
+    first_week = thinned.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = thinned.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_week.join(active, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type, COUNT(*) AS n_transitions
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    operators=("W5", "A13"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    of the same user (ordered by ts with event_id tiebreak — equal
+    timestamps must not make the matrix run-dependent).
+
+    One hash exchange on user_id feeds the LEAD window, then the
+    25-cell aggregate partial-aggregates map-side.  Per-user event
+    sequences are the natural partition; a skewed power user inflates
+    one window partition but the state is one row (LEAD of 1), so no
+    memory hazard — unlike collect_list-based sequence builds.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
