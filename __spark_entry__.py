@@ -46,8 +46,6 @@ _PRIORITY = [
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
     "doc_repetition_signals",
-    "daily_order_summary",
-    "seasonal_order_agg",
     "customer_intensity_by_segment",
     "customer_order_gaps",
     "top_customers_per_segment",
@@ -98,6 +96,8 @@ _PRIORITY = [
     "events_funnel_conversion",
     "user_weekly_retention",
     "event_transition_matrix",
+    "events_value_forward_fill",
+    "event_halves_nullsafe_join",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -116,6 +116,8 @@ _TAIL = [
     "doc_token_stats",
     "doc_quality_scores",
     "weekly_order_stats",
+    "daily_order_summary",
+    "seasonal_order_agg",
     "weekend_vs_weekday_orders",
     "customer_cohort_set_ops",
     "distinct_order_profiles",

@@ -73,3 +73,54 @@ def test_transition_matrix_conserves_events(spark):
     n_users = ev.select("user_id").distinct().count()
     # per user: transitions = events - 1
     assert total_transitions == n_events - n_users
+
+
+def test_forward_fill_matches_oracle_and_semantics(spark):
+    from unicargo_medallion_data_pipeline_spark import oracle
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    con = oracle.duckdb_connection(SF_SMOKE)
+    q = CATALOG["events_value_forward_fill"]
+    res = oracle.compare_query(spark, con, "events_value_forward_fill", q.fn, q.sql, SF_SMOKE)
+    assert res.ok, res.detail
+    # semantics on a hand-built sequence: leading nulls stay null,
+    # interior nulls take the latest prior value
+    from unicargo_medallion_data_pipeline_spark.plans.events_gold import (  # noqa: F401
+        events_value_forward_fill,
+    )
+    import datetime as dt
+
+    rows = [
+        (1, 9, dt.datetime(2024, 1, 1, 0, 0, 0), "error", 99.0),
+        (2, 9, dt.datetime(2024, 1, 1, 0, 0, 1), "view", 1.0),
+        (3, 9, dt.datetime(2024, 1, 1, 0, 0, 2), "error", 99.0),
+        (4, 9, dt.datetime(2024, 1, 1, 0, 0, 2), "view", 2.0),  # ts tie: id order
+    ]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="locf_")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).withColumn("props", F.lit("{}")).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {
+        r["event_id"]: r["filled_value"]
+        for r in CATALOG["events_value_forward_fill"].fn(spark, d).collect()
+    }
+    assert got == {1: None, 2: 1.0, 3: 1.0, 4: 2.0}
+
+
+def test_nullsafe_join_keeps_the_null_bucket(spark):
+    from unicargo_medallion_data_pipeline_spark import oracle
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    con = oracle.duckdb_connection(SF_SMOKE)
+    q = CATALOG["event_halves_nullsafe_join"]
+    res = oracle.compare_query(
+        spark, con, "event_halves_nullsafe_join", q.fn, q.sql, SF_SMOKE
+    )
+    assert res.ok, res.detail
+    rows = q.fn(spark, SF_SMOKE).collect()
+    keys = {r["event_key"] for r in rows}
+    assert None in keys, "the NULL bucket must survive the join"
+    # a plain equi-join would drop exactly the NULL row
+    assert len(keys) == 5

@@ -400,3 +400,37 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
         .count()
     )
     assert n_bloom == n_plain
+
+
+def test_weighted_sample_is_shuffle_free_topk(spark, catalog):
+    """doc_weighted_sample: narrow hash/ln map + TakeOrderedAndProject —
+    zero exchanges of any kind (the only scalable global top-k shape)."""
+    p = plan_of(catalog["doc_weighted_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange (" not in p, "weighted sampling must not shuffle"
+
+
+def test_inverted_index_is_two_keyed_shuffles(spark, catalog):
+    """doc_inverted_index: distinct(doc_id, token) + groupBy(token) —
+    exactly two keyed exchanges, no joins, no broadcast."""
+    p = plan_of(catalog["doc_inverted_index"].fn(spark, SF))
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 2
+    assert "Join" not in p
+
+
+def test_transition_matrix_plan_shape(spark, catalog):
+    """event_transition_matrix: one exchange for the user window, one for
+    the 25-cell aggregate; LEAD keeps O(1) state (a Window node, no
+    collect_list aggregation in the plan)."""
+    p = plan_of(catalog["event_transition_matrix"].fn(spark, SF))
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 2
+    assert "Window" in p
+    assert "collect_list" not in p
+
+
+def test_funnel_never_windows_the_fact(spark, catalog):
+    """events_funnel_conversion: stage joins over shrinking user-grain
+    aggregates — no Window node and no cartesian joins beyond the three
+    1-row count combinations."""
+    p = plan_of(catalog["events_funnel_conversion"].fn(spark, SF))
+    assert "Window" not in p, "funnel must not window the whole fact"

@@ -205,3 +205,101 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "events_value_forward_fill",
+    sql="""
+    WITH nulled AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM nulled
+    """,
+    operators=("W3", "W5", "P9"),
+)
+def events_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user forward fill (LOCF — last observation carried forward):
+    error events carry no measurement (their value is masked to NULL
+    here to stand in for sensor gaps), and each gap takes the most
+    recent prior value of the same user.
+
+    ``last(..., ignorenulls=True)`` over a running row frame is the
+    declarative LOCF: one hash exchange on user_id, one sort per
+    partition, O(1) state per row — where a naive self-join
+    ("latest non-null before me") is quadratic per key.  The tiebreak
+    on event_id keeps equal timestamps deterministic.  Leading NULLs
+    (user starts with an error) stay NULL by definition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "event_halves_nullsafe_join",
+    sql="""
+    WITH keyed AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_key,
+             ts
+      FROM events
+    ),
+    first_half AS (
+      SELECT event_key, COUNT(*) AS n_first_half
+      FROM keyed WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_key
+    ),
+    second_half AS (
+      SELECT event_key, COUNT(*) AS n_second_half
+      FROM keyed WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY event_key
+    )
+    SELECT f.event_key, f.n_first_half, s.n_second_half
+    FROM first_half f JOIN second_half s
+      ON f.event_key IS NOT DISTINCT FROM s.event_key
+    """,
+    operators=("J4", "J7", "A2"),
+)
+def event_halves_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-half activity comparison joined on a NULLABLE key with
+    null-safe equality (``<=>`` / IS NOT DISTINCT FROM): the NULL bucket
+    (masked error events) must pair up across the halves instead of
+    silently vanishing, which is exactly what a plain equi-join on a
+    nullable key does.
+
+    Null-safe equality stays a hash-join key in Spark (EqualNullSafe is
+    a valid equi-join expression — no fallback to nested-loop), so the
+    plan is the same broadcast/shuffled hash join as the plain version.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    cutoff = "2024-01-16 00:00:00"
+    keyed = ev.select(key.alias("event_key"), "ts")
+    first_half = (
+        keyed.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_key")
+        .agg(F.count(F.lit(1)).alias("n_first_half"))
+    )
+    second_half = (
+        keyed.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_key")
+        .agg(F.count(F.lit(1)).alias("n_second_half"))
+    )
+    return first_half.alias("f").join(
+        second_half.alias("s"),
+        F.col("f.event_key").eqNullSafe(F.col("s.event_key")),
+    ).select("f.event_key", "n_first_half", "n_second_half")
