@@ -60,6 +60,7 @@ _WS_INT = "CAST(('0x' || substr(md5('wsample:' || text), 1, 15)) AS BIGINT)"
     HAVING COUNT(*) >= 10
     """,
     operators=("A1", "P11", "O3"),
+    bench=True,
 )
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the corpus: term -> document frequency plus a
