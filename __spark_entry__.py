@@ -71,12 +71,14 @@ _PRIORITY = [
     "nation_shipments_salted_join",
     "doc_tfidf_top_terms",
     "doc_editdist_near_dups",
-    "doc_decontaminated_sample",
-    "cheapest_shipment_supplier",
-    "customer_order_dates",
-    "order_measures_unpivot",
-    "events_trailing_10min",
-    "events_props_variant",
+    # new in r4 (seventh batch: dataset-health analytics) — first-ever
+    # verification takes precedence over re-sampling r3-green entries
+    "orders_snapshot_diff",
+    "events_value_drift",
+    "segment_revenue_trend",
+    "lineitem_price_qty_corr",
+    "events_winsorized_stats",
+    "user_activity_gini",
     # new in r4 (second batch)
     "doc_chunking",
     "doc_neardup_components",
@@ -121,7 +123,15 @@ _TAIL = [
     "weekend_vs_weekday_orders",
     "customer_cohort_set_ops",
     "distinct_order_profiles",
-    # r3-green only (single driver verification ever)
+    # r3-green only (single driver verification ever); the first six were
+    # slated for re-sampling but gave up their window slots to the
+    # never-verified batch-7 analytics queries
+    "doc_decontaminated_sample",
+    "cheapest_shipment_supplier",
+    "customer_order_dates",
+    "order_measures_unpivot",
+    "events_trailing_10min",
+    "events_props_variant",
     "events_sketch_profile",
     "distinct_users_bitmap",
     "customer_revenue_rank",

@@ -1,0 +1,137 @@
+"""Tests for the dataset-health analytics batch: the snapshot-diff
+operator's classification semantics and the plan shapes of the drift /
+trend / corr / winsorize / gini queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from unicargo_medallion_data_pipeline_spark.operators.diff import (
+    ADDED,
+    CHANGED,
+    REMOVED,
+    UNCHANGED,
+    diff_summary,
+    snapshot_diff,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    return CATALOG
+
+
+# ---------------------------------------------------------------- diff op
+
+
+def _frames(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", None), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    return old, new
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    old, new = _frames(spark)
+    rows = {r["k"]: r["change_status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows == {1: UNCHANGED, 2: CHANGED, 3: UNCHANGED, 4: REMOVED, 5: ADDED}
+
+
+def test_snapshot_diff_null_vs_value_is_changed(spark):
+    old = spark.createDataFrame([(1, None)], "k int, v string")
+    new = spark.createDataFrame([(1, "x")], "k int, v string")
+    assert snapshot_diff(old, new, ["k"]).collect()[0]["change_status"] == CHANGED
+
+
+def test_snapshot_diff_restricts_to_compare_cols(spark):
+    old, new = _frames(spark)
+    # Only compare v: key 2's s-change must NOT count as changed.
+    rows = {
+        r["k"]: r["change_status"]
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    }
+    assert rows[2] == UNCHANGED
+
+
+def test_snapshot_diff_carries_old_and_new_values(spark):
+    old, new = _frames(spark)
+    row = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}[2]
+    assert row["s_old"] == "b" and row["s_new"] == "B"
+
+
+def test_snapshot_diff_rejects_bad_columns(spark):
+    old, new = _frames(spark)
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError, match="missing"):
+        snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+
+
+def test_diff_summary_counts(spark):
+    old, new = _frames(spark)
+    counts = {r["change_status"]: r["n_keys"] for r in diff_summary(old, new, ["k"]).collect()}
+    assert counts == {UNCHANGED: 2, CHANGED: 1, REMOVED: 1, ADDED: 1}
+
+
+# ------------------------------------------------------------ plan shapes
+
+
+def test_snapshot_diff_query_is_single_equi_join(spark, catalog):
+    plan = plan_of(catalog["orders_snapshot_diff"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gini_has_no_single_partition_window(spark, catalog):
+    """The Gini rank comes from operators/ranks.py, not an unpartitioned
+    WindowExec — the plan must contain no Window operator at all."""
+    plan = plan_of(catalog["user_activity_gini"].fn(spark, SF))
+    assert "Window" not in plan, "gini acquired a window — single-partition hazard"
+
+
+def test_winsorize_broadcasts_the_cuts(spark, catalog):
+    plan = plan_of(catalog["events_winsorized_stats"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_is_single_shuffle_aggregate(spark, catalog):
+    """One keyed exchange (the partial→final agg); the only other
+    exchange is the 3-row orderBy range partitioning."""
+    plan = plan_of(catalog["lineitem_price_qty_corr"].fn(spark, SF))
+    assert plan.count("hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine of the exact sums
+
+
+def test_drift_aggregates_before_single_partition_window(spark, catalog):
+    """The only SinglePartition exchange operates on the 10-row bin
+    aggregate, never the raw events: exactly one keyed (hash) exchange
+    for the bin groupBy, then the bounded window."""
+    plan = plan_of(catalog["events_value_drift"].fn(spark, SF))
+    assert plan.count("hashpartitioning") >= 1
+    keyed = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert keyed <= 2  # bin agg + SinglePartition over 10 rows
+
+
+def test_trend_joins_without_cartesian(spark, catalog):
+    plan = plan_of(catalog["segment_revenue_trend"].fn(spark, SF))
+    assert "CartesianProduct" not in plan

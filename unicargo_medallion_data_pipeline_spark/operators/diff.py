@@ -1,0 +1,99 @@
+"""Snapshot reconciliation: row-level diff between two table versions.
+
+A medallion pipeline that reprocesses a layer (the reference overwrites
+silver/gold wholesale every run — ``src/io_utils/write_to_table_utils.py:41-46``)
+has no built-in answer to "what actually changed between yesterday's table
+and today's?".  This operator provides the CDC-style answer as a plain
+DataFrame computation: full-outer-join the two snapshots on the business
+key and classify every key as added / removed / changed / unchanged.
+
+Scale posture (100 TB): one hash-partitioned full-outer equi-join on the
+key — both sides shuffle once on the same key, so at lake scale the two
+snapshots should be written bucketed by the key (``sources/writers.py``
+``write_bucketed``) which turns this into a zero-shuffle sort-merge join.
+Column comparison happens AFTER the join on the joined row (narrow), via
+null-safe per-column equality — no row serialization, no UDF, stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: classification values emitted in the status column
+ADDED = "added"
+REMOVED = "removed"
+CHANGED = "changed"
+UNCHANGED = "unchanged"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    status_col: str = "change_status",
+) -> DataFrame:
+    """Row-level diff of ``new`` vs ``old`` keyed by ``keys``.
+
+    Returns one row per key present in either snapshot with the key
+    columns, ``<col>_old`` / ``<col>_new`` for every compared column,
+    and ``status_col`` ∈ {added, removed, changed, unchanged}.
+
+    ``compare_cols`` defaults to all shared non-key columns.  Comparison
+    is null-safe (``<=>``): NULL == NULL counts as equal, NULL vs value
+    as changed — the semantics a CDC consumer expects.
+    """
+    if not keys:
+        raise ValueError("snapshot_diff requires at least one key column")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    missing = [c for c in keys + compare_cols if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"columns missing from one side: {missing}")
+
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"{c}_old") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"{c}_new") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    joined = o.join(n, on=keys, how="full_outer")
+
+    if compare_cols:
+        all_equal: Column = reduce(
+            lambda a, b: a & b,
+            [F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new")) for c in compare_cols],
+        )
+    else:
+        all_equal = F.lit(True)
+
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit(ADDED))
+        .when(F.col("_in_new").isNull(), F.lit(REMOVED))
+        .when(all_equal, F.lit(UNCHANGED))
+        .otherwise(F.lit(CHANGED))
+    )
+    return joined.withColumn(status_col, status).drop("_in_old", "_in_new")
+
+
+def diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    status_col: str = "change_status",
+) -> DataFrame:
+    """Aggregate form: one row per status with its key count — the
+    reconciliation report a pipeline gate consumes (e.g. "fail the run
+    if removed > 0.1% of keys")."""
+    d = snapshot_diff(old, new, keys, compare_cols, status_col)
+    return d.groupBy(status_col).agg(F.count(F.lit(1)).alias("n_keys"))

@@ -1,0 +1,390 @@
+"""Dataset-health analytics: snapshot diff, distribution drift, trend
+slopes, correlation, winsorized stats, concentration (Gini).
+
+The reference's quality surface stops at null profiles and row counts
+(``src/data_quality_utils/data_profiling_utils.py``); a pipeline feeding
+model training additionally needs to answer "did the data CHANGE?" —
+between runs (snapshot diff), between time periods (distribution drift),
+over time (trend), across columns (correlation), under outliers
+(winsorized stats), and across contributors (concentration).  Each query
+here is that check as a pure DataFrame plan with a DuckDB oracle.
+
+Cross-engine determinism discipline (same as plans/tpch_gold.py): sums
+are computed on DECIMAL casts (exact, order-insensitive), and the only
+double-typed operations are division, multiplication, subtraction and
+``sqrt`` — all IEEE-754 correctly-rounded, so both engines produce
+bit-identical results.  ``ln``/``exp`` (NOT correctly-rounded, libm-
+dependent) are deliberately avoided: the drift statistic below is the
+chi-square-style discriminator, not KL/PSI, exactly for this reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unicargo_medallion_data_pipeline_spark.operators.diff import diff_summary
+from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+#: split boundary for the drift query — events span 2024-01-01..01-30
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+@register(
+    "orders_snapshot_diff",
+    sql="""
+    WITH old_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new_snap AS (
+      SELECT o_orderkey,
+             o_totalprice
+               + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT
+      CASE
+        WHEN o.o_orderkey IS NULL THEN 'added'
+        WHEN n.o_orderkey IS NULL THEN 'removed'
+        WHEN o.o_totalprice = n.o_totalprice
+             AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+        ELSE 'changed'
+      END AS change_status,
+      COUNT(*) AS n_keys
+    FROM old_snap o
+    FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1
+    ORDER BY change_status
+    """,
+    operators=("J7", "A2", "Q5"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style reconciliation between two table versions via
+    ``operators/diff.py::diff_summary``.
+
+    The two snapshots are carved deterministically from the orders table
+    (keys %10 ≠ 0 vs %7 ≠ 0, with a price bump on %5 keys) so the diff
+    has all four statuses; real use diffs yesterday's and today's
+    overwrite of the same silver table.  Plan: ONE full-outer
+    hash-partitioned equi-join on the key, per-column null-safe compare
+    post-join (codegen, no UDF), then a 4-group aggregate.  At lake
+    scale, bucket both snapshots by the key to make the join
+    zero-shuffle (sources/writers.py::write_bucketed).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old_snap = o.filter(F.col("o_orderkey") % 10 != 0)
+    new_snap = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return (
+        diff_summary(old_snap, new_snap, keys=["o_orderkey"])
+        .orderBy("change_status")
+    )
+
+
+@register(
+    "events_value_drift",
+    sql=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(value / 50) AS INT) AS value_bin,
+             SUM(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS n_early,
+             SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS n_late
+      FROM events
+      GROUP BY 1
+    )
+    SELECT value_bin, n_early, n_late,
+           (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+              - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
+           * (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+              - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
+           / (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+              + CAST(n_late AS DOUBLE) / SUM(n_late) OVER ()) AS drift_contrib
+    FROM b
+    ORDER BY value_bin
+    """,
+    operators=("A12", "W4"),
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift check between two time periods: bin the value
+    column (width 50) and emit each bin's early/late counts plus its
+    contribution (p−q)²/(p+q) to the chi-square-style drift statistic —
+    the training-data "did the feature distribution move?" gate.
+
+    The statistic is deliberately log-free: KL/PSI need ``ln``, which is
+    not IEEE-correctly-rounded and differs between libm builds, so its
+    result cannot be hash-verified across engines.  (p−q)²/(p+q) is the
+    same discriminator (Neyman chi-square / 2) under exact arithmetic.
+
+    Plan: one map-side-combined aggregate on ~10 bin groups, then a
+    window over the 10-row result — bounded by the BIN count, never the
+    event count, so the unpartitioned window is safe at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    b = ev.groupBy(
+        F.floor(F.col("value") / 50).cast("int").alias("value_bin")
+    ).agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n_early"),
+        F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n_late"),
+    )
+    w = Window.partitionBy()  # 10 rows — bounded by bin count, documented
+    p = F.col("n_early").cast("double") / F.sum("n_early").over(w)
+    q = F.col("n_late").cast("double") / F.sum("n_late").over(w)
+    return (
+        b.withColumn("drift_contrib", (p - q) * (p - q) / (p + q))
+        .orderBy("value_bin")
+    )
+
+
+@register(
+    "segment_revenue_trend",
+    sql="""
+    WITH daily AS (
+      SELECT c.c_mktsegment,
+             DATEDIFF('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_days,
+           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS slope_per_day
+    FROM daily
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    operators=("A13", "J2", "P4"),
+)
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend: slope of daily revenue against the day
+    index, from the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
+
+    The slope is assembled from EXACT sums — x is an integer day offset,
+    y a DECIMAL(18,2) daily revenue, Σxy a decimal sum of int×decimal
+    products — so aggregation order cannot perturb the result; the only
+    double arithmetic is the final closed-form expression, written
+    token-identically in both engines.  Built-in ``regr_slope`` exists
+    in both but accumulates doubles in engine-specific order — same
+    reason stddev queries here derive from exact sums (plans/
+    tpch_gold.py A5).
+
+    Plan: fact→dim equi-join (customer broadcasts via AQE at test SF),
+    two keyed aggregates — (segment, day) then segment — both map-side
+    combined; 5 output rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("y")
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x").cast("bigint") * F.col("x")).cast("double")
+    return (
+        daily.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_per_day"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "lineitem_price_qty_corr",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           (CAST(COUNT(*) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+           / (SQRT(CAST(COUNT(*) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+              * SQRT(CAST(COUNT(*) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+           AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    operators=("A14", "A15"),
+)
+def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, from exact decimal sums (Σx, Σy, Σx², Σy², Σxy) with the
+    closed form evaluated in doubles at the end.
+
+    Built-in ``corr`` is a single-pass streaming covariance whose
+    floating accumulation order is engine- and partition-dependent;
+    the exact-sum form is order-insensitive, so it hash-verifies.
+    SQRT is IEEE-754 correctly-rounded (unlike ln/exp), so the final
+    expression is bit-deterministic.  One map-side-combined aggregate,
+    3 output rows; single scan, no joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    dec = "decimal(18,2)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), corr.alias("corr_qty_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_winsorized_stats",
+    sql="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           c.p05, c.p95,
+           (CAST(SUM(CASE WHEN e.value >= c.p05 AND e.value <= c.p95
+                          THEN CAST(e.value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+              + CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS DOUBLE) * c.p05
+              + CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS DOUBLE) * c.p95)
+           / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type, c.p05, c.p95
+    ORDER BY e.event_type
+    """,
+    operators=("A13", "J2", "P7"),
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean per event type: clip values to the exact
+    [p05, p95] per-group percentiles, then average.
+
+    Two-pass shape: pass 1 computes the exact interpolated percentiles
+    per group (5 groups → tiny), pass 2 re-joins the cuts (broadcast)
+    and aggregates.  The clipped sum splits into an EXACT decimal sum
+    of in-range values (raw values are 2-dp, so the decimal cast is
+    lossless) plus count×cut terms for the tails, evaluated in doubles
+    at the end — interpolated cut values never enter a multi-row float
+    sum, keeping the result order-insensitive and hash-verifiable.
+
+    Scale: exact percentile sorts per group — fine at bounded group
+    cardinality; at 100 TB with high-cardinality groups, switch to
+    approx_percentile (t-digest) and drop the external oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    mid_sum = F.sum(
+        F.when(
+            (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95")),
+            F.col("value").cast("decimal(18,2)"),
+        ).otherwise(F.lit(0))
+    ).cast("double")
+    n_low = F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).cast("double")
+    n_high = F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        j.groupBy("event_type", "p05", "p95")
+        .agg(
+            (
+                (mid_sum + n_low * F.col("p05") + n_high * F.col("p95")) / n
+            ).alias("winsorized_mean")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "user_activity_gini",
+    sql="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n_events,
+             ROW_NUMBER() OVER (ORDER BY n_events, user_id) AS rnk
+      FROM per_user
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(n_events) AS total_events,
+           (2.0 * CAST(SUM(rnk * n_events) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE))
+           - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+    operators=("A15", "W1"),
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of activity across users as a Gini coefficient —
+    the "is 1% of users generating 99% of the corpus?" health check a
+    training-data pipeline runs before sampling.
+
+    Uses the rank form G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over counts
+    sorted ascending (ties totally ordered by user_id).  The global
+    rank comes from ``operators/ranks.py::global_row_number`` — range
+    repartition + per-partition offsets — NOT an unpartitioned window,
+    so the plan holds at any user cardinality (SURVEY §4 hazard: a
+    global ORDER BY window is a single-partition collapse).  All sums
+    are integers; doubles appear only in the final scalar expression.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    ranked = global_row_number(per_user, ["n_events", "user_id"], rank_col="rnk")
+    n = F.count(F.lit(1)).cast("double")
+    tot = F.sum("n_events").cast("double")
+    swx = F.sum(F.col("rnk") * F.col("n_events")).cast("double")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("total_events"),
+        (F.lit(2.0) * swx / (n * tot) - (n + F.lit(1.0)) / n).alias("gini"),
+    )
