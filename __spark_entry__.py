@@ -64,10 +64,11 @@ _PRIORITY = [
     "doc_token_jaccard_pairs",
     "embedding_near_dup_pairs",
     "embedding_knn_exact",
+    # new in r4 (eighth batch: association / sampling / sketch rollup)
+    "part_pair_cooccurrence",
+    "doc_negative_pairs",
+    "events_mergeable_hll_rollup",
     # single-green r3 entries re-sampled to reach ≥2 green rows
-    "urgent_order_customers",
-    "order_grouping_sets",
-    "customer_revenue_percentiles",
     "nation_shipments_salted_join",
     "doc_tfidf_top_terms",
     "doc_editdist_near_dups",
@@ -126,6 +127,9 @@ _TAIL = [
     # r3-green only (single driver verification ever); the first six were
     # slated for re-sampling but gave up their window slots to the
     # never-verified batch-7 analytics queries
+    "urgent_order_customers",
+    "order_grouping_sets",
+    "customer_revenue_percentiles",
     "doc_decontaminated_sample",
     "cheapest_shipment_supplier",
     "customer_order_dates",

@@ -1,0 +1,62 @@
+"""Tests for the association/sampling batch: basket co-occurrence,
+negative-pair sampling, mergeable HLL rollup."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    return CATALOG
+
+
+def test_cooccurrence_is_equi_self_join_topk(spark, catalog):
+    df = catalog["part_pair_cooccurrence"].fn(spark, SF)
+    plan = plan_of(df)
+    # The pair join must be an equi-join on the basket key (p1<p2 as a
+    # post-join filter), never a cartesian pair enumeration.
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["p1"] < r["p2"] for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
+    # Sorted by support descending.
+    supports = [r["n_together"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
+def test_negative_pairs_never_self_and_deterministic(spark, catalog):
+    df = catalog["doc_negative_pairs"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan, "dense index must come from the rank operator"
+    rows = df.collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == 3 * n_docs  # k=3 per document
+    assert all(r["neg_doc_id"] != r["doc_id"] for r in rows)
+    # Deterministic across reruns (pure integer arithmetic, no rand()).
+    again = {(r["doc_id"], r["neg_rank"]): r["neg_doc_id"] for r in df.collect()}
+    first = {(r["doc_id"], r["neg_rank"]): r["neg_doc_id"] for r in rows}
+    assert first == again
+
+
+def test_hll_rollup_invariants_hold(spark, catalog):
+    row = catalog["events_mergeable_hll_rollup"].fn(spark, SF).collect()[0]
+    assert row["merge_matches_direct"] is True
+    assert row["estimate_within_5pct"] is True
+    assert row["exact_users"] > 0 and row["n_days"] > 0

@@ -1,0 +1,232 @@
+"""Association & sampling analytics: market-basket co-occurrence,
+contrastive negative-pair sampling, mergeable-sketch rollup.
+
+Three patterns a lake-scale pipeline runs that the earlier batches don't
+cover: "which items appear together" (association mining, the retail
+classic), "give every document k pseudo-random non-matching partners"
+(negative sampling for contrastive training), and "store per-partition
+sketches, merge at query time" (the pre-aggregated sketch-table
+architecture that makes distinct-count rollups O(sketch) instead of
+O(data) at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+#: Knuth multiplicative constant + a small odd stride — the pure-integer
+#: mix both engines evaluate identically (no engine hash functions, which
+#: differ between Spark and DuckDB).
+_MIX_A = 2654435761
+_MIX_B = 40503
+
+
+@register(
+    "part_pair_cooccurrence",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+    ),
+    pc AS (
+      SELECT l_partkey, COUNT(*) AS n_with FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_together
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, p.n_together,
+           CAST(p.n_together AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+             / (CAST(c1.n_with AS DOUBLE) * CAST(c2.n_with AS DOUBLE)) AS lift
+    FROM pairs p
+    CROSS JOIN n
+    JOIN pc c1 ON p.p1 = c1.l_partkey
+    JOIN pc c2 ON p.p2 = c2.l_partkey
+    ORDER BY p.n_together DESC, p.p1, p.p2
+    LIMIT 20
+    """,
+    operators=("J6", "A13", "O3"),
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: the 20 part pairs most often ordered
+    together, with their lift n_together·N / (n_a·n_b) (>1 ⇒ the pair
+    co-occurs more than independence predicts).
+
+    Pair generation is a SELF-EQUI-JOIN on the basket key with p1 < p2 —
+    fan-out per basket is C(items, 2), bounded by the basket size (≤7
+    lines in TPC-H-shaped data), so the pair stream grows linearly with
+    baskets, not quadratically with the catalog.  Skew guard at lake
+    scale: cap or frequency-filter pathological baskets first (a
+    1000-item basket alone emits 500k pairs).  Lift's per-item counts
+    join back on part id (AQE broadcasts them at test SF); the final
+    top-20 is TakeOrderedAndProject with a total-order tiebreak.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_with"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    c1 = pc.select(F.col("l_partkey").alias("p1"), F.col("n_with").alias("n_with_1"))
+    c2 = pc.select(F.col("l_partkey").alias("p2"), F.col("n_with").alias("n_with_2"))
+    lift = (
+        F.col("n_together").cast("double")
+        * F.col("n_orders").cast("double")
+        / (F.col("n_with_1").cast("double") * F.col("n_with_2").cast("double"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(c1, "p1")
+        .join(c2, "p2")
+        .select("p1", "p2", "n_together", lift.alias("lift"))
+        .orderBy(F.col("n_together").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+@register(
+    "doc_negative_pairs",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    pairs AS (
+      SELECT d.doc_id, j.neg_rank,
+             (d.idx + 1 + (d.doc_id * {_MIX_A} + j.neg_rank * {_MIX_B}) % (d.n - 1)) % d.n AS neg_idx
+      FROM d
+      CROSS JOIN (SELECT * FROM (VALUES (1), (2), (3)) AS t(neg_rank)) j
+    )
+    SELECT p.doc_id, p.neg_rank, d2.doc_id AS neg_doc_id, d2.lang AS neg_lang
+    FROM pairs p JOIN d d2 ON p.neg_idx = d2.idx
+    ORDER BY p.doc_id, p.neg_rank
+    """,
+    operators=("W1", "J6", "P4"),
+)
+def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling: k=3 deterministic pseudo-random
+    non-self partners per document — the negatives table a contrastive
+    training run joins against, reproducible across reruns and engines.
+
+    The partner choice is pure integer arithmetic on a dense row index
+    (Knuth-mix offset in [1, n−1], so never self), NOT an engine hash or
+    rand() — both of which differ across engines/reruns and would break
+    the oracle and run-to-run reproducibility.  The dense index comes
+    from operators/ranks.py (range-partitioned rank — no unpartitioned
+    window); the partner lookup is an equi-join on the index.  Cost at
+    any scale: one range exchange + one keyed join of k·n id-only rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = global_row_number(docs, ["doc_id"], rank_col="_rnk").withColumn(
+        "idx", F.col("_rnk") - 1
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "idx",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("neg_rank"),
+        )
+        .withColumn(
+            "neg_idx",
+            (
+                F.col("idx")
+                + 1
+                + (F.col("doc_id") * _MIX_A + F.col("neg_rank") * _MIX_B)
+                % (F.col("n") - 1)
+            )
+            % F.col("n"),
+        )
+    )
+    d2 = d.select(
+        F.col("idx").alias("neg_idx"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("lang").alias("neg_lang"),
+    )
+    return (
+        pairs.join(d2, "neg_idx")
+        .select("doc_id", "neg_rank", "neg_doc_id", "neg_lang")
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+@register(
+    "events_mergeable_hll_rollup",
+    sql="""
+    SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_matches_direct,
+           TRUE AS estimate_within_5pct
+    FROM events
+    """,
+    operators=("A15", "Q4"),
+)
+def events_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated sketch-table architecture: per-day DataSketches
+    HLL sketches of user_id, unioned into a global estimate, checked
+    against both the direct one-pass sketch and the exact count.
+
+    This is the invariant-oracle pattern (like events_sketch_profile):
+    DuckDB cannot evaluate DataSketches, so the oracle pins the exact
+    distinct counts and asserts the two engine-side invariants are TRUE:
+    (1) estimate(union(daily sketches)) equals estimate(direct sketch)
+    to within 1% — the mergeability contract that lets a 100 TB lake
+    store tiny per-partition sketch rows and answer "distinct users over
+    any date range" by merging those rows instead of rescanning facts;
+    (2) the merged estimate is within 5% of truth (lgK=12 ⇒ ~1.6% rsd).
+
+    Plan: one keyed day-grain aggregate producing |days| binary sketch
+    rows, then a single-row union agg over them — the expensive scan
+    happens once, every subsequent rollup is O(days).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= F.lit(0.01) * F.col("direct_est")
+        ).alias("merge_matches_direct"),
+        (
+            F.abs(F.col("merged_est").cast("double") - F.col("exact_users").cast("double"))
+            <= F.lit(0.05) * F.col("exact_users").cast("double")
+        ).alias("estimate_within_5pct"),
+    )
