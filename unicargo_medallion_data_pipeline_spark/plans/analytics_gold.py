@@ -150,19 +150,28 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH daily AS (
       SELECT c.c_mktsegment,
-             DATEDIFF('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS x,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+             CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE))
+                  AS DECIMAL(8,0)) AS x,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS y_c
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(18,0)) AS sx,
+             CAST(SUM(y_c) AS DECIMAL(20,0)) AS sy,
+             CAST(SUM(x * y_c) AS DECIMAL(28,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx
+      FROM daily GROUP BY c_mktsegment
     )
     SELECT c_mktsegment,
-           COUNT(*) AS n_days,
-           (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE)
-              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
-           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE)
-              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) AS slope_per_day
-    FROM daily
-    GROUP BY c_mktsegment
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0
+             AS slope_per_day
+    FROM s
     ORDER BY c_mktsegment
     """,
     operators=("A13", "J2", "P4"),
@@ -171,14 +180,18 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment OLS trend: slope of daily revenue against the day
     index, from the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²).
 
-    The slope is assembled from EXACT sums — x is an integer day offset,
-    y a DECIMAL(18,2) daily revenue, Σxy a decimal sum of int×decimal
-    products — so aggregation order cannot perturb the result; the only
-    double arithmetic is the final closed-form expression, written
-    token-identically in both engines.  Built-in ``regr_slope`` exists
-    in both but accumulates doubles in engine-specific order — same
-    reason stddev queries here derive from exact sums (plans/
-    tpch_gold.py A5).
+    The slope is assembled from EXACT integer sums: x is the day
+    offset, y the daily revenue in CENTS (scale-0 decimal), so Σx, Σy,
+    Σxy, Σx² and both closed-form combinations nΣxy−ΣxΣy / nΣx²−(Σx)²
+    are exact scale-0 decimals, identical in both engines.  Doubles
+    appear only in the final two divisions, and the decimal→double
+    conversion is routed through a STRING cast: int128-backed engines
+    convert wide decimals to double inexactly (measured 1-3 ulp off
+    the correctly-rounded value at sf0.1), while decimal→string→double
+    is exact digits then a correctly-rounded strtod/parseDouble in
+    every engine — bit-identical at any width.  Built-in ``regr_slope``
+    is engine-ordered double accumulation — unverifiable for the same
+    reason stddev derives from exact sums (plans/tpch_gold.py A5).
 
     Plan: fact→dim equi-join (customer broadcasts via AQE at test SF),
     two keyed aggregates — (segment, day) then segment — both map-side
@@ -192,88 +205,112 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_mktsegment",
-            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("decimal(8,0)")
+            .alias("x"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .alias("y")
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)")
+            .alias("y_c")
         )
     )
-    n = F.count(F.lit(1)).cast("double")
-    sxy = F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).cast("double")
-    sx = F.sum("x").cast("double")
-    sy = F.sum("y").cast("double")
-    sxx = F.sum(F.col("x").cast("bigint") * F.col("x")).cast("double")
-    return (
-        daily.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_days"),
-            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_per_day"),
-        )
-        .orderBy("c_mktsegment")
+    s = daily.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(18,0)").alias("sx"),
+        F.sum("y_c").cast("decimal(20,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y_c")).cast("decimal(28,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
     )
+    return s.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_days"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("string")
+            .cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("string")
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("slope_per_day"),
+    ).orderBy("c_mktsegment")
 
 
 @register(
     "lineitem_price_qty_corr",
     sql="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS yc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(xc) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(yc) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(xc * xc) AS DECIMAL(28,0)) AS sxx,
+             CAST(SUM(yc * yc) AS DECIMAL(28,0)) AS syy,
+             CAST(SUM(xc * yc) AS DECIMAL(28,0)) AS sxy
+      FROM c GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           COUNT(*) AS n_rows,
-           (CAST(COUNT(*) AS DOUBLE)
-              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-           / (SQRT(CAST(COUNT(*) AS DOUBLE)
-                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                                * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
-              * SQRT(CAST(COUNT(*) AS DOUBLE)
-                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-           AS corr_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
     ORDER BY l_returnflag
     """,
     operators=("A14", "A15"),
 )
 def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs extended price per return
-    flag, from exact decimal sums (Σx, Σy, Σx², Σy², Σxy) with the
-    closed form evaluated in doubles at the end.
+    flag, from exact integer-cents sums with the closed form evaluated
+    in doubles at the end (the 100² scale factors cancel in the ratio).
 
     Built-in ``corr`` is a single-pass streaming covariance whose
     floating accumulation order is engine- and partition-dependent;
-    the exact-sum form is order-insensitive, so it hash-verifies.
-    SQRT is IEEE-754 correctly-rounded (unlike ln/exp), so the final
-    expression is bit-deterministic.  One map-side-combined aggregate,
-    3 output rows; single scan, no joins.
+    the exact-sum form is order-insensitive.  Everything through
+    nΣxy−ΣxΣy and the two variance terms stays in SCALE-0 decimals
+    (exact integers); the decimal→double conversions go through a
+    string cast because int128-backed engines convert wide decimals to
+    double inexactly (1 ulp drift vs Spark's correctly-rounded
+    BigDecimal path, observed at sf0.001 with the plain cast), whereas
+    digits→strtod is correctly rounded everywhere.  SQRT is IEEE-754
+    correctly-rounded (unlike ln/exp), so the final expression is
+    bit-deterministic.  One map-side-combined aggregate, 3 output rows;
+    single scan, no joins.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    dec = "decimal(18,2)"
-    x = F.col("l_quantity").cast(dec)
-    y = F.col("l_extendedprice").cast(dec)
-    n = F.count(F.lit(1)).cast("double")
-    sx = F.sum(x).cast("double")
-    sy = F.sum(y).cast("double")
-    sxx = F.sum(x * x).cast("double")
-    syy = F.sum(y * y).cast("double")
-    sxy = F.sum(x * y).cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    xc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    yc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+    c = li.select("l_returnflag", xc.alias("xc"), yc.alias("yc"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("xc").cast("decimal(19,0)").alias("sx"),
+        F.sum("yc").cast("decimal(19,0)").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("decimal(28,0)").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("decimal(28,0)").alias("syy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("decimal(28,0)").alias("sxy"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_rows"), corr.alias("corr_qty_price"))
-        .orderBy("l_returnflag")
+    def _d(col):  # exact decimal -> double via string (see docstring)
+        return col.cast("string").cast("double")
+
+    corr = _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(_d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        * F.sqrt(_d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
     )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
 
 
 @register(
