@@ -28,9 +28,12 @@ def catalog():
 def test_cooccurrence_is_equi_self_join_topk(spark, catalog):
     df = catalog["part_pair_cooccurrence"].fn(spark, SF)
     plan = plan_of(df)
-    # The pair join must be an equi-join on the basket key (p1<p2 as a
-    # post-join filter), never a cartesian pair enumeration.
+    # Pairs come map-side from the pinned basket arrays: the final plan
+    # reads the checkpoint, never re-scans the fact, and has no join-
+    # based pair enumeration.
     assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan, "fact re-scanned past the checkpoint"
+    assert "Generate" in plan  # the array pair explode
     assert "TakeOrderedAndProject" in plan
     rows = df.collect()
     assert 0 < len(rows) <= 20

@@ -61,33 +61,44 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     together, with their lift n_together·N / (n_a·n_b) (>1 ⇒ the pair
     co-occurs more than independence predicts).
 
-    Pair generation is a SELF-EQUI-JOIN on the basket key with p1 < p2 —
-    fan-out per basket is C(items, 2), bounded by the basket size (≤7
-    lines in TPC-H-shaped data), so the pair stream grows linearly with
-    baskets, not quadratically with the catalog.  Skew guard at lake
-    scale: cap or frequency-filter pathological baskets first (a
+    The fact is scanned ONCE: baskets are grouped into sorted distinct
+    item arrays and pinned with an eager localCheckpoint, so the three
+    consumers (pair counts, per-item counts, basket total) share the
+    materialization instead of each re-scanning the fact (the naive
+    four-branch formulation scanned lineitem 10x in the physical plan).
+    Pairs are generated MAP-SIDE from each basket's array (indexed
+    ``transform`` over suffix slices — each unordered pair once,
+    p1 < p2), so there is no self-join at all; fan-out per basket is
+    C(items, 2), bounded by basket size (≤7 in TPC-H-shaped data),
+    linear in baskets.  Skew guard at lake scale: cap or
+    frequency-filter pathological baskets before pair expansion (one
     1000-item basket alone emits 500k pairs).  Lift's per-item counts
     join back on part id (AQE broadcasts them at test SF); the final
     top-20 is TakeOrderedAndProject with a total-order tiebreak.
     """
-    op = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)  # one fact scan shared by 3 consumers
     )
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_with"))
-    a = op.alias("a")
-    b = op.alias("b")
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pc = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, size(items) - i - 1),
+                    y -> named_struct('p1', x, 'p2', y))))
+        """
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("n_together"))
     )
     c1 = pc.select(F.col("l_partkey").alias("p1"), F.col("n_with").alias("n_with_1"))
