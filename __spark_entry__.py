@@ -49,8 +49,6 @@ _PRIORITY = [
     "customer_intensity_by_segment",
     "customer_order_gaps",
     "top_customers_per_segment",
-    "first_lineitem_per_order",
-    "order_id_formatting",
     "nation_dim",
     "rolling_7day_revenue",
     "pricing_summary",
@@ -58,6 +56,8 @@ _PRIORITY = [
     "flight_airline_scorecard",
     "flight_busiest_routes",
     "flight_rolling_otp",
+    "flight_delay_distribution",
+    "flight_seasonal_summary",
     "scd2_as_of_snapshot",
     "rollup_incremental_equals_full",
     # code touched in r4 (all-pairs size guards) — fresh verification
@@ -109,7 +109,9 @@ _PRIORITY = [
 # closest if space opens.
 _TAIL = [
     # twice-green (r1+r2) simple plans, rotated out to make room for the
-    # four never-verified r4 batch-3 queries
+    # never-verified r4 additions
+    "first_lineitem_per_order",
+    "order_id_formatting",
     "generated_dim_date",
     "fillna_cleaned_events",
     "metadata_enriched_orders",

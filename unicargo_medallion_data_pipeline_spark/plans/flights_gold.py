@@ -249,3 +249,72 @@ def flight_rolling_otp(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("rolling_7d_flights").cast("double"),
         )
     )
+
+
+@register(
+    "flight_delay_distribution",
+    sql=_PRELUDE
+    + """
+    , agg AS (
+      SELECT CASE
+               WHEN departure_delay <= 0 THEN 'on_time'
+               WHEN departure_delay <= 15 THEN 'minor_0_15'
+               WHEN departure_delay <= 60 THEN 'moderate_16_60'
+               WHEN departure_delay <= 180 THEN 'severe_61_180'
+               ELSE 'extreme_180_plus'
+             END AS delay_category,
+             COUNT(*) AS flight_count,
+             CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+               AS avg_arrival_delay
+      FROM fact WHERE departure_delay IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT delay_category, flight_count, avg_arrival_delay,
+           CAST(flight_count AS DOUBLE) * 100.0 / SUM(flight_count) OVER ()
+             AS pct_of_all_flights
+    FROM agg
+    """,
+    operators=("A12", "W4"),
+)
+def flight_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's delay-severity histogram with share-of-total
+    (``03_gold_unikargo_06_delay_analytics.ipynb:67-81``) over the real
+    silver build.  The share window runs over the ≤5 aggregated bucket
+    rows, never the fact.  Integer sums → exact; a single division per
+    output cell."""
+    del sf_dir
+    fact, _, _, _ = _silver(spark)
+    return G.delay_distribution(fact)
+
+
+@register(
+    "flight_seasonal_summary",
+    sql=_PRELUDE
+    + """
+    SELECT CAST(YEAR(flight_date) AS INTEGER) AS year,
+           CASE
+             WHEN MONTH(flight_date) IN (12, 1, 2) THEN 'Winter'
+             WHEN MONTH(flight_date) IN (3, 4, 5) THEN 'Spring'
+             WHEN MONTH(flight_date) IN (6, 7, 8) THEN 'Summer'
+             ELSE 'Fall'
+           END AS season,
+           COUNT(*) AS total_flights,
+           CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
+             AS avg_departure_delay,
+           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights
+    FROM fact
+    GROUP BY 1, 2
+    """,
+    operators=("A9", "O2", "J1"),
+)
+def flight_seasonal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's season CASE-key aggregate with custom season
+    ordering (``03_gold_unikargo_05_time_based_analytics.ipynb:67-86``)
+    over the real silver build — puts A9/O2 for the flight domain under
+    the hash gate (previously pytest-only).  The oracle derives
+    year/month from flight_date; the engine path takes them from
+    dim_date via the date_sk join — same values by construction of the
+    generated calendar dim."""
+    del sf_dir
+    fact, _, _, dim_date = _silver(spark)
+    return G.seasonal_flight_summary(fact, dim_date)
