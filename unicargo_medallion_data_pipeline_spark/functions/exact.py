@@ -97,3 +97,22 @@ def sql_dstddev_samp(expr: str) -> str:
 
 def sql_rate_pct(cond: str, denom: str = "COUNT(*)") -> str:
     return f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / {denom}"
+
+
+def exact_double(col: Column) -> Column:
+    """Exact-decimal → double via a string cast — correctly rounded at
+    ANY decimal width.
+
+    A plain ``decimal → double`` cast is only correctly rounded when the
+    engine converts through an arbitrary-precision path (Spark's
+    BigDecimal.doubleValue).  Engines that store decimals as scaled
+    int128 (DuckDB among them) convert as ``(double)unscaled / 10^scale``
+    — two roundings — and drift 1-3 ulp from the correct value once the
+    unscaled magnitude exceeds 2^53 (measured: -19399967019787510 →
+    ...508e+16 there vs the correctly-rounded ...51e+16).  Routing
+    through a string costs a few bytes per FINAL row only and is exact
+    everywhere: decimal→string is exact digits, string→double is a
+    correctly-rounded strtod/parseDouble in every engine.  Mirror in
+    SQL as ``CAST(CAST(x AS VARCHAR) AS DOUBLE)``.
+    """
+    return col.cast("string").cast("double")

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
 from unicargo_medallion_data_pipeline_spark.operators.diff import diff_summary
 from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
@@ -226,12 +227,8 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("n").cast("bigint").alias("n_days"),
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("string")
-            .cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            .cast("string")
-            .cast("double")
+            exact_double(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
             / F.lit(100.0)
         ).alias("slope_per_day"),
     ).orderBy("c_mktsegment")
@@ -299,9 +296,7 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("yc") * F.col("yc")).cast("decimal(28,0)").alias("syy"),
         F.sum(F.col("xc") * F.col("yc")).cast("decimal(28,0)").alias("sxy"),
     )
-    def _d(col):  # exact decimal -> double via string (see docstring)
-        return col.cast("string").cast("double")
-
+    _d = exact_double  # see functions/exact.py for the rationale
     corr = _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(_d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
         * F.sqrt(_d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
