@@ -45,7 +45,6 @@ _PRIORITY = [
     "corpus_token_df",
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
-    "doc_repetition_signals",
     "customer_intensity_by_segment",
     "customer_order_gaps",
     "top_customers_per_segment",
@@ -101,6 +100,8 @@ _PRIORITY = [
     "event_transition_matrix",
     "events_value_forward_fill",
     "event_halves_nullsafe_join",
+    # new in r4 (ninth batch: session path mining)
+    "top_event_paths",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -110,6 +111,7 @@ _PRIORITY = [
 _TAIL = [
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
+    "doc_repetition_signals",
     "first_lineitem_per_order",
     "order_id_formatting",
     "generated_dim_date",

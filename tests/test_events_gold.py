@@ -124,3 +124,25 @@ def test_nullsafe_join_keeps_the_null_bucket(spark):
     assert None in keys, "the NULL bucket must survive the join"
     # a plain equi-join would drop exactly the NULL row
     assert len(keys) == 5
+
+
+def test_top_event_paths_shape_and_sessions(spark):
+    """Paths are >-joined event types, counts are positive and sorted,
+    and multi-event paths exist (the sessionizer actually groups)."""
+    import contextlib
+    import io
+
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    df = CATALOG["top_event_paths"].fn(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 15
+    counts = [r["n_sessions"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["total_events"] >= r["n_sessions"] for r in rows)
+    assert any(">" in r["path"] for r in rows), "no multi-event sessions found"

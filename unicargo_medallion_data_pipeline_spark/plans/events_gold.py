@@ -303,3 +303,98 @@ def event_halves_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         second_half.alias("s"),
         F.col("f.event_key").eqNullSafe(F.col("s.event_key")),
     ).select("f.event_key", "n_first_half", "n_second_half")
+
+
+@register(
+    "top_event_paths",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                  - CAST(floor(epoch(LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_session_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+        CAST(SUM(is_session_start) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM seq
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS path_len
+      FROM sessions GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions, SUM(path_len) AS total_events
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+    operators=("T6", "W5", "A13", "O3"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 15 most common within-session event
+    sequences ("view>click>purchase") — the navigation-pattern query
+    product analytics runs after sessionization.
+
+    Session boundaries are IDENTICAL to ``events_sessionization``
+    (whole-second epoch gap > 1800 s, (ts, event_id) total order).  The
+    ordered path string is built engine-portably: Spark sorts the
+    collected (ts, event_id, event_type) structs and joins the types
+    (``array_sort`` compares struct fields left-to-right, so the unique
+    event_id tiebreak makes the order total); DuckDB uses
+    ``string_agg(... ORDER BY ts, event_id)``.  Both are deterministic
+    because the sort key is unique — an un-tiebroken ORDER BY ts alone
+    would be run-dependent on equal timestamps.
+
+    Scale: one user-key exchange feeds both window passes and the
+    session aggregate (same partitioning, reused); the path strings are
+    bounded by session length — cap pathological sessions (bots) with a
+    path_len filter before the path-grain aggregate, which shuffles
+    only (path, 1) pairs.  Top-15 is TakeOrderedAndProject.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    seq = ev.withColumn(
+        "is_session_start",
+        F.when(
+            F.lag(epoch).over(w).isNull()
+            | ((epoch - F.lag(epoch).over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = seq.withColumn(
+        "session_seq",
+        F.sum("is_session_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sessions.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("path_len").alias("total_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(15)
+    )
