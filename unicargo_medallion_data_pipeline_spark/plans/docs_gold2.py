@@ -200,7 +200,7 @@ _SHARD_BUDGET = 4096
 def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic greedy sequence packing: concatenate each language's
     documents in doc_id order and split the token stream into
-    fixed-budget training shards ({budget} tokens).  Emits each doc's
+    fixed-budget training shards (_SHARD_BUDGET = 4096 tokens).  Emits each doc's
     shard index and starting offset — the standard pack-and-straddle
     layout a pre-training data loader consumes.
 
@@ -209,7 +209,7 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition's cumsum is a single sorted pass; for a lake-scale
     corpus pack within finer natural partitions (lang × source × date)
     or pre-bucket by the partition key so no single window partition
-    outgrows an executor.""".format(budget=_SHARD_BUDGET)
+    outgrows an executor."""
     d = load_table(spark, sf_dir, "documents")
     sized = ensure_parallelism(d).select(
         "doc_id", "lang", ta.token_count("text").alias("n_tokens")
