@@ -46,8 +46,6 @@ _PRIORITY = [
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
     "customer_intensity_by_segment",
-    "customer_order_gaps",
-    "top_customers_per_segment",
     "nation_dim",
     "rolling_7day_revenue",
     "pricing_summary",
@@ -100,8 +98,11 @@ _PRIORITY = [
     "event_transition_matrix",
     "events_value_forward_fill",
     "event_halves_nullsafe_join",
-    # new in r4 (ninth batch: session path mining)
+    # new in r4 (ninth batch: session path mining, spatial grid join,
+    # dimension covariance)
     "top_event_paths",
+    "airport_neighbor_pairs",
+    "embedding_dim_covariance",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -111,6 +112,8 @@ _PRIORITY = [
 _TAIL = [
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
+    "customer_order_gaps",
+    "top_customers_per_segment",
     "doc_repetition_signals",
     "first_lineitem_per_order",
     "order_id_formatting",

@@ -63,3 +63,31 @@ def test_hll_rollup_invariants_hold(spark, catalog):
     assert row["merge_matches_direct"] is True
     assert row["estimate_within_5pct"] is True
     assert row["exact_users"] > 0 and row["n_days"] > 0
+
+
+def test_covariance_pairs_bounded_by_dims_not_rows(spark, catalog):
+    """The pair aggregate's group count is d²/2 regardless of row count,
+    pairs are upper-triangle only, and the final plan reads the
+    checkpoint (single embedding scan)."""
+    df = catalog["embedding_dim_covariance"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "Scan parquet" not in plan, "embeddings re-scanned past the checkpoint"
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert all(1 <= r["dim_i"] < r["dim_j"] <= 64 for r in rows)
+    covs = [abs(r["cov"]) for r in rows]
+    assert covs == sorted(covs, reverse=True)
+
+
+def test_spatial_join_is_equi_not_cross(spark, catalog):
+    """Candidate generation must be the grid equi-join (9× replication),
+    never a cross product; pairs are unique and within the radius."""
+    df = catalog["airport_neighbor_pairs"].fn(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["a_code"] < r["b_code"] for r in rows)
+    assert all(0 <= r["dist_sq"] <= 4.0 for r in rows)
+    assert len({(r["a_code"], r["b_code"]) for r in rows}) == len(rows)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
 from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
@@ -240,4 +241,112 @@ def events_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("merged_est").cast("double") - F.col("exact_users").cast("double"))
             <= F.lit(0.05) * F.col("exact_users").cast("double")
         ).alias("estimate_within_5pct"),
+    )
+
+
+#: Quantization scale for the covariance query: |x| < 0.6, so q ≤ 6e3,
+#: q² ≤ 3.6e7, and every closed-form combination stays exact in DECIMAL.
+_COV_SCALE = 10_000
+
+
+@register(
+    "embedding_dim_covariance",
+    sql=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n FROM q),
+    dimsum AS (
+      SELECT i.i AS dim, CAST(SUM(q.q[i.i]) AS DECIMAL(19,0)) AS sx
+      FROM q, generate_series(1, 64) i(i)
+      GROUP BY i.i
+    ),
+    pairsum AS (
+      SELECT i.i AS di, j.j AS dj,
+             CAST(SUM(q.q[i.i] * q.q[j.j]) AS DECIMAL(28,0)) AS sxy
+      FROM q, generate_series(1, 63) i(i), generate_series(1, 64) j(j)
+      WHERE j.j > i.i
+      GROUP BY 1, 2
+    )
+    SELECT p.di AS dim_i, p.dj AS dim_j,
+           CAST(CAST(n.n * p.sxy - a.sx * b.sx AS VARCHAR) AS DOUBLE)
+             / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)
+                * {_COV_SCALE}.0 * {_COV_SCALE}.0) AS cov
+    FROM pairsum p
+    CROSS JOIN n
+    JOIN dimsum a ON a.dim = p.di
+    JOIN dimsum b ON b.dim = p.dj
+    ORDER BY ABS(cov) DESC, dim_i, dim_j
+    LIMIT 20
+    """,
+    operators=("A13", "J6", "O3"),
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-covariance matrix over the embedding dimensions — the 20
+    strongest off-diagonal covariances, i.e. the redundant/correlated
+    feature pairs a dimensionality-reduction or whitening pass targets.
+
+    This is the distributed Gram/covariance pattern done the scalable
+    way: each row emits its C(d,2) upper-triangle products MAP-SIDE
+    (indexed ``sequence``/``element_at`` transforms — no self-join, no
+    explode-then-join on row id), and the only shuffles are the (i,j)
+    pair aggregate (d²/2 = 2016 groups regardless of row count) and the
+    64-group dim aggregate.  Shuffle payload is bounded by d², never by
+    n — at 10^9 rows the reduce side still sees 2016 groups.
+
+    Determinism: floats are quantized (floor ×1e4, the engine's
+    established quantized-embedding discipline), all sums are exact
+    integers, the covariance closed form n·Σxy − Σx·Σy runs in
+    scale-0 decimals, and the final conversion routes through
+    exact_double (string cast) before the one division.  ABS for the
+    ranking is exact on doubles.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _COV_SCALE).cast("long"),
+        ).alias("q")
+    ).localCheckpoint(eager=True)  # one scan shared by n / dimsum / pairsum
+    n = q.agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("n"))
+    dimsum = (
+        q.select(F.posexplode("q").alias("pos", "qv"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(F.sum("qv").cast("decimal(19,0)").alias("sx"))
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(sequence(1, 63), i ->
+          transform(sequence(i + 1, 64), j ->
+            named_struct('di', i, 'dj', j,
+                         'xy', element_at(q, i) * element_at(q, j)))))
+        """
+    )
+    pairsum = (
+        q.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.di").alias("di"), F.col("p.dj").alias("dj"))
+        .agg(F.sum("p.xy").cast("decimal(28,0)").alias("sxy"))
+    )
+    a = dimsum.select(F.col("dim").alias("di"), F.col("sx").alias("sx_i"))
+    b = dimsum.select(F.col("dim").alias("dj"), F.col("sx").alias("sx_j"))
+    num = exact_double(F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+    den = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(_COV_SCALE))
+        * F.lit(float(_COV_SCALE))
+    )
+    return (
+        pairsum.crossJoin(F.broadcast(n))
+        .join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .select(
+            F.col("di").alias("dim_i"),
+            F.col("dj").alias("dim_j"),
+            (num / den).alias("cov"),
+        )
+        .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
+        .limit(20)
     )

@@ -318,3 +318,96 @@ def flight_seasonal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     del sf_dir
     fact, _, _, dim_date = _silver(spark)
     return G.seasonal_flight_summary(fact, dim_date)
+
+
+@register(
+    "airport_neighbor_pairs",
+    sql=f"""
+    WITH ap AS (
+      SELECT iata_code, latitude, longitude,
+             CAST(FLOOR(latitude / 2) AS BIGINT) AS cy,
+             CAST(FLOOR(longitude / 2) AS BIGINT) AS cx
+      FROM read_parquet('{FIXTURE_DIR}/airports.parquet')
+      WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+    ),
+    cand AS (
+      SELECT a.iata_code AS a_code, b.iata_code AS b_code,
+             a.latitude - b.latitude AS dlat,
+             a.longitude - b.longitude AS dlon
+      FROM ap a
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
+      JOIN ap b ON b.cy = a.cy + dy.dy AND b.cx = a.cx + dx.dx
+      WHERE a.iata_code < b.iata_code
+    )
+    SELECT a_code, b_code, dlat * dlat + dlon * dlon AS dist_sq
+    FROM cand
+    WHERE dlat * dlat + dlon * dlon <= 4.0
+    """,
+    operators=("J6", "P4"),
+)
+def airport_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial self-join via grid bucketing: all airport pairs within a
+    2-degree radius (squared-euclidean in degree space), found by
+    replicating each point into its 3×3 neighbor cells and equi-joining
+    on the cell key — the standard distributed spatial-join pattern
+    (point → grid cell, neighbor-cell replication, exact re-check
+    post-join).
+
+    NEVER a cross join: candidate generation is an equi-join on
+    (cell_y, cell_x), output is linear in points × local density.  Each
+    unordered pair appears exactly once (b's cell is unique, a's 9-cell
+    replication covers it once; a_code < b_code halves).  The distance
+    re-check is subtract/multiply of 2-dp doubles — IEEE-exact in both
+    engines, so the boundary cannot flip.  Haversine is deliberately
+    NOT used here: trig is not correctly rounded and cannot
+    hash-verify; at these radii the degree-space check is the same
+    candidate semantics (document the latitude distortion if used for
+    real geodesy).
+
+    Scale: 10^9 points × ~10 neighbors/cell → ~10^10 candidate rows
+    through one hash join — partition by cell key; choose the cell size
+    ≈ the query radius so replication stays 9× and cells stay small.
+    """
+    del sf_dir
+    paths = ensure_flights_fixture()
+    ap = (
+        spark.read.parquet(paths["airports"])
+        .select("iata_code", "latitude", "longitude")
+        .filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .withColumn("cy", F.floor(F.col("latitude") / 2).cast("long"))
+        .withColumn("cx", F.floor(F.col("longitude") / 2).cast("long"))
+    )
+    offsets = F.explode(
+        F.expr(
+            "flatten(transform(array(-1, 0, 1), dy -> "
+            "transform(array(-1, 0, 1), dx -> named_struct('dy', dy, 'dx', dx))))"
+        )
+    ).alias("o")
+    a = ap.select(
+        F.col("iata_code").alias("a_code"),
+        F.col("latitude").alias("a_lat"),
+        F.col("longitude").alias("a_lon"),
+        "cy",
+        "cx",
+    ).select("*", offsets)
+    b = ap.select(
+        F.col("iata_code").alias("b_code"),
+        F.col("latitude").alias("b_lat"),
+        F.col("longitude").alias("b_lon"),
+        F.col("cy").alias("b_cy"),
+        F.col("cx").alias("b_cx"),
+    )
+    dlat = F.col("a_lat") - F.col("b_lat")
+    dlon = F.col("a_lon") - F.col("b_lon")
+    dist_sq = dlat * dlat + dlon * dlon
+    return (
+        a.join(
+            b,
+            (F.col("b_cy") == F.col("cy") + F.col("o.dy"))
+            & (F.col("b_cx") == F.col("cx") + F.col("o.dx"))
+            & (F.col("a_code") < F.col("b_code")),
+        )
+        .select("a_code", "b_code", dist_sq.alias("dist_sq"))
+        .filter(F.col("dist_sq") <= 4.0)
+    )
