@@ -67,3 +67,45 @@ def test_component_representative_invariants_on_corpus(spark):
     label = {r["doc_id"]: r["component_id"] for r in rows}
     for p in pairs:
         assert label[p["a_id"]] == label[p["b_id"]]
+
+
+def test_pagerank_integer_matches_python_reference(spark):
+    """Hand-loop the exact integer recurrence in Python on a small graph
+    and require bit-identical ranks from the distributed operator."""
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    nodes = [0, 1, 2, 3, 4]
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 0, 1)]  # node 4 dangling
+    scale, num, den, iters = 10**9, 85, 100, 5
+
+    # Python reference of the declared recurrence.
+    n = len(nodes)
+    base = (scale * (den - num)) // den // n
+    w_out = {}
+    for s, d, w in edges:
+        w_out[s] = w_out.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d, w in edges:
+            nxt[d] += (num * r[s] * w) // (den * w_out[s])
+        r = nxt
+
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    got = {
+        row["node"]: row["pagerank_scaled"]
+        for row in pagerank_integer(ndf, edf, iterations=iters).collect()
+    }
+    assert got == r
+
+
+def test_pagerank_rejects_empty_nodes(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    ndf = spark.createDataFrame([], "node bigint")
+    edf = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank_integer(ndf, edf)

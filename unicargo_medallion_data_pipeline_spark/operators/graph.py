@@ -85,3 +85,73 @@ def connected_components(
         f"connected_components did not converge in {max_iterations} rounds "
         "(component diameter exceeds the iteration guard)"
     )
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 5,
+    scale: int = 10**9,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Weighted PageRank in EXACT integer arithmetic — every rank is a
+    scaled bigint, every per-edge contribution an integer division, so
+    the result is bit-identical on any engine at any parallelism (the
+    textbook float iteration is summation-order dependent and cannot be
+    hash-verified).
+
+    Semantics: r₀(v) = scale DIV N;
+    r_{t+1}(v) = (scale·(den−num)) DIV den DIV N
+                 + Σ_{u→v} (num · r_t(u) · w(u,v)) DIV (den · W(u)).
+    Truncation loses < 1 ulp-of-scale per edge per round (bounded bias,
+    identical everywhere); dangling mass simply decays — declared spec,
+    not redistributed.  Overflow bound: num·r·w must fit int64 — holds
+    while scale · max(w) ≤ ~10^17.
+
+    Scale shape: the edge frame (+ out-weight) is pinned ONCE with a
+    localCheckpoint and re-joined each round; each iteration is one
+    keyed join + one sum-groupBy on the dst key, checkpointed so the
+    plan depth stays O(1) instead of O(iterations) (same discipline as
+    connected_components above).  Rank state is one long per node.
+    """
+    n_nodes = nodes.count()  # bounded metadata (node count, not rows-of-data)
+    if n_nodes == 0:
+        raise ValueError("pagerank_integer requires a non-empty node frame")
+    base = (scale * (damping_den - damping_num)) // damping_den // n_nodes
+    r0 = scale // n_nodes
+
+    outw = edges.groupBy(src_col).agg(F.sum(weight_col).alias("_w_out"))
+    e = (
+        edges.select(src_col, dst_col, weight_col)
+        .join(outw, src_col)
+        .localCheckpoint(eager=True)  # static across iterations
+    )
+    node_ids = nodes.select(F.col(node_col).alias("_node"))
+    r = node_ids.withColumn("_pr", F.lit(r0).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, F.col(src_col) == F.col("_node"))
+            .select(
+                F.col(dst_col).alias("_dst"),
+                (F.lit(damping_num) * F.col("_pr") * F.col(weight_col)).alias("_num"),
+                (F.lit(damping_den) * F.col("_w_out")).alias("_den"),
+            )
+            .select("_dst", F.expr("_num div _den").alias("_contrib"))
+        )
+        summed = contrib.groupBy("_dst").agg(F.sum("_contrib").alias("_s"))
+        r = (
+            node_ids.join(summed, F.col("_node") == F.col("_dst"), "left")
+            .select(
+                "_node",
+                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
+                .cast("long")
+                .alias("_pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select(F.col("_node").alias(node_col), F.col("_pr").alias("pagerank_scaled"))

@@ -291,3 +291,111 @@ def urgent_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
     )
+
+
+def _pagerank_sql(iterations: int = 5, scale: int = 10**9) -> str:
+    """Unrolled-iteration oracle for the integer PageRank: pr0..prN as
+    chained CTEs, each one join + groupBy — a declarative mirror of the
+    distributed loop, robust in any engine (no aggregation inside a
+    recursive CTE, which many engines restrict)."""
+    head = f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM nation),
+    edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY src),
+    pr0 AS (
+      SELECT n_nationkey AS node, CAST(CAST({scale} AS BIGINT) // c AS BIGINT) AS pr
+      FROM nation CROSS JOIN nn
+    )"""
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+    pr{k} AS (
+      SELECT b.node,
+             CAST((SELECT (CAST({scale} AS BIGINT) * 15) // 100 // c FROM nn)
+                  + COALESCE(s.contrib, 0) AS BIGINT) AS pr
+      FROM pr{k - 1} b
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM((85 * p.pr * e.w) // (100 * o.w_out)) AS contrib
+        FROM edges e
+        JOIN outw o ON e.src = o.src
+        JOIN pr{k - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.node = b.node
+    )""")
+    tail = f"""
+    SELECT n.n_name, p.pr AS pr_scaled,
+           CAST(p.pr AS DOUBLE) / SUM(CAST(p.pr AS DOUBLE)) OVER () AS pr_share
+    FROM pr{iterations} p JOIN nation n ON n.n_nationkey = p.node
+    """
+    return head + "," + ",".join(stages) + tail
+
+
+@register(
+    "nation_trade_pagerank",
+    sql=_pagerank_sql(),
+    operators=("A8", "J2", "W4"),
+)
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation trade graph (supplier-nation →
+    customer-nation edges weighted by shipment count): which nations sit
+    at the center of the trade network, beyond raw in/out degree
+    (nation_trade_degree).
+
+    Runs ``operators/graph.py::pagerank_integer`` — the EXACT-arithmetic
+    formulation (scaled bigint ranks, integer-div contributions) whose
+    5-iteration fixpoint the oracle re-derives declaratively as unrolled
+    chained CTEs.  An iterative distributed algorithm hash-verified
+    bitwise against a non-iterative SQL mirror, like
+    connected_components before it.  The pr_share window runs over the
+    25 final rank rows; the share division is exact-int → double, so
+    deterministic.
+
+    Scale: edges are pinned once; each round is one keyed join + one
+    dst-key aggregate with O(1) per-node state, checkpointed so plan
+    depth stays constant — the standard big-graph PageRank shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_integer(
+        n.select(F.col("n_nationkey").alias("node")), edges, iterations=5
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # 25 rows — bounded by the nation dim
+    return (
+        ranks.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("node"), "n_name")),
+            "node",
+        )
+        .select(
+            "n_name",
+            F.col("pagerank_scaled").alias("pr_scaled"),
+            (
+                F.col("pagerank_scaled").cast("double")
+                / F.sum(F.col("pagerank_scaled").cast("double")).over(w)
+            ).alias("pr_share"),
+        )
+    )
