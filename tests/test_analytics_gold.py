@@ -135,3 +135,9 @@ def test_drift_aggregates_before_single_partition_window(spark, catalog):
 def test_trend_joins_without_cartesian(spark, catalog):
     plan = plan_of(catalog["segment_revenue_trend"].fn(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_self_is_all_unchanged(spark):
+    old, _ = _frames(spark)
+    statuses = {r["change_status"] for r in snapshot_diff(old, old, ["k"]).collect()}
+    assert statuses == {UNCHANGED}
