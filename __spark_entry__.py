@@ -45,7 +45,6 @@ _PRIORITY = [
     "corpus_token_df",
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
-    "customer_intensity_by_segment",
     "rolling_7day_revenue",
     "pricing_summary",
     # new in r4 — first-ever verification (flight-domain gold + mutation ops)
@@ -103,6 +102,7 @@ _PRIORITY = [
     "airport_neighbor_pairs",
     "embedding_dim_covariance",
     "nation_trade_pagerank",
+    "events_reaggregation_chain",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -112,6 +112,7 @@ _PRIORITY = [
 _TAIL = [
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
+    "customer_intensity_by_segment",
     "nation_dim",
     "customer_order_gaps",
     "top_customers_per_segment",

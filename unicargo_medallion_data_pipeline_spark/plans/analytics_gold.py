@@ -63,6 +63,7 @@ _DRIFT_SPLIT = "2024-01-16 00:00:00"
     ORDER BY change_status
     """,
     operators=("J7", "A2", "Q5"),
+    bench=True,
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-style reconciliation between two table versions via
@@ -419,4 +420,54 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_events").alias("total_events"),
         (F.lit(2.0) * swx / (n * tot) - (n + F.lit(1.0)) / n).alias("gini"),
+    )
+
+
+@register(
+    "events_reaggregation_chain",
+    sql="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    operators=("A4", "A6", "A13"),
+)
+def events_reaggregation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregate reuse, proven: the engine derives weekly stats by
+    CHAINING hour → day → week aggregates (the medallion pattern where
+    an hourly gold table feeds the daily table feeds the weekly table),
+    while the oracle aggregates the raw events directly — hash equality
+    IS the proof that the chain loses nothing for additive measures.
+
+    Why this works: counts and exact-decimal sums are associative, so
+    re-summing partials equals the direct aggregate bitwise.  The same
+    chain with avg or countDistinct would be WRONG (store exact sums +
+    counts, or mergeable sketches — events_mergeable_hll_rollup — and
+    finalize at read time).  At 100 TB this is the difference between
+    a weekly query scanning 24×7 pre-agg rows per group and rescanning
+    a week of raw facts; the chain costs three ever-shrinking keyed
+    aggregates, each map-side combined.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hour = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    week = day.groupBy(
+        F.date_trunc("week", "day_start").cast("date").alias("week_start"),
+        "event_type",
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    return week.select(
+        "week_start",
+        "event_type",
+        "n_events",
+        F.col("sv").cast("double").alias("total_value"),
     )
