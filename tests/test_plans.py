@@ -451,3 +451,22 @@ def test_catalog_oracle_sql_covers_every_query(catalog):
     DuckDB oracle SQL (no weaker rows-only checks)."""
     missing = [n for n, q in catalog.items() if q.sql is None]
     assert not missing, f"queries without oracle SQL: {missing}"
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, catalog):
+    """The determinism claim, tested inside Spark itself: rerunning
+    representative exact-sum / banded / rank queries with a different
+    (prime) shuffle-partition count must give identical rows — partial
+    aggregation order and partition boundaries cannot leak into results."""
+    names = ["lineitem_price_qty_corr", "user_activity_gini", "doc_minhash_near_dups"]
+    baseline = {}
+    for n in names:
+        baseline[n] = sorted(map(tuple, catalog[n].fn(spark, SF).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for n in names:
+            again = sorted(map(tuple, catalog[n].fn(spark, SF).collect()))
+            assert again == baseline[n], f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

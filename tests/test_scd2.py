@@ -216,3 +216,27 @@ def test_reserved_column_collision_rejected(spark):
     with pytest.raises(ValueError, match="collide with SCD2 bookkeeping"):
         apply_scd2(spark, path, export,
                    key_cols=["airline_id"], tracked_cols=["name", "is_current"])
+
+
+def test_scd2_as_of_composes_with_snapshot_diff(spark):
+    """The 'what changed between two points in time' question answered by
+    composing two operators: diff_summary(as_of(t1), as_of(t2)) — the
+    SCD2 history is the source, the diff is the report."""
+    from unicargo_medallion_data_pipeline_spark.operators.diff import diff_summary
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import as_of
+
+    path = os.path.join(tempfile.mkdtemp(prefix="scd2_diff_"), "dim")
+    _apply(spark, path, [(1, "AirOne", "US", 1), (2, "BlueJet", "DE", 1)])
+    _apply(spark, path, [
+        (1, "AirOne Intl", "US", 5),   # changed
+        (2, "BlueJet", "DE", 5),       # unchanged
+        (3, "SkyHop", "FR", 5),        # added
+    ])
+    dim = spark.read.parquet(path)
+    v1 = as_of(dim, T(2)).select("airline_id", "name", "country")
+    v2 = as_of(dim, T(6)).select("airline_id", "name", "country")
+    counts = {
+        r["change_status"]: r["n_keys"]
+        for r in diff_summary(v1, v2, keys=["airline_id"]).collect()
+    }
+    assert counts == {"changed": 1, "unchanged": 1, "added": 1}
