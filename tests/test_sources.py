@@ -159,3 +159,66 @@ def test_csv_quarantine_rejects_reserved_column(spark):
     bad_schema = StructType([StructField("_corrupt_record", StringType())])
     with _pytest.raises(ValueError, match="already contains"):
         read_csv_with_quarantine(spark, "/tmp/x.csv", bad_schema)
+
+
+def test_jsonl_quarantine_splits_and_preserves_raw(spark):
+    """Malformed JSONL lines land verbatim in quarantine; valid rows flow
+    typed; missing fields are typed nulls (drift), not corruption;
+    good + bad == raw line count."""
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = tempfile.mkdtemp(prefix="src_jsonl_")
+    lines = [
+        '{"doc_id": 1, "text": "hello", "lang": "en"}',
+        '{"doc_id": "not-a-number", "text": "bad type", "lang": "en"}',
+        "this is not json at all",
+        '{"doc_id": 4, "text": "drifted"}',  # lang missing → typed null
+        '{"doc_id": 5, "text": "ok", "lang": "fr"}',
+    ]
+    with open(os.path.join(d, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_with_quarantine(spark, d, schema)
+    good_rows = {r["doc_id"]: r for r in good.collect()}
+    bad_rows = [r["raw_line"] for r in quarantine.collect()]
+    assert set(good_rows) == {1, 4, 5}
+    assert good_rows[4]["lang"] is None  # drift, not corruption
+    assert sorted(bad_rows) == sorted([lines[1], lines[2]])
+    assert good.count() + quarantine.count() == len(lines)
+
+
+def test_binary_files_reader_contents_and_glob(spark):
+    """binaryFile rows carry exact bytes + length; pathGlobFilter prunes
+    non-matching files; a length filter is answerable from metadata."""
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_binary_files
+
+    d = tempfile.mkdtemp(prefix="src_bin_")
+    payload_a = bytes(range(256))
+    payload_b = b"x" * 1000
+    with open(os.path.join(d, "a.img"), "wb") as f:
+        f.write(payload_a)
+    with open(os.path.join(d, "b.img"), "wb") as f:
+        f.write(payload_b)
+    with open(os.path.join(d, "ignore.txt"), "wb") as f:
+        f.write(b"nope")
+
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in read_binary_files(spark, d, glob="*.img").collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"]["content"]) == payload_a
+    assert rows["b.img"]["length"] == 1000
+
+    small = read_binary_files(spark, d, glob="*.img").filter("length < 500")
+    assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == ["a.img"]

@@ -120,6 +120,72 @@ def read_csv_with_quarantine(
     return good, quarantine
 
 
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest hardened like the CSV path: ``(good,
+    quarantine)`` split with every malformed ORIGINAL line preserved.
+
+    The raw-dump corpora most training pipelines ingest are JSONL, and
+    upstream producers break in the same ways CSV does (truncated
+    lines, type drift, stray non-JSON records).  Same machinery as
+    ``read_csv_with_quarantine``: PERMISSIVE parse with
+    ``columnNameOfCorruptRecord``, one physical pass pinned by an eager
+    localCheckpoint (the analyzer rejects lazy corrupt-column-only
+    queries for JSON exactly as for CSV), then two filters over the
+    materialized parse.  A row quarantines on unparseable JSON or a
+    type mismatch against the declared schema; fields merely MISSING
+    from a valid object stay typed nulls (schema-drift tolerance, not
+    corruption).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema already contains {CORRUPT_COL!r}")
+    aug = StructType([*schema.fields]).add(CORRUPT_COL, StringType())
+    df = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    ).localCheckpoint(eager=True)
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Binary-file source for the multimodal pipeline: one row per file
+    with ``(path, modificationTime, length, content binary)`` — the
+    ingest end of ``textops/multimodal.py`` (bytes → decode → features
+    via Arrow-batched mapInPandas).
+
+    Uses Spark's native ``binaryFile`` format: the driver lists files
+    (no data read), executors read contents lazily, and pushed filters
+    on path/length/modificationTime prune BEFORE bytes move — e.g.
+    ``.filter("length < 10*1024*1024")`` never downloads oversized
+    blobs.  ``glob`` maps to pathGlobFilter (file-name pattern only).
+    Scale note: each file is one row — pack small objects upstream
+    (tar/parquet-of-binary) rather than listing 10^9 tiny files; the
+    listing, not the bytes, becomes the bottleneck.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    reader = reader.option("recursiveFileLookup", str(recursive).lower())
+    return reader.load(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """ORC path scan (beyond-reference) — same pushdown/pruning behavior
     as parquet via the vectorized ORC reader."""
