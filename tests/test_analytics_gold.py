@@ -141,3 +141,35 @@ def test_snapshot_diff_self_is_all_unchanged(spark):
     old, _ = _frames(spark)
     statuses = {r["change_status"] for r in snapshot_diff(old, old, ["k"]).collect()}
     assert statuses == {UNCHANGED}
+
+
+def test_content_fingerprint_detects_single_row_change(spark, catalog):
+    """Same data → same hash; any one-row perturbation → different hash
+    (row order and partitioning never matter: the sum is commutative)."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    base = catalog["orders_content_fingerprint"].fn(spark, SF).collect()[0]
+    again = catalog["orders_content_fingerprint"].fn(spark, SF).collect()[0]
+    assert (base["n_rows"], base["content_hash"]) == (again["n_rows"], again["content_hash"])
+
+    o = load_table(spark, SF, "orders").withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h15 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(19,0)")
+    perturbed = o.select(h15.alias("h")).agg(
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("content_hash")
+    ).collect()[0]["content_hash"]
+    assert perturbed != base["content_hash"]

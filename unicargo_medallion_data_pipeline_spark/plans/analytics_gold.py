@@ -471,3 +471,74 @@ def events_reaggregation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("sv").cast("double").alias("total_value"),
     )
+
+
+def _hex15_sql(col: str) -> str:
+    """Unrolled exact hex→int parse of the first 15 md5 digits (SQL).
+
+    16^k appear as LITERAL integer constants because POWER() is
+    double-typed in both engines and 16^14 exceeds 2^53 — the unrolled
+    integer form stays exact in BIGINT (max value 16^15−1 ≈ 1.15e18).
+    """
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1) * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "orders_content_fingerprint",
+    sql=f"""
+    WITH rowhash AS (
+      SELECT {_hex15_sql("md5(concat_ws('|', "
+            "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+            "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), "
+            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority))")}
+        AS h
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS VARCHAR)
+             AS content_hash
+    FROM rowhash
+    """,
+    operators=("A15", "P4", "Q5"),
+)
+def orders_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprint: md5 each row's
+    canonical string form, parse the first 15 hex digits to an exact
+    integer, SUM — one scalar that changes whenever any row changes,
+    comparable across engines, runs, partitionings, and row orders.
+    The data-diff primitive: compare fingerprints first (one scan, one
+    scalar), run the full snapshot_diff only when they differ.
+
+    Canonicalization rules (must match on every engine): doubles go
+    through DECIMAL(18,2) before stringing (raw double→string
+    formatting is engine-specific), timestamps through DATE, and
+    columns join on '|'.  The hex parse is unrolled with literal 16^k
+    constants (POWER is double-typed and 16^14 > 2^53); the row value
+    is < 16^15 so the per-row BIGINT and the DECIMAL(38) sum are both
+    exact.  The final hash is emitted as a STRING so engine decimal
+    types cannot differ.  Collision odds: summing 60-bit values is not
+    cryptographic, but flipping any row changes the sum unless an
+    adversary constructs a canceling pair — fine for change DETECTION,
+    not for integrity proofs.
+
+    Plan: one scan, map-side md5 + arithmetic, single global aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h15 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(19,0)")
+    return o.select(h15.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("content_hash"),
+    )
