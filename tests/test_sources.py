@@ -222,3 +222,34 @@ def test_binary_files_reader_contents_and_glob(spark):
 
     small = read_binary_files(spark, d, glob="*.img").filter("length < 500")
     assert [r["path"].rsplit("/", 1)[-1] for r in small.collect()] == ["a.img"]
+
+
+def test_partitioned_path_scan_prunes_partitions(spark):
+    """A day-partitioned lake layout must answer a one-day query by
+    reading ONLY that partition: the predicate shows up in
+    PartitionFilters (metadata pruning), not as a post-scan filter over
+    every file."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.sources.writers import (
+        write_partitioned_path,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    d = tempfile.mkdtemp(prefix="src_part_")
+    write_partitioned_path(ev, d, ["day"], mode="overwrite", file_format="parquet")
+
+    q = spark.read.parquet(d).filter(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0], f"no partition filter in scan: {pf}"
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert q.count() == expected > 0
