@@ -114,3 +114,20 @@ def test_null_profile_single_pass(spark):
     df = spark.createDataFrame([(1, None), (None, "x"), (3, "y")], ["a", "b"])
     p = null_profile(df)
     assert p == {"row_count": 3, "null_counts": {"a": 1, "b": 1}}
+
+
+def test_exact_double_matches_correctly_rounded_conversion(spark):
+    """exact_double must equal Python's correctly-rounded str→float on
+    values whose unscaled magnitude exceeds 2^53 — the regime where a
+    plain decimal→double cast diverges between engines."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
+
+    vals = ["-19399967019787510", "9007199254740993", "123456789012345678901234567"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        F.col("s"), exact_double(F.col("s").cast("decimal(38,0)")).alias("d")
+    )
+    got = {r["s"]: r["d"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == float(v), f"{v}: {got[v]!r} != {float(v)!r}"

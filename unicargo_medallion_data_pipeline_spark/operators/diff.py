@@ -46,6 +46,12 @@ def snapshot_diff(
     ``compare_cols`` defaults to all shared non-key columns.  Comparison
     is null-safe (``<=>``): NULL == NULL counts as equal, NULL vs value
     as changed — the semantics a CDC consumer expects.
+
+    Precondition: ``keys`` must be unique within EACH snapshot (the CDC
+    contract).  Duplicate keys fan out through the full-outer join
+    (m×n rows per key) and the per-key statuses become meaningless;
+    run a count-distinct gate upstream if the source cannot guarantee
+    it (``quality/validation.py``).
     """
     if not keys:
         raise ValueError("snapshot_diff requires at least one key column")
