@@ -45,7 +45,6 @@ _PRIORITY = [
     "corpus_token_df",
     "lang_id_confusion",
     # green in r1+r2, rotated out of the r3 window — staleness re-check
-    "pricing_summary",
     # new in r4 — first-ever verification (flight-domain gold + mutation ops)
     "flight_airline_scorecard",
     "flight_busiest_routes",
@@ -103,6 +102,7 @@ _PRIORITY = [
     "nation_trade_pagerank",
     "events_reaggregation_chain",
     "orders_content_fingerprint",
+    "distinct_users_sliding_7d",
 ]
 
 # Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
@@ -112,6 +112,7 @@ _PRIORITY = [
 _TAIL = [
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
+    "pricing_summary",
     "rolling_7day_revenue",
     "customer_intensity_by_segment",
     "nation_dim",

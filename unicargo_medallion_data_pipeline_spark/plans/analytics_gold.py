@@ -542,3 +542,60 @@ def orders_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("h").cast("decimal(38,0)").cast("string").alias("content_hash"),
     )
+
+
+@register(
+    "distinct_users_sliding_7d",
+    sql="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ue AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT d.day AS window_end,
+           COUNT(DISTINCT u.user_id) AS n_users_7d
+    FROM days d JOIN ue u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    ORDER BY window_end
+    """,
+    operators=("A15", "W3", "Q4"),
+)
+def distinct_users_sliding_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day sliding distinct users — the classically hard rolling
+    metric (distinct does NOT reaggregate: you cannot sum daily
+    distincts), answered scalably with the bitmap-rollup machinery:
+    per-(day, bucket) bitmaps, each replicated to the 7 windows it
+    belongs to (map-side, like the spatial neighbor replication), OR-
+    merged per window, bit-counted.
+
+    Shuffle payload is |days|×7 bucket-bitmap rows — bounded by the
+    DATE RANGE and the occupied id-domain, never the event count; the
+    oracle's formulation (a day-spine range join over distinct
+    (day, user) pairs) is the semantics spec, but shuffles |days|×|users|
+    rows and is the thing NOT to run at lake scale.  Bitmap OR is
+    idempotent/commutative, so the window merge is exact, and the same
+    stored daily grain answers any window length (7d here, 28d, MTD)
+    without touching raw events again.  Output limited to days present
+    in the data (left-semi against the observed day set), so partial
+    leading windows match the spec exactly.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.rollup import (
+        BITMAP_BUCKET_COL,
+        bitmap_distinct,
+        bitmap_grain,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    grain = bitmap_grain(ev, ["day"], "user_id")
+    spread = grain.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).withColumn("window_end", F.date_add(F.col("day"), F.col("off")))
+    merged = spread.groupBy("window_end", BITMAP_BUCKET_COL).agg(
+        F.bitmap_or_agg("bitmap").alias("bitmap")
+    )
+    counts = bitmap_distinct(merged, ["window_end"])
+    days = ev.select("day").distinct()
+    return (
+        counts.join(days, counts.window_end == days.day, "left_semi")
+        .select("window_end", F.col("n_distinct").alias("n_users_7d"))
+        .orderBy("window_end")
+    )
