@@ -492,9 +492,12 @@ def _hex15_sql(col: str) -> str:
     sql=f"""
     WITH rowhash AS (
       SELECT {_hex15_sql("md5(concat_ws('|', "
-            "CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
-            "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), "
-            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority))")}
+            "COALESCE(CAST(o_orderkey AS VARCHAR), '<null>'), "
+            "COALESCE(CAST(o_custkey AS VARCHAR), '<null>'), "
+            "COALESCE(o_orderstatus, '<null>'), "
+            "COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '<null>'), "
+            "COALESCE(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '<null>'), "
+            "COALESCE(o_orderpriority, '<null>')))")}
         AS h
       FROM orders
     )
@@ -515,8 +518,10 @@ def orders_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Canonicalization rules (must match on every engine): doubles go
     through DECIMAL(18,2) before stringing (raw double→string
-    formatting is engine-specific), timestamps through DATE, and
-    columns join on '|'.  The hex parse is unrolled with literal 16^k
+    formatting is engine-specific), timestamps through DATE, NULLs
+    become an explicit '<null>' sentinel (concat_ws SKIPS nulls, so
+    without the sentinel a null moving between columns would not
+    change the hash), and columns join on '|'.  The hex parse is unrolled with literal 16^k
     constants (POWER is double-typed and 16^14 > 2^53); the row value
     is < 16^15 so the per-row BIGINT and the DECIMAL(38) sum are both
     exact.  The final hash is emitted as a STRING so engine decimal
@@ -528,14 +533,15 @@ def orders_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one scan, map-side md5 + arithmetic, single global aggregate.
     """
     o = load_table(spark, sf_dir, "orders")
+    nul = F.lit("<null>")
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.col("o_orderdate").cast("date").cast("string"),
-        F.col("o_orderpriority"),
+        F.coalesce(F.col("o_orderkey").cast("string"), nul),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderstatus"), nul),
+        F.coalesce(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), nul),
+        F.coalesce(F.col("o_orderdate").cast("date").cast("string"), nul),
+        F.coalesce(F.col("o_orderpriority"), nul),
     )
     h15 = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(19,0)")
     return o.select(h15.alias("h")).agg(
