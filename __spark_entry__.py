@@ -110,6 +110,12 @@ _PRIORITY = [
 # multi-green last) so the entries that most benefit from re-sampling sit
 # closest if space opens.
 _TAIL = [
+    # new in r4 AFTER the window filled (locally oracle-verified at all
+    # three SFs; never driver-verified) — FRONT-LOAD THESE IN R5
+    "events_user_quota_batch",
+    "events_ab_value_ttest",
+    "priority_price_extremes",
+    "events_value_mad",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

@@ -24,3 +24,4 @@ import unicargo_medallion_data_pipeline_spark.plans.tpch_gold9  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.events_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.analytics_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.assoc_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.analytics_gold2  # noqa: F401

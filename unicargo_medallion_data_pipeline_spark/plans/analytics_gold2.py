@@ -1,0 +1,263 @@
+"""Dataset-health analytics, second batch: quota semantics under the
+hash gate, A/B testing, order-statistics window functions, robust MAD.
+
+Registered late in round 4 — these sit OUTSIDE the round-4 driver
+window (it is fully allocated to that round's earlier additions) but
+are locally oracle-verified at all three SFs and front-load the round-5
+window rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+#: Per-user acceptance cap for the batch quota mirror (streaming/quota.py
+#: enforces the same rule incrementally with keyed state).
+_QUOTA_LIMIT = 40
+
+
+@register(
+    "events_user_quota_batch",
+    sql=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN rn <= {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS n_accepted,
+           SUM(CASE WHEN rn > {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS n_rejected,
+           MIN(CASE WHEN rn > {_QUOTA_LIMIT} THEN ts_s END) AS first_rejected_epoch
+    FROM seq
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    operators=("W5", "A13", "T6"),
+)
+def events_user_quota_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-key quota rule (first K events per user accepted, rest
+    rejected — ``streaming/quota.py`` enforces it incrementally with
+    keyed state) replayed as a BATCH plan and hash-verified: the
+    batch-mirror discipline the streaming suite uses, now under the
+    driver's oracle rather than pytest alone.
+
+    Arrival order is the total (ts, event_id) order, so acceptance is
+    deterministic under ties.  Plan: one user-key exchange shared by
+    the row_number window and the per-user aggregate; O(1) window
+    state.  At lake scale this is the backfill/repair path for the
+    streaming quota (recompute a day's acceptance flags exactly).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.row_number().over(w).alias("rn"),
+    )
+    lim = F.lit(_QUOTA_LIMIT)
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("rn") <= lim, 1).otherwise(0)).alias("n_accepted"),
+            F.sum(F.when(F.col("rn") > lim, 1).otherwise(0)).alias("n_rejected"),
+            F.min(F.when(F.col("rn") > lim, F.col("ts_s"))).alias(
+                "first_rejected_epoch"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ab_value_ttest",
+    sql="""
+    WITH c AS (
+      SELECT user_id % 2 AS arm,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS vc
+      FROM events
+    ),
+    s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(vc) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(vc * vc) AS DECIMAL(28,0)) AS sxx
+      FROM c GROUP BY arm
+    ),
+    f AS (
+      SELECT arm,
+             CAST(n AS BIGINT) AS n_users_arm,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_value,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 10000.0
+               AS var_value
+      FROM s
+    )
+    SELECT a.n_users_arm AS n_a, b.n_users_arm AS n_b,
+           a.mean_value AS mean_a, b.mean_value AS mean_b,
+           (a.mean_value - b.mean_value)
+             / SQRT(a.var_value / a.n_users_arm + b.var_value / b.n_users_arm)
+             AS t_stat
+    FROM f a CROSS JOIN f b
+    WHERE a.arm = 0 AND b.arm = 1
+    """,
+    operators=("A15", "A14"),
+)
+def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic between two deterministic arms
+    (user_id parity) over the event value — the experiment-analysis
+    primitive, built bit-deterministically: per-arm n/Σx/Σx² as exact
+    integer-cents sums, sample variance from the decimal closed form
+    through exact_double, then mean-difference over the pooled standard
+    error (division/addition/SQRT — all correctly rounded).  The
+    p-value is deliberately out of scope: the t→p transform needs the
+    incomplete beta function (libm territory, not hash-verifiable);
+    consumers threshold the t statistic directly.
+
+    Plan: one 2-group map-side-combined aggregate, then a 2-row self
+    join — all post-scan work is on two rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(18,0)")
+        .alias("vc"),
+    )
+    s = ev.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("vc").cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("vc") * F.col("vc")).cast("decimal(28,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    f = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users_arm"),
+        (F.col("sx").cast("double") / nd / F.lit(100.0)).alias("mean_value"),
+        (
+            exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (nd * (nd - F.lit(1.0)))
+            / F.lit(10000.0)
+        ).alias("var_value"),
+    )
+    a = f.filter(F.col("arm") == 0).alias("a")
+    b = f.filter(F.col("arm") == 1).alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n_users_arm").alias("n_a"),
+        F.col("b.n_users_arm").alias("n_b"),
+        F.col("a.mean_value").alias("mean_a"),
+        F.col("b.mean_value").alias("mean_b"),
+        (
+            (F.col("a.mean_value") - F.col("b.mean_value"))
+            / F.sqrt(
+                F.col("a.var_value") / F.col("a.n_users_arm")
+                + F.col("b.var_value") / F.col("b.n_users_arm")
+            )
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "priority_price_extremes",
+    sql="""
+    WITH w AS (
+      SELECT o_orderpriority,
+             COUNT(*) OVER win AS n_orders,
+             FIRST_VALUE(o_orderkey) OVER win AS cheapest_key,
+             NTH_VALUE(o_orderkey, 2) OVER win AS second_cheapest_key,
+             LAST_VALUE(o_orderkey) OVER win AS priciest_key,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderpriority, n_orders, cheapest_key, second_cheapest_key,
+           priciest_key
+    FROM w WHERE rn = 1
+    ORDER BY o_orderpriority
+    """,
+    operators=("W5", "O2"),
+)
+def priority_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-statistics window family not yet under the gate:
+    FIRST_VALUE / NTH_VALUE / LAST_VALUE over an explicit full-partition
+    frame (the default running frame makes LAST_VALUE the CURRENT row —
+    the classic window-frame bug this query pins against both engines).
+    Total tiebreak (price, orderkey) makes every extreme deterministic.
+
+    Plan: one priority-key exchange, one window pass, rn=1 filter — at
+    lake scale prefer the argmin/argmax aggregate form
+    (cheapest_shipment_supplier) for the first/last pair; NTH_VALUE is
+    the window-only capability this entry exists to verify.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    full = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    run = Window.partitionBy("o_orderpriority").orderBy(*order)
+    w = o.select(
+        "o_orderpriority",
+        F.count(F.lit(1)).over(full).alias("n_orders"),
+        F.first("o_orderkey").over(full).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_cheapest_key"),
+        F.last("o_orderkey").over(full).alias("priciest_key"),
+        F.row_number().over(run).alias("rn"),
+    )
+    return (
+        w.filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "events_value_mad",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, m.median_value,
+           quantile_cont(ABS(e.value - m.median_value), 0.5) AS mad
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    GROUP BY e.event_type, m.median_value
+    ORDER BY e.event_type
+    """,
+    operators=("A13", "J2"),
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    companion to the sigma-gate (events_value_outliers): immune to the
+    outliers it is used to find.  Two exact-percentile passes: per-group
+    median, broadcast back, median of absolute deviations.  ABS and
+    subtraction are exact on doubles; the interpolated percentile is the
+    proven deterministic pattern (order_value_percentiles).  Scale note
+    as there: exact percentiles sort per group — at unbounded group
+    cardinality switch to approx_percentile and drop the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    return (
+        j.groupBy("event_type", "median_value")
+        .agg(
+            F.expr("percentile(abs(value - median_value), 0.5)").alias("mad")
+        )
+        .orderBy("event_type")
+    )
