@@ -116,6 +116,9 @@ _TAIL = [
     "events_ab_value_ttest",
     "priority_price_extremes",
     "events_value_mad",
+    "latest_orders_with_ties",
+    "nation_revenue_share_of_region",
+    "monthly_revenue_mom",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

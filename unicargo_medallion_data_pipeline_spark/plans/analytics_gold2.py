@@ -261,3 +261,159 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "latest_orders_with_ties",
+    sql="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_orderdate DESC) AS date_rank,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, order_date, date_rank, rn
+    FROM r WHERE date_rank <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+    operators=("W5", "O3"),
+)
+def latest_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-INCLUSIVE top-k: every order from each priority's 3 most
+    recent order dates.  RANK() keeps whole tie groups — the correct
+    semantics for "the latest days' orders", where ROW_NUMBER would
+    truncate a tie group at an arbitrary member; the rn column (fully
+    tie-broken) is emitted alongside to pin the contrast.  RANK under
+    ties is deterministic without a tiebreak (equal keys get equal
+    ranks); rn needs the orderkey tiebreak — same discipline as every
+    top-k in this engine.  One priority-key exchange, one window pass.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_orderdate"
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").desc())
+    wn = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    r = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+        F.rank().over(wr).alias("date_rank"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return (
+        r.filter(F.col("date_rank") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+@register(
+    "nation_revenue_share_of_region",
+    sql="""
+    WITH nrev AS (
+      SELECT n.n_name, n.n_regionkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev_dec
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, n.n_regionkey
+    )
+    SELECT n_name, n_regionkey,
+           CAST(rev_dec AS DOUBLE) AS nation_revenue,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev_dec AS DOUBLE)
+             / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share_of_total
+    FROM nrev
+    ORDER BY n_name
+    """,
+    operators=("W4", "J2", "A13"),
+)
+def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent in a dimensional hierarchy (nation → region →
+    all): each nation's revenue as a fraction of its region and of the
+    total — the drill-path ratio every OLAP tool computes.  Exact
+    decimal revenue per nation first (25 rows), THEN the two share
+    windows over that bounded aggregate — the windows never see fact
+    rows.  The double sums inside the share windows are sums of ≤25
+    exactly-representable values (< 2^53), so window order cannot
+    perturb them.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nrev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("rev_dec")
+        )
+    )
+    wreg = Window.partitionBy("n_regionkey")
+    wall = Window.partitionBy()
+    rev_d = F.col("rev_dec").cast("double")
+    return nrev.select(
+        "n_name",
+        "n_regionkey",
+        rev_d.alias("nation_revenue"),
+        (rev_d / F.sum("rev_dec").over(wreg).cast("double")).alias(
+            "share_of_region"
+        ),
+        (rev_d / F.sum("rev_dec").over(wall).cast("double")).alias(
+            "share_of_total"
+        ),
+    ).orderBy("n_name")
+
+
+@register(
+    "monthly_revenue_mom",
+    sql="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month_start, revenue,
+           LAG(revenue) OVER (ORDER BY month_start) AS prev_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month_start))
+             / LAG(revenue) OVER (ORDER BY month_start) * 100.0 AS mom_pct
+    FROM m
+    ORDER BY month_start
+    """,
+    operators=("A6", "W5"),
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-comparison KPI:
+    monthly exact-decimal revenue, previous month via LAG, percent
+    delta (NULL for the first month in both engines).  The unpartitioned
+    LAG window runs over the MONTH grain (≤ ~80 rows for this dataset's
+    span), never the fact — the same bounded-window discipline as the
+    drift and share queries.  One keyed aggregate + one tiny window.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month_start")  # month grain — bounded, documented
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev * F.lit(100.0)).alias("mom_pct"),
+    ).orderBy("month_start")
