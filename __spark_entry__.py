@@ -119,6 +119,8 @@ _TAIL = [
     "latest_orders_with_ties",
     "nation_revenue_share_of_region",
     "monthly_revenue_mom",
+    "daily_revenue_zscore_28d",
+    "corpus_type_token_ratio",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

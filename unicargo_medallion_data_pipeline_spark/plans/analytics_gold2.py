@@ -417,3 +417,125 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev * F.lit(100.0)).alias("mom_pct"),
     ).orderBy("month_start")
+
+
+@register(
+    "daily_revenue_zscore_28d",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, y_c,
+             CAST(COUNT(*) OVER win AS DECIMAL(10,0)) AS n,
+             CAST(SUM(y_c) OVER win AS DECIMAL(28,0)) AS sy,
+             CAST(SUM(y_c * y_c) OVER win AS DECIMAL(38,0)) AS syy
+      FROM daily
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CAST(y_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_28d,
+           CASE WHEN n >= 2 THEN
+             (CAST(y_c AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+           END AS z_28d
+    FROM w
+    ORDER BY day
+    """,
+    operators=("W3", "A4", "A14"),
+)
+def daily_revenue_zscore_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly score: each day's revenue as a z-score against
+    the trailing 28 days — the time-aware complement to the global
+    sigma gate (events_value_outliers), catching "unusual FOR THIS
+    period" rather than "unusual overall".
+
+    Fully deterministic via the established discipline: the rolling
+    Σy / Σy² run over integer-cents DECIMALS inside the ROWS frame
+    (window accumulation order cannot matter when the sum is exact),
+    the variance numerator nΣy²−(Σy)² stays in scale-0 decimals through
+    exact_double, and the only double math is the final closed form
+    with correctly-rounded SQRT.  First-day windows (n=1) emit NULL
+    rather than 0/0 NaN.  One day-grain aggregate + one window over
+    day-grain rows — bounded by the calendar, never the fact.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)")
+        .alias("y_c")
+    )
+    win = Window.orderBy("day").rowsBetween(-27, Window.currentRow)
+    w = daily.select(
+        "day",
+        "y_c",
+        F.count(F.lit(1)).over(win).cast("decimal(10,0)").alias("n"),
+        F.sum("y_c").over(win).cast("decimal(28,0)").alias("sy"),
+        F.sum(F.col("y_c") * F.col("y_c")).over(win).cast("decimal(38,0)").alias("syy"),
+    )
+    y_d = F.col("y_c").cast("double")
+    n_d = F.col("n").cast("double")
+    sy_d = F.col("sy").cast("double")
+    z = (y_d - sy_d / n_d) / F.sqrt(
+        exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        / (n_d * (n_d - F.lit(1.0)))
+    )
+    return w.select(
+        "day",
+        (y_d / F.lit(100.0)).alias("revenue"),
+        (sy_d / n_d / F.lit(100.0)).alias("mean_28d"),
+        F.when(F.col("n") >= 2, z).alias("z_28d"),
+    ).orderBy("day")
+
+
+@register(
+    "corpus_type_token_ratio",
+    sql=r"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT token) AS n_types,
+           CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*) AS type_token_ratio
+    FROM tok
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    operators=("A13", "P4"),
+)
+def corpus_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language — type/token ratio, the corpus
+    health metric that flags both boilerplate floods (TTR collapses)
+    and tokenizer breakage (TTR explodes).  Tokenization is the
+    engine's canonical whitespace normalization (textops/analysis.py,
+    byte-identical to the SQL macro used by the token-stats queries).
+
+    Plan: explode → one (lang, token)-keyed distinct + lang aggregate;
+    Spark's count_distinct handles the two-level shuffle.  At 100 TB
+    the exact distinct over tokens is the expensive half — swap in
+    approx_count_distinct (HLL) for monitoring and keep the exact form
+    for audits.
+    """
+    from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(ta.tokens("text")).alias("token"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_types"),
+            (
+                F.countDistinct("token").cast("double") / F.count(F.lit(1))
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
