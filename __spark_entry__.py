@@ -121,6 +121,8 @@ _TAIL = [
     "monthly_revenue_mom",
     "daily_revenue_zscore_28d",
     "corpus_type_token_ratio",
+    "part_also_bought_top3",
+    "customer_rfm_scores",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

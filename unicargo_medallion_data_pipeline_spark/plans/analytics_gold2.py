@@ -539,3 +539,95 @@ def corpus_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "customer_rfm_scores",
+    sql="""
+    WITH ref AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders
+    ),
+    base AS (
+      SELECT o.o_custkey AS c_custkey,
+             DATEDIFF('day', MAX(CAST(o.o_orderdate AS DATE)), r.ref_day)
+               AS recency_days,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders o CROSS JOIN ref r
+      GROUP BY o.o_custkey, r.ref_day
+    ),
+    scored AS (
+      SELECT c_custkey, recency_days, n_orders, monetary,
+             NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY -n_orders, c_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY -monetary, c_custkey) AS m_q
+      FROM base
+    )
+    SELECT c_custkey, recency_days, n_orders, monetary, r_q, f_q, m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+             AS rfm_code
+    FROM scored
+    ORDER BY c_custkey
+    """,
+    operators=("W5", "A13", "P4"),
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles plus the concatenated RFM code, the classic marketing
+    segmentation table.  Quintile 1 is best on every axis (most recent,
+    most orders, highest spend), encoded by ranking on negated F/M.
+
+    All three quintile assignments run through ``operators/ranks.py::
+    global_ntile`` — the range-partitioned form with NO unpartitioned
+    window, exact NTILE semantics (first total%5 tiles get the extra
+    row), and (value, custkey) total tiebreaks so ties cannot float
+    between quintiles across runs.  The oracle uses plain NTILE windows
+    — declarative mirror of the distributed rank.  Monetary is an
+    exact-decimal sum; the negation trick keeps ascending-order ntile
+    semantics identical in both engines.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
+    base = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "ref_day")
+        .agg(
+            F.datediff(F.col("ref_day"), F.max(F.col("o_orderdate").cast("date"))).alias(
+                "_r"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "c_custkey",
+            F.col("_r").alias("recency_days"),
+            "n_orders",
+            "monetary",
+            (-F.col("n_orders")).alias("_neg_f"),
+            (-F.col("monetary")).alias("_neg_m"),
+        )
+    )
+    r = global_ntile(base, 5, ["recency_days", "c_custkey"], tile_col="r_q")
+    f = global_ntile(r, 5, ["_neg_f", "c_custkey"], tile_col="f_q")
+    m = global_ntile(f, 5, ["_neg_m", "c_custkey"], tile_col="m_q")
+    return m.select(
+        "c_custkey",
+        "recency_days",
+        "n_orders",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("rfm_code"),
+    ).orderBy("c_custkey")

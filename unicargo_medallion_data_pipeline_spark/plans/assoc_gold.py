@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
 from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
@@ -349,4 +350,70 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.abs(F.col("cov")).desc(), "dim_i", "dim_j")
         .limit(20)
+    )
+
+
+@register(
+    "part_also_bought_top3",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part, b.l_partkey AS partner, COUNT(*) AS n_together
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT part, partner, n_together,
+             ROW_NUMBER() OVER (PARTITION BY part
+                                ORDER BY n_together DESC, partner) AS rec_rank
+      FROM pairs
+    )
+    SELECT part, partner, n_together, rec_rank
+    FROM ranked WHERE rec_rank <= 3
+    ORDER BY part, rec_rank
+    """,
+    operators=("W5", "A13", "O3"),
+)
+def part_also_bought_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item recommendation table: each part's top-3 co-purchased
+    partners — the "customers also bought" artifact, i.e. the
+    item-grain view of part_pair_cooccurrence's global top pairs.
+
+    Same scale discipline as the co-occurrence query: baskets pinned
+    once (localCheckpoint), DIRECTED pairs generated map-side from each
+    basket's array (every ordered pair (x,y), x≠y — each item sees all
+    its partners), one (part, partner) aggregate, then a per-part
+    window top-3 (WindowGroupLimit prunes map-side).  Never a self-join
+    on the item catalog; fan-out is basket_size·(basket_size−1) per
+    basket.
+    """
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        """
+        flatten(transform(items, x ->
+          transform(filter(items, y -> y != x),
+                    y -> named_struct('part', x, 'partner', y))))
+        """
+    )
+    pairs = (
+        baskets.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.part").alias("part"), F.col("pr.partner").alias("partner"))
+        .agg(F.count(F.lit(1)).alias("n_together"))
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("n_together").desc(), F.col("partner")
+    )
+    return (
+        pairs.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+        .orderBy("part", "rec_rank")
     )
