@@ -123,6 +123,7 @@ _TAIL = [
     "corpus_type_token_ratio",
     "part_also_bought_top3",
     "customer_rfm_scores",
+    "revenue_dow_seasonality",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

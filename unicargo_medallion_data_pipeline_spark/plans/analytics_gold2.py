@@ -631,3 +631,68 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_q").cast("string"),
         ).alias("rfm_code"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "revenue_dow_seasonality",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT dayofweek(day) + 1 AS dow,
+           COUNT(*) AS n_days,
+           CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE)
+             / COUNT(*) AS mean_daily_revenue,
+           (CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*))
+             / ((SELECT CAST(CAST(SUM(rev) AS DECIMAL(38,2)) AS DOUBLE)
+                 FROM daily)
+                / (SELECT CAST(COUNT(*) AS DOUBLE) FROM daily))
+             AS seasonal_index
+    FROM daily
+    GROUP BY 1
+    ORDER BY dow
+    """,
+    operators=("A10", "A14"),
+)
+def revenue_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices: each weekday's mean daily
+    revenue relative to the overall daily mean (index 1.0 = typical
+    day) — the multiplicative seasonal factors a demand forecast
+    divides out.  Exact decimal day sums feed both the per-dow and
+    global means; the index is a ratio of two deterministic doubles.
+    DOW numbering is remapped in the oracle (+1): Spark's dayofweek is
+    1=Sunday..7, DuckDB's is 0=Sunday..6 — the same off-by-one family
+    as the reference's Sunday=1 bug (SURVEY §4), pinned here instead of
+    papered over.  Two day-grain aggregates + a broadcast
+    scalar — fact rows are touched once.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("rev")
+    )
+    glob = daily.agg(
+        F.sum("rev").cast("decimal(38,2)").cast("double").alias("g_rev"),
+        F.count(F.lit(1)).cast("double").alias("g_days"),
+    )
+    dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").cast("decimal(38,2)").cast("double").alias("s_rev"),
+    )
+    return (
+        dow.crossJoin(F.broadcast(glob))
+        .select(
+            "dow",
+            "n_days",
+            (F.col("s_rev") / F.col("n_days")).alias("mean_daily_revenue"),
+            (
+                (F.col("s_rev") / F.col("n_days"))
+                / (F.col("g_rev") / F.col("g_days"))
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
