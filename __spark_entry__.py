@@ -124,6 +124,8 @@ _TAIL = [
     "part_also_bought_top3",
     "customer_rfm_scores",
     "revenue_dow_seasonality",
+    "flight_airline_dow",
+    "flight_airport_traffic",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

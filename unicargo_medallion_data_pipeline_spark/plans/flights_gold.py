@@ -87,9 +87,9 @@ WITH al AS (
 ),
 ap AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY iata_code) AS INTEGER) AS airport_sk,
-         iata_code
+         iata_code, city, state
   FROM (
-    SELECT iata_code,
+    SELECT iata_code, city, state,
            ROW_NUMBER() OVER (PARTITION BY iata_code
                               ORDER BY airline ASC NULLS FIRST) AS dup_rn
     FROM read_parquet('{FIXTURE_DIR}/airports.parquet')
@@ -411,3 +411,80 @@ def airport_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_code", "b_code", dist_sq.alias("dist_sq"))
         .filter(F.col("dist_sq") <= 4.0)
     )
+
+
+@register(
+    "flight_airline_dow",
+    sql=_PRELUDE
+    + """
+    SELECT carrier AS airline,
+           CAST(isodow(flight_date) AS INTEGER) AS day_of_week,
+           dayname(flight_date) AS day_name,
+           COUNT(*) AS total_flights,
+           CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
+             AS avg_departure_delay
+    FROM fact
+    GROUP BY 1, 2, 3
+    ORDER BY airline, day_of_week
+    """,
+    operators=("A2", "J6", "Q3"),
+)
+def flight_airline_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's airline × day-of-week grid
+    (``03_gold_unikargo_02_airline_performance.ipynb:120-129``) over the
+    real silver build — and the query that pins the engine's DOW FIX
+    under the hash gate: the silver model takes day_of_week from the
+    generated date dim (Monday=1, SURVEY §4 — the reference's raw
+    Sunday=1 column is discarded), and the oracle independently derives
+    the same key with ISO ``isodow``/``dayname``.  A regression to the
+    reference's bug would hash-mismatch every row.
+    """
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.airline_day_of_week(fact, dim_date, dim_airline)
+        .orderBy("airline", "day_of_week")
+    )
+
+
+@register(
+    "flight_airport_traffic",
+    sql=_PRELUDE
+    + """
+    , out_stats AS (
+      SELECT origin_airport_sk AS airport_sk,
+             COUNT(*) AS departures,
+             COUNT(DISTINCT destination_airport_sk) AS destinations_served,
+             CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
+               AS avg_departure_delay
+      FROM fact GROUP BY 1
+    ),
+    in_stats AS (
+      SELECT destination_airport_sk AS airport_sk,
+             COUNT(*) AS arrivals,
+             COUNT(DISTINCT origin_airport_sk) AS origins_served,
+             CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+               AS avg_arrival_delay
+      FROM fact GROUP BY 1
+    )
+    SELECT COALESCE(o.airport_sk, i.airport_sk) AS airport_sk,
+           o.departures, o.destinations_served, o.avg_departure_delay,
+           i.arrivals, i.origins_served, i.avg_arrival_delay,
+           ap.iata_code, ap.city, ap.state
+    FROM out_stats o
+    FULL OUTER JOIN in_stats i ON o.airport_sk = i.airport_sk
+    JOIN ap ON ap.airport_sk = COALESCE(o.airport_sk, i.airport_sk)
+    ORDER BY airport_sk
+    """,
+    operators=("A8", "J3", "J7"),
+)
+def flight_airport_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's airport in/out-degree analytics
+    (``03_gold_unikargo_04_airport_analytics.ipynb:66-108``) over the
+    real silver build: the role-playing airport dim consumed in both
+    roles, two role-grain aggregates full-outer-joined, dim attributes
+    broadcast back — the flight-domain A8 twin of nation_trade_degree,
+    now under the hash gate."""
+    del sf_dir
+    fact, _, dim_airport, _ = _silver(spark)
+    return G.airport_traffic(fact, dim_airport).orderBy("airport_sk")
