@@ -126,6 +126,10 @@ _TAIL = [
     "revenue_dow_seasonality",
     "flight_airline_dow",
     "flight_airport_traffic",
+    "funnel_time_to_convert",
+    "dedup_savings_by_source",
+    "revenue_top_decile_share",
+    "hourly_error_rate_24h",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

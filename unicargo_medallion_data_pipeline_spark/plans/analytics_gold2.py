@@ -696,3 +696,275 @@ def revenue_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT 'view_to_click' AS stage,
+             CAST(floor(epoch(c.t_click)) AS BIGINT)
+               - CAST(floor(epoch(v.t_view)) AS BIGINT) AS lag_s
+      FROM c JOIN v ON c.user_id = v.user_id
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage,
+             CAST(floor(epoch(p.t_purchase)) AS BIGINT)
+               - CAST(floor(epoch(c.t_click)) AS BIGINT) AS lag_s
+      FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT stage, COUNT(*) AS n_users,
+           quantile_cont(lag_s, 0.5) AS median_lag_s,
+           quantile_cont(lag_s, 0.9) AS p90_lag_s
+    FROM lags GROUP BY stage
+    ORDER BY stage
+    """,
+    operators=("A13", "J2", "T6"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How LONG conversion takes, not just whether it happens: median
+    and p90 first-touch-to-first-touch latency for each funnel stage
+    (same strictly-ordered stage semantics as events_funnel_conversion).
+    Lags are whole-second integers, so the interpolated percentiles are
+    the proven deterministic pattern.  Stage frames shrink every hop;
+    the percentile sort runs over the CONVERTED population only.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    vc = c.join(v, "user_id").select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_timestamp("t_click") - F.unix_timestamp("t_view")).alias("lag_s"),
+    )
+    cp = p.join(c.select("user_id", "t_click"), "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_timestamp("t_purchase") - F.unix_timestamp("t_click")).alias("lag_s"),
+    )
+    return (
+        vc.unionByName(cp)
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("percentile(lag_s, 0.5)").alias("median_lag_s"),
+            F.expr("percentile(lag_s, 0.9)").alias("p90_lag_s"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "dedup_savings_by_source",
+    sql=r"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+               AS n_tokens
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, n_tokens,
+             doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep
+      FROM fp
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
+           SUM(n_tokens) AS tokens_total,
+           SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS tokens_saved,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS DOUBLE)
+             / SUM(n_tokens) * 100.0 AS savings_pct
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    operators=("P10", "A13", "W5"),
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT: per source, how many documents and tokens the
+    exact-fingerprint pass removes — the artifact that justifies (or
+    kills) a dedup stage in a curation pipeline.  Global fingerprint
+    partitioning (dups counted wherever they hide), savings attributed
+    to the source of each DROPPED copy (the canonical keeper is the
+    min doc_id, same rule as doc_fingerprint_dedup).  Integer token
+    counts keep every measure exact; one fingerprint-keyed window +
+    one source aggregate.
+    """
+    from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        ta.fingerprint("text").alias("fingerprint"),
+        ta.token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fingerprint")
+    flagged = fp.select(
+        "source",
+        "n_tokens",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+    saved = F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n_tokens")))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_dropped"),
+            F.sum("n_tokens").alias("tokens_total"),
+            saved.alias("tokens_saved"),
+            (saved.cast("double") / F.sum("n_tokens") * F.lit(100.0)).alias(
+                "savings_pct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "revenue_top_decile_share",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT o_custkey, rev_c,
+             NTILE(10) OVER (ORDER BY -rev_c, o_custkey) AS decile
+      FROM cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CASE WHEN decile = 1 THEN rev_c ELSE 0 END)
+                     AS DECIMAL(28,0)) AS DOUBLE) / 100.0
+             AS top_decile_revenue,
+           CAST(CAST(SUM(rev_c) AS DECIMAL(28,0)) AS DOUBLE) / 100.0
+             AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN decile = 1 THEN rev_c ELSE 0 END)
+                     AS DECIMAL(28,0)) AS DOUBLE)
+             / CAST(CAST(SUM(rev_c) AS DECIMAL(28,0)) AS DOUBLE)
+             AS top_decile_share
+    FROM tiled
+    """,
+    operators=("W5", "A15"),
+)
+def revenue_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration, pointwise: the share of revenue from the
+    top 10% of customers — the number executives quote and the Gini's
+    (user_activity_gini) interpretable companion.  Customer revenue in
+    exact integer cents, deciles from the range-partitioned
+    global_ntile (decile 1 = highest spenders via negated ordering, full
+    tiebreak), exact decimal sums per side, doubles only in the final
+    division.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)")
+        .alias("rev_c")
+    )
+    tiled = global_ntile(
+        cust.withColumn("_neg", -F.col("rev_c")), 10, ["_neg", "o_custkey"],
+        tile_col="decile",
+    )
+    top = F.sum(F.when(F.col("decile") == 1, F.col("rev_c")).otherwise(0)).cast(
+        "decimal(28,0)"
+    )
+    tot = F.sum("rev_c").cast("decimal(28,0)")
+    return tiled.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (top.cast("double") / F.lit(100.0)).alias("top_decile_revenue"),
+        (tot.cast("double") / F.lit(100.0)).alias("total_revenue"),
+        (top.cast("double") / tot.cast("double")).alias("top_decile_share"),
+    )
+
+
+@register(
+    "hourly_error_rate_24h",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+                  AS TIMESTAMP) AS hour_start,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT hour_start, n_errors, n_events,
+           CAST(SUM(n_errors) OVER w AS BIGINT) AS errors_24h,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS events_24h,
+           CAST(SUM(n_errors) OVER w AS DOUBLE)
+             / CAST(SUM(n_events) OVER w AS DOUBLE) * 100.0 AS error_rate_24h_pct
+    FROM hourly
+    WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ORDER BY hour_start
+    """,
+    operators=("W3", "A4", "Q1"),
+)
+def hourly_error_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn monitoring: each hour's trailing-24h error rate — the
+    event-weighted rolling ratio (integer window sums, one division per
+    row; the avg-of-hourly-rates form would both mislead operationally
+    and break hash verification).  Window runs over HOUR-grain rows —
+    bounded by the calendar.  The streaming twin is a watermarked
+    sliding window (streaming/windows.py); this is its exact batch
+    backfill.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    hourly = ev.groupBy(
+        F.timestamp_seconds(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
+        ).alias("hour_start")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-23, Window.currentRow)
+    return hourly.select(
+        "hour_start",
+        "n_errors",
+        "n_events",
+        F.sum("n_errors").over(w).alias("errors_24h"),
+        F.sum("n_events").over(w).alias("events_24h"),
+        (
+            F.sum("n_errors").over(w).cast("double")
+            / F.sum("n_events").over(w).cast("double")
+            * F.lit(100.0)
+        ).alias("error_rate_24h_pct"),
+    ).orderBy("hour_start")
