@@ -130,6 +130,9 @@ _TAIL = [
     "dedup_savings_by_source",
     "revenue_top_decile_share",
     "hourly_error_rate_24h",
+    "daily_new_vs_returning",
+    "user_longest_streak",
+    "nation_supplier_hhi",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

@@ -968,3 +968,167 @@ def hourly_error_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(100.0)
         ).alias("error_rate_24h_pct"),
     ).orderBy("hour_start")
+
+
+@register(
+    "daily_new_vs_returning",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    first_day AS (
+      SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT ud.day,
+           SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS n_new,
+           SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS n_returning
+    FROM ud JOIN first_day f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    ORDER BY ud.day
+    """,
+    operators=("A4", "J2", "A13"),
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting split: per day, active users who are NEW
+    (first-ever activity) vs RETURNING — the daily companion to
+    user_weekly_retention's cohort view.  User-grain first-touch joined
+    back to the (user, day) activity grain; all intermediates are
+    user- or day-grain, never event-grain past the first distinct.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "user_longest_streak",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+      SELECT user_id, day,
+             CAST(day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                             AS INTEGER) AS DATE) AS island_key
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, island_key, COUNT(*) AS streak_len
+      FROM islands GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           MAX(streak_len) AS longest_streak_days,
+           COUNT(*) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    operators=("W5", "A13"),
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (plus how many distinct runs they had) — the engagement-streak
+    metric, via the classic island key ``day − row_number`` (consecutive
+    days share a constant anchor date; any gap shifts it).  Purely
+    integer/date arithmetic, one user-key window + two aggregates —
+    the pattern every "streak" feature reduces to.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island_key"),
+    )
+    streaks = islands.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "nation_supplier_hhi",
+    sql="""
+    WITH srev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS rev_c
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    agg AS (
+      SELECT s_nationkey,
+             COUNT(*) AS n_suppliers,
+             CAST(SUM(rev_c * rev_c) AS DECIMAL(38,0)) AS sum_sq,
+             CAST(SUM(rev_c) AS DECIMAL(28,0)) AS tot
+      FROM srev GROUP BY s_nationkey
+    )
+    SELECT a.s_nationkey, n.n_name, a.n_suppliers,
+           CAST(CAST(a.sum_sq AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(a.tot AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(a.tot AS VARCHAR) AS DOUBLE)) AS hhi
+    FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+    ORDER BY a.s_nationkey
+    """,
+    operators=("A13", "J2", "A14"),
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier concentration per nation: HHI =
+    Σrevᵢ² / (Σrevᵢ)² ∈ (1/n, 1] — the antitrust-style "is this
+    nation's supply dominated by a few suppliers?" metric,
+    complementing Gini (inequality) and top-decile share (pointwise).
+    The share-squared SUM is kept exact: integer-cents revenues, Σrev²
+    and (Σrev)² in scale-0 decimals through exact_double (squaring
+    shares first would float-sum in engine order).  One supplier-grain
+    aggregate, one nation aggregate, broadcast name join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    srev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(20,0)")
+            .alias("rev_c")
+        )
+    )
+    agg = srev.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev_c") * F.col("rev_c")).cast("decimal(38,0)").alias("sum_sq"),
+        F.sum("rev_c").cast("decimal(28,0)").alias("tot"),
+    )
+    hhi = exact_double(F.col("sum_sq")) / (
+        exact_double(F.col("tot")) * exact_double(F.col("tot"))
+    )
+    return (
+        agg.join(F.broadcast(n), agg.s_nationkey == n.n_nationkey)
+        .select("s_nationkey", "n_name", "n_suppliers", hhi.alias("hhi"))
+        .orderBy("s_nationkey")
+    )
