@@ -173,3 +173,46 @@ def test_content_fingerprint_detects_single_row_change(spark, catalog):
         F.sum("h").cast("decimal(38,0)").cast("string").alias("content_hash")
     ).collect()[0]["content_hash"]
     assert perturbed != base["content_hash"]
+
+
+LATE_ROUND_QUERIES = [
+    "events_user_quota_batch",
+    "events_ab_value_ttest",
+    "priority_price_extremes",
+    "events_value_mad",
+    "latest_orders_with_ties",
+    "nation_revenue_share_of_region",
+    "monthly_revenue_mom",
+    "daily_revenue_zscore_28d",
+    "corpus_type_token_ratio",
+    "customer_rfm_scores",
+    "revenue_dow_seasonality",
+    "funnel_time_to_convert",
+    "dedup_savings_by_source",
+    "revenue_top_decile_share",
+    "hourly_error_rate_24h",
+    "daily_new_vs_returning",
+    "user_longest_streak",
+    "nation_supplier_hhi",
+    "part_also_bought_top3",
+]
+
+
+def test_late_round_queries_have_no_cartesian_products(spark, catalog):
+    """Every late-round analytics query must candidate-generate through
+    equi-joins/broadcasts — the 1-row scalar broadcasts (BNLJ) are the
+    only permitted non-equi joins."""
+    for name in LATE_ROUND_QUERIES:
+        plan = plan_of(catalog[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_late_round_results_nonempty_and_scalar(spark, catalog):
+    """Each produces rows at the smallest SF and only scalar columns
+    (driver-hashability contract)."""
+    for name in LATE_ROUND_QUERIES:
+        df = catalog[name].fn(spark, SF)
+        assert not any(
+            t.startswith(("array", "map", "struct")) for _, t in df.dtypes
+        ), f"{name} emits non-scalar columns"
+        assert len(df.take(1)) == 1, f"{name} returned no rows at sf0.001"
