@@ -216,3 +216,20 @@ def test_late_round_results_nonempty_and_scalar(spark, catalog):
             t.startswith(("array", "map", "struct")) for _, t in df.dtypes
         ), f"{name} emits non-scalar columns"
         assert len(df.take(1)) == 1, f"{name} returned no rows at sf0.001"
+
+
+def test_schema_diff_reports_column_level_drift(spark):
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.diff import schema_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", 1)], "k int, s string, v int").withColumn(
+        "w", F.lit("x")
+    )
+    new = new.drop("s").select("k", "v", "w")
+    d = {r["column"]: r for r in schema_diff(old, new)}
+    assert d["k"]["status"] == "unchanged"
+    assert d["s"]["status"] == "removed"
+    assert d["v"]["status"] == "retyped" and d["v"]["new_type"] == "int"
+    assert d["w"]["status"] == "added"

@@ -470,3 +470,21 @@ def test_results_invariant_under_shuffle_partitioning(spark, catalog):
             assert again == baseline[n], f"{n} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_plan_census_utility_counts_known_shapes(spark, catalog):
+    """plan_census must reproduce the hand-audited censuses in
+    docs/PLANS.md for representative queries."""
+    from unicargo_medallion_data_pipeline_spark.plans.inspect import plan_census
+
+    c = plan_census(catalog["lineitem_price_qty_corr"].fn(spark, SF))
+    assert c["cartesian_products"] == 0
+    assert c["keyed_exchanges"] == 2  # agg exchange + 3-row sort range
+    assert c["scans"] == 1
+
+    c = plan_census(catalog["part_pair_cooccurrence"].fn(spark, SF))
+    assert c["scans"] == 0  # checkpoint-pinned baskets
+    assert c["has_take_ordered"]
+
+    c = plan_census(catalog["user_activity_gini"].fn(spark, SF))
+    assert c["window_execs"] == 0  # rank operator, not WindowExec

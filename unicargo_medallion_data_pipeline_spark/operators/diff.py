@@ -103,3 +103,40 @@ def diff_summary(
     if removed > 0.1% of keys")."""
     d = snapshot_diff(old, new, keys, compare_cols, status_col)
     return d.groupBy(status_col).agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def schema_diff(
+    old: DataFrame,
+    new: DataFrame,
+) -> list[dict]:
+    """Column-level diff between two table versions: the metadata
+    companion to :func:`snapshot_diff` (which answers the ROW question).
+    Returns one dict per differing-or-shared column with status ∈
+    {added, removed, retyped, unchanged}, plus the old/new type strings
+    — the drift report a pipeline prints before deciding whether an
+    overwrite is a safe evolution or a breaking change.
+
+    Purely metadata: no job runs, no data moves — schemas come from the
+    plans.  Nullability changes count as ``retyped`` (a column going
+    nullable breaks NOT NULL consumers just as surely as an int→string).
+    """
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in new.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(old_fields) | set(new_fields)):
+        o, n = old_fields.get(name), new_fields.get(name)
+        if o is None:
+            status, ot, nt = ADDED, None, n.dataType.simpleString()
+        elif n is None:
+            status, ot, nt = REMOVED, o.dataType.simpleString(), None
+        else:
+            ot, nt = o.dataType.simpleString(), n.dataType.simpleString()
+            status = (
+                UNCHANGED
+                if ot == nt and o.nullable == n.nullable
+                else "retyped"
+            )
+        out.append(
+            {"column": name, "status": status, "old_type": ot, "new_type": nt}
+        )
+    return out
