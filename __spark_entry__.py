@@ -133,6 +133,8 @@ _TAIL = [
     "daily_new_vs_returning",
     "user_longest_streak",
     "nation_supplier_hhi",
+    "embedding_label_lang_alignment",
+    "embedding_dim_profile",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

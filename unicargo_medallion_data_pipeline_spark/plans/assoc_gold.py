@@ -248,6 +248,7 @@ def events_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Quantization scale for the covariance query: |x| < 0.6, so q ≤ 6e3,
 #: q² ≤ 3.6e7, and every closed-form combination stays exact in DECIMAL.
 _COV_SCALE = 10_000
+_COV_SCALE_SQL = _COV_SCALE
 
 
 @register(
@@ -417,3 +418,119 @@ def part_also_bought_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rec_rank") <= 3)
         .orderBy("part", "rec_rank")
     )
+
+
+@register(
+    "embedding_label_lang_alignment",
+    sql="""
+    WITH j AS (
+      SELECT d.lang, e.label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang, label, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_of_lang
+    FROM j
+    GROUP BY lang, label
+    ORDER BY lang, label
+    """,
+    operators=("J2", "A13", "W4"),
+)
+def embedding_label_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality sanity check: the contingency table between the
+    document table's language and the embedding table's cluster label
+    (doc_id ≡ vec_id) with per-language shares — the "do the embedding
+    clusters respect the text metadata?" audit run before trusting
+    either side for curation decisions.  One id equi-join + one
+    (lang, label) aggregate; the share window runs over the ≤
+    |langs|×|labels| contingency cells (integer counts → the double
+    division is the only float op).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = d.join(e, d.doc_id == e.vec_id)
+    cells = j.groupBy("lang", "label").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "label",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double")
+                / F.sum("n_docs").over(w).cast("double")
+            ).alias("share_of_lang"),
+        )
+        .orderBy("lang", "label")
+    )
+
+
+@register(
+    "embedding_dim_profile",
+    sql=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT i.i AS dim,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             MIN(q.q[i.i]) AS min_q,
+             MAX(q.q[i.i]) AS max_q,
+             CAST(SUM(q.q[i.i]) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(q.q[i.i] * q.q[i.i]) AS DECIMAL(28,0)) AS sxx
+      FROM q, generate_series(1, 64) i(i)
+      GROUP BY i.i
+    )
+    SELECT dim, CAST(n AS BIGINT) AS n_vectors, min_q, max_q,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             / ({_COV_SCALE}.0 * {_COV_SCALE}.0) AS variance,
+           max_q = min_q AS is_constant
+    FROM per_dim
+    ORDER BY dim
+    """,
+    operators=("A13", "P4", "Q4"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature profile: min / max / sample variance and a
+    constant-dimension flag — the near-zero-variance screen a feature
+    pipeline runs before PCA/whitening (a dead dimension wastes index
+    space in every ANN structure downstream).  Diagonal companion to
+    embedding_dim_covariance, same discipline: quantized integers,
+    exact decimal sums, closed-form variance through exact_double.
+    Shuffle payload is 64 dimension groups regardless of corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _COV_SCALE).cast("long"),
+        ).alias("q")
+    )
+    per_dim = (
+        q.select(F.posexplode("q").alias("pos", "qv"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+            F.min("qv").alias("min_q"),
+            F.max("qv").alias("max_q"),
+            F.sum("qv").cast("decimal(19,0)").alias("sx"),
+            F.sum(F.col("qv") * F.col("qv")).cast("decimal(28,0)").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    variance = (
+        exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (nd * (nd - F.lit(1.0)))
+        / F.lit(float(_COV_SCALE) * float(_COV_SCALE))
+    )
+    return per_dim.select(
+        "dim",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        "min_q",
+        "max_q",
+        variance.alias("variance"),
+        (F.col("max_q") == F.col("min_q")).alias("is_constant"),
+    ).orderBy("dim")
