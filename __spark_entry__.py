@@ -135,6 +135,8 @@ _TAIL = [
     "nation_supplier_hhi",
     "embedding_label_lang_alignment",
     "embedding_dim_profile",
+    "flight_weekly_summary",
+    "flight_distance_buckets",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

@@ -488,3 +488,120 @@ def flight_airport_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     del sf_dir
     fact, _, dim_airport, _ = _silver(spark)
     return G.airport_traffic(fact, dim_airport).orderBy("airport_sk")
+
+
+@register(
+    "flight_weekly_summary",
+    sql=_PRELUDE
+    + """
+    , base AS (
+      SELECT CAST(YEAR(flight_date) AS INTEGER) AS year,
+             CAST(weekofyear(flight_date) AS INTEGER) AS week_of_year,
+             carrier AS airline,
+             departure_delay
+      FROM fact
+    ),
+    s AS (
+      SELECT year, week_of_year, airline,
+             COUNT(*) AS total_flights,
+             MAX(departure_delay) AS max_departure_delay,
+             MIN(departure_delay) AS min_departure_delay,
+             CAST(COUNT(departure_delay) AS DECIMAL(10,0)) AS nd,
+             CAST(SUM(departure_delay) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(CAST(departure_delay AS BIGINT) * departure_delay)
+                  AS DECIMAL(28,0)) AS sxx
+      FROM base
+      GROUP BY 1, 2, 3
+    )
+    SELECT year, week_of_year, airline, total_flights,
+           max_departure_delay, min_departure_delay,
+           CASE WHEN nd >= 2 THEN
+             SQRT(CAST(CAST(nd * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                  / (CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) - 1.0)))
+           END AS stddev_departure_delay
+    FROM s
+    ORDER BY year, week_of_year, airline
+    """,
+    operators=("A5", "J1", "J2"),
+)
+def flight_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weekly airline summary with delay spread
+    (``03_gold_unikargo_01_daily_analytics.ipynb:103-110``) — stddev
+    derived from EXACT integer sums (Σx, Σx², closed form through the
+    string-routed conversion, NULL below two samples in both engines by
+    construction), because the built-in streaming ``stddev`` accumulates
+    doubles in engine order and cannot hash-verify: the same
+    engine-vs-notebook substitution as flight_rolling_otp, with the
+    notebook-verbatim ``gold_flights.weekly_flight_summary`` kept under
+    pytest.  ISO week-of-year agrees across engines; the year key is
+    the calendar year, so ISO-week-1 spillover weeks group under both
+    their calendar years exactly as the reference's dim-date join does.
+    """
+    del sf_dir
+    from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
+
+    fact, dim_airline, _, dim_date = _silver(spark)
+    dd = F.broadcast(dim_date.select("date_sk", "full_date", "year"))
+    base = (
+        fact.join(dd, "date_sk")
+        .join(F.broadcast(dim_airline.select("airline_sk", "airline")), "airline_sk")
+        .select(
+            "year",
+            F.weekofyear("full_date").alias("week_of_year"),
+            "airline",
+            "departure_delay",
+        )
+    )
+    s = base.groupBy("year", "week_of_year", "airline").agg(
+        F.count(F.lit(1)).alias("total_flights"),
+        F.max("departure_delay").alias("max_departure_delay"),
+        F.min("departure_delay").alias("min_departure_delay"),
+        F.count("departure_delay").cast("decimal(10,0)").alias("nd"),
+        F.sum("departure_delay").cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("departure_delay").cast("bigint") * F.col("departure_delay"))
+        .cast("decimal(28,0)")
+        .alias("sxx"),
+    )
+    nd_d = F.col("nd").cast("double")
+    std = F.sqrt(
+        exact_double(F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (nd_d * (nd_d - F.lit(1.0)))
+    )
+    return s.select(
+        "year",
+        "week_of_year",
+        "airline",
+        "total_flights",
+        "max_departure_delay",
+        "min_departure_delay",
+        F.when(F.col("nd") >= 2, std).alias("stddev_departure_delay"),
+    ).orderBy("year", "week_of_year", "airline")
+
+
+@register(
+    "flight_distance_buckets",
+    sql=_PRELUDE
+    + """
+    SELECT CASE
+             WHEN distance <= 500 THEN 'short_haul'
+             WHEN distance <= 1500 THEN 'medium_haul'
+             ELSE 'long_haul'
+           END AS distance_category,
+           COUNT(*) AS total_flights,
+           CAST(SUM(air_time) AS DOUBLE) / COUNT(air_time) AS avg_air_time,
+           CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+             AS avg_arrival_delay,
+           CAST(SUM(distance) AS DOUBLE) / COUNT(distance) AS avg_distance
+    FROM fact
+    GROUP BY 1
+    ORDER BY distance_category
+    """,
+    operators=("A12", "P7"),
+)
+def flight_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's haul-length histogram
+    (``03_gold_unikargo_07_operational_efficiency_analytics.ipynb:163-177``)
+    over the real silver build — integer-sum averages per CASE bucket."""
+    del sf_dir
+    fact, _, _, _ = _silver(spark)
+    return G.distance_bucket_stats(fact).orderBy("distance_category")
