@@ -137,6 +137,8 @@ _TAIL = [
     "embedding_dim_profile",
     "flight_weekly_summary",
     "flight_distance_buckets",
+    "flight_monthly_trends",
+    "flight_efficiency",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

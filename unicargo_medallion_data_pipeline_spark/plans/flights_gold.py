@@ -605,3 +605,69 @@ def flight_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     del sf_dir
     fact, _, _, _ = _silver(spark)
     return G.distance_bucket_stats(fact).orderBy("distance_category")
+
+
+@register(
+    "flight_monthly_trends",
+    sql=_PRELUDE
+    + """
+    SELECT CAST(YEAR(flight_date) AS INTEGER) AS year,
+           CAST(MONTH(flight_date) AS INTEGER) AS month,
+           carrier AS airline,
+           COUNT(*) AS total_flights,
+           CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+             AS avg_arrival_delay,
+           CAST(SUM(elapsed_time) AS BIGINT) AS total_elapsed_time
+    FROM fact
+    GROUP BY 1, 2, 3
+    ORDER BY year, month, airline
+    """,
+    operators=("A6", "J1", "J2"),
+)
+def flight_monthly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's monthly airline trends
+    (``03_gold_unikargo_01_daily_analytics.ipynb:135-141``) over the
+    real silver build — integer sums and counts, year/month from the
+    date dim on the engine side and derived from flight_date in the
+    oracle (equal by construction of the generated calendar)."""
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.monthly_flight_trends(fact, dim_date, dim_airline)
+        .orderBy("year", "month", "airline")
+    )
+
+
+@register(
+    "flight_efficiency",
+    sql=_PRELUDE
+    + """
+    , m AS (
+      SELECT carrier AS airline,
+             elapsed_time - scheduled_time AS schedule_variance,
+             taxi_out + taxi_in AS ground_time,
+             air_time
+      FROM fact
+    )
+    SELECT airline,
+           CAST(SUM(schedule_variance) AS DOUBLE) / COUNT(schedule_variance)
+             AS avg_schedule_variance,
+           CAST(SUM(ground_time) AS DOUBLE) / COUNT(ground_time)
+             AS avg_ground_time,
+           CAST(SUM(air_time) AS DOUBLE) / COUNT(air_time) AS avg_air_time,
+           COUNT(*) AS total_flights
+    FROM m
+    GROUP BY airline
+    ORDER BY airline
+    """,
+    operators=("A14", "P4", "J2"),
+)
+def flight_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's computed-measure efficiency aggregate
+    (``03_gold_unikargo_06_delay_analytics.ipynb:101-114``): schedule
+    variance and ground time derived per row (NULL-propagating integer
+    arithmetic, identical in both engines), then null-aware averages
+    from exact sums."""
+    del sf_dir
+    fact, dim_airline, _, _ = _silver(spark)
+    return G.flight_efficiency(fact, dim_airline).orderBy("airline")
