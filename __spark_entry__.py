@@ -139,6 +139,9 @@ _TAIL = [
     "flight_distance_buckets",
     "flight_monthly_trends",
     "flight_efficiency",
+    "flight_daily_summary",
+    "flight_aircraft_utilization",
+    "flight_number_performance",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

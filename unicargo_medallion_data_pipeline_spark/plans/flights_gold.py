@@ -671,3 +671,102 @@ def flight_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     del sf_dir
     fact, dim_airline, _, _ = _silver(spark)
     return G.flight_efficiency(fact, dim_airline).orderBy("airline")
+
+
+@register(
+    "flight_daily_summary",
+    sql=_PRELUDE
+    + """
+    SELECT flight_date AS full_date,
+           carrier AS airline,
+           COUNT(*) AS total_flights,
+           CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
+             AS avg_departure_delay,
+           CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+             AS avg_arrival_delay,
+           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights,
+           SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS on_time_flights
+    FROM fact
+    GROUP BY 1, 2
+    ORDER BY full_date, airline
+    """,
+    operators=("A4", "A2", "J1"),
+)
+def flight_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily airline summary
+    (``03_gold_unikargo_01_daily_analytics.ipynb:68-79``) over the real
+    silver build — conditional counts + null-aware integer averages at
+    (day, airline) grain."""
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.daily_flight_summary(fact, dim_date, dim_airline)
+        .orderBy("full_date", "airline")
+    )
+
+
+@register(
+    "flight_aircraft_utilization",
+    sql=_PRELUDE
+    + """
+    , per_day AS (
+      SELECT flight_date, carrier AS airline, tail_number,
+             COUNT(*) AS flights_per_day
+      FROM fact
+      WHERE tail_number IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT airline,
+           CAST(SUM(flights_per_day) AS DOUBLE) / COUNT(*)
+             AS avg_flights_per_aircraft_day,
+           MAX(flights_per_day) AS max_flights_per_aircraft_day,
+           COUNT(DISTINCT tail_number) AS active_aircraft
+    FROM per_day
+    GROUP BY airline
+    ORDER BY airline
+    """,
+    operators=("A13", "J2", "P6"),
+)
+def flight_aircraft_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's two-level aircraft-utilization aggregate
+    (``03_gold_unikargo_07_operational_efficiency_analytics.ipynb:68-77``):
+    flights per (day, airline, tail) first, then per-airline fleet
+    stats — the A13 pattern on the reference's own domain."""
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.aircraft_utilization(fact, dim_date, dim_airline).orderBy("airline")
+    )
+
+
+@register(
+    "flight_number_performance",
+    sql=_PRELUDE
+    + """
+    SELECT carrier AS airline, flight_number,
+           COUNT(*) AS total_flights,
+           CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+             AS avg_arrival_delay,
+           CAST(SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / COUNT(*) AS on_time_rate_pct
+    FROM fact
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY airline, flight_number
+    """,
+    operators=("P7", "A2", "J2"),
+)
+def flight_number_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's per-flight-number reliability table with the
+    significance floor (``...07_operational...ipynb:141``) — P7's
+    post-aggregation HAVING on the flight-domain fact.  The floor is 3
+    here (fixture flight numbers repeat at most ~6 times; the
+    reference-scale default of 50 would make the oracle trivially empty
+    — oracles must discriminate); the builder's parameter keeps the
+    production default."""
+    del sf_dir
+    fact, dim_airline, _, _ = _silver(spark)
+    return (
+        G.flight_number_performance(fact, dim_airline, floor=3)
+        .orderBy("airline", "flight_number")
+    )
