@@ -142,6 +142,9 @@ _TAIL = [
     "flight_daily_summary",
     "flight_aircraft_utilization",
     "flight_number_performance",
+    "flight_operational_summary",
+    "flight_weekend_split",
+    "flight_quarterly_summary",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

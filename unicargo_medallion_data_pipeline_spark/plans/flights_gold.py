@@ -770,3 +770,96 @@ def flight_number_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.flight_number_performance(fact, dim_airline, floor=3)
         .orderBy("airline", "flight_number")
     )
+
+
+@register(
+    "flight_operational_summary",
+    sql=_PRELUDE
+    + """
+    SELECT airline_sk, carrier AS airline,
+           COUNT(*) AS total_flights,
+           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights,
+           SUM(CASE WHEN diverted = 1 THEN 1 ELSE 0 END) AS diverted_flights,
+           SUM(CASE WHEN departure_delay > 15 THEN 1 ELSE 0 END)
+             AS delayed_departures,
+           CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / COUNT(*) AS cancellation_rate_pct,
+           CAST(SUM(CASE WHEN departure_delay > 15 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / COUNT(*) AS delay_rate_pct,
+           CAST(SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             * 100.0 / COUNT(*) AS on_time_rate_pct
+    FROM fact
+    GROUP BY 1, 2
+    ORDER BY airline_sk
+    """,
+    operators=("A2", "A3", "J2"),
+)
+def flight_operational_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cancellation/diversion/delay scoreboard with
+    derived rates (``03_gold_flight_analytics.ipynb:173-181``) — A2
+    conditional counts and A3 post-aggregation ratios on the flight
+    fact."""
+    del sf_dir
+    fact, dim_airline, _, _ = _silver(spark)
+    return G.airline_operational_summary(fact, dim_airline).orderBy("airline_sk")
+
+
+@register(
+    "flight_weekend_split",
+    sql=_PRELUDE
+    + """
+    SELECT carrier AS airline,
+           CAST(CASE WHEN isodow(flight_date) >= 6 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_weekend,
+           COUNT(*) AS total_flights,
+           CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
+             AS avg_departure_delay,
+           CASE WHEN isodow(flight_date) >= 6 THEN 'Weekend' ELSE 'Weekday' END
+             AS day_type
+    FROM fact
+    GROUP BY 1, 2, 5
+    ORDER BY airline, is_weekend
+    """,
+    operators=("A10", "J1", "J2"),
+)
+def flight_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weekend/weekday comparison
+    (``03_gold_unikargo_05_time_based_analytics.ipynb:108-118``) — the
+    engine takes is_weekend from the generated date dim, the oracle
+    re-derives it with isodow ≥ 6; agreement pins the dim's weekend
+    flag semantics."""
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.weekend_weekday_split(fact, dim_date, dim_airline)
+        .orderBy("airline", "is_weekend")
+    )
+
+
+@register(
+    "flight_quarterly_summary",
+    sql=_PRELUDE
+    + """
+    SELECT CAST(YEAR(flight_date) AS INTEGER) AS year,
+           CAST(QUARTER(flight_date) AS INTEGER) AS quarter,
+           carrier AS airline,
+           COUNT(*) AS total_flights,
+           CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
+             AS avg_arrival_delay
+    FROM fact
+    GROUP BY 1, 2, 3
+    ORDER BY year, quarter, airline
+    """,
+    operators=("A11", "J1", "J2"),
+)
+def flight_quarterly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's quarterly airline trends
+    (``03_gold_unikargo_05_time_based_analytics.ipynb:140-149``) — A11
+    on the flight domain, quarter keys from the date dim vs the
+    oracle's QUARTER()."""
+    del sf_dir
+    fact, dim_airline, _, dim_date = _silver(spark)
+    return (
+        G.quarterly_flight_summary(fact, dim_date, dim_airline)
+        .orderBy("year", "quarter", "airline")
+    )
