@@ -145,6 +145,8 @@ _TAIL = [
     "flight_operational_summary",
     "flight_weekend_split",
     "flight_quarterly_summary",
+    "daily_reactivations",
+    "record_revenue_days",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

@@ -1132,3 +1132,122 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_nationkey", "n_name", "n_suppliers", hhi.alias("hhi"))
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "daily_reactivations",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM ud
+    )
+    SELECT day,
+           SUM(CASE WHEN prev_day IS NOT NULL
+                     AND day - prev_day >= 7 THEN 1 ELSE 0 END)
+             AS n_reactivated,
+           SUM(CASE WHEN prev_day IS NOT NULL
+                     AND day - prev_day = 1 THEN 1 ELSE 0 END)
+             AS n_continuing
+    FROM seq
+    GROUP BY day
+    ORDER BY day
+    """,
+    operators=("W5", "A4"),
+)
+def daily_reactivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-and-return accounting: per day, users REACTIVATING after a
+    ≥7-day absence vs users continuing a streak (active yesterday) —
+    the engagement-mix metric between daily_new_vs_returning (ever-new)
+    and user_longest_streak (run lengths).  One user-key LAG over the
+    (user, day) grain, then a day aggregate; date subtraction is exact
+    integer-day arithmetic in both engines.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = ud.withColumn("prev_day", F.lag("day").over(w))
+    gap = F.datediff(F.col("day"), F.col("prev_day"))
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("prev_day").isNotNull() & (gap >= 7), 1).otherwise(0)
+            ).alias("n_reactivated"),
+            F.sum(
+                F.when(F.col("prev_day").isNotNull() & (gap == 1), 1).otherwise(0)
+            ).alias("n_continuing"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "record_revenue_days",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    runs AS (
+      SELECT day, rev_c,
+             MAX(rev_c) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_max_c
+      FROM daily
+    )
+    SELECT day,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(prior_max_c AS DOUBLE) / 100.0 AS prior_record,
+           CAST(CAST(rev_c - prior_max_c AS VARCHAR) AS DOUBLE) / 100.0
+             AS margin
+    FROM runs
+    WHERE prior_max_c IS NULL OR rev_c > prior_max_c
+    ORDER BY day
+    """,
+    operators=("W3", "A4", "P7"),
+)
+def record_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time-high detection: the days whose revenue broke every
+    prior record (running-max frame ending 1 PRECEDING, so the first
+    day qualifies with a NULL prior record) plus the margin over the
+    old record — the "new record!" feed.  Revenue comparisons happen in
+    integer cents (record-breaking must not hinge on a float ulp); the
+    running MAX over a monotone frame is order-exact by definition.
+    Window runs at day grain — bounded by the calendar.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    runs = daily.withColumn("prior_max_c", F.max("rev_c").over(w))
+    return (
+        runs.filter(
+            F.col("prior_max_c").isNull() | (F.col("rev_c") > F.col("prior_max_c"))
+        )
+        .select(
+            "day",
+            (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+            (F.col("prior_max_c").cast("double") / F.lit(100.0)).alias(
+                "prior_record"
+            ),
+            (
+                (F.col("rev_c") - F.col("prior_max_c"))
+                .cast("string")
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("margin"),
+        )
+        .orderBy("day")
+    )
