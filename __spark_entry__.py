@@ -147,6 +147,7 @@ _TAIL = [
     "flight_quarterly_summary",
     "daily_reactivations",
     "record_revenue_days",
+    "customer_running_balance",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

@@ -488,3 +488,22 @@ def test_plan_census_utility_counts_known_shapes(spark, catalog):
 
     c = plan_census(catalog["user_activity_gini"].fn(spark, SF))
     assert c["window_execs"] == 0  # rank operator, not WindowExec
+
+
+def test_join_strategy_hints_are_respected(spark):
+    """The hint API controls the physical join strategy: BROADCAST,
+    MERGE and SHUFFLE_HASH hints on the same equi-join produce the
+    corresponding operators (the escape hatch when AQE's choice is
+    wrong for a workload the stats cannot see)."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    for hint, expected in (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ):
+        joined = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
+        plan = plan_of(joined)
+        assert expected in plan, f"hint {hint!r} did not produce {expected}"

@@ -1251,3 +1251,72 @@ def record_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "customer_running_balance",
+    sql="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0))
+               AS amt_c,
+             ROW_NUMBER() OVER w AS order_seq,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS DECIMAL(20,0))) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,0)) AS bal_c
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, order_date, order_seq,
+           CAST(amt_c AS DOUBLE) / 100.0 AS order_amount,
+           CAST(bal_c AS DOUBLE) / 100.0 AS running_total
+    FROM seq
+    WHERE o_custkey % 100 = 0
+    ORDER BY o_custkey, order_seq
+    """,
+    operators=("W3", "W5", "A13"),
+)
+def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bank-statement pattern: each customer's orders in time order
+    with sequence number and running lifetime spend — the per-entity
+    cumulative ledger every account view renders.  The running SUM is
+    an integer-cents decimal over a (custkey)-partitioned window with a
+    total (date, orderkey) tiebreak — exact at any parallelism, O(1)
+    frame state, partition-parallel across customers (never a global
+    window).  Output thinned to every 100th customer purely to keep
+    the oracle row count proportionate; the plan is identical without
+    the filter.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    amt_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    seq = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        amt_c.alias("amt_c"),
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(amt_c)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(28,0)")
+        .alias("bal_c"),
+    )
+    return (
+        seq.filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "order_date",
+            "order_seq",
+            (F.col("amt_c").cast("double") / F.lit(100.0)).alias("order_amount"),
+            (F.col("bal_c").cast("double") / F.lit(100.0)).alias("running_total"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
