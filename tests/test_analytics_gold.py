@@ -233,3 +233,16 @@ def test_schema_diff_reports_column_level_drift(spark):
     assert d["s"]["status"] == "removed"
     assert d["v"]["status"] == "retyped" and d["v"]["new_type"] == "int"
     assert d["w"]["status"] == "added"
+
+
+def test_snapshot_diff_direction_symmetry(spark):
+    """diff(A→B) and diff(B→A) must mirror: added↔removed swap, changed
+    and unchanged counts equal — the involution property a CDC report
+    consumer relies on."""
+    old, new = _frames(spark)
+    fwd = {r["change_status"]: r["n_keys"] for r in diff_summary(old, new, ["k"]).collect()}
+    rev = {r["change_status"]: r["n_keys"] for r in diff_summary(new, old, ["k"]).collect()}
+    assert fwd.get(ADDED, 0) == rev.get(REMOVED, 0)
+    assert fwd.get(REMOVED, 0) == rev.get(ADDED, 0)
+    assert fwd.get(CHANGED, 0) == rev.get(CHANGED, 0)
+    assert fwd.get(UNCHANGED, 0) == rev.get(UNCHANGED, 0)

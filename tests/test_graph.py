@@ -109,3 +109,22 @@ def test_pagerank_rejects_empty_nodes(spark):
     edf = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
     with _pytest.raises(ValueError, match="non-empty"):
         pagerank_integer(ndf, edf)
+
+
+def test_pagerank_mass_bounded_and_positive(spark):
+    """Total rank mass never exceeds the scale (truncation + dangling
+    decay only LOSE mass) and every node keeps at least the base
+    teleport mass."""
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    nodes = [(v,) for v in range(8)]
+    edges = [(a, (a * 3 + 1) % 8, (a % 3) + 1) for a in range(8)] + [
+        (0, 5, 4), (7, 2, 2)
+    ]
+    ndf = spark.createDataFrame(nodes, "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    scale = 10**9
+    ranks = [r["pagerank_scaled"] for r in pagerank_integer(ndf, edf, iterations=6, scale=scale).collect()]
+    base = (scale * 15) // 100 // 8
+    assert sum(ranks) <= scale
+    assert all(r >= base for r in ranks)
