@@ -148,6 +148,8 @@ _TAIL = [
     "daily_reactivations",
     "record_revenue_days",
     "customer_running_balance",
+    "daily_revenue_autocorr",
+    "events_hourly_burstiness",
     # twice-green (r1+r2) simple plans, rotated out to make room for the
     # never-verified r4 additions
     "pricing_summary",

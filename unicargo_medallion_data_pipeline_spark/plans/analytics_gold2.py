@@ -1320,3 +1320,133 @@ def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_seq")
     )
+
+
+@register(
+    "daily_revenue_autocorr",
+    sql="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS DECIMAL(20,0)) AS y_c
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT y_c AS y, LAG(y_c) OVER (ORDER BY day) AS x
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(28,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(28,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM pairs WHERE x IS NOT NULL
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * SQRT(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+             AS lag1_autocorr
+    FROM s
+    """,
+    operators=("W5", "A14", "A15"),
+)
+def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the persistence
+    diagnostic a forecaster checks before choosing a model (white noise
+    vs momentum).  The Pearson machinery applied to the self-lagged
+    day series: integer-cents pairs via LAG over the day grain, exact
+    decimal sums, closed form through exact_double with
+    correctly-rounded SQRT.  Width note: n·Σxy at scale-0 cents² can
+    reach ~1e21 — exact in DECIMAL(38), and the string-routed
+    conversion keeps the final doubles bit-identical.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(20,0)")
+        .alias("y_c")
+    )
+    w = Window.orderBy("day")  # day grain — bounded, documented
+    pairs = daily.select(
+        F.col("y_c").alias("y"), F.lag("y_c").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(28,0)").alias("sx"),
+        F.sum("y").cast("decimal(28,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    corr = exact_double(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        * F.sqrt(exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_pairs"), corr.alias("lag1_autocorr")
+    )
+
+
+@register(
+    "events_hourly_burstiness",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+             CAST(SUM(c) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(c * c) AS DECIMAL(28,0)) AS sxx
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_hour,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_per_hour,
+           (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS fano_factor
+    FROM s
+    ORDER BY event_type
+    """,
+    operators=("A13", "A14"),
+)
+def events_hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness per event type: the Fano factor (variance /
+    mean of hourly counts — 1 ≈ Poisson arrivals, >1 bursty, <1
+    regular), the dispersion diagnostic capacity planning and anomaly
+    thresholds depend on.  Hourly counts are integers, so Σx / Σx² are
+    exact; variance through the decimal closed form + exact_double;
+    three final double divisions.  ACTIVE hours only (an empty hour
+    contributes no row) — declared spec, identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    s = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("c").cast("decimal(19,0)").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(28,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    var = exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        nd * (nd - F.lit(1.0))
+    )
+    mean = F.col("sx").cast("double") / nd
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        mean.alias("mean_per_hour"),
+        var.alias("var_per_hour"),
+        (var / mean).alias("fano_factor"),
+    ).orderBy("event_type")
