@@ -110,8 +110,10 @@ _PRIORITY = [
 # multi-green last) so the entries that most benefit from re-sampling sit
 # closest if space opens.
 _TAIL = [
-    # new in r4 AFTER the window filled (locally oracle-verified at all
-    # three SFs; never driver-verified) — FRONT-LOAD THESE IN R5
+    # new in r4 AFTER the window filled (38 entries, each locally
+    # oracle-verified at all three SFs; never driver-verified) —
+    # FRONT-LOAD THESE IN R5: they fit one 50-slot window with room
+    # for ~12 re-samples
     "events_user_quota_batch",
     "events_ab_value_ttest",
     "priority_price_extremes",
