@@ -31,112 +31,28 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 # last round rotate to the tail.  Anything newly registered and not named
 # below lands in the middle — inside the sampled window.
 
-# r4 window (50): the r2-only / r1+r2 entries rotated OUT of the r3
-# sample (staleness re-check; 5 had only one green row ever), every query
-# NEW in r4 (flight gold, mutation ops, batches 2–4, heavy hitters — 14
-# first-ever verifications), the 3 anchors whose code changed in r4 (size
-# guards), and 12 single-green r3 entries re-sampled toward two green
-# rows.  Nine twice-green r1+r2 entries rotated to the tail to make room.
+# r5 window (50): the round-4 driver never ran (no CORRECTNESS_r04.json
+# was produced), so every query registered in r4 is still never
+# driver-verified — 77 of the 155 catalog entries.  All 50 slots
+# therefore go to never-verified queries (zero re-sample waste):
+# the 17 flight-domain gold queries (the reference's own analytics —
+# r3 verdict task 2), the 2 mutation-operator projections (task 5),
+# 9 LLM-corpus ops, 8 graph/embedding/association queries, and the 14
+# most operator-distinctive event/time-series analytics.  The 27
+# remaining never-verified entries follow IMMEDIATELY after slot 50
+# (they are the first candidates if the driver ever samples deeper, and
+# the front of the r6 window).  Each windowed query was locally
+# oracle-verified at sf0.001/0.01/0.1 in r4 and re-verified at sf0.01
+# this round before this rotation was committed.
 _PRIORITY = [
-    # r2-green only (single driver verification ever) — most stale first
-    "doc_pii_redaction",
-    "doc_shard_packing",
-    "doc_curation_pipeline",
-    "corpus_token_df",
-    "lang_id_confusion",
-    # green in r1+r2, rotated out of the r3 window — staleness re-check
-    # new in r4 — first-ever verification (flight-domain gold + mutation ops)
+    # flight-domain gold: the reference's own 15 gold analytics under the hash gate (17 builders)
     "flight_airline_scorecard",
     "flight_busiest_routes",
     "flight_rolling_otp",
     "flight_delay_distribution",
     "flight_seasonal_summary",
-    "scd2_as_of_snapshot",
-    "rollup_incremental_equals_full",
-    # code touched in r4 (all-pairs size guards) — fresh verification
-    "doc_token_jaccard_pairs",
-    "embedding_near_dup_pairs",
-    "embedding_knn_exact",
-    # new in r4 (eighth batch: association / sampling / sketch rollup)
-    "part_pair_cooccurrence",
-    "doc_negative_pairs",
-    "events_mergeable_hll_rollup",
-    # single-green r3 entries re-sampled to reach ≥2 green rows
-    "nation_shipments_salted_join",
-    "doc_tfidf_top_terms",
-    "doc_editdist_near_dups",
-    # new in r4 (seventh batch: dataset-health analytics) — first-ever
-    # verification takes precedence over re-sampling r3-green entries
-    "orders_snapshot_diff",
-    "events_value_drift",
-    "segment_revenue_trend",
-    "lineitem_price_qty_corr",
-    "events_winsorized_stats",
-    "user_activity_gini",
-    # new in r4 (second batch)
-    "doc_chunking",
-    "doc_neardup_components",
-    # new in r4 (third batch: index / incremental / split / weighted-sample)
-    "doc_inverted_index",
-    "doc_incremental_dedup",
-    "doc_train_val_test_split",
-    "doc_weighted_sample",
-    # new in r4 (fourth batch: graph motif / gap-fill / SQL front door /
-    # outlier gate)
-    "nation_trade_triangles",
-    "daily_order_spine_filled",
-    "sql_frontdoor_revenue",
-    "events_value_outliers",
-    "corpus_heavy_hitters",
-    # new in r4 (fifth batch: event-sequence analytics)
-    "events_funnel_conversion",
-    "user_weekly_retention",
-    "event_transition_matrix",
-    "events_value_forward_fill",
-    "event_halves_nullsafe_join",
-    # new in r4 (ninth batch: session path mining, spatial grid join,
-    # dimension covariance)
-    "top_event_paths",
-    "airport_neighbor_pairs",
-    "embedding_dim_covariance",
-    "nation_trade_pagerank",
-    "events_reaggregation_chain",
-    "orders_content_fingerprint",
-    "distinct_users_sliding_7d",
-]
-
-# Tail: green in ≥2 prior rounds and untouched in r4.  Ordered
-# least-verified first (single-green nearest the window boundary; deep
-# multi-green last) so the entries that most benefit from re-sampling sit
-# closest if space opens.
-_TAIL = [
-    # new in r4 AFTER the window filled (38 entries, each locally
-    # oracle-verified at all three SFs; never driver-verified) —
-    # FRONT-LOAD THESE IN R5: they fit one 50-slot window with room
-    # for ~12 re-samples
-    "events_user_quota_batch",
-    "events_ab_value_ttest",
-    "priority_price_extremes",
-    "events_value_mad",
-    "latest_orders_with_ties",
-    "nation_revenue_share_of_region",
-    "monthly_revenue_mom",
-    "daily_revenue_zscore_28d",
-    "corpus_type_token_ratio",
-    "part_also_bought_top3",
-    "customer_rfm_scores",
-    "revenue_dow_seasonality",
     "flight_airline_dow",
     "flight_airport_traffic",
-    "funnel_time_to_convert",
-    "dedup_savings_by_source",
-    "revenue_top_decile_share",
-    "hourly_error_rate_24h",
-    "daily_new_vs_returning",
-    "user_longest_streak",
-    "nation_supplier_hhi",
-    "embedding_label_lang_alignment",
-    "embedding_dim_profile",
     "flight_weekly_summary",
     "flight_distance_buckets",
     "flight_monthly_trends",
@@ -147,73 +63,149 @@ _TAIL = [
     "flight_operational_summary",
     "flight_weekend_split",
     "flight_quarterly_summary",
+    # mutation-operator projections (SCD2 as-of, incremental-rollup invariant)
+    "scd2_as_of_snapshot",
+    "rollup_incremental_equals_full",
+    # LLM-corpus ops
+    "doc_chunking",
+    "doc_neardup_components",
+    "doc_inverted_index",
+    "doc_incremental_dedup",
+    "doc_train_val_test_split",
+    "doc_weighted_sample",
+    "doc_negative_pairs",
+    "corpus_heavy_hitters",
+    "corpus_type_token_ratio",
+    # graph / embedding / association
+    "nation_trade_pagerank",
+    "nation_trade_triangles",
+    "airport_neighbor_pairs",
+    "embedding_dim_covariance",
+    "embedding_label_lang_alignment",
+    "embedding_dim_profile",
+    "part_pair_cooccurrence",
+    "part_also_bought_top3",
+    # event-sequence / time-series analytics
+    "events_funnel_conversion",
+    "user_weekly_retention",
+    "event_transition_matrix",
+    "events_value_forward_fill",
+    "top_event_paths",
+    "events_mergeable_hll_rollup",
+    "events_user_quota_batch",
+    "distinct_users_sliding_7d",
+    "daily_order_spine_filled",
+    "sql_frontdoor_revenue",
+    "orders_snapshot_diff",
+    "customer_rfm_scores",
+    "customer_running_balance",
+    "event_halves_nullsafe_join",
+    # --- window boundary: slots 51+ (never-verified overflow; front of the r6 window)
+    "events_value_outliers",
+    "events_value_drift",
+    "segment_revenue_trend",
+    "lineitem_price_qty_corr",
+    "events_winsorized_stats",
+    "user_activity_gini",
+    "events_reaggregation_chain",
+    "orders_content_fingerprint",
+    "events_ab_value_ttest",
+    "priority_price_extremes",
+    "events_value_mad",
+    "latest_orders_with_ties",
+    "nation_revenue_share_of_region",
+    "monthly_revenue_mom",
+    "daily_revenue_zscore_28d",
+    "revenue_dow_seasonality",
+    "funnel_time_to_convert",
+    "dedup_savings_by_source",
+    "revenue_top_decile_share",
+    "hourly_error_rate_24h",
+    "daily_new_vs_returning",
+    "user_longest_streak",
+    "nation_supplier_hhi",
     "daily_reactivations",
     "record_revenue_days",
-    "customer_running_balance",
     "daily_revenue_autocorr",
     "events_hourly_burstiness",
-    # twice-green (r1+r2) simple plans, rotated out to make room for the
-    # never-verified r4 additions
-    "pricing_summary",
-    "rolling_7day_revenue",
-    "customer_intensity_by_segment",
-    "nation_dim",
-    "customer_order_gaps",
-    "top_customers_per_segment",
+]
+
+# Tail: every query with at least one green driver row across r1-r3,
+# ordered least-verified first so the stalest entries sit nearest the
+# window boundary if space ever opens.
+_TAIL = [
+    # single green row ever (r2 only) — most stale
     "doc_repetition_signals",
-    "first_lineitem_per_order",
-    "order_id_formatting",
-    "generated_dim_date",
-    "fillna_cleaned_events",
-    "metadata_enriched_orders",
-    "order_priority_rollup",
-    "quarterly_order_trends",
-    "monthly_order_trends",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "weekly_order_stats",
-    "daily_order_summary",
-    "seasonal_order_agg",
-    "weekend_vs_weekday_orders",
-    "customer_cohort_set_ops",
-    "distinct_order_profiles",
-    # r3-green only (single driver verification ever); the first six were
-    # slated for re-sampling but gave up their window slots to the
-    # never-verified batch-7 analytics queries
-    "urgent_order_customers",
-    "order_grouping_sets",
-    "customer_revenue_percentiles",
-    "doc_decontaminated_sample",
-    "cheapest_shipment_supplier",
-    "customer_order_dates",
-    "order_measures_unpivot",
-    "events_trailing_10min",
-    "events_props_variant",
+    "doc_pii_redaction",
+    "doc_shard_packing",
+    "doc_curation_pipeline",
+    "corpus_token_df",
+    "lang_id_confusion",
+    # single green row ever (r3 only)
     "events_sketch_profile",
-    "distinct_users_bitmap",
     "customer_revenue_rank",
     "customer_revenue_decile",
     "order_value_percentiles",
     "errors_in_session",
     "events_hourly_rollup",
     "clicks_asof_purchase",
-    # green in r1 and r3
+    "urgent_order_customers",
+    "order_grouping_sets",
+    "customer_revenue_percentiles",
+    "nation_shipments_salted_join",
+    "doc_tfidf_top_terms",
+    "doc_editdist_near_dups",
+    "doc_decontaminated_sample",
+    "cheapest_shipment_supplier",
+    "customer_order_dates",
+    "order_measures_unpivot",
+    "events_trailing_10min",
+    "events_props_variant",
+    "distinct_users_bitmap",
+    "embedding_knn_ivf",
+    # green in r1+r2
+    "pricing_summary",
+    "daily_order_summary",
+    "weekly_order_stats",
+    "monthly_order_trends",
+    "nation_dim",
+    "rolling_7day_revenue",
+    "seasonal_order_agg",
+    "weekend_vs_weekday_orders",
+    "quarterly_order_trends",
+    "customer_intensity_by_segment",
+    "customer_order_gaps",
+    "top_customers_per_segment",
+    "customer_cohort_set_ops",
+    "first_lineitem_per_order",
+    "distinct_order_profiles",
+    "order_id_formatting",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "generated_dim_date",
+    "fillna_cleaned_events",
+    "metadata_enriched_orders",
+    "order_priority_rollup",
+    # green in r1+r3 (embedding_near_dup_pairs: r4 guard verified locally)
     "events_props_json",
     "doc_bpe_token_stats",
+    "embedding_near_dup_pairs",
     "customer_value_tiers",
     "cleaned_events_pipeline",
     "nation_trade_degree",
     "order_priority_pivot",
     "order_status_priority_cube",
-    # green in r2 and r3
+    # green in r2+r3
+    "doc_deterministic_sample",
+    "doc_stratified_cap",
+    "doc_contamination_overlap",
+    "doc_minhash_near_dups",
     "doc_simhash_clusters",
     "embedding_knn_lsh",
     "embedding_label_centroids",
-    # multi-green across rounds
-    "top_trade_routes",
+    # green in all three rounds (jaccard/knn_exact: r4 guards verified locally)
     "segment_scorecard",
-    "doc_minhash_near_dups",
-    "embedding_knn_ivf",
+    "top_trade_routes",
     "order_value_buckets",
     "orphan_fk_audit",
     "global_order_stats",
@@ -223,10 +215,9 @@ _TAIL = [
     "doc_language_id",
     "doc_fingerprint_dedup",
     "doc_corpus_rollup",
-    "doc_deterministic_sample",
-    "doc_stratified_cap",
-    "doc_contamination_overlap",
+    "doc_token_jaccard_pairs",
     "embedding_norms",
+    "embedding_knn_exact",
 ]
 
 
