@@ -1,0 +1,119 @@
+"""Key-erasure propagation (operators/deletes.py): partition-scoped
+rewrite semantics, audit arithmetic, emptied-partition cleanup, NULL-key
+rejection, and the touched-partition cap."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.operators.deletes import propagate_deletes
+
+
+def _seed(spark, path: str):
+    df = spark.createDataFrame(
+        [
+            # part "a": users 1, 2, 3
+            (1, 1, "a"),
+            (2, 2, "a"),
+            (3, 3, "a"),
+            # part "b": users 2 only (emptied when 2 is erased with 9)
+            (4, 2, "b"),
+            # part "c": untouched (no erased users)
+            (5, 9, "c"),
+            (6, None, "c"),
+        ],
+        "row_id int, user_id int, part string",
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+def test_partition_scoped_delete_and_audit(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(2,)], "user_id int")
+
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    rows = {r["partition"]: r for r in audit.collect()}
+    # Only partitions containing user 2 are audited (c untouched).
+    assert set(rows) == {"a", "b"}
+    assert (rows["a"]["rows_before"], rows["a"]["rows_after"], rows["a"]["rows_deleted"]) == (3, 2, 1)
+    assert (rows["b"]["rows_before"], rows["b"]["rows_after"], rows["b"]["rows_deleted"]) == (1, 0, 1)
+
+    left = spark.read.parquet(path)
+    assert sorted(r["row_id"] for r in left.collect()) == [1, 3, 5, 6]
+    # Emptied partition directory is gone, not just empty.
+    assert not os.path.exists(os.path.join(path, "part=b"))
+    # Untouched partition files were not rewritten.
+    assert left.filter(F.col("part") == "c").count() == 2
+
+
+def test_null_target_keys_survive(spark, tmp_path):
+    """Target rows with NULL keys never match (SQL DELETE semantics)."""
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(9,)], "user_id int")
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    rows = {r["partition"]: r for r in audit.collect()}
+    assert set(rows) == {"c"}
+    assert (rows["c"]["rows_before"], rows["c"]["rows_after"], rows["c"]["rows_deleted"]) == (2, 1, 1)
+    # The NULL-user row survived.
+    left = spark.read.parquet(path).filter(F.col("part") == "c")
+    assert [r["user_id"] for r in left.collect()] == [None]
+
+
+def test_null_delete_keys_raise(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(None,)], "user_id int")
+    with pytest.raises(ValueError, match="NULL"):
+        propagate_deletes(
+            spark, path, keys, key_cols=["user_id"], partition_col="part"
+        )
+
+
+def test_no_match_is_noop(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(999,)], "user_id int")
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    assert audit.count() == 0
+    assert spark.read.parquet(path).count() == 6
+
+
+def test_touched_partition_cap(spark, tmp_path):
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(2,)], "user_id int")
+    with pytest.raises(ValueError, match="touches >"):
+        propagate_deletes(
+            spark,
+            path,
+            keys,
+            key_cols=["user_id"],
+            partition_col="part",
+            max_touched_partitions=1,
+        )
+    # Fail-fast: nothing was modified.
+    assert spark.read.parquet(path).count() == 6
+
+
+def test_idempotent_redelivery(spark, tmp_path):
+    """Replaying the same erasure request is a no-op with an empty audit."""
+    path = os.path.join(tmp_path, "t")
+    _seed(spark, path)
+    keys = spark.createDataFrame([(2,)], "user_id int")
+    propagate_deletes(spark, path, keys, key_cols=["user_id"], partition_col="part")
+    audit2 = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    assert audit2.count() == 0
+    assert spark.read.parquet(path).count() == 4

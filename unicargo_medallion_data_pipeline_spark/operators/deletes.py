@@ -1,0 +1,197 @@
+"""Key-erasure propagation (GDPR-style "right to be forgotten") with a
+partition-scoped rewrite and a per-partition audit trail.
+
+The reference has no deletion story at all — its tables are rebuilt
+wholesale per run (``src/io_utils/write_to_table_utils.py:41-46``
+overwrite) — but a lake-scale pipeline needs targeted deletion: given a
+set of subject keys, remove every matching row from a stored table
+without rewriting the table.  Posture mirrors
+``sources/merge.merge_upsert_partitioned`` (S12):
+
+* Delta available → transactional ``MERGE ... whenMatchedDelete``.
+* Parquet fallback → **partition-scoped rewrite**: one column-pruned
+  semi-scan finds the partitions that actually contain matching keys,
+  only those partitions are read back, anti-joined, and rewritten with
+  dynamic partition overwrite.  At 100 TB with ~1k touched day
+  partitions this rewrites ~0.1% of the table; the key set is typically
+  tiny and broadcasts, so the anti-join never shuffles the table.
+
+Both paths return the same audit DataFrame (one row per touched
+partition: rows before / after / deleted) — the compliance artifact a
+deletion job must emit.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.sources.staging import (
+    remove_path,
+    staging_path,
+)
+from unicargo_medallion_data_pipeline_spark.sources.writers import delta_available
+
+#: Audit schema returned by :func:`propagate_deletes`.
+AUDIT_COLS = ("partition", "rows_before", "rows_after", "rows_deleted")
+
+
+def _audit_df(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(
+        rows or [],
+        "partition string, rows_before bigint, rows_after bigint, rows_deleted bigint",
+    )
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    target_path: str,
+    delete_keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    max_touched_partitions: int = 4096,
+) -> DataFrame:
+    """Delete every row of the table at ``target_path`` whose ``key_cols``
+    match a row of ``delete_keys``; return the per-partition audit.
+
+    Contract:
+
+    * ``delete_keys`` must be non-null on every key column — a NULL key
+      can never match under ``=`` semantics, and silently no-op'ing a
+      deletion request is a compliance hazard, so it raises instead.
+    * Target rows with NULL keys never match (they survive), same as
+      SQL ``DELETE WHERE k IN (...)``.
+    * Partitions whose every row is deleted are removed from disk — the
+      dynamic-overwrite pass only rewrites partitions present in the
+      surviving data, so emptied partition directories are dropped
+      explicitly.  (Directory naming follows Spark's ``col=value``
+      convention; primitive partition values — int, date, plain string —
+      round-trip exactly.)
+    * A request touching more than ``max_touched_partitions`` partitions
+      fails fast before any write: at that point a full-table rewrite is
+      the honest operation and should be requested explicitly.
+
+    The audit lists only TOUCHED partitions (those containing at least
+    one matching key); untouched partitions are never read past the
+    initial column-pruned semi-scan.
+    """
+    keys = delete_keys.select(*key_cols).distinct()
+    null_cond = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    if keys.filter(null_cond).limit(1).count():
+        raise ValueError(
+            f"delete_keys contain NULL values in {key_cols}; a NULL key "
+            "never matches and would silently skip a deletion request"
+        )
+
+    if delta_available():
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(spark, target_path)
+        before = (
+            target.toDF()
+            .join(keys, key_cols, "left_semi")
+            .groupBy(F.col(partition_col).cast("string").alias("partition"))
+            .count()
+            .collect()
+        )
+        cond = " AND ".join(f"t.{k} = d.{k}" for k in key_cols)
+        target.alias("t").merge(keys.alias("d"), cond).whenMatchedDelete().execute()
+        # After a whenMatchedDelete, every matched row is gone: per
+        # touched partition rows_deleted == matched count.
+        after = {
+            r["partition"]: r["count"]
+            for r in (
+                target.toDF()
+                .groupBy(F.col(partition_col).cast("string").alias("partition"))
+                .count()
+                .collect()
+            )
+        }
+        rows = []
+        for r in before:
+            part = r["partition"]
+            deleted = r["count"]
+            remaining = after.get(part, 0)
+            rows.append((part, remaining + deleted, remaining, deleted))
+        return _audit_df(spark, rows)
+
+    # ---- parquet path: partition-scoped rewrite -------------------------
+    existing_all = spark.read.parquet(target_path)
+    existing_all.schema  # resolve now for a clear missing-table error
+
+    # One column-pruned pass: per-partition matching-row counts.  The
+    # collect is bounded metadata (≤ touched-partition rows), the same
+    # discipline as merge_upsert_partitioned's partition list.
+    matched_counts = (
+        existing_all.select(partition_col, *key_cols)
+        .join(keys, key_cols, "left_semi")
+        .groupBy(partition_col)
+        .count()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if len(matched_counts) > max_touched_partitions:
+        raise ValueError(
+            f"deletion touches > {max_touched_partitions} distinct "
+            f"'{partition_col}' partitions; a partition-scoped rewrite would "
+            "degenerate into a full-table rewrite. Raise "
+            "max_touched_partitions explicitly or run a full overwrite."
+        )
+    if not matched_counts:
+        return _audit_df(spark, [])
+    parts = [r[0] for r in matched_counts]
+    deleted_by_part = {str(r[0]): r["count"] for r in matched_counts}
+
+    touched = existing_all.filter(F.col(partition_col).isin(parts))
+    before_counts = {
+        str(r[0]): r["count"]
+        for r in touched.groupBy(partition_col).count().collect()
+    }
+    survivors = touched.join(keys, key_cols, "left_anti")
+
+    staging = staging_path(target_path, "erase")
+    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        survivors.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            staged.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy(partition_col)
+            .save(target_path)
+        )
+        # Emptied partitions are absent from the staged data, so dynamic
+        # overwrite left their old files alive: drop the directories.
+        after_counts = {
+            str(r[0]): r["count"]
+            for r in staged.groupBy(partition_col).count().collect()
+        }
+        for part in parts:
+            if after_counts.get(str(part), 0) == 0:
+                remove_path(
+                    spark,
+                    posixpath.join(target_path, f"{partition_col}={part}"),
+                )
+    finally:
+        if prior_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
+        remove_path(spark, staging)
+
+    rows = [
+        (
+            p,
+            before_counts.get(p, 0),
+            after_counts.get(p, 0),
+            deleted_by_part.get(p, 0),
+        )
+        for p in sorted(str(p) for p in parts)
+    ]
+    return _audit_df(spark, rows)

@@ -1,0 +1,322 @@
+"""Round-5 analytics batch: mergeable binned quantiles, windowed top-k
+with ties, cross-document duplicate n-gram detection, and the
+key-erasure (GDPR delete) mutation operator under the hash gate.
+
+Registered in round 5 — these sit OUTSIDE the round-5 driver window
+(fully allocated to the 50 never-driver-verified round-4 entries) but
+are locally oracle-verified at sf0.001/0.01/0.1 and front-load the
+round-6 rotation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.operators.deletes import propagate_deletes
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Mergeable binned quantiles — the scale twin of exact percentiles
+# ---------------------------------------------------------------------------
+
+#: Bin width in cents: value ∈ [0, 100) with 2 decimals → 25-cent bins
+#: give 400 bins, a fixed-size mergeable summary per group.
+_BIN_CENTS = 25
+
+
+@register(
+    "events_value_binned_quantiles",
+    sql=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // {_BIN_CENTS} AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 0.25
+                AS DOUBLE) AS p50_est,
+           CAST(MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN bin END) * 0.25
+                AS DOUBLE) AS p90_est,
+           CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) * 0.25
+                AS DOUBLE) AS p99_est
+    FROM t
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    operators=("A12", "W3", "A15"),
+)
+def events_value_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed-width bin histogram — the
+    MERGEABLE scale path beside the exact `order_value_percentiles`
+    sort-based twin.
+
+    The summary per group is ≤400 (bin, count) pairs regardless of input
+    size: partial aggregation combines map-side, the shuffle carries
+    bins not rows, and summaries merge associatively (the property HLL
+    gives distinct counts, here for quantiles).  The estimate is the
+    lower edge of the bin where the cumulative count first reaches
+    ceil(q·n) — deterministic, and reproduced bit-for-bit by the oracle
+    because every threshold is computed in INTEGER arithmetic
+    ((n+1)//2, (9n+9)//10, (99n+99)//100) and bin edges are exact
+    quarter multiples.  At 100 TB the exact twin needs a full sort per
+    group; this needs one map-side-combined shuffle of ≤400-row
+    summaries.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"CAST(round(value*100) AS BIGINT) DIV {_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    t = b.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def est(threshold_sql: str, name: str):
+        hit = F.min(
+            F.when(F.col("cum") >= F.expr(threshold_sql), F.col("bin"))
+        )
+        return (hit * 0.25).cast("double").alias(name)
+
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            est("(n + 1) DIV 2", "p50_est"),
+            est("(9*n + 9) DIV 10", "p90_est"),
+            est("(99*n + 99) DIV 100", "p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k with ties — tumbling window × rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_window_top_types",
+    sql="""
+    WITH w AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300)
+               AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events
+    FROM (SELECT *, RANK() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC) AS rk FROM w)
+    WHERE rk = 1
+    """,
+    operators=("T6", "W5", "O3"),
+)
+def events_window_top_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per tumbling 5-minute window, the most frequent event type(s) —
+    ties kept via RANK, so the result is deterministic without a
+    tie-breaking collation.  This is the batch mirror of the classic
+    streaming "trending items per window" query (window agg →
+    per-window top-k); the streaming form is the same plan under a
+    watermark.
+
+    Plan: one (window, type) aggregate — the bucket expression is
+    floor(epoch/300)·300, identical on both engines — then a rank over
+    groups ~5 rows wide; Spark's WindowGroupLimit pushes the rk=1
+    filter into the window operator, so no full sort of the aggregate
+    survives in the physical plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("timestamp")
+    w = ev.groupBy(bucket.alias("window_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    rk = Window.partitionBy("window_start").orderBy(F.col("n_events").desc())
+    return (
+        w.withColumn("rk", F.rank().over(rk))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-grams — corpus-level contamination signal
+# ---------------------------------------------------------------------------
+
+#: N-gram order for the cross-document duplicate scan (word 5-grams, the
+#: C4/Gopher-family convention for boilerplate/near-dup detection).
+_NGRAM = 5
+
+
+@register(
+    "doc_duplicate_ngram_rate",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, len(t) - {_NGRAM - 2}),
+               i -> substring(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])), 1, 16)
+             ) AS grams
+      FROM toks
+    ),
+    inst AS (SELECT doc_id, lang, unnest(grams) AS g FROM ng),
+    corpus AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS n_docs
+      FROM inst GROUP BY g
+    )
+    SELECT i.doc_id,
+           MIN(i.lang) AS lang,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_instances,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS shared_ngram_rate
+    FROM inst i JOIN corpus c ON i.g = c.g
+    GROUP BY i.doc_id
+    ORDER BY i.doc_id
+    """,
+    operators=("P10", "A13", "J4"),
+)
+def doc_duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document, the fraction of its word 5-gram instances that also
+    appear in at least one OTHER document — the cross-document
+    complement of the within-doc `doc_repetition_signals`, and the
+    practical scalable approximation of suffix-array substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a high shared-n-gram rate marks boilerplate and
+    copy-paste families that per-doc fingerprints miss.
+
+    Scale shape: n-grams are hashed to a 16-hex-char md5 prefix (64
+    bits) BEFORE the shuffle, so the corpus-frequency aggregate and the
+    instance join carry fixed-width keys, not text.  Both sides of the
+    join are the same exploded frame partitioned by gram hash —
+    candidates come from an equi-join, never a cross product; the
+    per-gram doc count is a map-side-combinable aggregate.  At 100 TB
+    this is the standard explode→count→join-back scan, linear in corpus
+    size, with the heaviest key (a boilerplate gram shared by millions
+    of docs) handled by AQE skew splitting.  Docs with < 5 tokens
+    contribute no instances and are absent from the output (they have
+    no 5-grams to share).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= _NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), n - (_NGRAM - 1)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(toks, i + k) for k in range(_NGRAM)],
+                    )
+                ),
+                1,
+                16,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    corpus = inst.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        inst.join(corpus, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "n_shared_instances"
+            ),
+            (
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("shared_ngram_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-erasure propagation under the hash gate (mutation-op projection)
+# ---------------------------------------------------------------------------
+
+#: Deterministic erasure cohort: every 97th user id.
+_ERASE_MOD = 97
+
+
+@register(
+    "events_user_erasure_audit",
+    sql=f"""
+    SELECT event_type AS partition,
+           COUNT(*) AS rows_before,
+           CAST(SUM(CASE WHEN user_id % {_ERASE_MOD} <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_after,
+           CAST(SUM(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_deleted
+    FROM events
+    GROUP BY event_type
+    HAVING SUM(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY event_type
+    """,
+    operators=("S12", "J5", "A2"),
+)
+def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The key-erasure mutation operator (`operators/deletes.py` —
+    GDPR-style delete propagation) end-to-end under the hash gate, via
+    the same bridge as `scd2_as_of_snapshot`: materialize `events`
+    partitioned by event_type in a session-temp table, erase a FIXED
+    deterministic cohort (user_id ≡ 0 mod {_ERASE_MOD}), and return the
+    operator's own per-partition audit.  The oracle recomputes the
+    before/after/deleted counts declaratively, so a green row proves
+    the partition-scoped rewrite deleted exactly the requested keys and
+    nothing else — including the audit arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="erase_q_"), "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    cohort = (
+        ev.filter(F.col("user_id") % _ERASE_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    audit = propagate_deletes(
+        spark, path, cohort, key_cols=["user_id"], partition_col="event_type"
+    )
+    return audit.select(
+        "partition", "rows_before", "rows_after", "rows_deleted"
+    ).orderBy("partition")
