@@ -1,0 +1,149 @@
+"""SQL-surface depth: recursive CTE graph traversal and correlated
+LATERAL top-k — ANSI constructs Spark 4 executes natively that the
+engine's SQL front door must support (the reference exposes a plain SQL
+path through its notebooks; `sql_frontdoor_revenue` proved basic SQL
+text, these prove the advanced constructs).
+
+Registered in round 5 — outside the round-5 driver window, locally
+oracle-verified at sf0.001/0.01/0.1, front of the round-6 rotation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: multi-hop reachability over a sparsified trade graph
+# ---------------------------------------------------------------------------
+
+#: Out-degree cap for the sparsified edge set (top-K destinations per
+#: source nation) and the hop bound for the traversal.
+_TOP_DST = 2
+_MAX_HOPS = 6
+
+# Edge set: for each supplier nation, its TOP-2 customer nations by
+# shipment count (ties by destination key) — sparse by construction
+# (out-degree ≤ 2), so reachability genuinely needs multiple hops.
+_EDGES_SQL = """
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY n_ship DESC, dst) AS rk
+      FROM (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS n_ship
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY s.s_nationkey, c.c_nationkey
+      )
+    ) WHERE rk <= {top}
+"""
+
+_REACH_SQL = """
+    WITH RECURSIVE edges AS ({edges}),
+    reach AS (
+      SELECT src, dst, 1 AS hops FROM edges
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.hops < {max_hops}
+    )
+    SELECT r.src AS src_nation, r.dst AS dst_nation,
+           CAST(MIN(r.hops) AS INT) AS min_hops
+    FROM reach r
+    WHERE r.src <> r.dst
+    GROUP BY r.src, r.dst
+    ORDER BY src_nation, dst_nation
+"""
+
+
+@register(
+    "nation_reach_recursive",
+    sql=_REACH_SQL.format(
+        edges=_EDGES_SQL.format(top=_TOP_DST), max_hops=_MAX_HOPS
+    ),
+    operators=("J2", "W5", "A8"),
+)
+def nation_reach_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (min hop count per reachable pair) over a
+    sparsified trade graph, computed with Spark 4's native
+    ``WITH RECURSIVE`` — the third iterative-graph execution strategy in
+    the engine beside the driver-loop + localCheckpoint operators
+    (``operators/graph.py`` connected components / PageRank): here
+    Catalyst owns the fixpoint, no Python loop, no manual checkpoint.
+
+    The edge set caps each source at its top-{_TOP_DST} destinations
+    (ties by key), so the graph is sparse and paths genuinely need up to
+    {_MAX_HOPS} hops; the traversal is depth-bounded in the recursion
+    predicate, which also terminates cycles under UNION ALL semantics.
+    Both engines run near-identical text; counts and hop arithmetic are
+    integral, so the hash gate pins the whole closure.
+
+    Scale: each recursion level is one equi-join of the frontier against
+    the edge relation — the same shuffle shape as the driver-loop BFS,
+    but planned once.  Frontier size is bounded by |nations|² here; for
+    a billion-edge graph the driver-loop variant with per-iteration
+    re-partitioning (graph.py) remains the right tool, and its docstring
+    says so.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for name, df in (
+        ("reach_lineitem", li),
+        ("reach_orders", o),
+        ("reach_supplier", s),
+        ("reach_customer", c),
+    ):
+        df.createOrReplaceTempView(name)
+    edges = _EDGES_SQL.format(top=_TOP_DST)
+    for tbl in ("lineitem", "orders", "supplier", "customer"):
+        edges = edges.replace(f" {tbl} ", f" reach_{tbl} ")
+    return spark.sql(_REACH_SQL.format(edges=edges, max_hops=_MAX_HOPS))
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-k
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, l.c_name, l.c_acctbal
+    FROM {nation} n,
+    LATERAL (SELECT c_name, c_acctbal FROM {customer} c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 3) AS l
+"""
+
+
+@register(
+    "nation_top_customers_lateral",
+    sql=_LATERAL_SQL.format(nation="nation", customer="customer"),
+    operators=("J6", "O3", "W5"),
+)
+def nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation, written as a
+    correlated ``LATERAL`` subquery with ORDER BY + LIMIT — the ANSI
+    form of per-group top-k.  Spark decorrelates it into a ranked
+    window join (no nested-loop per outer row), i.e. the same physical
+    plan the DataFrame `top_customers_per_segment` query gets from an
+    explicit row_number — proving the front door accepts the idiom a
+    SQL-native user would write, not just the window spelling.
+
+    Determinism: ties broken by c_custkey inside the LIMIT.  DuckDB
+    executes the identical text as the oracle.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("lat_nation")
+    c.createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        _LATERAL_SQL.format(nation="lat_nation", customer="lat_customer")
+    )
