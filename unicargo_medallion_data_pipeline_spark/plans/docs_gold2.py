@@ -86,10 +86,14 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode + groupBy, which would shuffle every token of the corpus
     to compute a per-document mode."""
     d = load_table(spark, sf_dir, "documents")
-    toks = ta.tokens("text")
-    bg = ta.bigrams("text")
-    base = ensure_parallelism(d).select(
-        "doc_id", toks.alias("toks"), bg.alias("bg")
+    # Two-step projection: tokens materialize first so the bigram
+    # element_at indexes an attribute (O(n) per doc), not a re-evaluated
+    # split expression (O(n²) — see textops.analysis.bigrams_of).
+    toked = ensure_parallelism(d).select(
+        "doc_id", ta.tokens("text").alias("toks")
+    )
+    base = toked.select(
+        "doc_id", "toks", ta.bigrams_of(F.col("toks")).alias("bg")
     )
     n = F.size("toks")
     nbg = F.size("bg")

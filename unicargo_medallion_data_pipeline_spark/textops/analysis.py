@@ -103,19 +103,33 @@ def predicted_lang(col: str | Column = "text") -> Column:
     return expr.otherwise(order[-1])
 
 
-def bigrams(col: str | Column = "text") -> Column:
-    """Adjacent token bigrams (array<string>; empty for 1-token docs).
+def bigrams_of(toks: Column) -> Column:
+    """Adjacent token bigrams from an ALREADY-MATERIALIZED token array
+    (array<string>; empty for 1-token docs).
+
+    ``toks`` must be a column attribute, not a raw ``split(...)``
+    expression: ``element_at`` over an unmaterialized expression
+    re-evaluates it on every access, turning the per-doc cost from
+    O(n) indexing into O(n²) re-splitting (measured 16× on the 5-gram
+    analogue, plans/analytics_gold3.py).
 
     Guarded by IF(n>=2,...): Spark's ``sequence(1, 0)`` would COUNT DOWN
     ([1, 0]) rather than produce an empty range.
     """
-    toks = tokens(col)
     n = F.size(toks)
     pairs = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def bigrams(col: str | Column = "text") -> Column:
+    """Adjacent token bigrams straight from a text column.  Convenience
+    form for small frames/tests; hot paths should materialize
+    ``tokens(col)`` into a projection first and call ``bigrams_of`` on
+    the attribute (see its docstring for the quadratic-access hazard)."""
+    return bigrams_of(tokens(col))
 
 
 def max_element_count(arr: Column) -> Column:
