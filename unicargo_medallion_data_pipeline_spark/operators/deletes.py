@@ -69,6 +69,13 @@ def propagate_deletes(
       explicitly.  (Directory naming follows Spark's ``col=value``
       convention; primitive partition values — int, date, plain string —
       round-trip exactly.)
+    * If the erasure empties the ENTIRE table, a zero-row parquet file
+      carrying the full schema (partition column inlined) is written in
+      place of the partitioned layout — otherwise the directory would
+      hold no data files at all and every subsequent read would fail
+      schema inference.  An empty table needs no partition pruning, so
+      the layout change is harmless, and the next bootstrap write
+      re-partitions it.
     * A request touching more than ``max_touched_partitions`` partitions
       fails fast before any write: at that point a full-table rewrite is
       the honest operation and should be requested explicitly.
@@ -147,6 +154,14 @@ def propagate_deletes(
     parts = [r[0] for r in matched_counts]
     deleted_by_part = {str(r[0]): r["count"] for r in matched_counts}
 
+    # Partition-column-only distinct (values come from directory names —
+    # no data pages are read): needed to detect the table-fully-emptied
+    # edge below.
+    all_parts = {
+        str(r[0])
+        for r in existing_all.select(partition_col).distinct().collect()
+    }
+
     touched = existing_all.filter(F.col(partition_col).isin(parts))
     before_counts = {
         str(r[0]): r["count"]
@@ -172,12 +187,25 @@ def propagate_deletes(
             str(r[0]): r["count"]
             for r in staged.groupBy(partition_col).count().collect()
         }
+        emptied = {
+            str(part) for part in parts if after_counts.get(str(part), 0) == 0
+        }
         for part in parts:
-            if after_counts.get(str(part), 0) == 0:
+            if str(part) in emptied:
                 remove_path(
                     spark,
                     posixpath.join(target_path, f"{partition_col}={part}"),
                 )
+        if emptied == all_parts:
+            # Every partition of the table was erased: leave a readable
+            # zero-row table (schema footer, partition column inlined)
+            # instead of a directory with no data files.
+            (
+                spark.createDataFrame([], existing_all.schema)
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(target_path)
+            )
     finally:
         if prior_mode is None:
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
