@@ -1,0 +1,78 @@
+"""Streaming key-erasure (streaming/erasure.py): requests consumed from
+a stream are applied per micro-batch, the audit log accumulates with
+batch ids, and checkpoint replay is exactly-once."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.streaming.erasure import write_stream_erasure
+from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+
+
+@pytest.fixture()
+def dirs():
+    d = {k: tempfile.mkdtemp(prefix=f"erasestream_{k}_") for k in
+         ("requests", "target", "audit", "ckpt")}
+    yield d
+    for p in d.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _seed_target(spark, path):
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 10, "b"), (4, 30, "b"), (5, 40, "c")],
+        "row_id int, user_id int, part string",
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+
+
+def test_streaming_erasure_end_to_end(spark, dirs):
+    _seed_target(spark, dirs["target"])
+    req_schema = "user_id int"
+    spark.createDataFrame([(10,)], req_schema).write.mode("append").parquet(
+        dirs["requests"]
+    )
+
+    def run():
+        write_stream_erasure(
+            read_streaming_path(spark, dirs["requests"], schema=req_schema),
+            target_path=dirs["target"],
+            audit_path=dirs["audit"],
+            checkpoint=dirs["ckpt"],
+            key_cols=["user_id"],
+            partition_col="part",
+            await_termination=True,
+        )
+
+    run()
+    left = spark.read.parquet(dirs["target"])
+    assert sorted(r["row_id"] for r in left.collect()) == [2, 4, 5]
+    audit = spark.read.parquet(dirs["audit"])
+    got = {(r["partition"], r["rows_deleted"]) for r in audit.collect()}
+    assert got == {("a", 1), ("b", 1)}
+
+    # Replay with the same checkpoint and no new requests: exactly-once —
+    # no further deletions, no new audit rows.
+    run()
+    assert spark.read.parquet(dirs["target"]).count() == 3
+    assert spark.read.parquet(dirs["audit"]).count() == 2
+
+    # A second request file arrives: only the delta is processed; the
+    # audit gains exactly the new batch's rows, tagged with a new batch id.
+    spark.createDataFrame([(30,), (99,)], req_schema).write.mode("append").parquet(
+        dirs["requests"]
+    )
+    run()
+    assert sorted(
+        r["row_id"] for r in spark.read.parquet(dirs["target"]).collect()
+    ) == [2, 5]
+    audit2 = spark.read.parquet(dirs["audit"])
+    assert audit2.count() == 3
+    assert audit2.select("batch_id").distinct().count() == 2
+    # key 99 matched nothing and produced no audit row (idempotent shape)
+    assert audit2.filter(F.col("rows_deleted") == 0).count() == 0
