@@ -329,3 +329,82 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.select(
         "partition", "rows_before", "rows_after", "rows_deleted"
     ).orderBy("partition")
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite under the hash gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_expectation_report",
+    sql="""
+    SELECT 'not_null' AS rule, 'o_custkey' AS target,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values', 'o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    """,
+    operators=("Q1", "Q2", "A15", "J5"),
+)
+def orders_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative expectation suite (`quality/expectations.py` —
+    the dbt-test/Deequ-style table contract, evaluated in 1 + |unique|
+    + |fk| jobs instead of the reference's job-per-column) run against
+    `orders` with a fixed five-rule contract and hash-compared: the
+    oracle recomputes each rule's violation count declaratively, so a
+    green row pins both the rule semantics (three-valued logic for
+    range/accepted on NULLs, NULL-insensitive FK, duplicate counting
+    beyond first occurrence) and the report assembly.
+    """
+    from unicargo_medallion_data_pipeline_spark.quality.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        not_null,
+        run_suite,
+        unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    suite = [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 1_000_000),
+        accepted_values("o_orderstatus", "O", "F", "P"),
+        foreign_key("o_custkey", c, "c_custkey"),
+    ]
+    return run_suite(o, suite)
