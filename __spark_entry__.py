@@ -128,6 +128,17 @@ _PRIORITY = [
     "record_revenue_days",
     "daily_revenue_autocorr",
     "events_hourly_burstiness",
+    # new in r5 (never driver-verified; locally oracle-verified at all
+    # three SFs when added) — with the 27 above, the r6 never-verified
+    # backlog is 35: one window with 15 slots spare for re-samples
+    "events_value_binned_quantiles",
+    "events_window_top_types",
+    "doc_duplicate_ngram_rate",
+    "events_user_erasure_audit",
+    "orders_expectation_report",
+    "nation_reach_recursive",
+    "nation_top_customers_lateral",
+    "customer_order_window_corners",
 ]
 
 # Tail: every query with at least one green driver row across r1-r3,

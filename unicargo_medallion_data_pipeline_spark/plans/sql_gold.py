@@ -10,7 +10,8 @@ oracle-verified at sf0.001/0.01/0.1, front of the round-6 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
@@ -146,4 +147,72 @@ def nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.createOrReplaceTempView("lat_customer")
     return spark.sql(
         _LATERAL_SQL.format(nation="lat_nation", customer="lat_customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-function corners: nth_value / cume_dist / first-last ignoreNulls
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_window_corners",
+    sql="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice END AS urgent_price
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT o_custkey AS custkey,
+             ROW_NUMBER() OVER w AS rn,
+             o_orderkey AS orderkey,
+             first_value(o_orderdate) OVER w AS first_order_date,
+             nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+             first_value(urgent_price IGNORE NULLS) OVER w
+               AS first_urgent_price,
+             cume_dist() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice) AS price_cume_dist
+      FROM seq
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE rn <= 3
+    """,
+    operators=("W5", "W3"),
+)
+def customer_order_window_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W5 family's corner functions under the hash gate in one
+    query: running ``first_value``, ``nth_value(2)``, ``first_value
+    IGNORE NULLS`` over a sparse measure, and ``cume_dist`` — the
+    corners a window implementation most often gets subtly wrong
+    (null skipping, frame-sensitive nth, tie handling in cume_dist).
+
+    cume_dist is rank-of-tie-group / n — a single IEEE division of two
+    integers, so it compares exactly across engines; ties share a value
+    on both.  One customer-key exchange serves all four windows (same
+    partitioning; Spark collapses them into one Window operator chain),
+    and the rn ≤ 3 cap bounds the output at 3 rows per customer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wd = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    urgent = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.row_number().over(w).alias("rn"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.first("o_orderdate").over(w).alias("first_order_date"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+            F.first(urgent, ignorenulls=True).over(w).alias("first_urgent_price"),
+            F.cume_dist().over(wd).alias("price_cume_dist"),
+        )
+        .filter(F.col("rn") <= 3)
     )
