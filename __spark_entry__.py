@@ -139,6 +139,7 @@ _PRIORITY = [
     "nation_reach_recursive",
     "nation_top_customers_lateral",
     "customer_order_window_corners",
+    "orders_acid_timetravel",
 ]
 
 # Tail: every query with at least one green driver row across r1-r3,

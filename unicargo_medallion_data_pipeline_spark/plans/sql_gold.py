@@ -216,3 +216,76 @@ def customer_order_window_corners(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-committed table (ACID-lite) under the hash gate
+# ---------------------------------------------------------------------------
+
+_ACID_CUTOFF = "1995-01-01"
+
+
+@register(
+    "orders_acid_timetravel",
+    sql=f"""
+    WITH v0 AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate < DATE '{_ACID_CUTOFF}'
+      GROUP BY o_orderpriority
+    ),
+    v1 AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT 0 AS version, priority, n_orders FROM v0
+    UNION ALL
+    SELECT 1 AS version, priority, n_orders FROM v1
+    ORDER BY version, priority
+    """,
+    operators=("S12", "A13", "P7"),
+)
+def orders_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-committed table (`sources/acid.py` — atomic
+    copy-on-write commits, optimistic concurrency, time travel over
+    plain parquet) end-to-end under the hash gate: commit the
+    pre-{_ACID_CUTOFF} per-priority order counts as version 0, MERGE the
+    full-range counts as version 1 (updates win per key), then read BOTH
+    versions back — version 0 via time travel — and union them tagged.
+
+    The oracle recomputes each version's state declaratively, so a
+    green row proves the commit/merge/read protocol preserves values
+    exactly and that time travel returns the byte-identical
+    pre-mutation state (the guarantee the engine's Delta branches make
+    but cannot demonstrate in this environment).
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F2.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="acid_q_"), "t"))
+    v0_state = (
+        o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
+        .groupBy("priority")
+        .agg(F2.count(F2.lit(1)).alias("n_orders"))
+    )
+    t.commit(v0_state)
+    v1_updates = o.groupBy("priority").agg(
+        F2.count(F2.lit(1)).alias("n_orders")
+    )
+    t.merge_upsert(v1_updates, keys=["priority"])
+    tagged0 = t.read(version=0).select(
+        F2.lit(0).alias("version"), "priority", "n_orders"
+    )
+    tagged1 = t.read().select(
+        F2.lit(1).alias("version"), "priority", "n_orders"
+    )
+    return tagged0.unionByName(tagged1).orderBy("version", "priority")

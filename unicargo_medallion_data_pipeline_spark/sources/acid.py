@@ -1,0 +1,249 @@
+"""Manifest-committed tables: atomic overwrite/append/upsert/delete,
+time travel, and optimistic concurrency over plain parquet — the
+transactional semantics the engine's Delta branches promise, provable
+in an environment with no Delta at all.
+
+Design (the public Delta/Iceberg core, reduced to its essentials):
+
+* data files are immutable, written under ``<table>/data/`` with a
+  unique per-commit prefix;
+* a commit is ONE filesystem rename of a staged JSON manifest to
+  ``<table>/_manifests/v{N:012d}.json`` listing exactly the files that
+  constitute version N.  Readers list ``_manifests/``, pick the highest
+  version (or an explicit one — time travel), and read only the files
+  it names;
+* crash safety: data files not named by any committed manifest are
+  invisible — a writer dying before the rename leaves garbage, never a
+  corrupt or half-visible table.  ``vacuum`` removes unreferenced files
+  once older versions are expired;
+* concurrency: Hadoop ``FileSystem.rename`` refuses an existing
+  destination, so two writers racing to commit version N produce one
+  winner and one ``ConcurrentCommitError`` (optimistic concurrency —
+  the loser re-reads and retries).  POSIX and HDFS renames are atomic;
+  object stores need their usual Delta-style caveat (a coordinating
+  lock service), which is documented, not hidden.
+
+This removes the engine's two documented parquet crash windows: the
+SCD2 current/history dual-write and MERGE's dynamic-overwrite swap both
+become single-manifest commits when run through :class:`ManifestTable`.
+
+Why not just install Delta: no network in this environment (see
+docs/COVERAGE.md install-attempt ledger); the Delta branches stay in
+place and auto-activate, while this module makes the transactional
+semantics themselves testable here.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+class ManifestTable:
+    """A parquet table whose visible state is defined by its latest
+    committed manifest.  All mutations are copy-on-write + one atomic
+    rename."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ------------------------------------------------------------ state
+
+    def versions(self) -> list[int]:
+        """Committed versions, ascending (empty for a missing table)."""
+        fs, jvm = _fs(self.spark, self.path)
+        mdir = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(self.path, _MANIFEST_DIR)
+        )
+        if not fs.exists(mdir):
+            return []
+        out = []
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _manifest_path(self, version: int) -> str:
+        return posixpath.join(self.path, _MANIFEST_DIR, f"v{version:012d}.json")
+
+    def _read_manifest(self, version: int) -> dict:
+        fs, jvm = _fs(self.spark, self.path)
+        p = jvm.org.apache.hadoop.fs.Path(self._manifest_path(version))
+        stream = fs.open(p)
+        try:
+            # py4j cannot fill a Python-side buffer through
+            # InputStream.read(byte[]) — route through commons-io (on
+            # Spark's classpath) to materialize the bytes JVM-side.
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+
+    # ------------------------------------------------------------ read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table at ``version`` (default: latest) — time travel is
+        just reading an older manifest's file list."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"version {v} not in {vs}")
+        m = self._read_manifest(v)
+        files = [posixpath.join(self.path, _DATA_DIR, f) for f in m["files"]]
+        if not files:
+            # empty committed state: reconstruct schema from the manifest
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
+        return self.spark.read.parquet(*files)
+
+    # ------------------------------------------------------------ write
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        """Stage ``df`` as immutable data files; return their names."""
+        fs, jvm = _fs(self.spark, self.path)
+        commit_id = uuid.uuid4().hex
+        staging = posixpath.join(self.path, _DATA_DIR, f"_stage_{commit_id}")
+        df.write.mode("overwrite").parquet(staging)
+        names = []
+        data_root = posixpath.join(self.path, _DATA_DIR)
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            final = f"{commit_id}-{name}"
+            ok = fs.rename(
+                st.getPath(),
+                jvm.org.apache.hadoop.fs.Path(posixpath.join(data_root, final)),
+            )
+            if not ok:
+                raise IOError(f"failed to place data file {final}")
+            names.append(final)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        return names
+
+    def _commit(self, version: int, files: list[str], schema_json: dict) -> int:
+        """Atomically publish ``files`` as ``version``; raise
+        :class:`ConcurrentCommitError` if someone else won the race."""
+        fs, jvm = _fs(self.spark, self.path)
+        mdir = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(self.path, _MANIFEST_DIR)
+        )
+        fs.mkdirs(mdir)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(
+                self.path, _MANIFEST_DIR, f"_tmp_{uuid.uuid4().hex}.json"
+            )
+        )
+        payload = json.dumps(
+            {"version": version, "files": sorted(files), "schema": schema_json}
+        ).encode("utf-8")
+        out = fs.create(tmp, True)
+        try:
+            out.write(payload)
+        finally:
+            out.close()
+        dest = jvm.org.apache.hadoop.fs.Path(self._manifest_path(version))
+        if fs.exists(dest) or not fs.rename(tmp, dest):
+            fs.delete(tmp, False)
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently at {self.path}"
+            )
+        return version
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write ``df`` and commit it as the next version.
+
+        ``overwrite``: the new version is exactly ``df``.
+        ``append``: the new version is the previous file list + ``df``'s
+        files — an append never rewrites existing data.
+        Returns the committed version number.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        vs = self.versions()
+        next_v = (vs[-1] + 1) if vs else 0
+        new_files = self._write_data_files(df)
+        files = list(new_files)
+        if mode == "append" and vs:
+            files += self._read_manifest(vs[-1])["files"]
+        return self._commit(next_v, files, df.schema.jsonValue())
+
+    # ------------------------------------------------------ mutations
+
+    def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write MERGE: latest state anti-joined on ``keys``,
+        unioned with ``updates``, committed as one new version — the
+        whole upsert is visible atomically (no dynamic-overwrite swap
+        window).  Updates win on key collision."""
+        current = self.read()
+        survivors = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*current.columns))
+        return self.commit(merged, mode="overwrite")
+
+    def delete_keys(self, delete_keys: DataFrame, keys: list[str]) -> int:
+        """Copy-on-write DELETE: survivors committed as one version."""
+        current = self.read()
+        survivors = current.join(
+            delete_keys.select(*keys).distinct(), keys, "left_anti"
+        )
+        return self.commit(survivors, mode="overwrite")
+
+    # ------------------------------------------------------ maintenance
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Expire all but the last ``keep_last`` versions and delete
+        data files no surviving manifest references.  Returns the names
+        of removed data files.  Time travel reaches only surviving
+        versions afterwards."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep = set(vs[-keep_last:])
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(v)["files"])
+        fs, jvm = _fs(self.spark, self.path)
+        # drop expired manifests first: a reader can no longer pick them
+        for v in vs:
+            if v not in keep:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(self._manifest_path(v)), False
+                )
+        removed = []
+        data_root = posixpath.join(self.path, _DATA_DIR)
+        droot = jvm.org.apache.hadoop.fs.Path(data_root)
+        if fs.exists(droot):
+            for st in fs.listStatus(droot):
+                name = st.getPath().getName()
+                if st.isDirectory() or name in referenced:
+                    continue
+                fs.delete(st.getPath(), False)
+                removed.append(name)
+        return removed
