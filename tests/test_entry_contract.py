@@ -41,22 +41,26 @@ def test_ordering_is_a_permutation_of_the_catalog():
     assert len(set(e._PRIORITY) & set(e._TAIL)) == 0
 
 
-def test_unplaced_queries_land_inside_the_driver_window():
-    """Any newly registered query not yet placed in _PRIORITY/_TAIL must
-    fall inside the driver's sampled window — and the priority list
-    itself must fit.  When this fails, rotate double-verified queries
-    into _TAIL; do not let new work ship unverified."""
+def test_every_query_is_explicitly_placed():
+    """Since round 5 the never-driver-verified backlog exceeds the
+    window, so the implicit middle can no longer guarantee a new query a
+    correctness row.  The ledger discipline is therefore: EVERY catalog
+    query must be explicitly placed in _PRIORITY (never/under-verified,
+    ordered, window first) or _TAIL (multi-verified) — registering a
+    query without placing it fails here, forcing a deliberate rotation
+    decision instead of silent unverified shipping."""
     e = _entry()
     names = e._ordered_names()
-    window = set(names[:DRIVER_WINDOW])
     placed = set(e._PRIORITY) | set(e._TAIL)
     unplaced = [n for n in names if n not in placed]
-    outside = [n for n in unplaced if n not in window]
-    assert not outside, (
-        f"new queries outside the driver's first-{DRIVER_WINDOW} window "
-        f"(will never get a correctness row): {outside}"
+    assert not unplaced, (
+        f"queries registered but not placed in the rotation ledger: "
+        f"{unplaced} — add each to _PRIORITY (never verified) or _TAIL"
     )
-    in_catalog_priority = [n for n in e._PRIORITY if n in window]
-    assert len(in_catalog_priority) == len(
-        [n for n in e._PRIORITY if n in set(names)]
-    ), "priority list no longer fits inside the driver window"
+    # The sampled window must be exactly the first DRIVER_WINDOW entries
+    # of _PRIORITY: the rotation's verification plan is the ledger order.
+    prio_in_catalog = [n for n in e._PRIORITY if n in set(names)]
+    assert names[:DRIVER_WINDOW] == prio_in_catalog[:DRIVER_WINDOW]
+    # No name is listed twice across the ledger.
+    overlap = set(e._PRIORITY) & set(e._TAIL)
+    assert not overlap, f"queries in both _PRIORITY and _TAIL: {overlap}"

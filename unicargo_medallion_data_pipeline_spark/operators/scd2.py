@@ -68,6 +68,46 @@ def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
     )
 
 
+def _prepare_updates(
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str,
+) -> DataFrame:
+    """Validate the batch and reduce it to one snapshot per key."""
+    cols = [*key_cols, *tracked_cols]
+    # Reserved-name guard (same posture as read_csv_with_quarantine): a
+    # snapshot re-ingested from an SCD2 export would otherwise produce
+    # duplicate/ambiguous columns deep inside the merge instead of a
+    # clear error at the API boundary.
+    reserved = {*SCD2_COLS, "_ts", "_rn"}
+    clashes = [c for c in cols if c in reserved or c.startswith("_cur_")]
+    if clashes:
+        raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
+    u_raw = updates.select(*cols, F.col(effective_ts_col).alias("_ts"))
+    # Reject NULL timestamps on the RAW batch, before latest-per-key
+    # dedup: a null-ts row shadowed by a later non-null snapshot of the
+    # same key would otherwise be dropped silently instead of raising —
+    # the documented contract is reject-all-nulls.  (The gate agg below
+    # re-checks the surviving rows as defense in depth against a
+    # non-deterministic `updates` source.)
+    if u_raw.filter(F.col("_ts").isNull()).limit(1).count():
+        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
+    return _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
+
+
+def _bootstrap_state(u: DataFrame, cols: list[str]) -> DataFrame:
+    """First-batch state: every surviving snapshot becomes current."""
+    return _with_state(
+        u.select(
+            *cols,
+            F.col("_ts").alias("effective_from"),
+            F.lit(None).cast("timestamp").alias("effective_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+
+
 def apply_scd2(
     spark: SparkSession,
     target_path: str,
@@ -89,26 +129,12 @@ def apply_scd2(
     current version's ``effective_from`` for a CHANGED key raises —
     silently applying it would fabricate a negative-length interval.
     Replays of history must be applied in order (or rebuild the table).
+
+    Atomicity: see the module docstring's crash-window note; for a
+    single-commit variant use :func:`apply_scd2_manifest`.
     """
     cols = [*key_cols, *tracked_cols]
-    # Reserved-name guard (same posture as read_csv_with_quarantine): a
-    # snapshot re-ingested from an SCD2 export would otherwise produce
-    # duplicate/ambiguous columns deep inside the merge instead of a
-    # clear error at the API boundary.
-    reserved = {*SCD2_COLS, "_ts", "_rn"}
-    clashes = [c for c in cols if c in reserved or c.startswith("_cur_")]
-    if clashes:
-        raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
-    u_raw = updates.select(*cols, F.col(effective_ts_col).alias("_ts"))
-    # Reject NULL timestamps on the RAW batch, before latest-per-key
-    # dedup: a null-ts row shadowed by a later non-null snapshot of the
-    # same key would otherwise be dropped silently instead of raising —
-    # the documented contract is reject-all-nulls.  (The gate agg below
-    # re-checks the surviving rows as defense in depth against a
-    # non-deterministic `updates` source.)
-    if u_raw.filter(F.col("_ts").isNull()).limit(1).count():
-        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
-    u = _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
+    u = _prepare_updates(updates, key_cols, tracked_cols, effective_ts_col)
 
     from pyspark.errors import AnalysisException
 
@@ -116,14 +142,7 @@ def apply_scd2(
         existing = spark.read.parquet(target_path)
     except AnalysisException:
         (
-            _with_state(
-                u.select(
-                    *cols,
-                    F.col("_ts").alias("effective_from"),
-                    F.lit(None).cast("timestamp").alias("effective_to"),
-                    F.lit(True).alias("is_current"),
-                )
-            )
+            _bootstrap_state(u, cols)
             .write.mode("overwrite")
             .format("parquet")
             .partitionBy("scd_state")
@@ -131,6 +150,30 @@ def apply_scd2(
         )
         return
 
+    delta = _scd2_delta(u, existing, cols, key_cols, tracked_cols, effective_ts_col)
+    if delta is None:
+        return  # pure re-delivery: every snapshot matches current
+    new_current, closed, n_changed = delta
+    _write_scd2_delta(spark, target_path, new_current, closed, n_changed)
+
+
+def _scd2_delta(
+    u: DataFrame,
+    existing: DataFrame,
+    cols: list[str],
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str,
+):
+    """Classify one prepared batch against the existing SCD2 state.
+
+    Returns ``(new_current, closed, n_changed)`` — the replacement
+    current partition, the rows to close into history, and the changed
+    count — or ``None`` for a pure re-delivery (zero writes).  Raises on
+    NULL timestamps and out-of-order batches.  Shared by the
+    partitioned-path writer (:func:`apply_scd2`) and the atomic manifest
+    writer (:func:`apply_scd2_manifest`).
+    """
     # Prune on the partition twin: only the current partition's files
     # are listed/read, however large history has grown.
     current = existing.filter(F.col("scd_state") == "current").drop("scd_state")
@@ -190,7 +233,7 @@ def apply_scd2(
             "in time order"
         )
     if not gate["n_changed"] and not gate["n_new"]:
-        return  # pure re-delivery: every snapshot matches current
+        return None  # pure re-delivery: every snapshot matches current
 
     # Rows of the NEW current partition: new versions of changed keys,
     # brand-new keys, and untouched current rows.
@@ -223,7 +266,19 @@ def apply_scd2(
     )
     new_current = _with_state(untouched.unionByName(fresh))
     closed = _with_state(closed)
+    return new_current, closed, int(gate["n_changed"])
 
+
+def _write_scd2_delta(
+    spark: SparkSession,
+    target_path: str,
+    new_current: DataFrame,
+    closed: DataFrame,
+    n_changed: int,
+) -> None:
+    """Partitioned-path writer: history append + current overwrite (the
+    documented two-write crash window; apply_scd2_manifest is the
+    single-commit alternative)."""
     # Stage on the target's filesystem (driver tempdirs only work in
     # local mode — see sources/staging.py), because new_current reads the
     # partition it will overwrite.
@@ -235,14 +290,14 @@ def apply_scd2(
     staging = staging_path(target_path, "scd2")
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
-        if gate["n_changed"]:
+        if n_changed:
             closed.write.mode("overwrite").parquet(staging + "/closed")
         new_current.write.mode("overwrite").parquet(staging + "/current")
         # History append FIRST, current overwrite LAST: a crash between
         # the two leaves the old current partition intact (retry then
         # re-closes — duplicate history rows, dedupable on the full row —
         # but never a current partition that forgot its history).
-        if gate["n_changed"]:
+        if n_changed:
             (
                 spark.read.parquet(staging + "/closed")
                 .write.mode("append")
@@ -264,6 +319,45 @@ def apply_scd2(
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         remove_path(spark, staging)
+
+
+def apply_scd2_manifest(
+    spark: SparkSession,
+    table,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str = "effective_ts",
+) -> None:
+    """:func:`apply_scd2` with ATOMIC batch visibility: the dimension
+    lives in a :class:`~unicargo_medallion_data_pipeline_spark.sources.acid.ManifestTable`
+    and each batch is ONE commit of the full new state (history +
+    closed rows + replacement current), so the partitioned path's
+    close-append/current-overwrite crash window does not exist — a
+    reader sees the pre-batch version or the post-batch version, never
+    an intermediate.  Bonus: every prior dimension state stays reachable
+    by version (time travel), the auditable complement of `as_of`.
+
+    Cost trade, stated plainly: the commit rewrites history too, so a
+    batch costs O(current + batch + history) here versus the
+    partitioned path's O(current + batch).  Right for dimensions (small
+    next to facts, correctness-critical); wrong for event-scale tables
+    — the docstrings cross-reference.
+    """
+    u = _prepare_updates(updates, key_cols, tracked_cols, effective_ts_col)
+    cols = [*key_cols, *tracked_cols]
+    if not table.versions():
+        table.commit(_bootstrap_state(u, cols))
+        return
+    existing = table.read()
+    delta = _scd2_delta(u, existing, cols, key_cols, tracked_cols, effective_ts_col)
+    if delta is None:
+        return  # idempotent re-delivery: no new version
+    new_current, closed, _ = delta
+    history = existing.filter(F.col("scd_state") == "history")
+    table.commit(
+        history.unionByName(closed).unionByName(new_current), mode="overwrite"
+    )
 
 
 def as_of(dim: DataFrame, ts, dedup: bool = True) -> DataFrame:
