@@ -146,9 +146,17 @@ class ManifestTable:
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         return names
 
-    def _commit(self, version: int, files: list[str], schema_json: dict) -> int:
+    def _commit(
+        self,
+        version: int,
+        files: list[str],
+        schema_json: dict,
+        meta: dict | None = None,
+    ) -> int:
         """Atomically publish ``files`` as ``version``; raise
-        :class:`ConcurrentCommitError` if someone else won the race."""
+        :class:`ConcurrentCommitError` if someone else won the race.
+        ``meta`` is caller metadata carried in the manifest (e.g. the
+        streaming batch id used for exactly-once fencing)."""
         fs, jvm = _fs(self.spark, self.path)
         mdir = jvm.org.apache.hadoop.fs.Path(
             posixpath.join(self.path, _MANIFEST_DIR)
@@ -160,7 +168,12 @@ class ManifestTable:
             )
         )
         payload = json.dumps(
-            {"version": version, "files": sorted(files), "schema": schema_json}
+            {
+                "version": version,
+                "files": sorted(files),
+                "schema": schema_json,
+                "meta": meta or {},
+            }
         ).encode("utf-8")
         out = fs.create(tmp, True)
         try:
@@ -175,7 +188,9 @@ class ManifestTable:
             )
         return version
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "overwrite", meta: dict | None = None
+    ) -> int:
         """Write ``df`` and commit it as the next version.
 
         ``overwrite``: the new version is exactly ``df``.
@@ -191,7 +206,15 @@ class ManifestTable:
         files = list(new_files)
         if mode == "append" and vs:
             files += self._read_manifest(vs[-1])["files"]
-        return self._commit(next_v, files, df.schema.jsonValue())
+        return self._commit(next_v, files, df.schema.jsonValue(), meta=meta)
+
+    def latest_meta(self) -> dict:
+        """The ``meta`` dict of the latest committed version ({} for a
+        missing table or a metadata-less commit)."""
+        vs = self.versions()
+        if not vs:
+            return {}
+        return self._read_manifest(vs[-1]).get("meta", {})
 
     # ------------------------------------------------------ mutations
 

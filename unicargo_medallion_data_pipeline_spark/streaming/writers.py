@@ -125,3 +125,48 @@ def write_stream_with_merge(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def write_stream_to_manifest(
+    df: DataFrame,
+    table,
+    checkpoint: str,
+    mode: str = "append",
+    trigger: dict | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Exactly-once streaming sink over a manifest-committed table
+    (``sources/acid.ManifestTable``): each micro-batch is ONE atomic
+    commit, fenced by the batch id.
+
+    Two independent mechanisms give exactly-once:
+
+    * the streaming checkpoint replays a batch at most from its last
+      uncommitted offset, and
+    * the manifest records the last committed ``batch_id``
+      (``latest_meta()``); a replayed batch with ``batch_id`` ≤ the
+      recorded one is SKIPPED — so even a crash between the manifest
+      rename and the checkpoint write (the classic foreachBatch
+      double-apply window) cannot append the same batch twice.
+
+    A reader never observes a torn batch: commits are single renames.
+    """
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
+        table.commit(batch_df, mode=mode, meta={"batch_id": batch_id})
+
+    writer = (
+        df.writeStream.foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update" if mode == "overwrite" else "append")
+    )
+    writer = _apply_trigger(writer, trigger)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
