@@ -56,7 +56,7 @@ def test_delete_keys_version(spark, table):
 
 def test_concurrent_commit_one_winner(spark, table):
     table.commit(_df(spark, [(1, "a")]))
-    files = table._write_data_files(_df(spark, [(2, "b")]))
+    files, _stats = table._write_data_files(_df(spark, [(2, "b")]))
     schema = _df(spark, [(2, "b")]).schema.jsonValue()
     table._commit(1, files, schema)
     with pytest.raises(ConcurrentCommitError):
@@ -94,3 +94,43 @@ def test_empty_overwrite_keeps_schema(spark, table):
     out = table.read()
     assert out.count() == 0
     assert out.columns == ["k", "v"]
+
+
+def test_read_pruned_skips_files(spark, table):
+    """Files whose recorded [min,max] excludes the range are not in the
+    pruned plan's file list; the result is still exact."""
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k int, v string"
+    ).repartitionByRange(4, "k")
+    table.commit(df, stats_cols=["k"])
+    pruned = table.read_pruned("k", 10, 15)
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == list(range(10, 16))
+    # fewer input files than the full read
+    n_pruned = len(pruned.inputFiles())
+    n_full = len(table.read().inputFiles())
+    assert n_full == 4 and n_pruned < n_full
+    # range outside all stats → zero files, empty exact result
+    assert table.read_pruned("k", 1000, 2000).count() == 0
+
+
+def test_pruning_never_drops_statless_files(spark, table):
+    """A version mixing stats-bearing and stats-less files must read
+    the stats-less ones regardless of range."""
+    table.commit(_df(spark, [(1, "a")]), stats_cols=["k"])
+    table.commit(_df(spark, [(500, "far")]), mode="append")  # no stats
+    got = sorted(r["k"] for r in table.read_pruned("k", 400, 600).collect())
+    assert got == [500]
+
+
+def test_compact_tightens_stats_and_files(spark, table):
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "k int, v string"
+    ).repartition(8)
+    table.commit(df, stats_cols=["k"])
+    assert len(table.read().inputFiles()) == 8
+    table.compact(target_files=2, stats_cols=["k"], sort_by=["k"])
+    assert len(table.read().inputFiles()) == 2
+    assert table.read().count() == 50
+    # clustered stats make a narrow range touch one file
+    assert len(table.read_pruned("k", 0, 5).inputFiles()) == 1

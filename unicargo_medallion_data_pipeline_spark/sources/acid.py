@@ -49,6 +49,31 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
+def _json_safe(v):
+    """Manifest stats values must be JSON: dates/timestamps → ISO text
+    (comparisons on read re-parse through the column's type)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
+def _cmp_lt(a, b) -> bool:
+    """Compare a pruning bound against a stored stat.  Dates/timestamps
+    normalize to ISO text, whose lexicographic order equals temporal
+    order; mixed presence of a string forces text comparison."""
+    import datetime as _dt
+
+    if isinstance(a, (_dt.datetime, _dt.date)):
+        a = a.isoformat()
+    if isinstance(b, (_dt.datetime, _dt.date)):
+        b = b.isoformat()
+    if isinstance(a, str) or isinstance(b, str):
+        return str(a) < str(b)
+    return a < b
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -123,12 +148,47 @@ class ManifestTable:
 
     # ------------------------------------------------------------ write
 
-    def _write_data_files(self, df: DataFrame) -> list[str]:
-        """Stage ``df`` as immutable data files; return their names."""
+    def _write_data_files(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> tuple[list[str], dict]:
+        """Stage ``df`` as immutable data files; return (names, stats).
+
+        ``stats_cols`` requests per-FILE min/max for those columns,
+        computed in one pass over the staged files (a column-pruned scan
+        grouped by file name) and stored in the manifest for
+        :meth:`read_pruned` data skipping — the Iceberg/Delta file-stats
+        idea in its minimal form."""
         fs, jvm = _fs(self.spark, self.path)
         commit_id = uuid.uuid4().hex
         staging = posixpath.join(self.path, _DATA_DIR, f"_stage_{commit_id}")
         df.write.mode("overwrite").parquet(staging)
+        stats: dict = {}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            aggs = []
+            for c in stats_cols:
+                aggs += [
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                ]
+            rows = (
+                self.spark.read.parquet(staging)
+                .withColumn(
+                    "_file",
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -1
+                    ),
+                )
+                .groupBy("_file")
+                .agg(*aggs)
+                .collect()
+            )
+            for r in rows:
+                stats[r["_file"]] = {
+                    c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
+                    for c in stats_cols
+                }
         names = []
         data_root = posixpath.join(self.path, _DATA_DIR)
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
@@ -144,7 +204,9 @@ class ManifestTable:
                 raise IOError(f"failed to place data file {final}")
             names.append(final)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        return names
+        # re-key stats by the FINAL file names
+        stats = {f"{commit_id}-{k}": v for k, v in stats.items()}
+        return names, stats
 
     def _commit(
         self,
@@ -152,6 +214,7 @@ class ManifestTable:
         files: list[str],
         schema_json: dict,
         meta: dict | None = None,
+        stats: dict | None = None,
     ) -> int:
         """Atomically publish ``files`` as ``version``; raise
         :class:`ConcurrentCommitError` if someone else won the race.
@@ -173,6 +236,7 @@ class ManifestTable:
                 "files": sorted(files),
                 "schema": schema_json,
                 "meta": meta or {},
+                "stats": stats or {},
             }
         ).encode("utf-8")
         out = fs.create(tmp, True)
@@ -189,24 +253,73 @@ class ManifestTable:
         return version
 
     def commit(
-        self, df: DataFrame, mode: str = "overwrite", meta: dict | None = None
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        meta: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` and commit it as the next version.
 
         ``overwrite``: the new version is exactly ``df``.
         ``append``: the new version is the previous file list + ``df``'s
-        files — an append never rewrites existing data.
+        files — an append never rewrites existing data (an append also
+        carries forward the previous version's file stats).
+        ``stats_cols`` records per-file min/max for those columns in the
+        manifest, enabling :meth:`read_pruned` file skipping.
         Returns the committed version number.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         vs = self.versions()
         next_v = (vs[-1] + 1) if vs else 0
-        new_files = self._write_data_files(df)
+        new_files, stats = self._write_data_files(df, stats_cols)
         files = list(new_files)
         if mode == "append" and vs:
-            files += self._read_manifest(vs[-1])["files"]
-        return self._commit(next_v, files, df.schema.jsonValue(), meta=meta)
+            prev = self._read_manifest(vs[-1])
+            files += prev["files"]
+            stats = {**prev.get("stats", {}), **stats}
+        return self._commit(
+            next_v, files, df.schema.jsonValue(), meta=meta, stats=stats
+        )
+
+    def read_pruned(self, col: str, lo, hi) -> DataFrame:
+        """Read only the files whose recorded [min, max] for ``col``
+        overlaps [lo, hi] — manifest-level data skipping: files whose
+        stats exclude the range are never opened (no footer read, no
+        task).  Files with NO recorded stats for ``col`` are read
+        (skipping must never drop data).  The residual BETWEEN filter is
+        still applied, so the result is exact."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(vs[-1])
+        stats = m.get("stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            fmin, fmax = s
+            if fmin is None or fmax is None:
+                keep.append(f)  # all-null file stats: cannot exclude
+                continue
+            if not (_cmp_lt(hi, fmin) or _cmp_lt(fmax, lo)):
+                keep.append(f)
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            empty = self.spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
+            return empty.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+        paths = [posixpath.join(self.path, _DATA_DIR, f) for f in keep]
+        return self.spark.read.parquet(*paths).filter(
+            F.col(col).between(F.lit(lo), F.lit(hi))
+        )
 
     def latest_meta(self) -> dict:
         """The ``meta`` dict of the latest committed version ({} for a
@@ -239,6 +352,26 @@ class ManifestTable:
         return self.commit(survivors, mode="overwrite")
 
     # ------------------------------------------------------ maintenance
+
+    def compact(
+        self,
+        target_files: int = 1,
+        stats_cols: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the latest version into ``target_files`` files —
+        small-file compaction as one atomic commit (readers flip from
+        the fragmented file list to the compacted one instantly; old
+        files stay until :meth:`vacuum`).  ``sort_by`` clusters rows
+        before the rewrite so recorded ``stats_cols`` ranges become
+        tight and :meth:`read_pruned` skips effectively — compaction
+        and Z-order-style clustering in one pass."""
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(target_files, *sort_by)
+        else:
+            df = df.repartition(target_files)
+        return self.commit(df, mode="overwrite", stats_cols=stats_cols)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Expire all but the last ``keep_last`` versions and delete
