@@ -134,3 +134,16 @@ def test_compact_tightens_stats_and_files(spark, table):
     assert table.read().count() == 50
     # clustered stats make a narrow range touch one file
     assert len(table.read_pruned("k", 0, 5).inputFiles()) == 1
+
+
+def test_append_schema_evolution_add_column(spark, table):
+    """An append that adds a column reads older files with NULLs for it
+    (the manifest's schema governs the read)."""
+    table.commit(_df(spark, [(1, "a")]))
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double")
+    table.commit(wider, mode="append")
+    out = {r["k"]: r["score"] for r in table.read().collect()}
+    assert out == {1: None, 2: 9.5}
+    assert table.read().columns == ["k", "v", "score"]
+    # time travel to v0 still shows the original two-column shape
+    assert table.read(version=0).columns == ["k", "v"]

@@ -137,14 +137,18 @@ class ManifestTable:
             raise FileNotFoundError(f"version {v} not in {vs}")
         m = self._read_manifest(v)
         files = [posixpath.join(self.path, _DATA_DIR, f) for f in m["files"]]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
         if not files:
             # empty committed state: reconstruct schema from the manifest
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(m["schema"])
-            )
-        return self.spark.read.parquet(*files)
+            return self.spark.createDataFrame([], schema)
+        # Read under the MANIFEST's schema, not an inferred one: column
+        # order is stable, and schema evolution works — an appended
+        # commit that added a column reads older files with NULLs for
+        # it, and a column dropped by the latest writer is simply not
+        # projected from older files.
+        return self.spark.read.schema(schema).parquet(*files)
 
     # ------------------------------------------------------------ write
 
