@@ -140,6 +140,7 @@ _PRIORITY = [
     "nation_top_customers_lateral",
     "customer_order_window_corners",
     "orders_acid_timetravel",
+    "events_manifest_pruned_scan",
 ]
 
 # Tail: every query with at least one green driver row across r1-r3,

@@ -289,3 +289,65 @@ def orders_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F2.lit(1).alias("version"), "priority", "n_orders"
     )
     return tagged0.unionByName(tagged1).orderBy("version", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Manifest file-stats pruning under the hash gate
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = 30.0, 45.0
+
+
+@register(
+    "events_manifest_pruned_scan",
+    sql=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    WHERE value BETWEEN {_PRUNE_LO} AND {_PRUNE_HI}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    operators=("S3", "P7", "A13"),
+)
+def events_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats data skipping (`sources/acid.ManifestTable.read_pruned`)
+    under the hash gate: commit `events` into a manifest table
+    range-clustered on `value` with per-file min/max stats, read back
+    ONLY the files overlapping [{_PRUNE_LO}, {_PRUNE_HI}], and
+    aggregate.  The oracle scans everything and filters — a green row
+    proves pruning returned exactly the rows a full scan would (the
+    skipping-never-loses-data contract), value-for-value.
+
+    The in-plan assert pins the skipping itself: the pruned read must
+    touch strictly fewer files than the table holds — without it a
+    pruning regression (reading everything) would still hash-match.
+    """
+    import os
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    t = ManifestTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="prune_q_"), "t")
+    )
+    t.commit(
+        ev.repartitionByRange(8, "value"), stats_cols=["value"]
+    )
+    pruned = t.read_pruned("value", _PRUNE_LO, _PRUNE_HI)
+    n_all, n_pruned = len(t.read().inputFiles()), len(pruned.inputFiles())
+    assert n_pruned < n_all, (
+        f"file skipping regressed: read {n_pruned}/{n_all} files"
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
