@@ -141,6 +141,7 @@ _PRIORITY = [
     "customer_order_window_corners",
     "orders_acid_timetravel",
     "events_manifest_pruned_scan",
+    "events_sliding_10min_counts",
 ]
 
 # Tail: every query with at least one green driver row across r1-r3,

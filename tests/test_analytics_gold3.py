@@ -146,3 +146,28 @@ def test_duplicate_ngram_rate_on_planted_dups(spark):
 def test_duplicate_ngram_plan_has_no_cartesian(spark, catalog):
     plan = plan_of(catalog["doc_duplicate_ngram_rate"].fn(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------- sliding-window mirror
+
+
+def test_sliding_mirror_equals_builtin_window(spark, catalog):
+    """The explicit two-bucket explode must produce exactly the
+    multiplicity and counts of F.window(width=10min, slide=5min)."""
+    mirror = catalog["events_sliding_10min_counts"].fn(spark, SF).select(
+        "window_start", "event_type", "n_events"
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    builtin = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .count()
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            F.col("count").alias("n_events"),
+        )
+    )
+    assert mirror.exceptAll(builtin).count() == 0
+    assert builtin.exceptAll(mirror).count() == 0

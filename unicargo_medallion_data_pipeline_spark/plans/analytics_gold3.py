@@ -408,3 +408,60 @@ def orders_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         foreign_key("o_custkey", c, "c_custkey"),
     ]
     return run_suite(o, suite)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window batch mirror (T6 overlapping buckets) under the hash gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sliding_10min_counts",
+    sql="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 AS w0,
+             event_type, value
+      FROM events
+    ),
+    x AS (
+      SELECT unnest([w0 - 300, w0]) AS ws, event_type, value FROM e
+    )
+    SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM x
+    GROUP BY 1, 2
+    """,
+    operators=("T6", "A4"),
+)
+def events_sliding_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (width 10 min, slide 5 min) as a batch plan with
+    the overlap made EXPLICIT: each event belongs to exactly two
+    windows, emitted map-side as a two-element array explode — the same
+    multiplicity `F.window("ts", "10 minutes", "5 minutes")` produces
+    (pinned by a pytest equivalence check), but expressed identically
+    on both engines so the driver hash gate covers the one T6 shape
+    (overlapping buckets) that previously had only pytest coverage.
+
+    Scale: the explode doubles rows BEFORE the partial aggregate, which
+    immediately combines them map-side to (window, type) grain — the
+    standard cost of sliding windows (width/slide copies), paid in the
+    combiner, not the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w0 = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint")
+    from unicargo_medallion_data_pipeline_spark.functions.exact import dsum
+
+    return (
+        ev.select(
+            F.explode(F.array(w0 - 300, w0)).alias("ws"), "event_type", "value"
+        )
+        .groupBy(
+            F.col("ws").cast("timestamp").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
