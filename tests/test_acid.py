@@ -147,3 +147,42 @@ def test_append_schema_evolution_add_column(spark, table):
     assert table.read().columns == ["k", "v", "score"]
     # time travel to v0 still shows the original two-column shape
     assert table.read(version=0).columns == ["k", "v"]
+
+
+def test_mutate_with_retry_serializes_against_interleaved_writer(spark, table):
+    """A competing commit landing between read and commit forces a
+    retry; the transform re-applies over the winner's state, so both
+    writers' effects serialize."""
+    from pyspark.sql import functions as F
+
+    table.commit(_df(spark, [(1, "a")]))
+    interleaved = {"done": False}
+    real_commit = table.commit
+
+    def racing_commit(
+        df, mode="overwrite", meta=None, stats_cols=None, base_version=None
+    ):
+        # simulate a concurrent writer winning the version race exactly
+        # once, after our read but before our commit
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            real_commit(_df(spark, [(99, "other")]), mode="append")
+        return real_commit(
+            df,
+            mode=mode,
+            meta=meta,
+            stats_cols=stats_cols,
+            base_version=base_version,
+        )
+
+    table.commit = racing_commit  # type: ignore[method-assign]
+    try:
+        v = table.mutate_with_retry(
+            lambda cur: cur.unionByName(_df(spark, [(2, "mine")]))
+        )
+    finally:
+        table.commit = real_commit  # type: ignore[method-assign]
+    assert v == table.versions()[-1]
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "a"), (2, "mine"), (99, "other")]
+    _ = F

@@ -346,17 +346,22 @@ def apply_scd2_manifest(
     """
     u = _prepare_updates(updates, key_cols, tracked_cols, effective_ts_col)
     cols = [*key_cols, *tracked_cols]
-    if not table.versions():
-        table.commit(_bootstrap_state(u, cols))
+    versions = table.versions()
+    if not versions:
+        table.commit(_bootstrap_state(u, cols), base_version=-1)
         return
-    existing = table.read()
+    base = versions[-1]
+    existing = table.read(version=base)
     delta = _scd2_delta(u, existing, cols, key_cols, tracked_cols, effective_ts_col)
     if delta is None:
         return  # idempotent re-delivery: no new version
     new_current, closed, _ = delta
     history = existing.filter(F.col("scd_state") == "history")
+    # base-pinned: a concurrent batch conflicts instead of being lost
     table.commit(
-        history.unionByName(closed).unionByName(new_current), mode="overwrite"
+        history.unionByName(closed).unionByName(new_current),
+        mode="overwrite",
+        base_version=base,
     )
 
 

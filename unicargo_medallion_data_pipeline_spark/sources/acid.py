@@ -262,6 +262,7 @@ class ManifestTable:
         mode: str = "overwrite",
         meta: dict | None = None,
         stats_cols: list[str] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Write ``df`` and commit it as the next version.
 
@@ -271,12 +272,26 @@ class ManifestTable:
         carries forward the previous version's file stats).
         ``stats_cols`` records per-file min/max for those columns in the
         manifest, enabling :meth:`read_pruned` file skipping.
+
+        ``base_version`` pins the commit to the state it was DERIVED
+        from: the new version must be exactly ``base_version + 1`` (-1 =
+        "table must not exist yet"), so a commit computed over a stale
+        read raises :class:`ConcurrentCommitError` instead of silently
+        overwriting the interleaved writer's work (lost update).  Every
+        read-modify-write in this module (merge/delete/retry/SCD2) pins
+        its base; an unpinned commit is last-writer-wins by choice.
         Returns the committed version number.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         vs = self.versions()
-        next_v = (vs[-1] + 1) if vs else 0
+        latest = vs[-1] if vs else -1
+        if base_version is not None and base_version != latest:
+            raise ConcurrentCommitError(
+                f"state advanced from version {base_version} to {latest} "
+                f"since it was read at {self.path}"
+            )
+        next_v = latest + 1
         new_files, stats = self._write_data_files(df, stats_cols)
         files = list(new_files)
         if mode == "append" and vs:
@@ -339,21 +354,51 @@ class ManifestTable:
         """Copy-on-write MERGE: latest state anti-joined on ``keys``,
         unioned with ``updates``, committed as one new version — the
         whole upsert is visible atomically (no dynamic-overwrite swap
-        window).  Updates win on key collision."""
-        current = self.read()
+        window).  Updates win on key collision.  Pinned to the version
+        read, so a concurrent commit conflicts instead of being lost."""
+        base = self.versions()[-1]
+        current = self.read(version=base)
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         )
         merged = survivors.unionByName(updates.select(*current.columns))
-        return self.commit(merged, mode="overwrite")
+        return self.commit(merged, mode="overwrite", base_version=base)
 
     def delete_keys(self, delete_keys: DataFrame, keys: list[str]) -> int:
-        """Copy-on-write DELETE: survivors committed as one version."""
-        current = self.read()
+        """Copy-on-write DELETE: survivors committed as one version
+        (base-pinned, same as merge)."""
+        base = self.versions()[-1]
+        current = self.read(version=base)
         survivors = current.join(
             delete_keys.select(*keys).distinct(), keys, "left_anti"
         )
-        return self.commit(survivors, mode="overwrite")
+        return self.commit(survivors, mode="overwrite", base_version=base)
+
+    def mutate_with_retry(self, build, max_attempts: int = 5) -> int:
+        """Run an optimistic read-modify-commit loop: ``build(current_df)``
+        returns the DataFrame to commit as the next version; on a
+        :class:`ConcurrentCommitError` (someone committed since the
+        read) the state is re-read and ``build`` re-applied, at most
+        ``max_attempts`` times.
+
+        This is the correct client shape for concurrent writers: the
+        transform must be a pure function of the current state (e.g. an
+        upsert of a fixed batch), so replaying it over the winner's
+        state yields the intended serialized result.
+        """
+        last: ConcurrentCommitError | None = None
+        for _ in range(max_attempts):
+            base = self.versions()[-1]
+            current = self.read(version=base)
+            try:
+                return self.commit(
+                    build(current), mode="overwrite", base_version=base
+                )
+            except ConcurrentCommitError as e:
+                last = e
+        raise ConcurrentCommitError(
+            f"gave up after {max_attempts} attempts: {last}"
+        )
 
     # ------------------------------------------------------ maintenance
 
