@@ -186,3 +186,18 @@ def test_mutate_with_retry_serializes_against_interleaved_writer(spark, table):
     got = sorted((r["k"], r["v"]) for r in table.read().collect())
     assert got == [(1, "a"), (2, "mine"), (99, "other")]
     _ = F
+
+
+def test_multi_column_pruning_intersects(spark, table):
+    """Conjunctive predicates prune on every column's stats: a file must
+    overlap ALL ranges to be read."""
+    df = spark.createDataFrame(
+        [(i, i % 10, f"r{i}") for i in range(100)], "k int, m int, v string"
+    ).repartitionByRange(4, "k")
+    table.commit(df, stats_cols=["k", "m"])
+    out = table.read_pruned("k", 10, 15, more=[("m", 3, 4)])
+    got = sorted(r["k"] for r in out.collect())
+    assert got == [13, 14]  # k in 10..15 AND k%10 in {3,4}
+    assert len(out.inputFiles()) < 4
+    # an impossible conjunction touches nothing
+    assert table.read_pruned("k", 10, 15, more=[("k", 90, 95)]).count() == 0

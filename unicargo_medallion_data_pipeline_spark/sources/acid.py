@@ -302,43 +302,50 @@ class ManifestTable:
             next_v, files, df.schema.jsonValue(), meta=meta, stats=stats
         )
 
-    def read_pruned(self, col: str, lo, hi) -> DataFrame:
-        """Read only the files whose recorded [min, max] for ``col``
-        overlaps [lo, hi] — manifest-level data skipping: files whose
-        stats exclude the range are never opened (no footer read, no
-        task).  Files with NO recorded stats for ``col`` are read
-        (skipping must never drop data).  The residual BETWEEN filter is
-        still applied, so the result is exact."""
+    def read_pruned(self, col: str, lo, hi, more: list[tuple] | None = None) -> DataFrame:
+        """Read only the files whose recorded [min, max] stats overlap
+        EVERY requested range — manifest-level data skipping: files
+        excluded by any predicate are never opened (no footer read, no
+        task).  ``more`` adds further conjunctive ``(col, lo, hi)``
+        predicates.  Files with NO recorded stats for a column pass that
+        predicate's pruning (skipping must never drop data).  The
+        residual BETWEEN filters are still applied, so the result is
+        exact."""
         from pyspark.sql import functions as F
 
+        preds = [(col, lo, hi), *(more or [])]
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no committed version at {self.path}")
         m = self._read_manifest(vs[-1])
         stats = m.get("stats", {})
-        keep = []
-        for f in m["files"]:
-            s = stats.get(f, {}).get(col)
+
+        def overlaps(f: str, c: str, plo, phi) -> bool:
+            s = stats.get(f, {}).get(c)
             if s is None:
-                keep.append(f)
-                continue
+                return True
             fmin, fmax = s
             if fmin is None or fmax is None:
-                keep.append(f)  # all-null file stats: cannot exclude
-                continue
-            if not (_cmp_lt(hi, fmin) or _cmp_lt(fmax, lo)):
-                keep.append(f)
+                return True  # all-null file stats: cannot exclude
+            return not (_cmp_lt(phi, fmin) or _cmp_lt(fmax, plo))
+
+        keep = [
+            f
+            for f in m["files"]
+            if all(overlaps(f, c, plo, phi) for c, plo, phi in preds)
+        ]
         if not keep:
             from pyspark.sql.types import StructType
 
-            empty = self.spark.createDataFrame(
+            out = self.spark.createDataFrame(
                 [], StructType.fromJson(m["schema"])
             )
-            return empty.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
-        paths = [posixpath.join(self.path, _DATA_DIR, f) for f in keep]
-        return self.spark.read.parquet(*paths).filter(
-            F.col(col).between(F.lit(lo), F.lit(hi))
-        )
+        else:
+            paths = [posixpath.join(self.path, _DATA_DIR, f) for f in keep]
+            out = self.spark.read.parquet(*paths)
+        for c, plo, phi in preds:
+            out = out.filter(F.col(c).between(F.lit(plo), F.lit(phi)))
+        return out
 
     def latest_meta(self) -> dict:
         """The ``meta`` dict of the latest committed version ({} for a
