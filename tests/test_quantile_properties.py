@@ -112,3 +112,52 @@ def test_erasure_conservation_and_idempotence(
         spark, path, keys, key_cols=["user_id"], partition_col="part"
     )
     assert audit2.count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    r1=st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=50),
+    ),
+    r2=st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=0, max_value=50),
+    ),
+)
+def test_manifest_pruning_equals_full_scan_filter(
+    spark_session_holder, tmp_path_factory, rows, r1, r2
+):
+    """For arbitrary data and arbitrary (even empty/inverted) ranges,
+    read_pruned over committed stats returns exactly what a full scan
+    plus BETWEEN filters returns — the skipping-never-loses-data
+    property at the API level."""
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    spark = spark_session_holder
+    path = os.path.join(str(tmp_path_factory.mktemp("pp")), "t")
+    t = ManifestTable(spark, path)
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "rid int, a int, b int"
+    ).repartitionByRange(3, "a")
+    t.commit(df, stats_cols=["a", "b"])
+
+    (a_lo, a_hi), (b_lo, b_hi) = sorted(r1), sorted(r2)
+    got = sorted(
+        r["rid"]
+        for r in t.read_pruned("a", a_lo, a_hi, more=[("b", b_lo, b_hi)]).collect()
+    )
+    want = sorted(
+        i
+        for i, (a, b) in enumerate(rows)
+        if a_lo <= a <= a_hi and b_lo <= b <= b_hi
+    )
+    assert got == want
