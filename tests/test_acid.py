@@ -72,7 +72,7 @@ def test_uncommitted_files_are_invisible(spark, table):
     table._write_data_files(_df(spark, [(99, "ghost")]))
     assert [r["k"] for r in table.read().collect()] == [1]
     # vacuum removes the orphans; the committed file survives
-    removed = table.vacuum(keep_last=1)
+    removed = table.vacuum(keep_last=1, min_age_seconds=0)
     assert removed, "orphaned data files must be collected"
     assert [r["k"] for r in table.read().collect()] == [1]
 
@@ -80,7 +80,7 @@ def test_uncommitted_files_are_invisible(spark, table):
 def test_vacuum_expires_time_travel(spark, table):
     table.commit(_df(spark, [(1, "a")]))
     table.commit(_df(spark, [(2, "b")]), mode="overwrite")
-    removed = table.vacuum(keep_last=1)
+    removed = table.vacuum(keep_last=1, min_age_seconds=0)
     assert removed  # v0's file is unreferenced by v1
     assert table.versions() == [1]
     with pytest.raises(FileNotFoundError):
@@ -201,3 +201,48 @@ def test_multi_column_pruning_intersects(spark, table):
     assert len(out.inputFiles()) < 4
     # an impossible conjunction touches nothing
     assert table.read_pruned("k", 10, 15, more=[("k", 90, 95)]).count() == 0
+
+
+def test_vacuum_retention_protects_young_files_and_cleans_stage_dirs(spark, table):
+    """r5 ADVICE regression: a young unreferenced file (possibly an
+    in-flight writer's staged data) must survive a default-retention
+    vacuum; crashed writers' _stage_* directories must be collected once
+    older than the threshold."""
+    table.commit(_df(spark, [(1, "a")]))
+    # crash-simulate: staged dir left behind (no manifest rename)
+    import posixpath
+
+    fs, jvm = __import__(
+        "unicargo_medallion_data_pipeline_spark.sources.acid", fromlist=["_fs"]
+    )._fs(spark, table.path)
+    stage = posixpath.join(table.path, "data", "_stage_deadbeef")
+    _df(spark, [(99, "ghost")]).write.mode("overwrite").parquet(stage)
+    # also a loose orphan data file
+    table._write_data_files(_df(spark, [(98, "orphan")]))
+
+    # default retention (7 days): nothing young is deleted
+    assert table.vacuum(keep_last=1) == []
+    assert fs.exists(jvm.org.apache.hadoop.fs.Path(stage))
+
+    # zero retention: orphan files AND the stage dir are collected
+    removed = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert "_stage_deadbeef" in removed
+    assert any(r.endswith(".parquet") for r in removed)
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(stage))
+    assert [r["k"] for r in table.read().collect()] == [1]
+
+
+def test_read_pruned_applies_manifest_schema_after_evolution(spark, table):
+    """r5 ADVICE regression: a pruned read after a column-adding append
+    must project the manifest schema (old files → NULL new column), not
+    whichever file wins inference."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"])
+    widened = spark.createDataFrame([(10, "x", 5.0)], "k int, v string, w double")
+    table.commit(widened, mode="append", stats_cols=["k"])
+    out = table.read_pruned("k", 0, 100)
+    assert out.columns == ["k", "v", "w"]
+    rows = {r["k"]: r["w"] for r in out.collect()}
+    assert rows == {1: None, 2: None, 10: 5.0}
+    # pruning away the old files must still resolve the residual filter
+    only_new = table.read_pruned("k", 9, 100)
+    assert [r["k"] for r in only_new.collect()] == [10]

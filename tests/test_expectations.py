@@ -108,3 +108,23 @@ def test_scalar_rules_share_one_job(spark, dirty):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
     assert sum(1 for n in nodes if "Scan" in n) == 1, nodes
     assert not any("Union" in n for n in nodes), nodes
+
+
+def test_duplicate_and_equal_comparing_rules_each_get_a_slot(spark, dirty, dim):
+    """r5 ADVICE regression: Expect is frozen/eq with dim excluded from
+    comparison, so a duplicated rule — or two foreign_key rules on the
+    same column against DIFFERENT dims — compare equal.  Positional
+    keying must still evaluate and report both."""
+    other_dim = spark.createDataFrame([(999,), (100,)], "id int")
+    suite = [
+        not_null("k"),
+        not_null("k"),                    # literal duplicate
+        foreign_key("fk", dim, "id"),     # 999 is an orphan here
+        foreign_key("fk", other_dim, "id"),  # 200 is an orphan here
+    ]
+    rep = run_suite(dirty, suite).collect()
+    assert len(rep) == 4
+    assert [r["violations"] for r in rep[:2]] == [2, 2]
+    # the two FK rules must be evaluated against their OWN dims
+    assert rep[2]["violations"] == 1   # fk=999 missing from dim
+    assert rep[3]["violations"] == 1   # fk=200 missing from other_dim

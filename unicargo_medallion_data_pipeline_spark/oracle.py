@@ -29,6 +29,86 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# ---------------------------------------------------------------------------
+# Type lattice: the driver's value-hash is representation-sensitive (round-5
+# post-mortem: DuckDB HUGEINT results hash differently from Spark bigint even
+# when every value is equal).  Map both engines' types onto a common lattice
+# and treat any class mismatch as a failure.  Integer widths ≤64 bit collapse
+# to one class (the driver stringifies values, so int32 vs int64 is safe);
+# HUGEINT / UHUGEINT / UBIGINT and DECIMAL are *unsafe* classes nothing on the
+# Spark side can match — an oracle must CAST them away (BIGINT / DOUBLE).
+# ---------------------------------------------------------------------------
+
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def duck_type_class(t) -> str:
+    """Collapse a DuckDB type (string form) onto the comparison lattice."""
+    u = str(t).upper()
+    if u in _DUCK_INT:
+        return "int"
+    if u in {"HUGEINT", "UHUGEINT", "UBIGINT"}:
+        return "int128"
+    if u in {"FLOAT", "DOUBLE"}:
+        return "float"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u == "VARCHAR":
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u.startswith("INTERVAL"):
+        return "interval"
+    if u.endswith("[]"):
+        return f"list<{duck_type_class(u[:-2])}>"
+    return f"other:{u}"
+
+
+def spark_type_class(dt) -> str:
+    """Collapse a Spark DataType onto the same lattice as duck_type_class."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DayTimeIntervalType):
+        return "interval"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_type_class(dt.elementType)}>"
+    return f"other:{dt.simpleString()}"
+
+
+# Classes no Spark result can hash-match: the oracle SQL itself is defective
+# if it emits one of these, independent of the Spark side.
+UNSAFE_ORACLE_CLASSES = ("int128", "decimal")
+
+
+def oracle_type_defects(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs whose type class can never hash-match
+    Spark output.  Plan-only: ``con.sql`` binds without executing."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if duck_type_class(t) in UNSAFE_ORACLE_CLASSES
+    ]
+
+
 def _norm_cell(v):
     """Normalize a cell for cross-engine comparison."""
     if v is None:
@@ -67,12 +147,24 @@ def compare_query(
     srows = [
         tuple(_norm_cell(r[c]) for c in spark_cols) for r in sdf.collect()
     ]
+    rel = con.sql(sql)
+    duck_types = {c: duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
     res = con.execute(sql)
     duck_cols_raw = [d[0] for d in res.description]
     drows_raw = res.fetchall()
     duck_cols = sorted(duck_cols_raw)
     if spark_cols != duck_cols:
         return CompareResult(name, False, f"columns differ: spark={spark_cols} duckdb={duck_cols}")
+    # Representation check first: the driver's hash is type-sensitive, so a
+    # class mismatch is a failure even when every value compares equal here.
+    spark_types = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+    type_diffs = [
+        f"{c}: spark={spark_types[c]} duckdb={duck_types[c]}"
+        for c in spark_cols
+        if spark_types[c] != duck_types[c]
+    ]
+    if type_diffs:
+        return CompareResult(name, False, "type class mismatch: " + "; ".join(type_diffs))
     idx = [duck_cols_raw.index(c) for c in duck_cols]
     drows = [tuple(_norm_cell(r[i]) for i in idx) for r in drows_raw]
     if len(srows) != len(drows):

@@ -98,8 +98,8 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH b AS (
       SELECT CAST(FLOOR(value / 50) AS INT) AS value_bin,
-             SUM(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS n_early,
-             SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS n_late
+             CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
       FROM events
       GROUP BY 1
     )
@@ -386,7 +386,7 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user
     )
     SELECT COUNT(*) AS n_users,
-           SUM(n_events) AS total_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
            (2.0 * CAST(SUM(rnk * n_events) AS DOUBLE))
              / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(n_events) AS DOUBLE))
            - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini

@@ -33,8 +33,8 @@ _QUOTA_LIMIT = 40
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN rn <= {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS n_accepted,
-           SUM(CASE WHEN rn > {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS n_rejected,
+           CAST(SUM(CASE WHEN rn <= {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+           CAST(SUM(CASE WHEN rn > {_QUOTA_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
            MIN(CASE WHEN rn > {_QUOTA_LIMIT} THEN ts_s END) AS first_rejected_epoch
     FROM seq
     GROUP BY user_id
@@ -801,9 +801,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped,
-           SUM(n_tokens) AS tokens_total,
-           SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS tokens_saved,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS tokens_saved,
            CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tokens END) AS DOUBLE)
              / SUM(n_tokens) * 100.0 AS savings_pct
     FROM flagged
@@ -920,7 +921,8 @@ def revenue_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
                   AS TIMESTAMP) AS hour_start,
-             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors,
              COUNT(*) AS n_events
       FROM events GROUP BY 1
     )
@@ -980,8 +982,10 @@ def hourly_error_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id
     )
     SELECT ud.day,
-           SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS n_new,
-           SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS n_returning
+           CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
     FROM ud JOIN first_day f ON ud.user_id = f.user_id
     GROUP BY ud.day
     ORDER BY ud.day
@@ -1146,11 +1150,11 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ud
     )
     SELECT day,
-           SUM(CASE WHEN prev_day IS NOT NULL
-                     AND day - prev_day >= 7 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                     AND day - prev_day >= 7 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_reactivated,
-           SUM(CASE WHEN prev_day IS NOT NULL
-                     AND day - prev_day = 1 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN prev_day IS NOT NULL
+                     AND day - prev_day = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_continuing
     FROM seq
     GROUP BY day

@@ -330,7 +330,8 @@ def event_halves_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS path_len
       FROM sessions GROUP BY user_id, session_seq
     )
-    SELECT path, COUNT(*) AS n_sessions, SUM(path_len) AS total_events
+    SELECT path, COUNT(*) AS n_sessions,
+           CAST(SUM(path_len) AS BIGINT) AS total_events
     FROM paths GROUP BY path
     ORDER BY n_sessions DESC, path
     LIMIT 15

@@ -301,7 +301,8 @@ def flight_delay_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS total_flights,
            CAST(SUM(departure_delay) AS DOUBLE) / COUNT(departure_delay)
              AS avg_departure_delay,
-           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights
+           CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cancelled_flights
     FROM fact
     GROUP BY 1, 2
     """,
@@ -684,8 +685,10 @@ def flight_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_departure_delay,
            CAST(SUM(arrival_delay) AS DOUBLE) / COUNT(arrival_delay)
              AS avg_arrival_delay,
-           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights,
-           SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS on_time_flights
+           CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cancelled_flights,
+           CAST(SUM(CASE WHEN arrival_delay <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS on_time_flights
     FROM fact
     GROUP BY 1, 2
     ORDER BY full_date, airline
@@ -778,9 +781,11 @@ def flight_number_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT airline_sk, carrier AS airline,
            COUNT(*) AS total_flights,
-           SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS cancelled_flights,
-           SUM(CASE WHEN diverted = 1 THEN 1 ELSE 0 END) AS diverted_flights,
-           SUM(CASE WHEN departure_delay > 15 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cancelled_flights,
+           CAST(SUM(CASE WHEN diverted = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS diverted_flights,
+           CAST(SUM(CASE WHEN departure_delay > 15 THEN 1 ELSE 0 END) AS BIGINT)
              AS delayed_departures,
            CAST(SUM(CASE WHEN cancelled = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              * 100.0 / COUNT(*) AS cancellation_rate_pct,

@@ -100,18 +100,26 @@ def run_suite(
     incident report).
     """
     spark = SparkSession.getActiveSession() or df.sparkSession
-    scalar = [e for e in suite if e.kind in ("not_null", "in_range", "accepted_values")]
+    # Keyed by POSITION, never by value: Expect compares structurally (dim
+    # excluded), so duplicate rules — or two FK rules on the same column
+    # against different dims — are equal and suite.index() would collapse
+    # them onto one slot, leaving the other unevaluated.
+    scalar = [
+        (i, e)
+        for i, e in enumerate(suite)
+        if e.kind in ("not_null", "in_range", "accepted_values")
+    ]
     rows: dict[int, tuple] = {}
 
     if scalar:
         agg_row = df.agg(
-            *[_scalar_expr(e).alias(f"_r{i}") for i, e in enumerate(scalar)]
+            *[_scalar_expr(e).alias(f"_r{i}") for i, e in scalar]
         ).collect()[0]
-        for i, e in enumerate(scalar):
+        for i, e in scalar:
             v = int(agg_row[f"_r{i}"] or 0)
-            rows[suite.index(e)] = (e.kind, e.target, v, v == 0)
+            rows[i] = (e.kind, e.target, v, v == 0)
 
-    for e in suite:
+    for i, e in enumerate(suite):
         if e.kind == "unique":
             # violations = rows beyond the first per key (NULL keys form
             # groups too — duplicate NULL keys are duplicates).
@@ -122,7 +130,7 @@ def run_suite(
                 .collect()[0][0]
             )
             v = int(dup or 0)
-            rows[suite.index(e)] = (e.kind, e.target, v, v == 0)
+            rows[i] = (e.kind, e.target, v, v == 0)
         elif e.kind == "foreign_key":
             v = (
                 df.filter(F.col(e.column).isNotNull())
@@ -133,7 +141,7 @@ def run_suite(
                 )
                 .count()
             )
-            rows[suite.index(e)] = (e.kind, e.target, v, v == 0)
+            rows[i] = (e.kind, e.target, v, v == 0)
 
     report = spark.createDataFrame(
         [rows[i] for i in range(len(suite))],

@@ -16,12 +16,19 @@ Design (the public Delta/Iceberg core, reduced to its essentials):
   invisible — a writer dying before the rename leaves garbage, never a
   corrupt or half-visible table.  ``vacuum`` removes unreferenced files
   once older versions are expired;
-* concurrency: Hadoop ``FileSystem.rename`` refuses an existing
-  destination, so two writers racing to commit version N produce one
-  winner and one ``ConcurrentCommitError`` (optimistic concurrency —
-  the loser re-reads and retries).  POSIX and HDFS renames are atomic;
-  object stores need their usual Delta-style caveat (a coordinating
-  lock service), which is documented, not hidden.
+* concurrency: the manifest publish goes through Hadoop
+  ``FileContext.rename(src, dst, Options.Rename.NONE)`` — the same
+  primitive Delta's HDFSLogStore uses — which raises
+  ``FileAlreadyExistsException`` when the destination exists, so two
+  writers racing to commit version N produce one winner and one
+  ``ConcurrentCommitError`` (optimistic concurrency — the loser
+  re-reads and retries).  This is atomic fail-if-exists on HDFS; on a
+  raw local/POSIX filesystem the exists-check inside FileContext still
+  leaves a microscopic TOCTOU window (``File.renameTo`` overwrites),
+  so local-FS concurrency is best-effort — the same caveat Delta
+  documents for non-HDFS stores without a coordinating LogStore.
+  Object stores need their usual lock-service caveat, documented, not
+  hidden.
 
 This removes the engine's two documented parquet crash windows: the
 SCD2 current/history dual-write and MERGE's dynamic-overwrite swap both
@@ -249,11 +256,29 @@ class ManifestTable:
         finally:
             out.close()
         dest = jvm.org.apache.hadoop.fs.Path(self._manifest_path(version))
-        if fs.exists(dest) or not fs.rename(tmp, dest):
+        # Publish via FileContext.rename(…, Rename.NONE): atomic
+        # fail-if-exists on HDFS (Delta HDFSLogStore's primitive).  On a
+        # raw local FS the exists-check is JVM-side but not atomic with
+        # the rename — best-effort there, per the module docstring.  The
+        # cheap fs.exists pre-check keeps the common lost-race path fast.
+        if fs.exists(dest):
             fs.delete(tmp, False)
             raise ConcurrentCommitError(
                 f"version {version} was committed concurrently at {self.path}"
             )
+        gw = self.spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            dest.toUri(), self.spark._jsc.hadoopConfiguration()
+        )
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
+        try:
+            fc.rename(tmp, dest, opts)
+        except Exception as e:  # Py4JJavaError: dest exists / src gone
+            fs.delete(tmp, False)
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently at {self.path}: {e}"
+            ) from None
         return version
 
     def commit(
@@ -334,15 +359,21 @@ class ManifestTable:
             for f in m["files"]
             if all(overlaps(f, c, plo, phi) for c, plo, phi in preds)
         ]
-        if not keep:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
+        if not keep:
             out = self.spark.createDataFrame(
                 [], StructType.fromJson(m["schema"])
             )
         else:
             paths = [posixpath.join(self.path, _DATA_DIR, f) for f in keep]
-            out = self.spark.read.parquet(*paths)
+            # Same manifest schema as read(): stable column order and
+            # schema evolution (a pruned read after a column-adding
+            # append must not depend on which surviving file wins
+            # inference, and the residual filters must always resolve).
+            out = self.spark.read.schema(
+                StructType.fromJson(m["schema"])
+            ).parquet(*paths)
         for c, plo, phi in preds:
             out = out.filter(F.col(c).between(F.lit(plo), F.lit(phi)))
         return out
@@ -429,13 +460,33 @@ class ManifestTable:
             df = df.repartition(target_files)
         return self.commit(df, mode="overwrite", stats_cols=stats_cols)
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    #: Delta-style default retention: an unreferenced file younger than
+    #: this may belong to an in-flight writer that has staged its data
+    #: but not yet renamed its manifest — deleting it would commit a
+    #: version referencing missing files.
+    DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
+
+    def vacuum(
+        self, keep_last: int = 1, min_age_seconds: float | None = None
+    ) -> list[str]:
         """Expire all but the last ``keep_last`` versions and delete
-        data files no surviving manifest references.  Returns the names
-        of removed data files.  Time travel reaches only surviving
-        versions afterwards."""
+        data files no surviving manifest references, PROVIDED they are
+        older than ``min_age_seconds`` (default
+        :data:`DEFAULT_RETENTION_SECONDS`, Delta's retention idea: a
+        young unreferenced file may be a concurrent writer's staged
+        data racing toward its manifest rename — age is the only safe
+        discriminator).  Stale ``_stage_*`` directories from crashed
+        writers are removed under the same age rule.  Returns the names
+        of removed data files/directories.  Time travel reaches only
+        surviving versions afterwards.  Tests pass
+        ``min_age_seconds=0`` to vacuum deterministically."""
+        import time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        if min_age_seconds is None:
+            min_age_seconds = self.DEFAULT_RETENTION_SECONDS
+        cutoff_ms = (time.time() - min_age_seconds) * 1000.0
         vs = self.versions()
         keep = set(vs[-keep_last:])
         referenced: set[str] = set()
@@ -454,7 +505,15 @@ class ManifestTable:
         if fs.exists(droot):
             for st in fs.listStatus(droot):
                 name = st.getPath().getName()
-                if st.isDirectory() or name in referenced:
+                if name in referenced:
+                    continue
+                if st.getModificationTime() > cutoff_ms:
+                    continue  # young: possibly an in-flight writer's
+                if st.isDirectory():
+                    if name.startswith("_stage_"):
+                        # crashed writer's staging dir
+                        fs.delete(st.getPath(), True)
+                        removed.append(name)
                     continue
                 fs.delete(st.getPath(), False)
                 removed.append(name)

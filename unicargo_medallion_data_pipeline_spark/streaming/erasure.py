@@ -10,12 +10,24 @@ audit) driven through the S11-style ``foreachBatch`` sink
 typically tiny (human-initiated events), so the per-batch cost is the
 rewrite of the partitions containing the requested keys — the same
 bounded work a scheduled batch job would do, but with seconds-grade
-latency and an exactly-once audit trail.
+latency.
 
-Delivery semantics: the checkpoint makes request consumption
-exactly-once, and ``propagate_deletes`` is idempotent (a replayed key
-matches nothing and produces an empty audit), so crash-replay cannot
-delete twice or double-log a non-empty audit for the same rows.
+Delivery semantics — stated precisely (r5 advisory review):
+
+* the DELETE is exactly-once: the checkpoint makes request consumption
+  exactly-once, and ``propagate_deletes`` is idempotent (a replayed
+  key matches nothing), so crash-replay cannot delete twice;
+* the AUDIT is at-most-once under crash replay: a crash in the window
+  after the partition rewrite completes but before the audit append
+  replays the batch against already-deleted keys, producing an empty
+  audit — the original batch's audit rows are lost.  The audit can
+  never over-claim (no row is logged for a delete that didn't happen);
+  it can under-claim across a crash.  Upgrading it to exactly-once
+  requires the delete and its audit to share one atomic commit — i.e.
+  a :class:`~unicargo_medallion_data_pipeline_spark.sources.acid.ManifestTable`
+  target whose manifest carries both the surviving file list and the
+  batch-fenced audit metadata; for a plain partitioned-parquet target
+  the two writes cannot be made atomic.
 """
 
 from __future__ import annotations
