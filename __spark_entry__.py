@@ -31,76 +31,31 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 # last round rotate to the tail.  Anything newly registered and not named
 # below lands in the middle — inside the sampled window.
 
-# r5 window (50): the round-4 driver never ran (no CORRECTNESS_r04.json
-# was produced), so every query registered in r4 is still never
-# driver-verified — 77 of the 155 catalog entries.  All 50 slots
-# therefore go to never-verified queries (zero re-sample waste):
-# the 17 flight-domain gold queries (the reference's own analytics —
-# r3 verdict task 2), the 2 mutation-operator projections (task 5),
-# 9 LLM-corpus ops, 8 graph/embedding/association queries, and the 14
-# most operator-distinctive event/time-series analytics.  The 27
-# remaining never-verified entries follow IMMEDIATELY after slot 50
-# (they are the first candidates if the driver ever samples deeper, and
-# the front of the r6 window).  Each windowed query was locally
-# oracle-verified at sf0.001/0.01/0.1 in r4 and re-verified at sf0.01
-# this round before this rotation was committed.
+# r6 window (50), per the r5 verdict's rotation plan (task 3):
+#   slots 1-5   — the 5 r5 hash-red queries, re-windowed after the root
+#                 cause (uncast SUM → DuckDB HUGEINT, a representation
+#                 the driver's value-hash rejects) was fixed by casting
+#                 every aggregate output to BIGINT; 6 latent siblings
+#                 with the same defect were cast in the same commit and
+#                 sit among the never-verified below;
+#   slots 6-43  — all 38 never-driver-verified queries (registered in
+#                 r4/r5; the r4 driver never ran), including every r5
+#                 flagship: ACID time travel, manifest-pruned scan,
+#                 recursive CTE, LATERAL top-k, binned quantiles,
+#                 duplicate-n-gram rate, erasure audit, expectations;
+#   slots 44-50 — the 7 stalest single-green tail entries (r2-only /
+#                 oldest r3-only) for re-confirmation.
+# Every windowed query was locally oracle-verified at sf0.01 this round
+# under the NEW type-sensitive replica (oracle.py compares DuckDB/Spark
+# type classes — the blind spot that let the r5 failures ship).
 _PRIORITY = [
-    # flight-domain gold: the reference's own 15 gold analytics under the hash gate (17 builders)
-    "flight_airline_scorecard",
-    "flight_busiest_routes",
-    "flight_rolling_otp",
-    "flight_delay_distribution",
+    # --- the 5 r5-red, now cast-fixed
     "flight_seasonal_summary",
-    "flight_airline_dow",
-    "flight_airport_traffic",
-    "flight_weekly_summary",
-    "flight_distance_buckets",
-    "flight_monthly_trends",
-    "flight_efficiency",
     "flight_daily_summary",
-    "flight_aircraft_utilization",
-    "flight_number_performance",
     "flight_operational_summary",
-    "flight_weekend_split",
-    "flight_quarterly_summary",
-    # mutation-operator projections (SCD2 as-of, incremental-rollup invariant)
-    "scd2_as_of_snapshot",
-    "rollup_incremental_equals_full",
-    # LLM-corpus ops
-    "doc_chunking",
-    "doc_neardup_components",
-    "doc_inverted_index",
-    "doc_incremental_dedup",
-    "doc_train_val_test_split",
-    "doc_weighted_sample",
-    "doc_negative_pairs",
-    "corpus_heavy_hitters",
-    "corpus_type_token_ratio",
-    # graph / embedding / association
-    "nation_trade_pagerank",
-    "nation_trade_triangles",
-    "airport_neighbor_pairs",
-    "embedding_dim_covariance",
-    "embedding_label_lang_alignment",
-    "embedding_dim_profile",
-    "part_pair_cooccurrence",
-    "part_also_bought_top3",
-    # event-sequence / time-series analytics
-    "events_funnel_conversion",
-    "user_weekly_retention",
-    "event_transition_matrix",
-    "events_value_forward_fill",
     "top_event_paths",
-    "events_mergeable_hll_rollup",
     "events_user_quota_batch",
-    "distinct_users_sliding_7d",
-    "daily_order_spine_filled",
-    "sql_frontdoor_revenue",
-    "orders_snapshot_diff",
-    "customer_rfm_scores",
-    "customer_running_balance",
-    "event_halves_nullsafe_join",
-    # --- window boundary: slots 51+ (never-verified overflow; front of the r6 window)
+    # --- never-driver-verified backlog (38)
     "events_value_outliers",
     "events_value_drift",
     "segment_revenue_trend",
@@ -128,9 +83,6 @@ _PRIORITY = [
     "record_revenue_days",
     "daily_revenue_autocorr",
     "events_hourly_burstiness",
-    # new in r5 (never driver-verified; locally oracle-verified at all
-    # three SFs when added) — with the 27 above, the r6 never-verified
-    # backlog is 35: one window with 15 slots spare for re-samples
     "events_value_binned_quantiles",
     "events_window_top_types",
     "doc_duplicate_ngram_rate",
@@ -142,21 +94,25 @@ _PRIORITY = [
     "orders_acid_timetravel",
     "events_manifest_pruned_scan",
     "events_sliding_10min_counts",
-]
-
-# Tail: every query with at least one green driver row across r1-r3,
-# ordered least-verified first so the stalest entries sit nearest the
-# window boundary if space ever opens.
-_TAIL = [
-    # single green row ever (r2 only) — most stale
+    # --- stalest single-green tail entries (re-confirmation fills)
     "doc_repetition_signals",
     "doc_pii_redaction",
     "doc_shard_packing",
     "doc_curation_pipeline",
     "corpus_token_df",
     "lang_id_confusion",
-    # single green row ever (r3 only)
     "events_sketch_profile",
+    # --- window boundary: slots 51+ (first candidates if the driver
+    #     samples deeper; new r6 registrations land in the middle
+    #     section right after these)
+]
+
+# Tail: every query with at least one green driver row, ordered
+# least-/stalest-verified first so those sit nearest the window boundary
+# if space ever opens.  (The 7 stalest moved into the r6 window above;
+# _ordered_names dedups, front wins.)
+_TAIL = [
+    # single green row ever (r3 only)
     "customer_revenue_rank",
     "customer_revenue_decile",
     "order_value_percentiles",
@@ -177,6 +133,53 @@ _TAIL = [
     "events_props_variant",
     "distinct_users_bitmap",
     "embedding_knn_ivf",
+    # single green row ever (r5 only) — the 45 hash-green rows of
+    # CORRECTNESS_r05.json, rotated out of the window this round
+    "flight_airline_scorecard",
+    "flight_busiest_routes",
+    "flight_rolling_otp",
+    "flight_delay_distribution",
+    "flight_airline_dow",
+    "flight_airport_traffic",
+    "flight_weekly_summary",
+    "flight_distance_buckets",
+    "flight_monthly_trends",
+    "flight_efficiency",
+    "flight_aircraft_utilization",
+    "flight_number_performance",
+    "flight_weekend_split",
+    "flight_quarterly_summary",
+    "scd2_as_of_snapshot",
+    "rollup_incremental_equals_full",
+    "doc_chunking",
+    "doc_neardup_components",
+    "doc_inverted_index",
+    "doc_incremental_dedup",
+    "doc_train_val_test_split",
+    "doc_weighted_sample",
+    "doc_negative_pairs",
+    "corpus_heavy_hitters",
+    "corpus_type_token_ratio",
+    "nation_trade_pagerank",
+    "nation_trade_triangles",
+    "airport_neighbor_pairs",
+    "embedding_dim_covariance",
+    "embedding_label_lang_alignment",
+    "embedding_dim_profile",
+    "part_pair_cooccurrence",
+    "part_also_bought_top3",
+    "events_funnel_conversion",
+    "user_weekly_retention",
+    "event_transition_matrix",
+    "events_value_forward_fill",
+    "events_mergeable_hll_rollup",
+    "distinct_users_sliding_7d",
+    "daily_order_spine_filled",
+    "sql_frontdoor_revenue",
+    "orders_snapshot_diff",
+    "customer_rfm_scores",
+    "customer_running_balance",
+    "event_halves_nullsafe_join",
     # green in r1+r2
     "pricing_summary",
     "daily_order_summary",

@@ -256,7 +256,16 @@ def doc_duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    inst = toked.select("doc_id", "lang", F.explode(grams).alias("g"))
+    # Fan-out pin (same rule as the minhash band join, docs/PLANS.md):
+    # `inst` feeds BOTH the corpus-frequency aggregate and the join
+    # probe side; without a pin the whole tokenize→md5→explode subtree
+    # executes twice.  Eager localCheckpoint materializes the exploded
+    # frame once; blocks are freed by the ContextCleaner when the frame
+    # drops.  (At lake scale this pin is a persisted intermediate table,
+    # per the medallion contract.)
+    inst = toked.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    ).localCheckpoint(eager=True)
     corpus = inst.groupBy("g").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
