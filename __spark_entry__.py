@@ -94,6 +94,8 @@ _PRIORITY = [
     "orders_acid_timetravel",
     "events_manifest_pruned_scan",
     "events_sliding_10min_counts",
+    # --- new in r6 (locally oracle-verified at all three SFs)
+    "events_bloom_pruned_lookup",
     # --- stalest single-green tail entries (re-confirmation fills)
     "doc_repetition_signals",
     "doc_pii_redaction",
@@ -101,7 +103,6 @@ _PRIORITY = [
     "doc_curation_pipeline",
     "corpus_token_df",
     "lang_id_confusion",
-    "events_sketch_profile",
     # --- window boundary: slots 51+ (first candidates if the driver
     #     samples deeper; new r6 registrations land in the middle
     #     section right after these)
@@ -113,6 +114,7 @@ _PRIORITY = [
 # _ordered_names dedups, front wins.)
 _TAIL = [
     # single green row ever (r3 only)
+    "events_sketch_profile",
     "customer_revenue_rank",
     "customer_revenue_decile",
     "order_value_percentiles",

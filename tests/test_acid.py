@@ -56,7 +56,7 @@ def test_delete_keys_version(spark, table):
 
 def test_concurrent_commit_one_winner(spark, table):
     table.commit(_df(spark, [(1, "a")]))
-    files, _stats = table._write_data_files(_df(spark, [(2, "b")]))
+    files, _stats, _bloom = table._write_data_files(_df(spark, [(2, "b")]))
     schema = _df(spark, [(2, "b")]).schema.jsonValue()
     table._commit(1, files, schema)
     with pytest.raises(ConcurrentCommitError):
@@ -246,3 +246,42 @@ def test_read_pruned_applies_manifest_schema_after_evolution(spark, table):
     # pruning away the old files must still resolve the residual filter
     only_new = table.read_pruned("k", 9, 100)
     assert [r["k"] for r in only_new.collect()] == [10]
+
+
+def test_bloom_pruning_skips_files_and_stays_exact(spark, table):
+    """Per-file Bloom skipping: a point lookup on a high-cardinality key
+    must open fewer files than the table holds while returning exactly
+    the full-scan-filter rows; files without blooms must always
+    survive."""
+    df = spark.range(0, 4000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+    # range-cluster on k so each file holds a distinct key slice
+    table.commit(df.repartitionByRange(8, "k"), bloom_cols=["k"])
+    probe = [17, 3999]
+    out = table.read_bloom_pruned("k", probe)
+    n_all, n_read = len(table.read().inputFiles()), len(out.inputFiles())
+    assert n_read < n_all, f"bloom skipping regressed: {n_read}/{n_all}"
+    assert sorted(r["k"] for r in out.collect()) == sorted(probe)
+
+    # absent key: with clustered files the bloom usually excludes all of
+    # them, but false positives are allowed — exactness comes from the
+    # residual filter, which must always yield zero rows here
+    assert table.read_bloom_pruned("k", [999999]).count() == 0
+
+    # a bloom-less append must always survive pruning (never-drop)
+    extra = spark.createDataFrame([(100000, "x")], "k long, v string")
+    table.commit(extra, mode="append")  # no bloom_cols
+    got = table.read_bloom_pruned("k", [100000]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(100000, "x")]
+
+
+def test_bloom_probe_type_parity(spark, table):
+    """Probe literals are CAST to the column's manifest type before
+    hashing — an int probe against a string key column must still
+    prune correctly (hash the STRING form, as the commit side did)."""
+    df = spark.createDataFrame(
+        [(str(i), i) for i in range(200)], "k string, n int"
+    )
+    table.commit(df.repartitionByRange(4, "k"), bloom_cols=["k"])
+    out = table.read_bloom_pruned("k", ["42"])
+    assert [r["n"] for r in out.collect()] == [42]
+    assert len(out.inputFiles()) < len(table.read().inputFiles())

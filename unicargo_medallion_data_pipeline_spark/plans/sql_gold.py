@@ -351,3 +351,69 @@ def events_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest Bloom-filter point-lookup skipping under the hash gate (r6)
+# ---------------------------------------------------------------------------
+
+#: Deterministic probe cohort for the bloom lookup.
+_BLOOM_USERS = (7, 70, 123)
+
+
+@register(
+    "events_bloom_pruned_lookup",
+    sql=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id IN {_BLOOM_USERS}
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    operators=("S3", "P8", "A13"),
+)
+def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom skipping (`sources/acid.ManifestTable.
+    read_bloom_pruned`) under the hash gate: commit `events`
+    range-clustered on `user_id` with per-file Bloom bitmaps, point-look
+    up a fixed user cohort opening ONLY the maybe-containing files, and
+    aggregate.  The oracle scans everything and filters — a green row
+    proves equality skipping returns exactly the full-scan rows.
+
+    This is the pruning case min/max stats cannot serve: an equality
+    probe on a high-cardinality key.  Bitmaps are 4 KiB per (file,
+    column) — O(files) manifest metadata, the Parquet column-index /
+    Iceberg bloom-stats posture.  The in-plan assert pins the skipping
+    itself (strictly fewer files opened than committed); the residual
+    `isin` keeps exactness under bloom false positives.
+    """
+    import os
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.functions.exact import dsum
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    t = ManifestTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="bloom_q_"), "t")
+    )
+    t.commit(ev.repartitionByRange(8, "user_id"), bloom_cols=["user_id"])
+    hits = t.read_bloom_pruned("user_id", list(_BLOOM_USERS))
+    n_all, n_read = len(t.read().inputFiles()), len(hits.inputFiles())
+    assert n_read < n_all, (
+        f"bloom skipping regressed: read {n_read}/{n_all} files"
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -42,6 +42,7 @@ semantics themselves testable here.
 
 from __future__ import annotations
 
+import base64
 import json
 import posixpath
 import uuid
@@ -50,6 +51,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+#: Bloom defaults: 32768 bits (4 KiB) / 5 hashes per (file, column) —
+#: ~1% false-positive rate at ~3400 distinct keys per file; manifests
+#: stay O(files) metadata either way.
+_BLOOM_BITS = 32768
+_BLOOM_HASHES = 5
+
+
+def _bloom_positions(col_expr, m: int, k: int):
+    """Array of ``k`` bit positions for one value: seeded ``xxhash64``
+    mod ``m``.  Shared verbatim by the commit side (hashing the column)
+    and the probe side (hashing a literal CAST to the column's manifest
+    type), so both sides use Spark's own hash — no Python
+    reimplementation to drift."""
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col_expr, F.lit(seed)), F.lit(m)).cast("int")
+            for seed in range(k)
+        ]
+    )
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -160,15 +183,25 @@ class ManifestTable:
     # ------------------------------------------------------------ write
 
     def _write_data_files(
-        self, df: DataFrame, stats_cols: list[str] | None = None
-    ) -> tuple[list[str], dict]:
-        """Stage ``df`` as immutable data files; return (names, stats).
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> tuple[list[str], dict, dict]:
+        """Stage ``df`` as immutable data files; return
+        (names, stats, bloom).
 
         ``stats_cols`` requests per-FILE min/max for those columns,
         computed in one pass over the staged files (a column-pruned scan
         grouped by file name) and stored in the manifest for
         :meth:`read_pruned` data skipping — the Iceberg/Delta file-stats
-        idea in its minimal form."""
+        idea in its minimal form.  ``bloom_cols`` additionally records a
+        per-(file, column) Bloom bitmap (``_BLOOM_BITS`` bits,
+        ``_BLOOM_HASHES`` seeded xxhash64 probes) for
+        :meth:`read_bloom_pruned` point-lookup skipping — min/max ranges
+        cannot prune equality probes on high-cardinality keys whose
+        values span every file (Parquet column-index blooms / Iceberg
+        bloom stats are the public references)."""
         fs, jvm = _fs(self.spark, self.path)
         commit_id = uuid.uuid4().hex
         staging = posixpath.join(self.path, _DATA_DIR, f"_stage_{commit_id}")
@@ -200,6 +233,35 @@ class ManifestTable:
                     c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
                     for c in stats_cols
                 }
+        bloom: dict = {}
+        if bloom_cols:
+            from pyspark.sql import functions as F
+
+            staged = self.spark.read.parquet(staging).withColumn(
+                "_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            for c in bloom_cols:
+                pos_rows = (
+                    staged.select(
+                        "_file",
+                        F.explode(
+                            _bloom_positions(F.col(c), _BLOOM_BITS, _BLOOM_HASHES)
+                        ).alias("_p"),
+                    )
+                    .groupBy("_file")
+                    .agg(F.collect_set("_p").alias("ps"))
+                    .collect()
+                )
+                for r in pos_rows:
+                    bitmap = bytearray(_BLOOM_BITS // 8)
+                    for p in r["ps"]:
+                        bitmap[p >> 3] |= 1 << (p & 7)
+                    bloom.setdefault(r["_file"], {})[c] = {
+                        "m": _BLOOM_BITS,
+                        "k": _BLOOM_HASHES,
+                        "b64": base64.b64encode(bytes(bitmap)).decode("ascii"),
+                    }
         names = []
         data_root = posixpath.join(self.path, _DATA_DIR)
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
@@ -215,9 +277,10 @@ class ManifestTable:
                 raise IOError(f"failed to place data file {final}")
             names.append(final)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-        # re-key stats by the FINAL file names
+        # re-key stats/bloom by the FINAL file names
         stats = {f"{commit_id}-{k}": v for k, v in stats.items()}
-        return names, stats
+        bloom = {f"{commit_id}-{k}": v for k, v in bloom.items()}
+        return names, stats, bloom
 
     def _commit(
         self,
@@ -226,6 +289,7 @@ class ManifestTable:
         schema_json: dict,
         meta: dict | None = None,
         stats: dict | None = None,
+        bloom: dict | None = None,
     ) -> int:
         """Atomically publish ``files`` as ``version``; raise
         :class:`ConcurrentCommitError` if someone else won the race.
@@ -248,6 +312,7 @@ class ManifestTable:
                 "schema": schema_json,
                 "meta": meta or {},
                 "stats": stats or {},
+                "bloom": bloom or {},
             }
         ).encode("utf-8")
         out = fs.create(tmp, True)
@@ -288,15 +353,18 @@ class ManifestTable:
         meta: dict | None = None,
         stats_cols: list[str] | None = None,
         base_version: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` and commit it as the next version.
 
         ``overwrite``: the new version is exactly ``df``.
         ``append``: the new version is the previous file list + ``df``'s
         files — an append never rewrites existing data (an append also
-        carries forward the previous version's file stats).
+        carries forward the previous version's file stats and blooms).
         ``stats_cols`` records per-file min/max for those columns in the
-        manifest, enabling :meth:`read_pruned` file skipping.
+        manifest, enabling :meth:`read_pruned` file skipping;
+        ``bloom_cols`` records per-file Bloom bitmaps enabling
+        :meth:`read_bloom_pruned` equality-probe skipping.
 
         ``base_version`` pins the commit to the state it was DERIVED
         from: the new version must be exactly ``base_version + 1`` (-1 =
@@ -317,14 +385,20 @@ class ManifestTable:
                 f"since it was read at {self.path}"
             )
         next_v = latest + 1
-        new_files, stats = self._write_data_files(df, stats_cols)
+        new_files, stats, bloom = self._write_data_files(df, stats_cols, bloom_cols)
         files = list(new_files)
         if mode == "append" and vs:
             prev = self._read_manifest(vs[-1])
             files += prev["files"]
             stats = {**prev.get("stats", {}), **stats}
+            bloom = {**prev.get("bloom", {}), **bloom}
         return self._commit(
-            next_v, files, df.schema.jsonValue(), meta=meta, stats=stats
+            next_v,
+            files,
+            df.schema.jsonValue(),
+            meta=meta,
+            stats=stats,
+            bloom=bloom,
         )
 
     def read_pruned(self, col: str, lo, hi, more: list[tuple] | None = None) -> DataFrame:
@@ -377,6 +451,79 @@ class ManifestTable:
         for c, plo, phi in preds:
             out = out.filter(F.col(c).between(F.lit(plo), F.lit(phi)))
         return out
+
+    def read_bloom_pruned(self, col: str, values: list) -> DataFrame:
+        """Point-lookup read: open only the files whose Bloom bitmap for
+        ``col`` maybe-contains at least one of ``values`` — equality
+        skipping where min/max ranges can't help (a high-cardinality key
+        whose value range spans every file).  Files with no recorded
+        bloom for ``col`` always survive (skipping must never drop
+        data); a residual ``isin`` filter keeps the result exact under
+        the bloom's false positives.
+
+        Probe positions are computed by Spark itself over a literal CAST
+        to the column's manifest type, using the exact seeded-xxhash64
+        expression the commit side hashed the column with — the two
+        sides cannot drift.  One probe job over ``len(values)`` local
+        rows (no table scan); membership tests are driver-side bit
+        checks over O(files) manifest metadata, the same posture as
+        min/max stats."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        if not values:
+            raise ValueError("values must be non-empty")
+        if any(v is None for v in values):
+            raise ValueError("bloom probe values must be non-NULL")
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(vs[-1])
+        schema = StructType.fromJson(m["schema"])
+        field = next((f for f in schema.fields if f.name == col), None)
+        if field is None:
+            raise KeyError(f"column {col!r} not in table schema")
+        bloom = m.get("bloom", {})
+        # Distinct (m, k) parameterizations present (appends under
+        # different defaults may coexist); compute probe positions for
+        # each in ONE local job.
+        mks = sorted(
+            {
+                (info[col]["m"], info[col]["k"])
+                for info in bloom.values()
+                if col in info
+            }
+        )
+        pos_by_mk: dict[tuple[int, int], list[list[int]]] = {}
+        if mks:
+            probe = self.spark.createDataFrame(
+                [(v,) for v in values], StructType([field])
+            )
+            row_exprs = [
+                _bloom_positions(F.col(col), mm, kk).alias(f"_mk_{i}")
+                for i, (mm, kk) in enumerate(mks)
+            ]
+            rows = probe.select(*row_exprs).collect()
+            for i, mk in enumerate(mks):
+                pos_by_mk[mk] = [list(r[f"_mk_{i}"]) for r in rows]
+
+        def maybe_contains(f: str) -> bool:
+            info = bloom.get(f, {}).get(col)
+            if info is None:
+                return True  # no bloom recorded: cannot exclude
+            bitmap = base64.b64decode(info["b64"])
+            for positions in pos_by_mk[(info["m"], info["k"])]:
+                if all(bitmap[p >> 3] & (1 << (p & 7)) for p in positions):
+                    return True  # some probe value maybe-present
+            return False
+
+        keep = [f for f in m["files"] if maybe_contains(f)]
+        if not keep:
+            out = self.spark.createDataFrame([], schema)
+        else:
+            paths = [posixpath.join(self.path, _DATA_DIR, f) for f in keep]
+            out = self.spark.read.schema(schema).parquet(*paths)
+        return out.filter(F.col(col).isin(*values))
 
     def latest_meta(self) -> dict:
         """The ``meta`` dict of the latest committed version ({} for a
