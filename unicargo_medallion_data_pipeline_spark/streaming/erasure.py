@@ -32,6 +32,8 @@ Delivery semantics — stated precisely (r5 advisory review):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -87,3 +89,113 @@ def write_stream_erasure(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def write_stream_erasure_manifest(
+    requests: DataFrame,
+    table,
+    checkpoint: str,
+    key_cols: list[str],
+    trigger: dict | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Exactly-once erasure INCLUDING the audit: the target is a
+    manifest-committed table
+    (:class:`~unicargo_medallion_data_pipeline_spark.sources.acid.ManifestTable`),
+    and each micro-batch's delete and its audit rows travel in ONE
+    atomic manifest commit — the upgrade path the plain-parquet variant
+    above documents as impossible for itself.
+
+    Per batch: anti-join the current version against the batch's keys,
+    commit the survivors as the next version with
+    ``meta = {"erasure_batch_id": N, "erasure_audit": [...]}`` pinned to
+    the version read.  Crash anywhere before the manifest rename →
+    nothing happened (staged files are invisible); crash after → the
+    replayed batch is FENCED by the recorded ``erasure_batch_id`` (max
+    over all versions, so interleaved non-erasure commits can't mask
+    it).  Audit rows are therefore exactly-once: they exist iff their
+    delete is visible.
+
+    Read the accumulated audit back with :func:`erasure_audit_frame`.
+    Audit volume is human-scale (one row per (batch, key_grain)), so
+    carrying it in manifest metadata keeps O(files + versions) driver
+    metadata.
+    """
+    from pyspark.sql import functions as FX
+
+    def _erase_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if _max_erasure_batch(table) >= batch_id:
+            return  # replay of a committed erasure batch: fenced
+        base = table.versions()[-1]
+        current = table.read(version=base)
+        keys = batch_df.select(*key_cols).distinct()
+        survivors = current.join(keys, key_cols, "left_anti")
+        # audit BEFORE the commit, from the same pinned version
+        hit = (
+            current.join(keys, key_cols, "left_semi")
+            .groupBy(*key_cols)
+            .agg(FX.count(FX.lit(1)).alias("rows_deleted"))
+            .collect()
+        )
+        # manifest meta is JSON: stringify non-primitive key values
+        # (dates/timestamps) the way acid._json_safe does for stats
+        def _safe(v):
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        audit = [
+            {
+                **{k: _safe(r[k]) for k in key_cols},
+                "rows_deleted": r["rows_deleted"],
+            }
+            for r in hit
+        ]
+        table.commit(
+            survivors,
+            mode="overwrite",
+            base_version=base,
+            meta={"erasure_batch_id": batch_id, "erasure_audit": audit},
+        )
+
+    writer = (
+        requests.writeStream.foreachBatch(_erase_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    writer = _apply_trigger(writer, trigger)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
+def _max_erasure_batch(table) -> int:
+    """Highest committed erasure batch id across ALL versions (-1 if
+    none): the fence must survive interleaved non-erasure commits that
+    would reset ``latest_meta``."""
+    out = -1
+    for v in table.versions():
+        m = table._read_manifest(v).get("meta", {})
+        b = m.get("erasure_batch_id")
+        if b is not None and b > out:
+            out = b
+    return out
+
+
+def erasure_audit_frame(spark, table) -> DataFrame:
+    """The exactly-once audit: one row per (version, batch, key, count),
+    reconstructed from manifest metadata."""
+    rows = []
+    for v in table.versions():
+        m = table._read_manifest(v).get("meta", {})
+        if "erasure_batch_id" in m:
+            for a in m.get("erasure_audit", []):
+                rows.append((v, m["erasure_batch_id"], json.dumps(a, sort_keys=True)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "version int, batch_id bigint, audit_json string"
+        )
+    return spark.createDataFrame(
+        rows, "version int, batch_id bigint, audit_json string"
+    )
