@@ -54,19 +54,41 @@ from unicargo_medallion_data_pipeline_spark.sources.flights_fixture import (
 )
 
 
+# Session-keyed silver cache: the medallion contract materializes
+# silver ONCE and serves every gold query from it — rebuilding the
+# star per query was a bench/correctness-harness artifact (r5 verdict).
+# Frames are pinned with an eager localCheckpoint so reuse hits
+# materialized blocks, not a shared lazy DAG; blocks are freed by the
+# ContextCleaner when the session drops.
+_SILVER_CACHE: dict[int, tuple] = {}
+
+
 def _silver(spark: SparkSession):
-    """Fixture parquet → silver star schema (the real pipeline path)."""
+    """Fixture parquet → silver star schema (the real pipeline path),
+    built once per session."""
+    key = id(spark)
+    hit = _SILVER_CACHE.get(key)
+    if hit is not None:
+        return hit
     paths = ensure_flights_fixture()
-    dim_airline = build_dim_airline(spark.read.parquet(paths["airlines"]))
-    dim_airport = build_dim_airport(spark.read.parquet(paths["airports"]))
-    dim_date = build_dim_date(spark, "2015-01-01", "2015-12-31")
+    dim_airline = build_dim_airline(
+        spark.read.parquet(paths["airlines"])
+    ).localCheckpoint(eager=True)
+    dim_airport = build_dim_airport(
+        spark.read.parquet(paths["airports"])
+    ).localCheckpoint(eager=True)
+    dim_date = build_dim_date(spark, "2015-01-01", "2015-12-31").localCheckpoint(
+        eager=True
+    )
     fact = build_fact_flight(
         clean_flights(spark.read.parquet(paths["flights"])),
         dim_date,
         dim_airline,
         dim_airport,
-    )
-    return fact, dim_airline, dim_airport, dim_date
+    ).localCheckpoint(eager=True)
+    out = (fact, dim_airline, dim_airport, dim_date)
+    _SILVER_CACHE[key] = out
+    return out
 
 
 # Shared oracle prelude re-deriving the silver model in DuckDB SQL.
