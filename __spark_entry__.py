@@ -96,13 +96,13 @@ _PRIORITY = [
     "events_sliding_10min_counts",
     # --- new in r6 (locally oracle-verified at all three SFs)
     "events_bloom_pruned_lookup",
+    "orders_manifest_cdf",
+    "source_mixture_weights",
     # --- stalest single-green tail entries (re-confirmation fills)
     "doc_repetition_signals",
     "doc_pii_redaction",
     "doc_shard_packing",
-    "doc_curation_pipeline",
     "corpus_token_df",
-    "lang_id_confusion",
     # --- window boundary: slots 51+ (first candidates if the driver
     #     samples deeper; new r6 registrations land in the middle
     #     section right after these)
@@ -113,6 +113,9 @@ _PRIORITY = [
 # if space ever opens.  (The 7 stalest moved into the r6 window above;
 # _ordered_names dedups, front wins.)
 _TAIL = [
+    # single green row ever (r2 only)
+    "doc_curation_pipeline",
+    "lang_id_confusion",
     # single green row ever (r3 only)
     "events_sketch_profile",
     "customer_revenue_rank",

@@ -285,3 +285,45 @@ def test_bloom_probe_type_parity(spark, table):
     out = table.read_bloom_pruned("k", ["42"])
     assert [r["n"] for r in out.collect()] == [42]
     assert len(out.inputFiles()) < len(table.read().inputFiles())
+
+
+def test_history_describes_each_version(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]))
+    table.commit(_df(spark, [(3, "c")]), mode="append", meta={"note": "x"})
+    table.merge_upsert(_df(spark, [(2, "B")]), keys=["k"])
+    h = {r["version"]: r for r in table.history().collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert h[1]["files_removed"] == 0  # append never rewrites
+    assert h[1]["files_added"] >= 1
+    assert '"note": "x"' in h[1]["meta_json"]
+    assert h[2]["files_removed"] == h[0]["n_files"] + h[1]["files_added"]
+
+
+def test_table_changes_cdf(spark, table):
+    """CDF between versions: appends diff as pure inserts reading ONLY
+    the appended files; a merge shows delete+insert for the updated
+    key; duplicate rows diff by multiset count."""
+    table.commit(_df(spark, [(1, "a"), (2, "b"), (2, "b")]))
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    cdf01 = table.table_changes(0, 1)
+    rows = sorted((r["k"], r["v"], r["_change_type"]) for r in cdf01.collect())
+    assert rows == [(3, "c", "insert")]
+    # append-only diff must not open version-0's files
+    assert all("data" in f for f in cdf01.inputFiles())
+    v0_files = set(table.read(version=0).inputFiles())
+    assert not (set(cdf01.inputFiles()) & v0_files)
+
+    table.merge_upsert(_df(spark, [(2, "B")]), keys=["k"])
+    cdf12 = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in table.table_changes(1, 2).collect()
+    )
+    # both duplicate (2, b) rows leave; one (2, B) arrives
+    assert cdf12 == [(2, "B", "insert"), (2, "b", "delete"), (2, "b", "delete")]
+
+    # reverse direction flips the tags
+    rev = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in table.table_changes(2, 1).collect()
+    )
+    assert rev == [(2, "B", "delete"), (2, "b", "insert"), (2, "b", "insert")]

@@ -474,3 +474,92 @@ def events_sliding_10min_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixture weights (training-data mixing, r6)
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 temperature sampling (the multilingual-pretraining
+# up/down-weighting rule published with mC4/XLM-R: w_i ∝ t_i^alpha).
+# sqrt is the alpha=0.5 instance — chosen because IEEE sqrt is
+# correctly rounded on every engine, so the weight is bit-deterministic
+# once the per-source token sums are exact integers and the sqrt is
+# quantized (floor to 1e-6) BEFORE the cross-source normalization sum.
+
+
+@register(
+    "source_mixture_weights",
+    sql="""
+    WITH per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '
+             ))) AS BIGINT) AS n_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+               AS sqrt_tokens_q
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(sqrt_tokens_q AS DOUBLE) / SUM(sqrt_tokens_q) OVER ()
+             AS mixture_weight,
+           CAST(sqrt_tokens_q AS DOUBLE) / SUM(sqrt_tokens_q) OVER ()
+             / (CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ())
+             AS upweight_factor
+    FROM q
+    ORDER BY source
+    """,
+    operators=("A13", "W4"),
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for training-data mixing at
+    temperature alpha = 0.5 (w_i ∝ tokens_i^0.5, the published
+    multilingual-pretraining rule: rare sources up-weighted, dominant
+    sources down-weighted), plus the up/down-weight factor vs natural
+    token share.
+
+    Determinism at the hash gate: token counts sum exactly as BIGINT;
+    sqrt is IEEE-correctly-rounded on both engines and is quantized to
+    1e-6 by FLOOR *before* the cross-source normalization sum, so the
+    normalizer is an exact integer sum — no float-summation-order
+    drift.  The share windows run over ≤ |sources| aggregated rows.
+    Scale shape: one map-side-combinable aggregate over the corpus;
+    everything after is per-source metadata."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            )
+        ).alias("n_tokens"),
+    )
+    q = per_source.withColumn(
+        "sqrt_tokens_q",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast("bigint"),
+    )
+    w = Window.partitionBy()
+    return (
+        q.withColumn(
+            "mixture_weight",
+            F.col("sqrt_tokens_q").cast("double") / F.sum("sqrt_tokens_q").over(w),
+        )
+        .withColumn(
+            "upweight_factor",
+            F.col("mixture_weight")
+            / (F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)),
+        )
+        .drop("sqrt_tokens_q")
+        .orderBy("source")
+    )

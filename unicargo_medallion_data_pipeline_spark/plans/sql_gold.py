@@ -417,3 +417,69 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest change-data-feed under the hash gate (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_manifest_cdf",
+    sql=f"""
+    WITH v0 AS (
+      SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+      FROM orders WHERE o_orderdate < DATE '{_ACID_CUTOFF}'
+      GROUP BY o_orderpriority
+    ),
+    v1 AS (
+      SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT priority, n_orders, change_type FROM (
+      SELECT priority, n_orders, 'insert' AS change_type
+      FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+      UNION ALL
+      SELECT priority, n_orders, 'delete' AS change_type
+      FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+    )
+    ORDER BY priority, change_type
+    """,
+    operators=("S12", "P11", "A13"),
+)
+def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two manifest versions
+    (`sources/acid.ManifestTable.table_changes`) under the hash gate:
+    the same two committed states as `orders_acid_timetravel` (v0 =
+    pre-cutoff per-priority counts, v1 = MERGE of full-range counts),
+    diffed row-level as tagged insert/delete rows.  The oracle
+    recomputes both states and diffs them with EXCEPT ALL — a green row
+    proves the CDF returns exactly the multiset delta between the
+    committed versions.  Files shared by both versions are dropped from
+    both sides before the diff (append-only commits diff only their
+    appended files — the Iceberg incremental-read shape)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F2.col("o_orderpriority").alias("priority"), "o_orderdate"
+    )
+    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="cdf_q_"), "t"))
+    t.commit(
+        o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
+        .groupBy("priority")
+        .agg(F2.count(F2.lit(1)).alias("n_orders"))
+    )
+    t.merge_upsert(
+        o.groupBy("priority").agg(F2.count(F2.lit(1)).alias("n_orders")),
+        keys=["priority"],
+    )
+    return (
+        t.table_changes(0, 1)
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("priority", "change_type")
+    )

@@ -533,6 +533,81 @@ class ManifestTable:
             return {}
         return self._read_manifest(vs[-1]).get("meta", {})
 
+    def history(self) -> DataFrame:
+        """One row per committed version — the ``DESCRIBE HISTORY``
+        shape (Delta's public reference): version, file count, files
+        added/removed vs the previous version, and the caller metadata
+        as a JSON string.  Pure manifest metadata: O(versions) driver
+        work, no data files opened."""
+        rows = []
+        prev: set[str] = set()
+        for v in self.versions():
+            m = self._read_manifest(v)
+            cur = set(m["files"])
+            rows.append(
+                (
+                    v,
+                    len(cur),
+                    len(cur - prev),
+                    len(prev - cur),
+                    json.dumps(m.get("meta", {}), sort_keys=True),
+                )
+            )
+            prev = cur
+        schema = (
+            "version int, n_files int, files_added int, files_removed int,"
+            " meta_json string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def table_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Row-level change data feed between two committed versions:
+        the table at ``to_version`` minus the table at ``from_version``
+        tagged ``insert``, and the reverse tagged ``delete`` (an updated
+        row appears as delete+insert — the standard CDF reduction for a
+        table without a declared primary key).  Multiset semantics via
+        ``exceptAll``: duplicate rows diff by count.
+
+        Scan cost is the two versions' file lists ONLY — and files
+        common to both versions cancel by construction, so they are
+        dropped from BOTH sides before the diff (copy-on-write appends
+        leave most files untouched; an append-only commit diffs just
+        the appended files — no full-table scan, the Iceberg
+        incremental-read idea)."""
+        vs = self.versions()
+        for v in (from_version, to_version):
+            if v not in vs:
+                raise FileNotFoundError(f"version {v} not in {vs}")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        m_from = self._read_manifest(from_version)
+        m_to = self._read_manifest(to_version)
+        shared = set(m_from["files"]) & set(m_to["files"])
+        schema = StructType.fromJson(m_to["schema"])
+
+        def _read_files(names, sch) -> DataFrame:
+            only = [f for f in names if f not in shared]
+            if not only:
+                return self.spark.createDataFrame([], sch)
+            paths = [posixpath.join(self.path, _DATA_DIR, f) for f in only]
+            return self.spark.read.schema(sch).parquet(*paths)
+
+        old = _read_files(m_from["files"], StructType.fromJson(m_from["schema"]))
+        new = _read_files(m_to["files"], schema)
+        # align columns for the diff (schema evolution: missing → NULL)
+        cols = [f.name for f in schema.fields]
+        old_names = set(old.columns)
+        old = old.select(
+            *[
+                (F.col(c) if c in old_names else F.lit(None).cast(schema[c].dataType)).alias(c)
+                for c in cols
+            ]
+        )
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     # ------------------------------------------------------ mutations
 
     def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
