@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.operators.graph import connected_components
 from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.docs_gold import (
+    _NPUNCT as _Q_NPUNCT,
+    _NSW as _Q_NSW,
+    _NTOK as _Q_NTOK,
+    doc_quality_scores,
+)
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
@@ -562,4 +568,93 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         F.count(F.lit(1)).over(w).alias("component_size"),
         (F.col("doc_id") == F.col("component_id")).alias("is_representative"),
+    )
+
+
+@register(
+    "doc_neardup_representatives",
+    sql=f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.v AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+    ),
+    quality AS (
+      SELECT doc_id,
+             0.4 * least(1.0, CAST({_Q_NTOK} AS DOUBLE) / 100.0)
+               + 0.3 * (1.0 - CAST({_Q_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE))
+               + 0.3 * (CAST({_Q_NSW} AS DOUBLE) / CAST({_Q_NTOK} AS DOUBLE))
+               AS quality_score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, q.quality_score,
+             ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                ORDER BY q.quality_score DESC, c.doc_id) AS rn
+      FROM comp c JOIN quality q USING (doc_id)
+    )
+    SELECT component_id,
+           CAST(COUNT(*) AS BIGINT) AS component_size,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MIN(CASE WHEN rn = 1 THEN quality_score END) AS kept_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY component_id
+    ORDER BY component_id
+    """,
+    operators=("P10", "W5", "A13"),
+)
+def doc_neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE dedup canonicalization: per near-dup component,
+    keep the highest-quality member (heuristic quality composite;
+    doc_id tie-break) instead of the arbitrary min-id — the
+    RefinedWeb/FineWeb-style selection a production curation pass
+    applies, composed from two already-verified operators (minhash
+    components + quality scoring).
+
+    Determinism: the quality composite is per-row IEEE arithmetic both
+    engines compute identically (hash-green `doc_quality_scores`), so
+    the per-component argmax with an explicit doc_id tie-break is
+    deterministic.  Scale: the window runs per component (bounded by
+    cluster size, never corpus size) after the linear components pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    edges = doc_minhash_near_dups(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(
+        d.select("doc_id"), edges,
+        node_col="doc_id", src_col="a_id", dst_col="b_id",
+    )
+    quality = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    ranked = labels.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component_id").orderBy(
+                F.col("quality_score").desc(), "doc_id"
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("component_size"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("quality_score"))).alias(
+                "kept_quality"
+            ),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+        .orderBy("component_id")
     )
