@@ -98,14 +98,14 @@ _PRIORITY = [
     "events_bloom_pruned_lookup",
     "orders_manifest_cdf",
     "source_mixture_weights",
+    "doc_binary_asset_features",
     # --- stalest single-green tail entries (re-confirmation fills)
     "doc_repetition_signals",
     "doc_pii_redaction",
     "doc_shard_packing",
-    "corpus_token_df",
     # --- window boundary: slots 51+ (first candidates if the driver
-    #     samples deeper; new r6 registrations land in the middle
-    #     section right after these)
+    #     samples deeper; the never-verified backlog for the r7 window)
+    "doc_neardup_representatives",
 ]
 
 # Tail: every query with at least one green driver row, ordered
@@ -116,6 +116,7 @@ _TAIL = [
     # single green row ever (r2 only)
     "doc_curation_pipeline",
     "lang_id_confusion",
+    "corpus_token_df",
     # single green row ever (r3 only)
     "events_sketch_profile",
     "customer_revenue_rank",

@@ -27,3 +27,4 @@ import unicargo_medallion_data_pipeline_spark.plans.assoc_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.analytics_gold2  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.analytics_gold3  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.sql_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.multimodal_gold  # noqa: F401
