@@ -53,8 +53,12 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 #: Bloom defaults: 32768 bits (4 KiB) / 5 hashes per (file, column) —
-#: ~1% false-positive rate at ~3400 distinct keys per file; manifests
-#: stay O(files) metadata either way.
+#: ~1% false-positive rate at ~3400 distinct keys per file.  Scale
+#: boundary (docs/SCALE.md): manifest-carried blooms fit tables up to
+#: ~10k files (≤ ~40 MB per column); beyond that the same per-file
+#: bloom belongs in the files themselves (Parquet column-index bloom
+#: filters, which this layout mirrors) with the manifest keeping only
+#: min/max stats.
 _BLOOM_BITS = 32768
 _BLOOM_HASHES = 5
 
