@@ -106,6 +106,7 @@ _PRIORITY = [
     # --- window boundary: slots 51+ (first candidates if the driver
     #     samples deeper; the never-verified backlog for the r7 window)
     "doc_neardup_representatives",
+    "orders_reconciliation_audit",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -483,3 +483,88 @@ def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("_change_type", "change_type")
         .orderBy("priority", "change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table amount reconciliation (warehouse DQ, r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_reconciliation_audit",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                 * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS computed_e6
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderpriority AS priority,
+             li.computed_e6
+               - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+               AS delta_e6
+      FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN ABS(delta_e6) <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent,
+           CAST(MAX(ABS(delta_e6)) AS DOUBLE) / 1e6 AS max_abs_delta,
+           CAST(SUM(ABS(delta_e6)) AS DOUBLE) / 1e6 AS sum_abs_delta
+    FROM j
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    operators=("A13", "J2", "P7"),
+)
+def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table amount reconciliation — the warehouse DQ rule the
+    quality family lacked beside orphan-FK audits: does the order
+    header's total equal the TPC-H invariant
+    SUM(extendedprice·(1−discount)·(1+tax)) over its line items?  Per
+    priority: order count, within-one-cent consistent count, and the
+    max/total absolute divergence.  (On this synthetic corpus the
+    generator does NOT maintain the invariant — the audit's job is
+    precisely to quantify that, identically on both engines.)
+
+    Determinism: every money value quantizes to integer cents/percent
+    BEFORE any arithmetic (2-decimal data ⇒ ·100 lands within 1e-9 of
+    an integer, never near a rounding tie), so the per-order delta is
+    an exact BIGINT in 1e-6 dollars and the aggregate sums are exact —
+    the only float ops are two final divisions by 1e6.  Scale shape:
+    one map-side-combinable lineitem aggregate, one keyed join to
+    orders, one small group-by; no window, no sort beyond presentation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+            * F.round((1 + F.col("l_tax")) * 100).cast("bigint")
+        ).alias("line_e6"),
+    )
+    computed = li.groupBy("l_orderkey").agg(F.sum("line_e6").alias("computed_e6"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") * 10000).alias(
+            "total_e6"
+        ),
+    )
+    j = computed.join(o, computed.l_orderkey == o.o_orderkey).select(
+        "priority", (F.col("computed_e6") - F.col("total_e6")).alias("delta_e6")
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.abs(F.col("delta_e6")) <= 10000, 1).otherwise(0)
+            ).alias("n_consistent"),
+            (F.max(F.abs("delta_e6")).cast("double") / 1e6).alias("max_abs_delta"),
+            (F.sum(F.abs("delta_e6")).cast("double") / 1e6).alias("sum_abs_delta"),
+        )
+        .orderBy("priority")
+    )
