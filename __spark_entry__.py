@@ -107,6 +107,7 @@ _PRIORITY = [
     #     samples deeper; the never-verified backlog for the r7 window)
     "doc_neardup_representatives",
     "orders_reconciliation_audit",
+    "orders_benford_digits",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -568,3 +568,92 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# Benford first-digit reference probabilities, hardcoded as literals on
+# BOTH engine and oracle sides (log10(1+1/d) evaluated once, offline) —
+# cross-engine log() is not correctly-rounded, a literal is.
+_BENFORD = {
+    1: 0.30103, 2: 0.17609, 3: 0.12494, 4: 0.09691, 5: 0.07918,
+    6: 0.06695, 7: 0.05799, 8: 0.05115, 9: 0.04576,
+}
+_BENFORD_SQL = "\n      UNION ALL ".join(
+    f"SELECT {d} AS digit, CAST({p} AS DOUBLE) AS benford_p"
+    for d, p in _BENFORD.items()
+)
+
+
+@register(
+    "orders_benford_digits",
+    sql=f"""
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             COUNT(*) AS n_obs
+      FROM orders
+      WHERE o_totalprice > 0
+      GROUP BY 1
+    ),
+    ref AS ({_BENFORD_SQL}),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT r.digit,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n AS obs_share,
+           r.benford_p,
+           CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n - r.benford_p
+             AS deviation
+    FROM ref r LEFT JOIN obs o ON r.digit = o.digit CROSS JOIN tot t
+    ORDER BY r.digit
+    """,
+    operators=("A12", "J7", "P4"),
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    financial-anomaly screen (fabricated amounts drift from the
+    logarithmic digit distribution).  Per digit 1-9: observed count,
+    observed share, the Benford reference probability, and the
+    deviation.
+
+    Determinism: the leading digit comes from STRING formatting of the
+    exact integer cents (no log10 — cross-engine log is not
+    correctly-rounded; integer-to-text is exact), counts are exact
+    BIGINTs, the Benford column is a shared hardcoded literal, and each
+    output row's float ops are one division and one subtraction.  The
+    9-row reference frame is a local relation; the only distributed
+    work is one map-side-combinable digit aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    obs = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    ref = spark.createDataFrame(
+        list(_BENFORD.items()), "digit int, benford_p double"
+    )
+    n = obs.agg(F.sum("n_obs").alias("n"))
+    out = (
+        ref.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint").alias("n_obs"),
+            (
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
+            ).alias("obs_share"),
+            "benford_p",
+            (
+                F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
+                - F.col("benford_p")
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+    return out
