@@ -43,11 +43,16 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #                 flagship: ACID time travel, manifest-pruned scan,
 #                 recursive CTE, LATERAL top-k, binned quantiles,
 #                 duplicate-n-gram rate, erasure audit, expectations;
-#   slots 44-50 — the 7 stalest single-green tail entries (r2-only /
-#                 oldest r3-only) for re-confirmation.
+#   slots 44-47 — round-6 additions (bloom point-lookup skipping,
+#                 manifest CDF, temperature mixture weights, multimodal
+#                 binary features), each oracle-green at all three SFs;
+#   slots 48-50 — the stalest single-green tail entries (r2-only) for
+#                 re-confirmation;
+#   slots 51-53 — round-6 late additions: the r7 never-verified backlog.
 # Every windowed query was locally oracle-verified at sf0.01 this round
 # under the NEW type-sensitive replica (oracle.py compares DuckDB/Spark
-# type classes — the blind spot that let the r5 failures ship).
+# type classes — the blind spot that let the r5 failures ship), and the
+# full 50-slot window re-ran green under a vanilla driver-style session.
 _PRIORITY = [
     # --- the 5 r5-red, now cast-fixed
     "flight_seasonal_summary",
