@@ -327,3 +327,42 @@ def test_table_changes_cdf(spark, table):
         for r in table.table_changes(2, 1).collect()
     )
     assert rev == [(2, "B", "delete"), (2, "b", "insert"), (2, "b", "insert")]
+
+
+def test_read_as_of_timestamp(spark, table):
+    """TIMESTAMP AS OF: resolves to the newest version committed at or
+    before the given time; earlier-than-first raises."""
+    import time
+
+    table.commit(_df(spark, [(1, "a")]))
+    t_between = time.time()
+    time.sleep(0.05)
+    table.commit(_df(spark, [(2, "b")]), mode="overwrite")
+
+    assert table.version_as_of(t_between) == 0
+    assert [r["k"] for r in table.read_as_of(t_between).collect()] == [1]
+    assert table.version_as_of(time.time()) == 1
+    with pytest.raises(FileNotFoundError):
+        table.version_as_of(t_between - 3600)
+
+
+def test_commit_expectations_are_a_write_contract(spark, table):
+    """A commit carrying expectations must reject a violating frame
+    BEFORE any state change — the table never holds a bad version."""
+    from unicargo_medallion_data_pipeline_spark.quality.expectations import (
+        not_null,
+        unique,
+    )
+    from unicargo_medallion_data_pipeline_spark.quality.validation import (
+        DataQualityError,
+    )
+
+    suite = [not_null("k"), unique("k")]
+    table.commit(_df(spark, [(1, "a"), (2, "b")]), expectations=suite)
+    with pytest.raises(DataQualityError):
+        table.commit(
+            _df(spark, [(3, "c"), (3, "dup")]), mode="append", expectations=suite
+        )
+    # no partial state: still exactly version 0 with the clean rows
+    assert table.versions() == [0]
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]

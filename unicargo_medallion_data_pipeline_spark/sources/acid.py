@@ -184,6 +184,28 @@ class ManifestTable:
         # projected from older files.
         return self.spark.read.schema(schema).parquet(*files)
 
+    def version_as_of(self, ts: float) -> int:
+        """The latest version whose commit timestamp is ≤ ``ts`` (epoch
+        seconds) — Delta's ``TIMESTAMP AS OF`` resolution rule.  Commit
+        timestamps are recorded automatically in each manifest
+        (``committed_at``); versions from before that field existed are
+        treated as infinitely old (always eligible)."""
+        best = None
+        for v in self.versions():
+            at = self._read_manifest(v).get("committed_at", float("-inf"))
+            if at <= ts:
+                best = v
+        if best is None:
+            raise FileNotFoundError(
+                f"no version committed at or before {ts} at {self.path}"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP: the table as of epoch-seconds
+        ``ts`` (the newest version committed at or before it)."""
+        return self.read(version=self.version_as_of(ts))
+
     # ------------------------------------------------------------ write
 
     def _write_data_files(
@@ -309,6 +331,8 @@ class ManifestTable:
                 self.path, _MANIFEST_DIR, f"_tmp_{uuid.uuid4().hex}.json"
             )
         )
+        import time
+
         payload = json.dumps(
             {
                 "version": version,
@@ -317,6 +341,7 @@ class ManifestTable:
                 "meta": meta or {},
                 "stats": stats or {},
                 "bloom": bloom or {},
+                "committed_at": time.time(),
             }
         ).encode("utf-8")
         out = fs.create(tmp, True)
@@ -358,8 +383,17 @@ class ManifestTable:
         stats_cols: list[str] | None = None,
         base_version: int | None = None,
         bloom_cols: list[str] | None = None,
+        expectations: list | None = None,
     ) -> int:
         """Write ``df`` and commit it as the next version.
+
+        ``expectations`` (a list of
+        :mod:`~unicargo_medallion_data_pipeline_spark.quality.expectations` rules)
+        makes the commit a WRITE CONTRACT: the suite is evaluated over
+        ``df`` first and a violation raises ``DataQualityError`` before
+        any data is staged — the table can never transition into a
+        contract-violating version (Delta CHECK-constraint semantics,
+        enforced engine-side).
 
         ``overwrite``: the new version is exactly ``df``.
         ``append``: the new version is the previous file list + ``df``'s
@@ -381,6 +415,12 @@ class ManifestTable:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if expectations:
+            from unicargo_medallion_data_pipeline_spark.quality.expectations import (
+                run_suite,
+            )
+
+            run_suite(df, expectations, fail_fast=True)
         vs = self.versions()
         latest = vs[-1] if vs else -1
         if base_version is not None and base_version != latest:
