@@ -113,6 +113,7 @@ _PRIORITY = [
     "doc_neardup_representatives",
     "orders_reconciliation_audit",
     "orders_benford_digits",
+    "priority_rollup_cdf_maintained",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -657,3 +657,88 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("digit")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance from the change feed (r6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "priority_rollup_cdf_maintained",
+    sql=f"""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    operators=("S12", "A13", "A15"),
+)
+def priority_rollup_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance driven by the CHANGE FEED: a
+    per-priority rollup maintained from `table_changes` deltas instead
+    of recomputed — maintained = base aggregate + Σ(inserts) −
+    Σ(deletes) per key.  The engine commits the pre-{_ACID_CUTOFF}
+    orders as version 0, overwrites with the full range as version 1,
+    derives the row-level CDF between them, and applies ONLY the delta
+    aggregate to version 0's rollup.  The oracle recomputes the rollup
+    directly over the full table — a green row proves delta-maintenance
+    reaches the exact recomputed state (the Delta-CDF → MERGE-into-
+    aggregate production pattern, with `rollup_incremental_equals_full`
+    as the append-only sibling).
+
+    Exactness: order counts and cent-quantized sums are integers, so
+    base + insert − delete is exact arithmetic; the one float op is the
+    final ÷100 presentation cast.  Scale shape: the CDF diff scans only
+    version-exclusive files; the delta aggregate is map-side combined
+    on the same key as the base rollup."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    cents = F2.round(F2.col("o_totalprice") * 100).cast("bigint")
+    o = load_table(spark, sf_dir, "orders").select(
+        F2.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        cents.alias("total_cents"),
+    )
+    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="ivm_q_"), "t"))
+    v0_rows = o.filter(
+        F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date")
+    ).drop("o_orderdate")
+    t.commit(v0_rows)
+    t.commit(o.drop("o_orderdate"), mode="overwrite")
+
+    base = v0_rows.groupBy("priority").agg(
+        F2.count(F2.lit(1)).alias("n"), F2.sum("total_cents").alias("c")
+    )
+    cdf = t.table_changes(0, 1)
+    sign = F2.when(F2.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = cdf.groupBy("priority").agg(
+        F2.sum(sign).alias("dn"),
+        F2.sum(sign * F2.col("total_cents")).alias("dc"),
+    )
+    maintained = (
+        base.join(delta, "priority", "full")
+        .select(
+            "priority",
+            (F2.coalesce("n", F2.lit(0)) + F2.coalesce("dn", F2.lit(0))).alias(
+                "n_orders"
+            ),
+            (F2.coalesce("c", F2.lit(0)) + F2.coalesce("dc", F2.lit(0))).alias(
+                "cents"
+            ),
+        )
+        .filter(F2.col("n_orders") > 0)
+    )
+    return maintained.select(
+        "priority",
+        "n_orders",
+        (F2.col("cents").cast("double") / 100).alias("total_value"),
+    ).orderBy("priority")
