@@ -170,3 +170,71 @@ def write_stream_to_manifest(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def write_stream_cdc_apply(
+    changes: DataFrame,
+    table,
+    checkpoint: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    trigger: dict | None = None,
+    await_termination: bool = True,
+) -> StreamingQuery:
+    """Exactly-once CDC apply (the Debezium-sink shape): each micro-batch
+    carries row images tagged ``op`` ∈ {'u', 'd'} ('u' = upsert full row,
+    'd' = delete by key); the batch's upserts AND deletes land in ONE
+    atomic manifest commit, fenced by batch id.
+
+    Within-batch semantics: the LAST op per key wins (CDC streams are
+    ordered per key; ties inside one batch resolve by a deterministic
+    monotonic sequence column ``_seq`` if present, else arbitrarily —
+    upstream CDC readers provide LSN-like sequence numbers, and the
+    docstring contract requires one when a key can change twice in a
+    batch).  Apply = current state, minus all touched keys, plus the
+    winning upsert rows.  Crash anywhere: either the whole batch's
+    effect is visible (fence skips the replay) or none of it is.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = table.latest_meta().get("cdc_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replay: fenced
+        base = table.versions()[-1]
+        current = table.read(version=base)
+        order = (
+            F.col("_seq").desc()
+            if "_seq" in batch_df.columns
+            else F.monotonically_increasing_id().desc()
+        )
+        winners = (
+            batch_df.withColumn(
+                "_rn", F.row_number().over(W.partitionBy(*key_cols).orderBy(order))
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        touched = winners.select(*key_cols).distinct()
+        survivors = current.join(touched, key_cols, "left_anti")
+        upserts = winners.filter(F.col(op_col) == "u").select(*current.columns)
+        table.commit(
+            survivors.unionByName(upserts),
+            mode="overwrite",
+            base_version=base,
+            meta={"cdc_batch_id": batch_id},
+        )
+
+    writer = (
+        changes.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    writer = _apply_trigger(writer, trigger)
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
