@@ -56,7 +56,7 @@ def test_delete_keys_version(spark, table):
 
 def test_concurrent_commit_one_winner(spark, table):
     table.commit(_df(spark, [(1, "a")]))
-    files, _stats, _bloom = table._write_data_files(_df(spark, [(2, "b")]))
+    files, _stats, _bloom, _fm = table._write_data_files(_df(spark, [(2, "b")]))
     schema = _df(spark, [(2, "b")]).schema.jsonValue()
     table._commit(1, files, schema)
     with pytest.raises(ConcurrentCommitError):
@@ -366,3 +366,18 @@ def test_commit_expectations_are_a_write_contract(spark, table):
     # no partial state: still exactly version 0 with the clean rows
     assert table.versions() == [0]
     assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+
+
+def test_metadata_only_count_and_file_report(spark, table):
+    """count() resolves from manifest per-file row counts without
+    opening data; file_report exposes rows/bytes per file; history
+    carries the per-version row totals."""
+    table.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    table.commit(_df(spark, [(4, "d")]), mode="append")
+    assert table.count() == 4
+    assert table.count(version=0) == 3
+    rep = table.file_report().collect()
+    assert sum(r["n_rows"] for r in rep) == 4
+    assert all(r["n_bytes"] > 0 for r in rep)
+    h = {r["version"]: r["n_rows"] for r in table.history().collect()}
+    assert h == {0: 3, 1: 4}

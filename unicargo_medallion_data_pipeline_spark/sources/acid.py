@@ -213,9 +213,10 @@ class ManifestTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
-    ) -> tuple[list[str], dict, dict]:
+    ) -> tuple[list[str], dict, dict, dict]:
         """Stage ``df`` as immutable data files; return
-        (names, stats, bloom).
+        (names, stats, bloom, files_meta) — files_meta records per-file
+        row counts and byte sizes (always).
 
         ``stats_cols`` requests per-FILE min/max for those columns,
         computed in one pass over the staged files (a column-pruned scan
@@ -288,13 +289,33 @@ class ManifestTable:
                         "k": _BLOOM_HASHES,
                         "b64": base64.b64encode(bytes(bitmap)).decode("ascii"),
                     }
+        # Per-file row counts (Delta numRecords parity): one count
+        # aggregate over the staged files — parquet counts resolve from
+        # row-group metadata, so this is footer-read cheap.  Enables
+        # metadata-only COUNT(*) (:meth:`count`) and row-count history.
+        from pyspark.sql import functions as F
+
+        row_counts = {
+            r["_file"]: r["n"]
+            for r in self.spark.read.parquet(staging)
+            .groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         names = []
+        files_meta: dict = {}
         data_root = posixpath.join(self.path, _DATA_DIR)
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(staging)):
             name = st.getPath().getName()
             if not name.endswith(".parquet"):
                 continue
             final = f"{commit_id}-{name}"
+            files_meta[final] = {
+                "rows": int(row_counts.get(name, 0)),
+                "bytes": int(st.getLen()),
+            }
             ok = fs.rename(
                 st.getPath(),
                 jvm.org.apache.hadoop.fs.Path(posixpath.join(data_root, final)),
@@ -306,7 +327,7 @@ class ManifestTable:
         # re-key stats/bloom by the FINAL file names
         stats = {f"{commit_id}-{k}": v for k, v in stats.items()}
         bloom = {f"{commit_id}-{k}": v for k, v in bloom.items()}
-        return names, stats, bloom
+        return names, stats, bloom, files_meta
 
     def _commit(
         self,
@@ -316,6 +337,7 @@ class ManifestTable:
         meta: dict | None = None,
         stats: dict | None = None,
         bloom: dict | None = None,
+        files_meta: dict | None = None,
     ) -> int:
         """Atomically publish ``files`` as ``version``; raise
         :class:`ConcurrentCommitError` if someone else won the race.
@@ -341,6 +363,7 @@ class ManifestTable:
                 "meta": meta or {},
                 "stats": stats or {},
                 "bloom": bloom or {},
+                "files_meta": files_meta or {},
                 "committed_at": time.time(),
             }
         ).encode("utf-8")
@@ -429,13 +452,16 @@ class ManifestTable:
                 f"since it was read at {self.path}"
             )
         next_v = latest + 1
-        new_files, stats, bloom = self._write_data_files(df, stats_cols, bloom_cols)
+        new_files, stats, bloom, files_meta = self._write_data_files(
+            df, stats_cols, bloom_cols
+        )
         files = list(new_files)
         if mode == "append" and vs:
             prev = self._read_manifest(vs[-1])
             files += prev["files"]
             stats = {**prev.get("stats", {}), **stats}
             bloom = {**prev.get("bloom", {}), **bloom}
+            files_meta = {**prev.get("files_meta", {}), **files_meta}
         return self._commit(
             next_v,
             files,
@@ -443,6 +469,7 @@ class ManifestTable:
             meta=meta,
             stats=stats,
             bloom=bloom,
+            files_meta=files_meta,
         )
 
     def read_pruned(self, col: str, lo, hi, more: list[tuple] | None = None) -> DataFrame:
@@ -577,10 +604,47 @@ class ManifestTable:
             return {}
         return self._read_manifest(vs[-1]).get("meta", {})
 
+    def count(self, version: int | None = None) -> int:
+        """METADATA-ONLY row count (Delta numRecords parity): summed
+        from the manifest's per-file row counts, no data file opened.
+        Falls back to a real Spark count only if some file predates the
+        ``files_meta`` field."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        v = vs[-1] if version is None else version
+        m = self._read_manifest(v)
+        fm = m.get("files_meta", {})
+        if all(f in fm for f in m["files"]):
+            return sum(fm[f]["rows"] for f in m["files"])
+        return self.read(version=v).count()
+
+    def file_report(self, version: int | None = None) -> DataFrame:
+        """Per-file (name, rows, bytes) of a version from manifest
+        metadata — the small-file/compaction-policy input, no scan."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        v = vs[-1] if version is None else version
+        m = self._read_manifest(v)
+        fm = m.get("files_meta", {})
+        rows = [
+            (
+                f,
+                fm.get(f, {}).get("rows"),
+                fm.get(f, {}).get("bytes"),
+            )
+            for f in sorted(m["files"])
+        ]
+        return self.spark.createDataFrame(
+            rows, "file string, n_rows bigint, n_bytes bigint"
+        )
+
     def history(self) -> DataFrame:
         """One row per committed version — the ``DESCRIBE HISTORY``
         shape (Delta's public reference): version, file count, files
-        added/removed vs the previous version, and the caller metadata
+        added/removed vs the previous version, total rows (metadata
+        sum; NULL for pre-files_meta versions), and the caller metadata
         as a JSON string.  Pure manifest metadata: O(versions) driver
         work, no data files opened."""
         rows = []
@@ -588,19 +652,26 @@ class ManifestTable:
         for v in self.versions():
             m = self._read_manifest(v)
             cur = set(m["files"])
+            fm = m.get("files_meta", {})
+            n_rows = (
+                sum(fm[f]["rows"] for f in cur)
+                if all(f in fm for f in cur)
+                else None
+            )
             rows.append(
                 (
                     v,
                     len(cur),
                     len(cur - prev),
                     len(prev - cur),
+                    n_rows,
                     json.dumps(m.get("meta", {}), sort_keys=True),
                 )
             )
             prev = cur
         schema = (
             "version int, n_files int, files_added int, files_removed int,"
-            " meta_json string"
+            " n_rows bigint, meta_json string"
         )
         return self.spark.createDataFrame(rows, schema)
 
