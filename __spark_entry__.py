@@ -114,6 +114,7 @@ _PRIORITY = [
     "orders_reconciliation_audit",
     "orders_benford_digits",
     "priority_rollup_cdf_maintained",
+    "embedding_hard_negatives",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -309,7 +309,7 @@ def embedding_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
-def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42) -> str:
+def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42, max_sim=None) -> str:
     """DuckDB mirror of cosine_topk_lsh: same ±1 plane literals (from the
     same generator), same int64 quantization, so bucket ids / candidate
     set / scores / ranks reproduce the engine bit-for-bit."""
@@ -336,6 +336,7 @@ def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42) -> str:
         "CAST(list_sum(list_transform(generate_series(1, {d}),"
         " j -> {v}.q[j] * {v}.q[j])) AS BIGINT)"
     )
+    cap = f"WHERE cosine_sim < {max_sim}" if max_sim is not None else ""
     return f"""
     WITH qv AS (
       SELECT vec_id,
@@ -367,6 +368,7 @@ def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42) -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vid)
                   AS INTEGER) AS sim_rank
       FROM scored
+      {cap}
     )
     SELECT * FROM ranked WHERE sim_rank <= {k}
     """
@@ -657,4 +659,36 @@ def doc_neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).alias("n_dropped"),
         )
         .orderBy("component_id")
+    )
+
+
+#: Positive threshold for hard-negative mining: bucket-colliding pairs
+#: at or above this cosine are potential positives/near-dups and are
+#: excluded; the top-k below it are the hardest negatives.
+_HARD_NEG_CAP = 0.8
+
+
+@register(
+    "embedding_hard_negatives",
+    sql=_lsh_oracle_sql(k=3, max_sim=_HARD_NEG_CAP),
+    operators=("W5", "O3"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for contrastive training: per query vector,
+    the top-3 most-similar corpus vectors that share an LSH bucket
+    (similar enough to be confusable) yet score BELOW the positive
+    threshold {_HARD_NEG_CAP} — the negatives that actually teach a
+    contrastive model, versus the uniform-random negatives of
+    `doc_negative_pairs` (both samplers now exist; a curriculum mixes
+    them).
+
+    Scale shape is identical to `embedding_knn_lsh` (bucket equi-join,
+    broadcast query side, max-merge dedup) plus one deterministic
+    threshold cut before the ranking window — exact integer scores make
+    the cut and the ranks bit-reproducible, so this ANN-derived sampler
+    has a FULL value-level oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_lsh(
+        e.filter(F.col("vec_id") < 10), e, dim=64, k=3, n_planes=8,
+        max_sim=_HARD_NEG_CAP,
     )

@@ -330,6 +330,7 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_sim: float | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates from multi-table LSH bucket joins, exact
     rescoring inside buckets.
@@ -390,6 +391,13 @@ def cosine_topk_lsh(
         ).alias("cosine_sim"),
     )
     merged = scored.groupBy("qid", "vid").agg(F.max("cosine_sim").alias("cosine_sim"))
+    if max_sim is not None:
+        # Hard-negative mining mode: keep bucket-colliding (i.e. similar
+        # -ish) candidates whose exact similarity stays BELOW the
+        # positive threshold — the top-k of those are the hardest
+        # negatives for contrastive training.  The cut is deterministic:
+        # scores are exact-integer dot/sqrt arithmetic on both engines.
+        merged = merged.filter(F.col("cosine_sim") < F.lit(max_sim))
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vid").asc())
     return (
         merged.withColumn("sim_rank", F.row_number().over(w))
