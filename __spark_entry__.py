@@ -115,6 +115,7 @@ _PRIORITY = [
     "orders_benford_digits",
     "priority_rollup_cdf_maintained",
     "embedding_hard_negatives",
+    "orders_manifest_history",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -381,3 +381,34 @@ def test_metadata_only_count_and_file_report(spark, table):
     assert all(r["n_bytes"] > 0 for r in rep)
     h = {r["version"]: r["n_rows"] for r in table.history().collect()}
     assert h == {0: 3, 1: 4}
+
+
+def test_restore_is_metadata_only_and_undoable(spark, table):
+    table.commit(_df(spark, [(1, "a"), (2, "b")]))
+    v0_files = set(table.read(version=0).inputFiles())
+    table.commit(_df(spark, [(9, "z")]), mode="overwrite")
+    v2 = table.restore(0)
+    assert v2 == 2
+    # zero copy: the restored version reads version-0's exact files
+    assert set(table.read().inputFiles()) == v0_files
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2]
+    # history preserved: the overwritten state is still reachable...
+    assert [r["k"] for r in table.read(version=1).collect()] == [9]
+    # ...and the restore itself is undoable by restoring version 1
+    table.restore(1)
+    assert [r["k"] for r in table.read().collect()] == [9]
+    # metadata-only count still works on the restored lineage
+    assert table.count(version=2) == 2
+
+
+def test_maybe_compact_policy(spark, table):
+    # 12 tiny files → policy triggers; big target → single output file
+    df = spark.range(0, 1200).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    table.commit(df.repartition(12))
+    assert len(table.read().inputFiles()) == 12
+    v = table.maybe_compact(target_file_bytes=1 << 20, min_files=8)
+    assert v is not None
+    assert len(table.read().inputFiles()) < 12
+    assert table.count() == 1200
+    # healthy table: second call is a no-op
+    assert table.maybe_compact(target_file_bytes=1 << 20, min_files=8) is None

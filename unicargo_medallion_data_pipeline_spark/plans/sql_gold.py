@@ -742,3 +742,44 @@ def priority_rollup_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFram
         "n_orders",
         (F2.col("cents").cast("double") / 100).alias("total_value"),
     ).orderBy("priority")
+
+
+@register(
+    "orders_manifest_history",
+    sql=f"""
+    SELECT 0 AS version,
+           CAST(COUNT(CASE WHEN o_orderdate < DATE '{_ACID_CUTOFF}'
+                           THEN 1 END) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+    ORDER BY version
+    """,
+    operators=("S12", "A16"),
+)
+def orders_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest metadata row counts under the hash gate: commit the
+    pre-{_ACID_CUTOFF} orders as version 0, append the rest as version
+    1, then read per-version row totals from `history()` — METADATA
+    ONLY, no data files opened for the counts.  The oracle recounts both
+    states declaratively; a green row proves the per-file row counts
+    recorded at commit time (and carried forward across appends) sum to
+    the true table cardinality at every version — the invariant that
+    makes metadata-only COUNT(*) (`ManifestTable.count`) trustworthy."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="hist_q_"), "t"))
+    cutoff = F2.lit(_ACID_CUTOFF).cast("date")
+    t.commit(o.filter(F2.col("o_orderdate") < cutoff))
+    t.commit(o.filter(F2.col("o_orderdate") >= cutoff), mode="append")
+    return (
+        t.history()
+        .select("version", "n_rows")
+        .orderBy("version")
+    )

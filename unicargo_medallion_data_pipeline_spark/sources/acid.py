@@ -803,6 +803,55 @@ class ManifestTable:
     #: version referencing missing files.
     DEFAULT_RETENTION_SECONDS = 7 * 24 * 3600
 
+    def restore(self, version: int) -> int:
+        """Delta-style RESTORE: roll the table back to ``version`` as a
+        NEW commit whose manifest points at the old version's files —
+        METADATA-ONLY (no data rewritten, zero copy), so history is
+        preserved and the restore itself is time-travelable/undoable.
+        The restored version must not have been vacuumed away."""
+        vs = self.versions()
+        if version not in vs:
+            raise FileNotFoundError(f"version {version} not in {vs}")
+        m = self._read_manifest(version)
+        return self._commit(
+            vs[-1] + 1,
+            m["files"],
+            m["schema"],
+            meta={"restored_from": version},
+            stats=m.get("stats", {}),
+            bloom=m.get("bloom", {}),
+            files_meta=m.get("files_meta", {}),
+        )
+
+    def maybe_compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 8,
+        stats_cols: list[str] | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int | None:
+        """Policy-driven small-file compaction: rewrite only when the
+        latest version has ≥ ``min_files`` files AND their average size
+        is under half of ``target_file_bytes`` (both read from manifest
+        metadata — no scan).  Target file count = ceil(total_bytes /
+        target_file_bytes).  Returns the new version, or None if the
+        table is already healthy — safe to call after every append."""
+        vs = self.versions()
+        if not vs:
+            return None
+        m = self._read_manifest(vs[-1])
+        fm = m.get("files_meta", {})
+        files = m["files"]
+        if len(files) < min_files or not all(f in fm for f in files):
+            return None
+        total = sum(fm[f]["bytes"] for f in files)
+        if total / len(files) >= target_file_bytes / 2:
+            return None
+        target = max(1, -(-total // target_file_bytes))
+        return self.compact(
+            target_files=target, stats_cols=stats_cols, sort_by=sort_by
+        )
+
     def vacuum(
         self, keep_last: int = 1, min_age_seconds: float | None = None
     ) -> list[str]:
