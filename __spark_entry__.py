@@ -116,6 +116,7 @@ _PRIORITY = [
     "priority_rollup_cdf_maintained",
     "embedding_hard_negatives",
     "orders_manifest_history",
+    "orders_cdc_apply_state",
 ]
 
 # Tail: every query with at least one green driver row, ordered

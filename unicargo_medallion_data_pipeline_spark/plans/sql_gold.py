@@ -783,3 +783,81 @@ def orders_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "n_rows")
         .orderBy("version")
     )
+
+
+@register(
+    "orders_cdc_apply_state",
+    sql="""
+    WITH final_state AS (
+      SELECT o_orderpriority AS priority,
+             CASE WHEN o_orderkey % 13 = 1
+                  THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS total_cents
+      FROM orders
+      WHERE o_orderkey % 13 <> 0
+    )
+    SELECT priority,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(total_cents) AS DOUBLE) / 100 AS DOUBLE)
+             AS total_value
+    FROM final_state
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    operators=("S12", "A13", "T4"),
+)
+def orders_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply semantics under the hash gate: seed a manifest table
+    with all orders, then apply ONE Debezium-shape change batch through
+    the real `apply_cdc_batch` operator — for keys ≡ 0 (mod 13) an
+    upsert FOLLOWED by a delete (same batch, `_seq`-ordered: last op
+    must win → net delete), for keys ≡ 1 (mod 13) a price-doubling
+    upsert — and aggregate the resulting state.  The oracle computes
+    the intended final state declaratively; a green row proves
+    upsert+delete atomic apply AND within-batch last-op-wins ordering,
+    value-for-value.  Prices stay integer cents end-to-end, so the
+    doubled totals are exact."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import apply_cdc_batch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F2.col("o_orderkey").alias("k"),
+        F2.col("o_orderpriority").alias("priority"),
+        F2.round(F2.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="cdcq_"), "t"))
+    t.commit(o)
+
+    mod = F2.col("k") % 13
+    # one batch: (u then d) for mod==0, doubling u for mod==1
+    u_then_d = o.filter(mod == 0).select(
+        "k", "priority", "total_cents",
+        F2.lit("u").alias("op"), F2.lit(1).cast("long").alias("_seq"),
+    ).unionByName(
+        o.filter(mod == 0).select(
+            "k", "priority", "total_cents",
+            F2.lit("d").alias("op"), F2.lit(2).cast("long").alias("_seq"),
+        )
+    )
+    doubling = o.filter(mod == 1).select(
+        "k", "priority",
+        (F2.col("total_cents") * 2).alias("total_cents"),
+        F2.lit("u").alias("op"), F2.lit(1).cast("long").alias("_seq"),
+    )
+    apply_cdc_batch(t, u_then_d.unionByName(doubling), key_cols=["k"], batch_id=0)
+
+    return (
+        t.read()
+        .groupBy("priority")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_orders"),
+            (F2.sum("total_cents").cast("double") / 100).alias("total_value"),
+        )
+        .orderBy("priority")
+    )

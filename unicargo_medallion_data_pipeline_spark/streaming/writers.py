@@ -195,38 +195,13 @@ def write_stream_cdc_apply(
     winning upsert rows.  Crash anywhere: either the whole batch's
     effect is visible (fence skips the replay) or none of it is.
     """
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         last = table.latest_meta().get("cdc_batch_id")
         if last is not None and batch_id <= last:
             return  # replay: fenced
-        base = table.versions()[-1]
-        current = table.read(version=base)
-        order = (
-            F.col("_seq").desc()
-            if "_seq" in batch_df.columns
-            else F.monotonically_increasing_id().desc()
-        )
-        winners = (
-            batch_df.withColumn(
-                "_rn", F.row_number().over(W.partitionBy(*key_cols).orderBy(order))
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        touched = winners.select(*key_cols).distinct()
-        survivors = current.join(touched, key_cols, "left_anti")
-        upserts = winners.filter(F.col(op_col) == "u").select(*current.columns)
-        table.commit(
-            survivors.unionByName(upserts),
-            mode="overwrite",
-            base_version=base,
-            meta={"cdc_batch_id": batch_id},
-        )
+        apply_cdc_batch(table, batch_df, key_cols, op_col=op_col, batch_id=batch_id)
 
     writer = (
         changes.writeStream.foreachBatch(_apply_batch)
@@ -238,3 +213,45 @@ def write_stream_cdc_apply(
     if await_termination:
         query.awaitTermination()
     return query
+
+
+def apply_cdc_batch(
+    table,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    batch_id: int | None = None,
+) -> int:
+    """Apply ONE batch of CDC rows (op 'u' = upsert full row image,
+    'd' = delete by key; last op per key wins, ordered by ``_seq`` when
+    present) into a manifest table as a single atomic base-pinned
+    commit.  Shared by :func:`write_stream_cdc_apply` (which adds the
+    batch-id fence around it) and batch/backfill callers.  Returns the
+    committed version."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base = table.versions()[-1]
+    current = table.read(version=base)
+    order = (
+        F.col("_seq").desc()
+        if "_seq" in batch_df.columns
+        else F.monotonically_increasing_id().desc()
+    )
+    winners = (
+        batch_df.withColumn(
+            "_rn", F.row_number().over(W.partitionBy(*key_cols).orderBy(order))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = winners.select(*key_cols).distinct()
+    survivors = current.join(touched, key_cols, "left_anti")
+    upserts = winners.filter(F.col(op_col) == "u").select(*current.columns)
+    meta = {"cdc_batch_id": batch_id} if batch_id is not None else None
+    return table.commit(
+        survivors.unionByName(upserts),
+        mode="overwrite",
+        base_version=base,
+        meta=meta,
+    )
