@@ -117,6 +117,7 @@ _PRIORITY = [
     "embedding_hard_negatives",
     "orders_manifest_history",
     "orders_cdc_apply_state",
+    "events_zorder_pruned_scan",
 ]
 
 # Tail: every query with at least one green driver row, ordered

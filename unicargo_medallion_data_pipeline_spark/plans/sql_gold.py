@@ -861,3 +861,81 @@ def orders_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# Z-order pruning windows (both dimensions constrained simultaneously).
+_Z_VALUE_LO, _Z_VALUE_HI = 20.0, 35.0
+_Z_USER_LO, _Z_USER_HI = 3, 9
+
+
+@register(
+    "events_zorder_pruned_scan",
+    sql=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value BETWEEN {_Z_VALUE_LO} AND {_Z_VALUE_HI}
+      AND user_id BETWEEN {_Z_USER_LO} AND {_Z_USER_HI}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    operators=("S3", "P7", "A13"),
+)
+def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-dimensional data skipping via Z-order clustering (the
+    Delta OPTIMIZE ZORDER analog, `operators/layout.zvalue_column`)
+    under the hash gate: commit `events` clustered on the bit-
+    interleaved Z-curve of (value, user_id) with per-file min/max for
+    BOTH columns, then read with simultaneous range predicates on both
+    dimensions — each file covers a compact hyper-rectangle, so pruning
+    bites on BOTH predicates where a linear sort helps only its leading
+    column.  The oracle full-scans and filters; the in-plan assert pins
+    that strictly fewer files were opened than committed.
+
+    Scale shape: the rewrite is one range exchange + spillable in-task
+    sort (O(data)); the pruned read's decision is driver-side manifest
+    metadata.  Exact decimal-routed sum keeps the aggregate hashable."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from unicargo_medallion_data_pipeline_spark.operators.layout import zvalue_column
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    z = ev.withColumn("__z", zvalue_column(ev, ["value", "user_id"]))
+    clustered = (
+        z.repartitionByRange(8, "__z").sortWithinPartitions("__z").drop("__z")
+    )
+    t = ManifestTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="zorder_q_"), "t")
+    )
+    t.commit(clustered, stats_cols=["value", "user_id"])
+    pruned = t.read_pruned(
+        "value",
+        _Z_VALUE_LO,
+        _Z_VALUE_HI,
+        more=[("user_id", _Z_USER_LO, _Z_USER_HI)],
+    )
+    n_all, n_read = len(t.read().inputFiles()), len(pruned.inputFiles())
+    assert n_read < n_all, (
+        f"z-order skipping regressed: read {n_read}/{n_all} files"
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F2.count(F2.lit(1)).alias("n_events"),
+            F2.min("user_id").cast("bigint").alias("min_user"),
+            F2.max("user_id").cast("bigint").alias("max_user"),
+            F2.sum(F2.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
