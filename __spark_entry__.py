@@ -118,6 +118,7 @@ _PRIORITY = [
     "orders_manifest_history",
     "orders_cdc_apply_state",
     "events_zorder_pruned_scan",
+    "orders_csv_quarantine_roundtrip",
 ]
 
 # Tail: every query with at least one green driver row, ordered

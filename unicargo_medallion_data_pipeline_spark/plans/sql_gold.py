@@ -939,3 +939,90 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_csv_quarantine_roundtrip",
+    sql="""
+    SELECT COUNT(*) AS n_good,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    """,
+    operators=("S1", "P5", "A15"),
+)
+def orders_csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 quarantine ingest path under the hash gate (previously
+    pytest-only): write `orders` out as headered CSV, inject exactly 3
+    malformed lines (wrong arity / untypeable cells), re-ingest through
+    `read_csv_with_quarantine`, and return (good count, quarantined
+    count, decimal-exact total over the good rows).  The oracle states
+    the contract declaratively: every original row must survive the
+    CSV round-trip typed and exactly the 3 injected lines must
+    quarantine — proving PERMISSIVE+corrupt-record capture loses
+    nothing and passes nothing bad.
+
+    Round-trip hazard handled: o_totalprice is written via DECIMAL(18,2)
+    formatting so the CSV text parses back to the identical double; all
+    other compared state is the row count."""
+    import csv as _csv
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        # decimal-formatted text round-trips exactly to the same double
+        F2.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    d = tempfile.mkdtemp(prefix="csvq_")
+    csv_dir = os.path.join(d, "csv")
+    o.coalesce(1).write.option("header", "true").mode("overwrite").csv(csv_dir)
+    # inject exactly 3 malformed lines into the part file; drop the
+    # Hadoop .crc sidecar the out-of-band append invalidates
+    part = glob.glob(os.path.join(csv_dir, "part-*.csv"))[0]
+    crc = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(part, "a", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["not_an_int", "7", "2024-01-01", "1.00", "LOW"])  # bad type
+        w.writerow(["123"])  # wrong arity
+        w.writerow(["99", "x", "never", "abc", "HIGH"])  # multiple bad cells
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", IntegerType()),
+            StructField("o_orderdate", DateType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    good, quarantine = read_csv_with_quarantine(spark, csv_dir, schema)
+    n_q = quarantine.count()
+    return good.agg(
+        F2.count(F2.lit(1)).alias("n_good"),
+        F2.lit(n_q).cast("bigint").alias("n_quarantined"),
+        F2.sum(F2.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
