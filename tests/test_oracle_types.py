@@ -73,3 +73,51 @@ def test_lattice_duckdb_agrees_with_live_types(con):
     assert duck_type_class(rel.types[0]) == "int"
     rel = con.sql("SELECT AVG(x) AS a FROM (VALUES (1)) t(x)")
     assert duck_type_class(rel.types[0]) == "float"
+
+
+def test_compare_query_catches_each_failure_class(spark, con):
+    """The local replica must fail on value drift, row-count drift,
+    column drift, AND type-class drift (the r5 blind spot) — a harness
+    that can't fail is not a gate."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.oracle import compare_query
+
+    base_sql = "SELECT 1 AS a, CAST(2 AS BIGINT) AS b"
+
+    def fn_ok(spark, sf):
+        return spark.range(1).select(
+            F.lit(1).alias("a"), F.lit(2).cast("bigint").alias("b")
+        )
+
+    assert compare_query(spark, con, "ok", fn_ok, base_sql, "x").ok
+
+    def fn_wrong_value(spark, sf):
+        return spark.range(1).select(
+            F.lit(1).alias("a"), F.lit(3).cast("bigint").alias("b")
+        )
+
+    r = compare_query(spark, con, "wv", fn_wrong_value, base_sql, "x")
+    assert not r.ok and "mismatch" in r.detail
+
+    def fn_extra_row(spark, sf):
+        return spark.range(2).select(
+            F.lit(1).alias("a"), F.lit(2).cast("bigint").alias("b")
+        )
+
+    r = compare_query(spark, con, "er", fn_extra_row, base_sql, "x")
+    assert not r.ok and "row counts differ" in r.detail
+
+    def fn_wrong_col(spark, sf):
+        return spark.range(1).select(
+            F.lit(1).alias("a"), F.lit(2).cast("bigint").alias("c")
+        )
+
+    r = compare_query(spark, con, "wc", fn_wrong_col, base_sql, "x")
+    assert not r.ok and "columns differ" in r.detail
+
+    # the r5 blind spot: equal VALUES, unhashable representation
+    hugeint_sql = "SELECT 1 AS a, SUM(x) AS b FROM (VALUES (2)) t(x)"
+    r = compare_query(spark, con, "tc", fn_ok, hugeint_sql, "x")
+    assert not r.ok and "type class mismatch" in r.detail
+    assert "int128" in r.detail
