@@ -119,6 +119,8 @@ _PRIORITY = [
     "orders_cdc_apply_state",
     "events_zorder_pruned_scan",
     "orders_csv_quarantine_roundtrip",
+    "user_value_twap",
+    "events_hourly_ohlc",
 ]
 
 # Tail: every query with at least one green driver row, ordered

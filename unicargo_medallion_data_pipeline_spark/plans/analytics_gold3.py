@@ -563,3 +563,145 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("sqrt_tokens_q")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series depth (r6): time-weighted average + OHLC bars
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_twap",
+    sql="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, cents, next_s - ts_s AS dt
+      FROM seq WHERE next_s IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS held_seconds,
+           CAST(CAST(SUM(cents * dt) AS DOUBLE)
+                / (100.0 * SUM(dt)) AS DOUBLE) AS twap
+    FROM held
+    GROUP BY user_id
+    HAVING SUM(dt) > 0
+    ORDER BY user_id
+    """,
+    operators=("W5", "A13"),
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average value per user (the TimescaleDB
+    ``time_weight`` operator): each observation holds until the next
+    one, so the mean weights each value by its holding interval —
+    the correct aggregate for irregularly-sampled state (a plain AVG
+    over-weights bursty periods).  Step-function (LOCF) convention;
+    the final open-ended observation carries no weight.
+
+    Exactness: cents (BIGINT) × whole seconds (BIGINT) keeps the
+    numerator an exact integer; one final IEEE division.  Scale: one
+    user-keyed window (LEAD) + one keyed aggregate — both map-side
+    partial where possible, shuffled once on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        ev.withColumn("next_s", F.lead("ts_s").over(w))
+        .filter(F.col("next_s").isNotNull())
+        .select("user_id", "cents", (F.col("next_s") - F.col("ts_s")).alias("dt"))
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("held_seconds"),
+            (
+                F.sum(F.col("cents") * F.col("dt")).cast("double")
+                / (F.lit(100.0) * F.sum("dt"))
+            ).alias("twap"),
+        )
+        .filter(F.col("held_seconds") > 0)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_hourly_ohlc",
+    sql="""
+    WITH seq AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+                  AS TIMESTAMP) AS hour_start,
+             value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(CASE WHEN rn_open = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MIN(CASE WHEN rn_close = 1 THEN value END) AS DOUBLE) AS close
+    FROM seq
+    GROUP BY hour_start
+    ORDER BY hour_start
+    """,
+    operators=("W5", "A12", "T6"),
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars (open/high/low/close — the canonical financial
+    downsampling rollup): first and last value per tumbling hour with
+    deterministic (ts, event_id) tie-breaks, plus min/max.  The
+    candlestick shape TimescaleDB/kdb expose as a first-class rollup.
+
+    Plan: ONE hour-keyed exchange serves both row_number windows and the
+    final aggregate (same partitioning); open/close resolve via
+    rank-1-flag min/max so no second shuffle or self-join appears."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        "ts",
+        "event_id",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+        .cast("timestamp")
+        .alias("hour_start"),
+    )
+    w_open = W.partitionBy("hour_start").orderBy("ts", "event_id")
+    w_close = W.partitionBy("hour_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return (
+        seq.groupBy("hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.when(F.col("rn_open") == 1, F.col("value")))
+            .cast("double")
+            .alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.min(F.when(F.col("rn_close") == 1, F.col("value")))
+            .cast("double")
+            .alias("close"),
+        )
+        .orderBy("hour_start")
+    )
