@@ -121,6 +121,7 @@ _PRIORITY = [
     "orders_csv_quarantine_roundtrip",
     "user_value_twap",
     "events_hourly_ohlc",
+    "cohort_ltv_matrix",
 ]
 
 # Tail: every query with at least one green driver row, ordered

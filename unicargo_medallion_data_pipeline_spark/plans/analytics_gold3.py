@@ -705,3 +705,100 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "cohort_ltv_matrix",
+    sql="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    flows AS (
+      SELECT f.cohort_month,
+             CAST((YEAR(date_trunc('month', o.o_orderdate))
+                   - YEAR(f.cohort_month)) * 12
+                  + (MONTH(date_trunc('month', o.o_orderdate))
+                     - MONTH(f.cohort_month)) AS INTEGER) AS age_months,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cohort_sizes AS (
+      SELECT cohort_month, COUNT(*) AS n_customers
+      FROM firsts GROUP BY cohort_month
+    ),
+    per_age AS (
+      SELECT cohort_month, age_months,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM flows GROUP BY cohort_month, age_months
+    )
+    SELECT p.cohort_month,
+           p.age_months,
+           CAST(s.n_customers AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(p.cents) OVER (PARTITION BY p.cohort_month
+                                        ORDER BY p.age_months) AS DOUBLE)
+                / 100 AS DOUBLE) AS cum_revenue,
+           CAST(CAST(SUM(p.cents) OVER (PARTITION BY p.cohort_month
+                                        ORDER BY p.age_months) AS DOUBLE)
+                / (100.0 * s.n_customers) AS DOUBLE) AS ltv_per_customer
+    FROM per_age p JOIN cohort_sizes s ON p.cohort_month = s.cohort_month
+    ORDER BY p.cohort_month, p.age_months
+    """,
+    operators=("A13", "W3", "J2"),
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix — the canonical growth analytic:
+    customers grouped by first-order month, revenue accumulated by
+    cohort age in months, normalized to LTV per customer.  Each
+    (cohort, age) cell's running total is an exact integer-cents window
+    sum over the ≤|ages| aggregated rows of its cohort; the only float
+    ops are the two presentation divisions.
+
+    Scale: one customer-keyed aggregate for cohorts (map-side
+    combinable), one broadcast-ready join of the tiny firsts frame back
+    to orders, one (cohort, age) aggregate, and a window over
+    months-count-sized partitions — no customer-grain window anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        # cast to DATE: Spark date_trunc yields timestamp, DuckDB date —
+        # the type lattice flags the mismatch before the driver would
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min("order_month").alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    flows = o.join(firsts, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("order_month") - F.year("cohort_month")) * 12
+            + (F.month("order_month") - F.month("cohort_month"))
+        )
+        .cast("int")
+        .alias("age_months"),
+        "cents",
+    )
+    per_age = flows.groupBy("cohort_month", "age_months").agg(
+        F.sum("cents").alias("cents")
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.partitionBy("cohort_month").orderBy("age_months")
+    return (
+        per_age.join(sizes, "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            F.col("n_customers").cast("bigint").alias("n_customers"),
+            (F.sum("cents").over(wcum).cast("double") / 100).alias("cum_revenue"),
+            (
+                F.sum("cents").over(wcum).cast("double")
+                / (F.lit(100.0) * F.col("n_customers"))
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
