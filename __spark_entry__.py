@@ -122,6 +122,7 @@ _PRIORITY = [
     "user_value_twap",
     "events_hourly_ohlc",
     "cohort_ltv_matrix",
+    "daily_revenue_cusum",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -802,3 +802,91 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@register(
+    "daily_revenue_cusum",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    seq AS (
+      SELECT day, cents,
+             CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS prefix,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+             CAST(SUM(cents) OVER () AS BIGINT) AS total,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    stat AS (
+      SELECT day, cents, n,
+             ABS(n * prefix - k * total) AS d_raw
+      FROM seq
+    ),
+    stat2 AS (
+      SELECT *, MAX(d_raw) OVER () AS d_max FROM stat
+    ),
+    stat3 AS (
+      SELECT *, MIN(CASE WHEN d_raw = d_max THEN day END) OVER () AS cp_day
+      FROM stat2
+    )
+    SELECT day,
+           CAST(CAST(cents AS DOUBLE) / 100 AS DOUBLE) AS revenue,
+           CAST(CAST(d_raw AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+                AS DOUBLE) AS cusum_stat,
+           d_raw = d_max AND day = cp_day AS is_changepoint
+    FROM stat3
+    ORDER BY day
+    """,
+    operators=("W3", "A4", "W4"),
+)
+def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily revenue series — the
+    classic mean-shift screen (the day maximizing |n·prefix_k −
+    k·total| is the estimated changepoint, the integer-arithmetic form
+    of max cumulative deviation from a constant-mean fit).
+
+    Exactness: the statistic is |n·prefix − k·total| over BIGINT cents —
+    no float accumulates; the two output divisions are presentation
+    only; the argmax tie-breaks to the earliest day.  Scale: the series
+    is one map-side-combinable daily aggregate (≤ calendar-days rows);
+    every window runs over that aggregated frame, never the fact."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    wseq = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    seq = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(wseq).alias("prefix"),
+        F.row_number().over(W.orderBy("day")).cast("bigint").alias("k"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).withColumn(
+        "d_raw",
+        F.abs(F.col("n") * F.col("prefix") - F.col("k") * F.col("total")),
+    )
+    dmax = F.max("d_raw").over(wall)
+    first_arg = F.min(F.when(F.col("d_raw") == dmax, F.col("day"))).over(wall)
+    return seq.select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("d_raw").cast("double") / (F.col("n").cast("double") * 100.0)).alias(
+            "cusum_stat"
+        ),
+        ((F.col("d_raw") == dmax) & (F.col("day") == first_arg)).alias(
+            "is_changepoint"
+        ),
+    ).orderBy("day")
