@@ -123,6 +123,7 @@ _PRIORITY = [
     "events_hourly_ohlc",
     "cohort_ltv_matrix",
     "daily_revenue_cusum",
+    "corpus_datasheet",
 ]
 
 # Tail: every query with at least one green driver row, ordered

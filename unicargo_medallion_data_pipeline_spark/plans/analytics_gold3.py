@@ -890,3 +890,67 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     ).orderBy("day")
+
+
+@register(
+    "corpus_datasheet",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+               AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+           CAST(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+                AS DOUBLE) AS exact_dup_rate,
+           CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             AS mean_tokens_per_doc,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM base
+    """,
+    operators=("A15", "P10"),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus DATASHEET ("Datasheets for Datasets" — the
+    summary card a training-data release ships with): document/token/
+    char volumes, language and source coverage, exact-duplicate count
+    and rate (whitespace-normalized md5 fingerprints, the same
+    canonicalization the dedup operators use), and token-length
+    envelope.  One map-side-combinable pass over the corpus; every
+    count is exact, the two rates are single final divisions."""
+    from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        ta.fingerprint("text").alias("fp"),
+        ta.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("exact_dup_rate"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
+            "mean_tokens_per_doc"
+        ),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
