@@ -124,6 +124,7 @@ _PRIORITY = [
     "cohort_ltv_matrix",
     "daily_revenue_cusum",
     "corpus_datasheet",
+    "embedding_mutual_nn_pairs",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -309,7 +309,7 @@ def embedding_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
-def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42, max_sim=None) -> str:
+def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42, max_sim=None, query_filter="a.vec_id < 10") -> str:
     """DuckDB mirror of cosine_topk_lsh: same ±1 plane literals (from the
     same generator), same int64 quantization, so bucket ids / candidate
     set / scores / ranks reproduce the engine bit-for-bit."""
@@ -352,7 +352,7 @@ def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42, max_sim=None) 
     cand AS (
       SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
       FROM sig a JOIN sig b ON ({any_table})
-      WHERE a.vec_id < 10 AND a.vec_id != b.vec_id
+      WHERE ({query_filter}) AND a.vec_id != b.vec_id
     ),
     scored AS (
       SELECT cand.qid, cand.vid,
@@ -691,4 +691,52 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_lsh(
         e.filter(F.col("vec_id") < 10), e, dim=64, k=3, n_planes=8,
         max_sim=_HARD_NEG_CAP,
+    )
+
+
+@register(
+    "embedding_mutual_nn_pairs",
+    sql=f"""
+    WITH t AS ({_lsh_oracle_sql(k=1, query_filter="TRUE")})
+    SELECT x.qid AS a_id, x.vid AS b_id,
+           x.cosine_sim AS cosine_sim
+    FROM t x JOIN t y ON x.qid = y.vid AND x.vid = y.qid AND x.qid < y.qid
+    ORDER BY a_id, b_id
+    """,
+    operators=("W5", "J6"),
+)
+def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest-neighbor pairs: (a, b) where b is a's top-1 LSH
+    neighbor AND a is b's — the standard high-precision filter for
+    bitext mining and alignment-based dedup (one-directional top-1 is
+    noisy; mutuality rejects hubs).  Both directions come from ONE
+    top-1 pass (k=1 LSH over the whole table), self-joined on the
+    reversed pair — exact integer scoring keeps the full value-level
+    oracle.
+
+    Scale note: here both sides are the corpus, so the LSH helper's
+    broadcast of the query side means a corpus-sized broadcast — right
+    at this catalog's embedding-table scale, and replaced by a plain
+    shuffled bucket equi-join at lake scale (drop the broadcast hint;
+    the plan shape is otherwise identical)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    top1 = sim.cosine_topk_lsh(e, e, dim=64, k=1, n_planes=8).select(
+        "qid", "vid", "cosine_sim"
+    )
+    other = top1.select(
+        F.col("qid").alias("r_qid"), F.col("vid").alias("r_vid")
+    )
+    return (
+        top1.join(
+            other,
+            (F.col("qid") == F.col("r_vid"))
+            & (F.col("vid") == F.col("r_qid"))
+            & (F.col("qid") < F.col("vid")),
+        )
+        .select(
+            F.col("qid").alias("a_id"),
+            F.col("vid").alias("b_id"),
+            "cosine_sim",
+        )
+        .orderBy("a_id", "b_id")
     )
