@@ -125,6 +125,7 @@ _PRIORITY = [
     "daily_revenue_cusum",
     "corpus_datasheet",
     "embedding_mutual_nn_pairs",
+    "embedding_knn_label_accuracy",
 ]
 
 # Tail: every query with at least one green driver row, ordered

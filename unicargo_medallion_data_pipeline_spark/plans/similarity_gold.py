@@ -740,3 +740,64 @@ def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "embedding_knn_label_accuracy",
+    sql=f"""
+    WITH t AS ({_lsh_oracle_sql(k=1, query_filter="TRUE")})
+    SELECT ea.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS knn1_accuracy
+    FROM t
+    JOIN embeddings ea ON t.qid = ea.vec_id
+    JOIN embeddings eb ON t.vid = eb.vec_id
+    GROUP BY ea.label
+    ORDER BY ea.label
+    """,
+    operators=("W5", "J2", "A13"),
+)
+def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy per class — the standard
+    fitness-for-use diagnostic of an embedding space (if nearest
+    neighbors don't share labels, downstream clustering/dedup/retrieval
+    built on the space is suspect).  Self-match is excluded by the LSH
+    helper's qid != vid; counts are exact so the per-class accuracy is
+    one deterministic division; the neighbor assignment itself is the
+    fully-oracled exact-integer LSH top-1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    top1 = sim.cosine_topk_lsh(e, e, dim=64, k=1, n_planes=8).select("qid", "vid")
+    labels = e.select("vec_id", "label")
+    joined = (
+        top1.join(
+            labels.select(
+                F.col("vec_id").alias("qid"), F.col("label").alias("q_label")
+            ),
+            "qid",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("vid"), F.col("label").alias("v_label")
+            ),
+            "vid",
+        )
+    )
+    return (
+        joined.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.when(F.col("q_label") == F.col("v_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+            (
+                F.sum(
+                    F.when(F.col("q_label") == F.col("v_label"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("knn1_accuracy"),
+        )
+        .orderBy("label")
+    )
