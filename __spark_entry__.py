@@ -126,6 +126,7 @@ _PRIORITY = [
     "corpus_datasheet",
     "embedding_mutual_nn_pairs",
     "embedding_knn_label_accuracy",
+    "peak_concurrent_sessions",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -399,3 +399,114 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(15)
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CASE WHEN LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq,
+             ts_s
+      FROM seq
+    ),
+    bounds AS (
+      SELECT user_id, session_seq,
+             MIN(ts_s) AS start_s, MAX(ts_s) AS end_s
+      FROM sess GROUP BY user_id, session_seq
+    ),
+    deltas AS (
+      SELECT start_s AS at_s, 1 AS delta FROM bounds
+      UNION ALL
+      SELECT end_s + 1 AS at_s, -1 AS delta FROM bounds
+    ),
+    swept AS (
+      SELECT at_s,
+             SUM(SUM(delta)) OVER (ORDER BY at_s ROWS UNBOUNDED PRECEDING)
+               AS concurrent
+      FROM deltas GROUP BY at_s
+    ),
+    peak AS (SELECT MAX(concurrent) AS peak_concurrent FROM swept)
+    SELECT CAST(p.peak_concurrent AS BIGINT) AS peak_concurrent,
+           CAST(to_timestamp(MIN(s.at_s)) AS TIMESTAMP) AS first_reached_at
+    FROM swept s CROSS JOIN peak p
+    WHERE s.concurrent = p.peak_concurrent
+    GROUP BY p.peak_concurrent
+    """,
+    operators=("W3", "W5", "A15"),
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session CONCURRENCY via a sweep line — the interval-overlap
+    maximum (how many sessions were simultaneously open, and when the
+    peak was first reached).  Sessions are the catalog's standard
+    gap>1800s split ((ts, event_id) total order); each becomes +1 at
+    its start second and −1 one second after its end (closed-interval
+    convention: a session ending at t still overlaps one starting at
+    t), the deltas aggregate per second, and a running sum sweeps the
+    timeline.
+
+    Scale: the per-user sessionization is the usual keyed window; the
+    sweep runs over the per-SECOND aggregated delta frame (bounded by
+    distinct boundary seconds, not events).  The single-partition
+    running sum over that bounded frame is the honest cost of an exact
+    global maximum — at lake scale, sweep per day/shard and merge with
+    boundary carry-over."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    seq = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag(epoch).over(w).isNull() | ((epoch - F.lag(epoch).over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    ).withColumn("ts_s", epoch)
+    wcum = Window.partitionBy("user_id").orderBy("ts_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = seq.withColumn("session_seq", F.sum("is_start").over(wcum))
+    bounds = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts_s").alias("start_s"), F.max("ts_s").alias("end_s")
+    )
+    deltas = bounds.select(
+        F.col("start_s").alias("at_s"), F.lit(1).alias("delta")
+    ).unionByName(
+        bounds.select(
+            (F.col("end_s") + 1).alias("at_s"), F.lit(-1).alias("delta")
+        )
+    )
+    per_sec = deltas.groupBy("at_s").agg(F.sum("delta").alias("d"))
+    wsweep = Window.orderBy("at_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = per_sec.withColumn("concurrent", F.sum("d").over(wsweep))
+    peak = swept.agg(F.max("concurrent").alias("peak_concurrent"))
+    return (
+        swept.join(
+            F.broadcast(peak),
+            swept.concurrent == peak.peak_concurrent,
+        )
+        .groupBy("peak_concurrent")
+        .agg(
+            F.min("at_s").cast("timestamp").alias("first_reached_at"),
+        )
+        .select(
+            F.col("peak_concurrent").cast("bigint").alias("peak_concurrent"),
+            "first_reached_at",
+        )
+    )
