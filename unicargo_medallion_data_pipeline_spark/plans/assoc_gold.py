@@ -534,3 +534,173 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         variance.alias("variance"),
         (F.col("max_q") == F.col("min_q")).alias("is_constant"),
     ).orderBy("dim")
+
+
+#: KMV (bottom-k / K-Minimum-Values) sketch parameters.  The "hash" is a
+#: modular affine permutation h(u) = (A·(u mod P) + B) mod P over the
+#: Mersenne prime P = 2^31 − 1 — pure BIGINT arithmetic both Spark and
+#: DuckDB evaluate bit-identically (A·(u mod P) < 2^62, no overflow),
+#: unlike engine hash builtins which differ between the two.  k = 64
+#: gives a ~1/sqrt(62) ≈ 13% rsd estimator — the catalog query pins the
+#: exact value-level outputs, not just the tolerance.
+_KMV_P = 2_147_483_647
+_KMV_A = 1_103_515_245
+_KMV_B = 12_345
+_KMV_K = 64
+
+
+def _kmv_hash(col: F.Column) -> F.Column:
+    return (F.lit(_KMV_A) * (col % F.lit(_KMV_P)) + F.lit(_KMV_B)) % F.lit(_KMV_P)
+
+
+_KMV_SQL_HASH = f"(({_KMV_A} * (user_id % {_KMV_P}) + {_KMV_B}) % {_KMV_P})"
+
+
+@register(
+    "events_kmv_distinct_rollup",
+    sql=f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id, {_KMV_SQL_HASH} AS h FROM events
+    ),
+    sk AS (
+      SELECT event_type, user_id, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn
+      FROM u
+    ),
+    kept AS (SELECT * FROM sk WHERE rn <= {_KMV_K}),
+    per_type AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS sketch_rows,
+             CAST(MAX(h) AS BIGINT) AS kth_hash
+      FROM kept GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_users
+      FROM u GROUP BY event_type
+    ),
+    merged_in AS (SELECT DISTINCT user_id, h FROM kept),
+    merged_k AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn FROM merged_in
+    ),
+    merged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_rows, CAST(MAX(h) AS BIGINT) AS m_kth
+      FROM merged_k WHERE rn <= {_KMV_K}
+    ),
+    direct_k AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn
+      FROM (SELECT DISTINCT user_id, h FROM u)
+    ),
+    direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS d_rows, CAST(MAX(h) AS BIGINT) AS d_kth
+      FROM direct_k WHERE rn <= {_KMV_K}
+    )
+    SELECT p.event_type,
+           e.exact_users,
+           p.sketch_rows,
+           p.kth_hash,
+           CASE WHEN p.sketch_rows < {_KMV_K}
+                THEN CAST(p.sketch_rows AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1)} * CAST({_KMV_P} AS BIGINT) AS DOUBLE)
+                     / CAST(p.kth_hash AS DOUBLE) END AS kmv_est,
+           CASE WHEN m.m_rows < {_KMV_K}
+                THEN CAST(m.m_rows AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1)} * CAST({_KMV_P} AS BIGINT) AS DOUBLE)
+                     / CAST(m.m_kth AS DOUBLE) END AS merged_est,
+           CASE WHEN d.d_rows < {_KMV_K}
+                THEN CAST(d.d_rows AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1)} * CAST({_KMV_P} AS BIGINT) AS DOUBLE)
+                     / CAST(d.d_kth AS DOUBLE) END AS direct_est
+    FROM per_type p
+    JOIN exact e USING (event_type)
+    CROSS JOIN merged m
+    CROSS JOIN direct d
+    ORDER BY p.event_type
+    """,
+    operators=("A15", "W5", "Q4"),
+)
+def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) mergeable distinct sketch with a FULL value-level
+    oracle — the deterministic complement to events_mergeable_hll_rollup.
+
+    Per event_type, keep the k=64 users with the smallest modular-affine
+    hash (ties broken on user_id); the k-th smallest hash yields the
+    classic KMV estimate (k−1)·P/h_(k) (Bar-Yossef et al., RANDOM'02;
+    the DataSketches theta-sketch family is this idea industrialized).
+    Mergeability is structural: the global bottom-k of a union is the
+    bottom-k of the union of per-part bottom-k's — any user among the k
+    globally-smallest hashes has fewer than k users below it in its own
+    type, so it survives the per-type cut.  merged_est (rollup of the
+    per-type sketch rows) therefore equals direct_est (one-pass global
+    sketch) EXACTLY, and the oracle hash-compares both as values —
+    unlike HLL, nothing here is an invariant-boolean shortcut, because
+    the permutation hash is pure BIGINT arithmetic DuckDB replays
+    bit-identically.
+
+    At 100 TB: the per-type/day sketch table is |grains|·k tiny rows;
+    any date-range distinct-count rollup merges those rows instead of
+    rescanning facts.  Plan: one (type,user) dedup exchange → per-type
+    window over ≤ type-cardinality partitions, then two window passes
+    over ≤ |types|·k = 320 rows (single-partition BY CONSTRUCTION —
+    sketch-sized, never data-sized).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _kmv_hash(F.col("user_id")))
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h", "user_id")
+    kept = (
+        ev.withColumn("rn", F.row_number().over(w_type))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    # Pin: `kept` feeds per_type, merged and (via ev) shares the dedup
+    # exchange; it is sketch-sized (≤ |types|·k rows) so the pin is free.
+    kept = kept.localCheckpoint(eager=True)
+    per_type = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+    )
+
+    def _bottom_k_est(df: DataFrame, rows_col: str, kth_col: str) -> DataFrame:
+        # Global bottom-k over a sketch-sized frame: the single-partition
+        # window is bounded by the SKETCH size (≤ |types|·k), not data.
+        w = Window.orderBy("h", "user_id")
+        topk = (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(rows_col),
+                F.max("h").cast("bigint").alias(kth_col),
+            )
+        )
+        return topk
+
+    merged = _bottom_k_est(kept.select("user_id", "h").distinct(), "m_rows", "m_kth")
+    direct = _bottom_k_est(ev.select("user_id", "h").distinct(), "d_rows", "d_kth")
+
+    scale = float((_KMV_K - 1) * _KMV_P)
+
+    def _est(rows_c: str, kth_c: str) -> F.Column:
+        return F.when(
+            F.col(rows_c) < _KMV_K, F.col(rows_c).cast("double")
+        ).otherwise(F.lit(scale) / F.col(kth_c).cast("double"))
+
+    return (
+        per_type.join(exact, "event_type")
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(direct))
+        .select(
+            "event_type",
+            "exact_users",
+            "sketch_rows",
+            "kth_hash",
+            _est("sketch_rows", "kth_hash").alias("kmv_est"),
+            _est("m_rows", "m_kth").alias("merged_est"),
+            _est("d_rows", "d_kth").alias("direct_est"),
+        )
+        .orderBy("event_type")
+    )
