@@ -801,3 +801,106 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "doc_prefix_filter_jaccard",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKSET} AS tokset FROM documents
+    )
+    SELECT
+      a.doc_id AS a_id,
+      b.doc_id AS b_id,
+      CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
+        AS jaccard
+    FROM t a, t b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))) >= 0.8
+    """,
+    operators=("P10", "J7", "A1"),
+)
+def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard ≥ 0.8 via prefix
+    filtering — the LOSSLESS scale path whose output is provably
+    identical to the guarded all-pairs query (same oracle SQL as
+    doc_token_jaccard_pairs), with candidates near-linear instead of
+    quadratic.  Bayardo et al., "Scaling Up All Pairs Similarity
+    Search" (WWW'07); Vernica et al., "Efficient Parallel Set-Similarity
+    Joins Using MapReduce" (SIGMOD'10) — this is their V-SMART-join
+    shape in DataFrame operators, no guard needed.
+
+    Algorithm (t = 4/5, ALL size math in exact integers — 0.8 is not
+    binary-representable, so ceil(0.8·s) in doubles would over-round at
+    s ≡ 0 (mod 5) and silently SHORTEN the prefix below the lossless
+    bound; ceil(4s/5) = (4s+4) DIV 5 cannot):
+
+    1. token sets + sizes; global token order = (document frequency
+       ascending, token) — rare tokens first, so prefixes land in the
+       least-skewed region of the join key space;
+    2. per-doc prefix = first p = s − ceil(t·s) + 1 tokens.  Lossless:
+       if J(a,b) ≥ t then |a∩b| ≥ t·max(s_a,s_b) (using the size filter
+       s_min ≥ t·s_max), so the globally-smallest shared token w has at
+       most s_d − ceil(t·s_d) = p_d − 1 non-shared tokens before it in
+       EITHER doc — w sits inside both prefixes and the equi-join on
+       prefix tokens finds the pair;
+    3. candidate pairs = prefix-token equi-join (ID-only payload) +
+       integer size filter 5·min(s) ≥ 4·max(s), deduped;
+    4. rescore candidates with exact Jaccard, threshold.
+
+    Plan: explode ≈ s/5 prefix tokens per doc (one-fifth of the posting
+    volume), one token-keyed exchange for the candidate join (skew
+    bounded by construction — prefixes are the RAREST tokens), one
+    dedup exchange, two hash joins back to pinned token sets.  At 100 TB
+    the candidate count stays near-linear for high thresholds, versus
+    the all-pairs quadratic blowup; versus MinHash-LSH this path is
+    exact (recall 1 by theorem, not by probability).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        ensure_parallelism(d)
+        .select("doc_id", F.array_distinct(tokens("text")).alias("tokset"))
+        .withColumn("sz", F.size("tokset"))
+    )
+    # Pinned: feeds the posting explode AND both rescore joins.
+    t = t.localCheckpoint(eager=True)
+
+    tok = t.select("doc_id", "sz", F.explode("tokset").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc tokens in global (df, token) order; prefix slice.
+    ordered = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
+        .withColumn("plen", F.col("sz") - F.expr("(sz * 4 + 4) DIV 5") + F.lit(1))
+    )
+    prefixes = ordered.select(
+        "doc_id",
+        "sz",
+        F.explode(F.slice("ord", F.lit(1), F.col("plen"))).alias("st"),
+    ).select("doc_id", "sz", F.col("st.token").alias("token"))
+
+    a = prefixes.select(
+        F.col("token"), F.col("doc_id").alias("a_id"), F.col("sz").alias("a_sz")
+    )
+    b = prefixes.select(
+        F.col("token"), F.col("doc_id").alias("b_id"), F.col("sz").alias("b_sz")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.least("a_sz", "b_sz") * 5 >= F.greatest("a_sz", "b_sz") * 4
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    rescored = (
+        cand.join(t.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("a_set")), "a_id")
+        .join(t.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("b_set")), "b_id")
+        .select("a_id", "b_id", dd.jaccard(F.col("a_set"), F.col("b_set")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    return rescored

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.functions.exact import (
@@ -260,4 +260,73 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.abs(F.col("value") - F.col("mu")) > 2.0 * F.col("sigma"), 1).otherwise(0)
         ).alias("n_outliers"),
+    )
+
+
+@register(
+    "part_pareto_frontier",
+    sql="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    ORDER BY p.p_retailprice, p.p_size, p.p_partkey
+    """,
+    operators=("A1", "W5", "J4"),
+)
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts minimizing (retail price,
+    size) — "no other part is both cheaper-or-equal and smaller-or-equal
+    with at least one strict".  Börzsönyi et al., "The Skyline
+    Operator" (ICDE'01); the oracle is the literal NOT EXISTS dominance
+    definition, the engine is the sort-based O(n log n) equivalent.
+
+    Engine shape — NO quadratic anti-join:
+
+    1. reduce to per-price minima: groupBy(price) min(size).  Only a
+       price group's min-size rows can survive (same-price, larger-size
+       rows are strictly dominated), so this one keyed exchange shrinks
+       the frontier computation to ≤ |distinct prices| rows;
+    2. running strict-predecessor min over the minima, ordered by price
+       (prices unique after step 1 → a ROWS frame is exact): a price
+       level survives iff its min size is strictly below every cheaper
+       level's min size;
+    3. join the surviving (price, min size) levels back to the full
+       table to emit ALL parts at a surviving (price, size) point —
+       equal-price equal-size duplicates are mutually non-dominating
+       and every one belongs on the frontier.
+
+    The step-2 window is global but runs over the REDUCED frame,
+    bounded by the price domain (cents-granular, catalog-bounded), not
+    the row count; at lake scale with an unbounded numeric domain,
+    range-partition the minima and two-phase the running min exactly as
+    operators/ranks.py does for global rank.  Comparisons use the raw
+    double prices both engines read from parquet — no quantization, so
+    the dominance relation is bit-identical to the oracle's.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    minima = (
+        part.groupBy(F.col("p_retailprice").alias("lvl_price"))
+        .agg(F.min("p_size").alias("msz"))
+    )
+    w = Window.orderBy("lvl_price").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_levels = (
+        minima.withColumn("prev_min", F.min("msz").over(w))
+        .filter(F.col("prev_min").isNull() | (F.col("msz") < F.col("prev_min")))
+        .select("lvl_price", "msz")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_levels),
+            (F.col("p_retailprice") == F.col("lvl_price"))
+            & (F.col("p_size") == F.col("msz")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
     )
