@@ -276,3 +276,100 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(ta.tokens("text")).alias("token"))
     return heavy_hitters(toks, "token", k=10, capacity=64)
+
+
+@register(
+    "corpus_bigram_pmi",
+    sql=f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents
+    ),
+    big AS (
+      SELECT p[1] AS w1, p[2] AS w2
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> [t[i], t[i + 1]])) AS p
+        FROM toks
+      )
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+    cb AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM big GROUP BY w1, w2
+    ),
+    n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM big)
+    SELECT cb.w1, cb.w2, cb.pair_count,
+           CAST(cb.pair_count * n1.n * n1.n AS DOUBLE)
+             / CAST(a.c * b.c * n2.n AS DOUBLE) AS pmi_ratio
+    FROM cb
+    JOIN c1 a ON cb.w1 = a.w
+    JOIN c1 b ON cb.w2 = b.w
+    CROSS JOIN n1 CROSS JOIN n2
+    WHERE cb.pair_count >= 5
+    ORDER BY pmi_ratio DESC, cb.w1, cb.w2
+    LIMIT 20
+    """,
+    operators=("A1", "O3", "J4"),
+)
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information with a
+    count floor (Church & Hanks, CL'90) — the classic phrase/collocation
+    extractor a tokenizer-training pipeline runs before merging
+    multi-word units.
+
+    PMI is kept LOG-FREE: the engine emits the probability ratio
+    P(w1,w2)/(P(w1)P(w2)) = c12·N1² / (c1·c2·N2) — one double division
+    of two exact BIGINT products — because log() is a libm call whose
+    last-ulp behavior differs across engines, while int64→double
+    rounding and division are IEEE-pinned.  Ranking by the ratio is
+    order-equivalent to ranking by PMI (log is monotone).  BIGINT
+    envelope: c12·N1² < 2^63 up to ~N1 = 3·10^9 corpus tokens at the
+    observed pair counts; beyond that, promote the products to
+    DECIMAL(38,0) (same plan shape) or rank in log-space.
+
+    Plan: one token-explode pass feeds the unigram aggregate; one
+    index-zip explode feeds the bigram aggregate (both map-side
+    combined); the unigram table joins back BROADCAST (vocab-sized);
+    the two global totals ride a broadcast cross join; one
+    TakeOrderedAndProject tie-broken on (ratio, w1, w2).
+    """
+    from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
+
+    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = d.select(ta.tokens("text").alias("t"))
+    # Pinned: the tokenized frame feeds both the unigram and bigram
+    # subtrees (fan-out pinning rule).
+    t = t.localCheckpoint(eager=True)
+
+    uni = t.select(F.explode("t").alias("w"))
+    big = t.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n1 = uni.agg(F.count(F.lit(1)).alias("n1"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    n2 = big.agg(F.count(F.lit(1)).alias("n2"))
+
+    ratio = (
+        (F.col("pair_count") * F.col("n1") * F.col("n1")).cast("double")
+        / (F.col("ca") * F.col("cb") * F.col("n2")).cast("double")
+    )
+    return (
+        cb.join(F.broadcast(c1.select(F.col("w").alias("w1"), F.col("c").alias("ca"))), "w1")
+        .join(F.broadcast(c1.select(F.col("w").alias("w2"), F.col("c").alias("cb"))), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .filter(F.col("pair_count") >= 5)
+        .select("w1", "w2", "pair_count", ratio.alias("pmi_ratio"))
+        .orderBy(F.desc("pmi_ratio"), "w1", "w2")
+        .limit(20)
+    )
