@@ -235,3 +235,69 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment", "c_nationkey"
     ).orderBy("o_orderkey")
+
+
+@register(
+    "orders_lineitem_bucketed_join",
+    sql=f"""
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           {sql_dsum("l.l_extendedprice")} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    operators=("S14", "J2", "A1"),
+)
+def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pay-shuffle-once contract under the hash gate: orders and
+    lineitem are materialized as co-bucketed managed tables (same key,
+    same bucket count) and the fact-to-fact join runs with ZERO Exchange
+    on either side — asserted on the physical plan in-query, with
+    broadcast disabled so nothing can mask a missing bucket scan.  The
+    oracle joins the raw tables declaratively; a green row proves the
+    bucketed layout changes the PLAN, never the ANSWER.
+
+    This is the core 100 TB fact-join lever (SURVEY §4 / docs/SCALE.md):
+    bucket both fact tables on the join key at silver-write time and
+    every downstream join or keyed aggregation on that key skips its
+    exchange AND its sort forever.  Plan shape certified here: two
+    bucketed FileScans (selectedBucketsCount visible) → SortMergeJoin
+    with no Exchange beneath it; the only exchange in the whole query
+    is the final |priorities|-row aggregate's.
+    """
+    from unicargo_medallion_data_pipeline_spark.sources.writers import save_bucketed_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    save_bucketed_table(o, spark, "bucketed_gold", "orders_b", ["l_orderkey"], 8)
+    save_bucketed_table(li, spark, "bucketed_gold", "lineitem_b", ["l_orderkey"], 8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucketed_gold.lineitem_b").join(
+            spark.table("bucketed_gold.orders_b"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed fact-to-fact join must not shuffle; plan:\n" + plan
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    return (
+        joined.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .orderBy("priority")
+    )

@@ -107,9 +107,24 @@ def save_bucketed_table(
     Bucketing requires ``saveAsTable`` (the layout lives in the
     metastore, not the files) and is sorted within buckets by the bucket
     columns so sort-merge joins skip their sort too.
+
+    Overwrite is made SESSION-CROSSING safe: with an in-memory catalog a
+    fresh session does not know the table, so ``mode("overwrite")`` alone
+    raises LOCATION_ALREADY_EXISTS against the surviving warehouse
+    directory; we drop the (possibly unregistered) table AND remove its
+    stale managed location before writing.
     """
     ensure_database(spark, database)
     name = f"{database}.{table}"
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            loc = f"{wh.path}/{database}.db/{table}"
+            shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode(mode)
         .format("parquet")
