@@ -330,3 +330,132 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
+
+
+@register(
+    "events_value_moments",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(c) AS s1,
+             SUM(c * c) AS s2,
+             SUM(c * c * c) AS s3,
+             SUM(c * c * c * c) AS s4
+      FROM (
+        SELECT event_type,
+               CAST(round(value * 100) AS HUGEINT) AS c
+        FROM events
+      )
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n_events,
+             CAST(n_events AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4d
+      FROM s
+    ),
+    mm AS (
+      SELECT event_type, n_events,
+             (s1d / nd) AS mu,
+             (s2d / nd) AS r2,
+             (s3d / nd) AS r3,
+             (s4d / nd) AS r4
+      FROM m
+    ),
+    cm AS (
+      SELECT event_type, n_events,
+             (r2 - (mu * mu)) AS m2,
+             ((r3 - ((3.0 * mu) * r2)) + (((2.0 * mu) * mu) * mu)) AS m3,
+             (((r4 - ((4.0 * mu) * r3)) + ((((6.0 * mu) * mu)) * r2))
+               - ((((3.0 * mu) * mu) * mu) * mu)) AS m4
+      FROM mm
+    )
+    SELECT event_type, n_events,
+           (m3 / (m2 * sqrt(m2))) AS skewness,
+           ((m4 / (m2 * m2)) - 3.0) AS excess_kurtosis
+    FROM cm
+    ORDER BY event_type
+    """,
+    operators=("A15", "A3"),
+)
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profile per event type: skewness and excess
+    kurtosis from EXACT integer power sums — the one-pass moment
+    pipeline a data-quality monitor runs to detect drift that mean/σ
+    miss (heavy tails, asymmetry).
+
+    Exactness strategy, same family as functions/exact.py: values are
+    cent-quantized to DECIMAL(9,0), the four power sums accumulate in
+    DECIMAL (c⁴ ≤ 10²⁰ rides DECIMAL(38,0) to ~10¹⁸ rows/group), so the
+    distributed aggregation is ORDER-FREE; the float work happens once
+    per group row, in an expression tree whose parenthesization is
+    written IDENTICALLY here and in the oracle SQL (double + and × are
+    not associative — same shape ⇒ same bits), and the only nonlinear
+    call is sqrt, the one libm operation IEEE 754 requires correctly
+    rounded (pow(x, 1.5) would NOT be).  Skew/kurtosis are
+    scale-invariant, so the ×100 quantization cancels without any
+    unscaling.  Plan: one map-side-combined keyed aggregate, scalar
+    epilogue — the moment sums are also MERGEABLE, so at 100 TB the
+    per-partition sum rows roll up exactly like the additive-rollup
+    contract.
+    """
+    c = F.round(F.col("value") * 100).cast("decimal(9,0)")
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", c.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("c").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+            F.sum(F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s3"),
+            F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("s4"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "n_events",
+        F.col("n_events").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        F.col("s3").cast("double").alias("s3d"),
+        F.col("s4").cast("double").alias("s4d"),
+    )
+    mm = m.select(
+        "event_type",
+        "n_events",
+        (F.col("s1d") / F.col("nd")).alias("mu"),
+        (F.col("s2d") / F.col("nd")).alias("r2"),
+        (F.col("s3d") / F.col("nd")).alias("r3"),
+        (F.col("s4d") / F.col("nd")).alias("r4"),
+    )
+    mu = F.col("mu")
+    cm = mm.select(
+        "event_type",
+        "n_events",
+        (F.col("r2") - (mu * mu)).alias("m2"),
+        (
+            (F.col("r3") - ((F.lit(3.0) * mu) * F.col("r2")))
+            + (((F.lit(2.0) * mu) * mu) * mu)
+        ).alias("m3"),
+        (
+            (
+                (F.col("r4") - ((F.lit(4.0) * mu) * F.col("r3")))
+                + ((((F.lit(6.0) * mu) * mu)) * F.col("r2"))
+            )
+            - ((((F.lit(3.0) * mu) * mu) * mu) * mu)
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    return cm.select(
+        "event_type",
+        "n_events",
+        (F.col("m3") / (m2 * F.sqrt(m2))).alias("skewness"),
+        ((F.col("m4") / (m2 * m2)) - F.lit(3.0)).alias("excess_kurtosis"),
+    ).orderBy("event_type")
