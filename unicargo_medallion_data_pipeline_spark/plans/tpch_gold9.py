@@ -398,7 +398,11 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     call is sqrt, the one libm operation IEEE 754 requires correctly
     rounded (pow(x, 1.5) would NOT be).  Skew/kurtosis are
     scale-invariant, so the ×100 quantization cancels without any
-    unscaling.  Plan: one map-side-combined keyed aggregate, scalar
+    unscaling.  Oracle detail: the >2⁵³ power sums enter DOUBLE via a
+    VARCHAR detour because DuckDB's HUGEINT→DOUBLE cast is not
+    correctly rounded (observed 2 ulp off on s4; string→double is
+    exact — same workaround as embedding_dim_covariance).
+    Plan: one map-side-combined keyed aggregate, scalar
     epilogue — the moment sums are also MERGEABLE, so at 100 TB the
     per-partition sum rows roll up exactly like the additive-rollup
     contract.
