@@ -510,3 +510,90 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_reached_at",
         )
     )
+
+
+@register(
+    "purchase_click_attribution",
+    sql="""
+    WITH pc AS (
+      SELECT p.event_id AS purchase_id,
+             hour(c.ts) AS click_hour
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click'
+       AND p.event_type = 'purchase'
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+       AND c.ts < p.ts
+    ),
+    credited AS (
+      SELECT click_hour,
+             CAST(1000000 AS BIGINT)
+               // COUNT(*) OVER (PARTITION BY purchase_id) AS credit
+      FROM pc
+    )
+    SELECT click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit) AS BIGINT) AS credit_micros
+    FROM credited
+    GROUP BY click_hour
+    ORDER BY click_hour
+    """,
+    operators=("J7", "W5", "A2"),
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click in the 7 days before
+    a purchase by the same user shares that purchase's credit equally;
+    credit is summed per click hour-of-day (the "when do converting
+    touches happen" marketing view).
+
+    Credit is FIXED-POINT — each touch gets 1000000 DIV n_touches
+    micro-credits (integer floor division) — so the distributed sum is
+    exact integer arithmetic, immune to float summation order; the
+    deliberate floor remainder (≤ n−1 micros per purchase) is the
+    documented price of a deterministic distributed sum (summing 1.0/n
+    doubles would hash-differently under every partitioning).  DuckDB
+    needs the explicit ``//`` operator (its ``/`` is float division
+    even on BIGINTs); the Spark side's double-divide-then-truncate is
+    provably floor here — 10⁶/n sits ≥ 1/n ≥ 10⁻⁶ away from any
+    integer it isn't equal to, far beyond double rounding error.
+
+    Plan: the touch join is USER-keyed (one exchange per side, skew
+    bounded by per-user activity), the per-purchase count is a window
+    over purchase-sized partitions, the final rollup is a 24-row
+    aggregate.  At 100 TB the 7-day predicate makes this a bounded
+    range join — pair volume is Σ_u clicks_u × purchases_u within the
+    window, linear in users for bounded per-user activity.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    pc = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("cts") < F.col("pts")),
+    ).select("purchase_id", F.hour("cts").alias("click_hour"))
+    credited = pc.select(
+        "click_hour",
+        (
+            F.lit(1000000).cast("bigint")
+            / F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+        ).cast("bigint").alias("credit"),
+    )
+    return (
+        credited.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit").cast("bigint").alias("credit_micros"),
+        )
+        .orderBy("click_hour")
+    )
