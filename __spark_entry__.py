@@ -127,6 +127,15 @@ _PRIORITY = [
     "embedding_mutual_nn_pairs",
     "embedding_knn_label_accuracy",
     "peak_concurrent_sessions",
+    # --- round-6 continuation additions (locally oracle-verified ×3 SFs)
+    "events_kmv_distinct_rollup",
+    "doc_prefix_filter_jaccard",
+    "part_pareto_frontier",
+    "corpus_bigram_pmi",
+    "orders_customer_join_ivm",
+    "orders_lineitem_bucketed_join",
+    "events_value_moments",
+    "purchase_click_attribution",
 ]
 
 # Tail: every query with at least one green driver row, ordered
