@@ -597,3 +597,111 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_hour")
     )
+
+
+@register(
+    "user_churn_labels",
+    sql="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events
+    ),
+    cut AS (
+      SELECT CAST(d0 + CAST((d1 - d0) // 2 AS INTEGER) AS DATE) AS cutoff FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    feat AS (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events_28d,
+             CAST(COUNT(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS n_active_days_28d,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases_28d
+      FROM events e CROSS JOIN cut
+      WHERE e.ts >= CAST(cut.cutoff AS TIMESTAMP) - INTERVAL 28 DAY
+        AND e.ts < CAST(cut.cutoff AS TIMESTAMP)
+      GROUP BY e.user_id
+    ),
+    future AS (
+      SELECT DISTINCT e.user_id
+      FROM events e CROSS JOIN cut
+      WHERE e.ts >= CAST(cut.cutoff AS TIMESTAMP)
+        AND e.ts < CAST(cut.cutoff AS TIMESTAMP) + INTERVAL 28 DAY
+    )
+    SELECT u.user_id,
+           COALESCE(f.n_events_28d, 0) AS n_events_28d,
+           COALESCE(f.n_active_days_28d, 0) AS n_active_days_28d,
+           COALESCE(f.n_purchases_28d, 0) AS n_purchases_28d,
+           CASE WHEN fu.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM users u
+    LEFT JOIN feat f ON u.user_id = f.user_id
+    LEFT JOIN future fu ON u.user_id = fu.user_id
+    ORDER BY u.user_id
+    """,
+    operators=("J7", "A2", "P9"),
+)
+def user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label generation — the leakage-safe labeling pattern
+    every ML training pipeline needs: per user, FEATURES from the 28
+    days before a cutoff and a CHURN LABEL ("no activity in the 28 days
+    after") strictly from after it, in one relational plan whose
+    feature/label windows provably cannot overlap.
+
+    The cutoff is derived from the data (midpoint of the observed ts
+    span, integer day arithmetic) so every scale factor labels itself
+    deterministically and the oracle re-derives the identical split.
+    Label skew note: the anti-join side ("churned") is the SMALL side at
+    lake scale; Spark plans it as a broadcast-able distinct over the
+    future window's users.  Plan: one bounds aggregate (broadcast
+    scalar), two filtered scans aggregated per user on one key exchange
+    each, two left joins on the user spine — linear, no windows over
+    data-sized partitions.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    b = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    cut = b.select(
+        F.date_add(
+            "d0", (F.datediff("d1", "d0") / 2).cast("int")
+        ).alias("cutoff")
+    )
+    ec = e.crossJoin(F.broadcast(cut))
+    lo = F.col("cutoff").cast("timestamp") - F.expr("INTERVAL 28 DAYS")
+    hi = F.col("cutoff").cast("timestamp")
+    hi2 = F.col("cutoff").cast("timestamp") + F.expr("INTERVAL 28 DAYS")
+    feat = (
+        ec.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events_28d"),
+            F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias(
+                "n_active_days_28d"
+            ),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases_28d"),
+        )
+    )
+    future = (
+        ec.filter((F.col("ts") >= hi) & (F.col("ts") < hi2))
+        .select("user_id")
+        .distinct()
+        .withColumn("seen_after", F.lit(1))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(feat, "user_id", "left")
+        .join(future, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_events_28d", F.lit(0)).cast("bigint").alias("n_events_28d"),
+            F.coalesce("n_active_days_28d", F.lit(0))
+            .cast("bigint")
+            .alias("n_active_days_28d"),
+            F.coalesce("n_purchases_28d", F.lit(0))
+            .cast("bigint")
+            .alias("n_purchases_28d"),
+            F.when(F.col("seen_after").isNull(), 1).otherwise(0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
