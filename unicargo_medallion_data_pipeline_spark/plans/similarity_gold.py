@@ -904,3 +904,78 @@ def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
     )
     return rescored
+
+
+def _rrf_oracle_sql(k_out: int = 3, rrf_k: int = 60) -> str:
+    """Compose the two ranker oracles (exact KNN + LSH KNN, verbatim from
+    their own catalog entries) into the RRF fusion mirror."""
+    from unicargo_medallion_data_pipeline_spark.plans.catalog import CATALOG
+
+    ex_sql = CATALOG["embedding_knn_exact"].sql
+    lsh_sql = _lsh_oracle_sql()
+    return f"""
+    WITH ex AS (SELECT * FROM ({ex_sql})),
+    ls AS (SELECT * FROM ({lsh_sql})),
+    u AS (
+      SELECT qid, vid, sim_rank FROM ex
+      UNION ALL
+      SELECT qid, vid, sim_rank FROM ls
+    ),
+    fused AS (
+      SELECT qid, vid,
+             CAST(COUNT(*) AS BIGINT) AS n_lists,
+             SUM(1.0 / ({rrf_k} + sim_rank)) AS rrf_score
+      FROM u GROUP BY qid, vid
+    ),
+    ranked AS (
+      SELECT qid, vid, n_lists, rrf_score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY rrf_score DESC, vid) AS INTEGER)
+               AS fused_rank
+      FROM fused
+    )
+    SELECT * FROM ranked WHERE fused_rank <= {k_out}
+    """
+
+
+@register(
+    "embedding_rrf_fusion",
+    sql=_rrf_oracle_sql(),
+    operators=("W5", "O3", "A15"),
+)
+def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two
+    retrieval lists — exact cosine top-5 and hyperplane-LSH top-5 — per
+    query: score(d) = Σ_lists 1/(60 + rank_list(d)), fused top-3.
+
+    The hybrid-retrieval primitive (dense + sparse / exact + ANN lists
+    merged by rank, not by incomparable scores).  Determinism: each
+    1/(60+r) is one exact double division, a (qid, vid) pair appears in
+    at most TWO lists, and two-term double addition is commutative —
+    the distributed SUM cannot reassociate anything, so the fused
+    scores hash bitwise.  The oracle composes the two rankers' own
+    catalog SQL verbatim (CTE nesting), proving fusion correctness ON
+    TOP OF already-verified rankers rather than re-deriving them.
+
+    Plan: both ranker subtrees share the embeddings scan; fusion itself
+    is one (qid, vid)-keyed aggregate over ≤ 2·k·|Q| narrow rows and a
+    per-query window over ≤ 2k rows — fusion cost is rank-list-sized,
+    never corpus-sized.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ex = sim.cosine_topk_exact(q, e, k=5).select("qid", "vid", "sim_rank")
+    ls = sim.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=8).select(
+        "qid", "vid", "sim_rank"
+    )
+    u = ex.unionByName(ls)
+    fused = u.groupBy("qid", "vid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        F.sum(F.lit(1.0) / (F.lit(60) + F.col("sim_rank"))).alias("rrf_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("vid"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 3)
+        .select("qid", "vid", "n_lists", "rrf_score", "fused_rank")
+    )
