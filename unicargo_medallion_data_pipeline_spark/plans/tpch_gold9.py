@@ -463,3 +463,78 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m3") / (m2 * F.sqrt(m2))).alias("skewness"),
         ((F.col("m4") / (m2 * m2)) - F.lit(3.0)).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@register(
+    "segment_revenue_trend_slope",
+    sql="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS segment,
+             (CAST(year(o.o_orderdate) AS BIGINT) - 1997) * 12
+               + (CAST(month(o.o_orderdate) AS BIGINT) - 1) AS x,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m GROUP BY segment
+    )
+    SELECT segment, n_months,
+           CAST(n_months * sxy - sx * sy AS DOUBLE)
+             / CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0
+             AS slope_per_month
+    FROM s
+    ORDER BY segment
+    """,
+    operators=("A3", "J2"),
+)
+def segment_revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares revenue trend per market segment: the
+    slope of monthly revenue against a month index, computed from EXACT
+    integer sums — the closed-form β̂ = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    with x zero-based at 1997-01 and y in cents, so every aggregate is
+    BIGINT-exact and order-free; the single float step is one division
+    of two exactly-represented integers (envelope: |nΣxy| < 2^53 up to
+    ~10¹³ cents·month per segment — beyond that, route the two products
+    through DECIMAL and the VARCHAR detour like events_value_moments).
+
+    The per-(segment, month) pre-aggregate is the scale lever: the
+    regression runs over |segments|×|months| rows no matter how many
+    orders exist; one broadcast dim join, two keyed exchanges, both
+    map-side combined.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        (F.year("o_orderdate").cast("bigint") - 1997) * 12
+        + (F.month("o_orderdate").cast("bigint") - 1)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), x.alias("x"))
+        .agg(F.sum(cents).cast("bigint").alias("y"))
+    )
+    s = m.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / F.lit(100.0)
+    )
+    return s.select("segment", "n_months", slope.alias("slope_per_month")).orderBy(
+        "segment"
+    )
