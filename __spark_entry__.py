@@ -136,6 +136,9 @@ _PRIORITY = [
     "orders_lineitem_bucketed_join",
     "events_value_moments",
     "purchase_click_attribution",
+    "user_churn_labels",
+    "embedding_rrf_fusion",
+    "segment_revenue_trend_slope",
 ]
 
 # Tail: every query with at least one green driver row, ordered
