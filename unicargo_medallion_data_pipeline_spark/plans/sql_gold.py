@@ -1026,3 +1026,113 @@ def orders_csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("sum_total"),
     )
+
+
+@register(
+    "orders_column_profile",
+    sql="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_y,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_k,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_c,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_p,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_d,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_y,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+             CAST(CAST(round(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn_p,
+             CAST(CAST(round(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx_p,
+             CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn_d,
+             CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx_d,
+             MIN(o_orderpriority) AS mn_y,
+             MAX(o_orderpriority) AS mx_y
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS column_name, n_rows, nn_k AS n_nulls, d_k AS n_distinct,
+           mn_k AS min_repr, mx_k AS max_repr FROM s
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_c, d_c, mn_c, mx_c FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_p, d_p, mn_p, mx_p FROM s
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_d, d_d, mn_d, mx_d FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_y, d_y, mn_y, mx_y FROM s
+    ORDER BY column_name
+    """,
+    operators=("A15", "A17", "Q4"),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job table profiler: per column — null count, EXACT distinct
+    count, min/max — in a single aggregate over one scan, unpivoted to
+    the long (column_name, stats...) form every data-catalog UI wants.
+
+    Min/max are emitted as canonical strings computed on the NATIVE type
+    first (string-typed min would order "10" < "9"); the double column
+    goes through the cents quantization so the text form is
+    engine-independent (double→string shortest-round-trip formatting is
+    not a cross-engine contract).  Plan note: 5 exact COUNT(DISTINCT)s
+    in one aggregate compile to one Expand (×5 row multiply) — the
+    exact-profile cost model; at lake scale swap the distincts for HLL
+    sketches (events_mergeable_hll_rollup) and keep this shape for
+    gold-sized tables.  The unpivot is 5 projections of ONE aggregated
+    row — not 5 scans (the reference's null profiler re-scans per
+    column; see quality/validation.py A17 note).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def nn(c):
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+
+    s = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        nn("o_orderkey").alias("nn_k"),
+        nn("o_custkey").alias("nn_c"),
+        nn("o_totalprice").alias("nn_p"),
+        nn("o_orderdate").alias("nn_d"),
+        nn("o_orderpriority").alias("nn_y"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("d_k"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d_c"),
+        F.countDistinct("o_totalprice").cast("bigint").alias("d_p"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("d_d"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("d_y"),
+        F.min("o_orderkey").cast("string").alias("mn_k"),
+        F.max("o_orderkey").cast("string").alias("mx_k"),
+        F.min("o_custkey").cast("string").alias("mn_c"),
+        F.max("o_custkey").cast("string").alias("mx_c"),
+        F.round(F.min("o_totalprice") * 100).cast("bigint").cast("string").alias("mn_p"),
+        F.round(F.max("o_totalprice") * 100).cast("bigint").cast("string").alias("mx_p"),
+        F.min("o_orderdate").cast("date").cast("string").alias("mn_d"),
+        F.max("o_orderdate").cast("date").cast("string").alias("mx_d"),
+        F.min("o_orderpriority").alias("mn_y"),
+        F.max("o_orderpriority").alias("mx_y"),
+    )
+    rows = [
+        ("o_orderkey", "nn_k", "d_k", "mn_k", "mx_k"),
+        ("o_custkey", "nn_c", "d_c", "mn_c", "mx_c"),
+        ("o_totalprice", "nn_p", "d_p", "mn_p", "mx_p"),
+        ("o_orderdate", "nn_d", "d_d", "mn_d", "mx_d"),
+        ("o_orderpriority", "nn_y", "d_y", "mn_y", "mx_y"),
+    ]
+    parts = [
+        s.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(nnc).alias("n_nulls"),
+            F.col(dc).alias("n_distinct"),
+            F.col(mnc).alias("min_repr"),
+            F.col(mxc).alias("max_repr"),
+        )
+        for name, nnc, dc, mnc, mxc in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")
