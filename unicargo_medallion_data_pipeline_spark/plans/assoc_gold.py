@@ -543,14 +543,13 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: unlike engine hash builtins which differ between the two.  k = 64
 #: gives a ~1/sqrt(62) ≈ 13% rsd estimator — the catalog query pins the
 #: exact value-level outputs, not just the tolerance.
-_KMV_P = 2_147_483_647
-_KMV_A = 1_103_515_245
-_KMV_B = 12_345
-_KMV_K = 64
-
-
-def _kmv_hash(col: F.Column) -> F.Column:
-    return (F.lit(_KMV_A) * (col % F.lit(_KMV_P)) + F.lit(_KMV_B)) % F.lit(_KMV_P)
+from unicargo_medallion_data_pipeline_spark.operators.sketch import (  # noqa: E402
+    KMV_A as _KMV_A,
+    KMV_B as _KMV_B,
+    KMV_K as _KMV_K,
+    KMV_P as _KMV_P,
+    kmv_hash as _kmv_hash,
+)
 
 
 _KMV_SQL_HASH = f"(({_KMV_A} * (user_id % {_KMV_P}) + {_KMV_B}) % {_KMV_P})"
