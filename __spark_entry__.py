@@ -139,6 +139,8 @@ _PRIORITY = [
     "user_churn_labels",
     "embedding_rrf_fusion",
     "segment_revenue_trend_slope",
+    "orders_column_profile",
+    "order_value_weighted_median",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -159,3 +159,31 @@ def test_skyline_matches_dominance_definition(spark, seed):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# global prefix sum: two-phase == single-window definition
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,parts,seed", [(100, 3, 4), (2000, 16, 8), (37, 64, 12)])
+def test_global_prefix_sum_matches_serial(spark, n, parts, seed):
+    """Random values and orders — including more partitions than rows —
+    the distributed prefix sum must equal the serial cumulative sum."""
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import (
+        global_prefix_sum,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(-50, 1000)) for i in range(n)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    got = {
+        r.k: r.prefix_sum
+        for r in global_prefix_sum(df, ["k"], "v", num_partitions=parts).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want

@@ -32,7 +32,7 @@ tiebreak (unique): same contract as every top-k in this engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: monotonically_increasing_id packs the partition id above bit 33.
@@ -111,3 +111,59 @@ def global_ntile(
         (F.col("_rn") - 1) / F.lit(base + 1),
     ).otherwise(F.lit(rem) + (F.col("_rn") - 1 - F.lit(boundary)) / F.lit(max(base, 1)))
     return ranked.withColumn(tile_col, F.floor(tile).cast("int") + 1).drop("_rn")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: list[str],
+    val_col: str,
+    sum_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running (inclusive) sum of ``val_col`` over a global order,
+    without a single-partition window — the prefix-sum twin of
+    :func:`global_row_number`, same two-phase construction:
+
+      1. range-partition + sort on the order keys (pinned, see
+         global_row_number's sampling note);
+      2. one tiny per-partition SUM pass → cumulative offsets,
+         broadcast back;
+      3. intra-partition running sum via a window PARTITIONED by the
+         range-partition id (partition-local state, never a global
+         sort).
+
+    Global prefix = offset[pid] + intra-partition running sum.  The
+    order keys must be a unique total order for a deterministic result;
+    ``val_col`` must be integral/decimal for an exact one (float prefix
+    sums are order-dependent by nature).  This is the scale substrate
+    for weighted percentiles / weighted medians / Lorenz curves — every
+    "cumulative share" computation that would otherwise
+    ``Window.orderBy(...)`` the whole fact onto one partition.
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    ranged = ranged.localCheckpoint(eager=True)  # pin sampled boundaries
+    per_pid = (
+        ranged.groupBy("_pid").agg(F.sum(val_col).alias("_psum")).orderBy("_pid").collect()
+    )  # bounded by n_parts
+    offsets, acc = {}, 0
+    for r in per_pid:
+        offsets[r["_pid"]] = acc
+        acc += r["_psum"] or 0
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset bigint"
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offset_df), "_pid")
+        .withColumn(sum_col, F.col("_offset") + F.sum(val_col).over(w))
+        .drop("_pid", "_offset")
+    )

@@ -1136,3 +1136,66 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+@register(
+    "order_value_weighted_median",
+    sql="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+      FROM orders
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(cents) OVER (ORDER BY cents, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix_sum
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM c
+    )
+    SELECT CAST(MIN(CASE WHEN 2 * cum.prefix_sum >= t.total_cents
+                         THEN cum.cents END) AS BIGINT) AS median_cents,
+           t.n_orders, t.total_cents
+    FROM cum CROSS JOIN t
+    GROUP BY t.n_orders, t.total_cents
+    """,
+    operators=("W3", "A15"),
+)
+def order_value_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median order value: the smallest value v where
+    orders worth ≤ v carry at least HALF the total revenue (the
+    "half-the-money line", weights = the values themselves).
+
+    Weighted quantiles need a GLOBAL running sum, which naive SQL does
+    with Window.orderBy over the whole fact — one partition, the exact
+    hazard operators/ranks.py exists for.  The engine side instead uses
+    ``global_prefix_sum`` (two-phase range-partition prefix sum, new in
+    round 6): no single-partition stage, exact BIGINT cents, and the
+    median condition is the integer compare 2·prefix ≥ total — no
+    division anywhere.  The DuckDB oracle runs the classic one-window
+    SQL; green means the distributed prefix sum reproduces it exactly.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import (
+        global_prefix_sum,
+    )
+
+    c = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    pre = global_prefix_sum(c, ["cents", "o_orderkey"], "cents")
+    t = c.agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("prefix_sum") >= F.col("total_cents"))
+        .groupBy("n_orders", "total_cents")
+        .agg(F.min("cents").cast("bigint").alias("median_cents"))
+        .select("median_cents", "n_orders", "total_cents")
+    )
