@@ -864,17 +864,33 @@ def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct(tokens("text")).alias("tokset"))
         .withColumn("sz", F.size("tokset"))
     )
+    return _prefix_filter_rescored(t, t_num=4, t_den=5)
+
+
+def _prefix_filter_rescored(t: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Core prefix-filter set-similarity self-join at Jaccard ≥
+    t_num/t_den over ``t`` = (doc_id, tokset, sz).  All threshold math
+    in exact integers: prefix length = s − ceil(t·s) + 1 with
+    ceil(t_num·s/t_den) = (t_num·s + t_den − 1) DIV t_den; size filter
+    t_den·min(s) ≥ t_num·max(s).  Returns (a_id, b_id, jaccard) with
+    a_id < b_id, rescored exactly and thresholded.
+    """
     # Pinned: feeds the posting explode AND both rescore joins.
     t = t.localCheckpoint(eager=True)
 
     tok = t.select("doc_id", "sz", F.explode("tokset").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc tokens in global (df, token) order; prefix slice.
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {t_num} + {t_den - 1}) DIV {t_den}")
+        + F.lit(1)
+    )
     ordered = (
         tok.join(dfreq, "token")
         .groupBy("doc_id", "sz")
         .agg(F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ord"))
-        .withColumn("plen", F.col("sz") - F.expr("(sz * 4 + 4) DIV 5") + F.lit(1))
+        .withColumn("plen", plen)
     )
     prefixes = ordered.select(
         "doc_id",
@@ -892,18 +908,18 @@ def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "token")
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            F.least("a_sz", "b_sz") * 5 >= F.greatest("a_sz", "b_sz") * 4
+            F.least("a_sz", "b_sz") * t_den >= F.greatest("a_sz", "b_sz") * t_num
         )
         .select("a_id", "b_id")
         .distinct()
     )
-    rescored = (
+    threshold = t_num / t_den
+    return (
         cand.join(t.select(F.col("doc_id").alias("a_id"), F.col("tokset").alias("a_set")), "a_id")
         .join(t.select(F.col("doc_id").alias("b_id"), F.col("tokset").alias("b_set")), "b_id")
         .select("a_id", "b_id", dd.jaccard(F.col("a_set"), F.col("b_set")).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= threshold)
     )
-    return rescored
 
 
 def _rrf_oracle_sql(k_out: int = 3, rrf_k: int = 60) -> str:
@@ -979,3 +995,42 @@ def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= 3)
         .select("qid", "vid", "n_lists", "rrf_score", "fused_rank")
     )
+
+
+def _minhash_oracle_sql() -> str:
+    from unicargo_medallion_data_pipeline_spark.plans.catalog import CATALOG
+
+    return CATALOG["doc_minhash_near_dups"].sql
+
+
+@register(
+    "doc_prefix_filter_neardups",
+    sql=_minhash_oracle_sql(),
+    operators=("P10", "J7"),
+)
+def doc_prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs over 3-token SHINGLES at Jaccard ≥ 0.3 via
+    prefix filtering — the lossless twin of doc_minhash_near_dups (same
+    shingling, same threshold, same oracle SQL): identical output,
+    recall 1 by theorem instead of 1 − 8·10⁻⁸ by banding probability.
+
+    Granularity is the lever: token-level prefix filtering degrades on
+    this corpus (documents share vocabulary heavily — mean token-set
+    Jaccard ≈ 0.59 — so prefixes hit common tokens and candidates blow
+    toward all-pairs; see doc_prefix_filter_jaccard, kept as the exact
+    twin of the GUARDED token query).  Shingles invert that: background
+    3-gram Jaccard ≈ 0.001, shingle document frequencies ≈ 1, so the
+    (3s+9) DIV 10 prefix join touches near-unique keys and the
+    candidate set stays near-linear — prefix filtering and MinHash-LSH
+    both ride the same bimodality, one deterministically, one
+    probabilistically.  Use this path when a missed near-dup is
+    unacceptable (decontamination, benchmark-leak scrubbing); use LSH
+    when a provably-tiny miss rate buys a cheaper join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        ensure_parallelism(d)
+        .select("doc_id", dd.shingles("text", 3).alias("tokset"))
+        .withColumn("sz", F.size("tokset"))
+    )
+    return _prefix_filter_rescored(t, t_num=3, t_den=10)
