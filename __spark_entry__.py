@@ -141,6 +141,7 @@ _PRIORITY = [
     "segment_revenue_trend_slope",
     "orders_column_profile",
     "order_value_weighted_median",
+    "doc_prefix_filter_neardups",
 ]
 
 # Tail: every query with at least one green driver row, ordered

@@ -373,3 +373,106 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_ratio"), "w1", "w2")
         .limit(20)
     )
+
+
+_ALLOC_BUDGET = 1000
+
+
+@register(
+    "doc_sampling_allocation",
+    sql=f"""
+    WITH strata AS (
+      SELECT lang, source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(n_chars) - MIN(n_chars) AS BIGINT) AS char_range
+      FROM documents
+      GROUP BY lang, source
+    ),
+    w AS (
+      SELECT lang, source, n_docs,
+             n_docs * (char_range + 1) AS weight
+      FROM strata
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w),
+    base AS (
+      SELECT w.lang, w.source, w.n_docs, w.weight,
+             ({_ALLOC_BUDGET} * w.weight) // t.wsum AS alloc_floor,
+             ({_ALLOC_BUDGET} * w.weight) % t.wsum AS remainder,
+             {_ALLOC_BUDGET} - CAST(SUM(({_ALLOC_BUDGET} * w.weight) // t.wsum)
+                  OVER () AS BIGINT) AS leftover
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY remainder DESC, lang, source) AS BIGINT) AS rem_rank
+      FROM base
+    )
+    SELECT lang, source, n_docs,
+           CAST(alloc_floor + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    ORDER BY lang, source
+    """,
+    operators=("A13", "W5"),
+)
+def doc_sampling_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling DESIGN: allocate a fixed budget of 1000
+    sample slots across (lang, source) strata proportionally to
+    N_h · spread_h (the Neyman-allocation shape, with the integer char
+    range standing in for σ so the whole computation stays in BIGINT),
+    rounded by the largest-remainder (Hamilton) method.
+
+    Everything is integer arithmetic: floor shares via B·w DIV Σw, the
+    leftover seats go to the largest B·w MOD Σw remainders
+    (deterministically tie-broken on the stratum key) — so Σ alloc ≡ B
+    EXACTLY, no float drift, bitwise identical on any engine and any
+    partitioning.  This is the design step in front of
+    doc_stratified_cap / doc_weighted_sample: those EXECUTE a quota,
+    this COMPUTES the quota from the data.
+
+    Plan: one keyed aggregate to strata grain (map-side combined), then
+    all allocation math on ≤ |strata| rows — the two global windows are
+    strata-sized by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.max("n_chars") - F.min("n_chars")).cast("bigint").alias("char_range"),
+    )
+    w = strata.select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("n_docs") * (F.col("char_range") + 1)).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    B = F.lit(_ALLOC_BUDGET)
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("alloc_floor", F.expr(f"({_ALLOC_BUDGET} * weight) DIV wsum"))
+        .withColumn("remainder", (B * F.col("weight")) % F.col("wsum"))
+        .withColumn(
+            "leftover",
+            B
+            - F.sum("alloc_floor")
+            .over(Window.partitionBy())
+            .cast("bigint"),
+        )
+    )
+    ranked = base.withColumn(
+        "rem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), "lang", "source"))
+        .cast("bigint"),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_docs",
+        (
+            F.col("alloc_floor")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("lang", "source")
