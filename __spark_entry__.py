@@ -142,6 +142,8 @@ _PRIORITY = [
     "orders_column_profile",
     "order_value_weighted_median",
     "doc_prefix_filter_neardups",
+    "doc_sampling_allocation",
+    "users_sliding_7d_kmv",
 ]
 
 # Tail: every query with at least one green driver row, ordered

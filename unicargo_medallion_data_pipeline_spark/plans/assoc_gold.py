@@ -703,3 +703,95 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "users_sliding_7d_kmv",
+    sql=f"""
+    WITH ue AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+             {_KMV_SQL_HASH} AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT day, user_id, h FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, user_id) AS rn
+        FROM ue
+      ) WHERE rn <= {_KMV_K}
+    ),
+    days AS (SELECT DISTINCT day FROM ue),
+    spread AS (
+      SELECT DISTINCT d.day AS window_end, s.user_id, s.h
+      FROM days d JOIN sk s ON s.day BETWEEN d.day - 6 AND d.day
+    ),
+    cut AS (
+      SELECT window_end, h FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY window_end ORDER BY h, user_id) AS rn
+        FROM spread
+      ) WHERE rn <= {_KMV_K}
+    )
+    SELECT window_end,
+           CAST(COUNT(*) AS BIGINT) AS sketch_rows,
+           CAST(MAX(h) AS BIGINT) AS kth_hash,
+           CASE WHEN COUNT(*) < {_KMV_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE CAST({(_KMV_K - 1)} * CAST({_KMV_P} AS BIGINT) AS DOUBLE)
+                     / CAST(MAX(h) AS DOUBLE) END AS users_7d_est
+    FROM cut
+    GROUP BY window_end
+    ORDER BY window_end
+    """,
+    operators=("A15", "W3", "Q4"),
+)
+def users_sliding_7d_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users ANSWERED FROM THE SKETCH TABLE — the
+    grain-subset rollup the KMV summary exists for (SCALE.md): per-day
+    bottom-64 sketch rows (≤ 64·|days| rows TOTAL) are replicated to the
+    ≤ 7 windows each day serves, re-cut per window, and estimated — raw
+    events are scanned exactly once, at sketch-build time.
+
+    The exact twin is distinct_users_sliding_7d (bitmap rollup — exact
+    but id-domain-sized state); this is the constant-state path: any
+    window length, month-to-date, or ad-hoc grain subset re-cuts the
+    SAME 64-row day sketches.  Mergeability makes the window estimate
+    identical to sketching the window's raw events directly (the
+    theorem in operators/sketch.py), and the modular-affine hash makes
+    the whole thing — kth hash values included — value-level verifiable
+    in DuckDB.  Plan: one (day,user) dedup exchange, one day-grain
+    window, a ≤7× replication of SKETCH rows, one window-grain re-cut.
+    """
+    from unicargo_medallion_data_pipeline_spark.operators.sketch import kmv_bottom_k
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    day_sk = kmv_bottom_k(ev, ["day"], "user_id", _KMV_K).localCheckpoint(eager=True)
+    days = day_sk.select("day").distinct().withColumnRenamed("day", "window_end")
+    spread = (
+        day_sk.select(
+            "day", "user_id", "h", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+        )
+        .withColumn("window_end", F.date_add(F.col("day"), F.col("off")))
+        .join(days, "window_end", "left_semi")
+        .select("window_end", "user_id", "h")
+        .distinct()
+    )
+    w = Window.partitionBy("window_end").orderBy("h", "user_id")
+    cut = spread.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = F.when(
+        F.col("sketch_rows") < _KMV_K, F.col("sketch_rows").cast("double")
+    ).otherwise(
+        F.lit(float((_KMV_K - 1) * _KMV_P)) / F.col("kth_hash").cast("double")
+    )
+    return (
+        cut.groupBy("window_end")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),
+            F.max("h").cast("bigint").alias("kth_hash"),
+        )
+        .select("window_end", "sketch_rows", "kth_hash", est.alias("users_7d_est"))
+        .orderBy("window_end")
+    )
