@@ -1078,13 +1078,15 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     first (string-typed min would order "10" < "9"); the double column
     goes through the cents quantization so the text form is
     engine-independent (double→string shortest-round-trip formatting is
-    not a cross-engine contract).  Plan note: 5 exact COUNT(DISTINCT)s
-    in one aggregate compile to one Expand (×5 row multiply) — the
-    exact-profile cost model; at lake scale swap the distincts for HLL
-    sketches (events_mergeable_hll_rollup) and keep this shape for
-    gold-sized tables.  The unpivot is 5 projections of ONE aggregated
-    row — not 5 scans (the reference's null profiler re-scans per
-    column; see quality/validation.py A17 note).
+    not a cross-engine contract).  Plan note (read from executedPlan):
+    Catalyst pushes the union's 5 projections down into 5 COLUMN-PRUNED
+    single-column subtrees — each branch scans exactly one parquet
+    column, distinct-aggregates it (partial → merge), and finishes on a
+    partial-sized SinglePartition row; total bytes read ≈ one 5-column
+    scan, with no Expand row-multiply anywhere.  That is the plan you
+    want for an exact profile; at lake scale swap the exact distincts
+    for HLL/KMV sketches (events_mergeable_hll_rollup,
+    operators/sketch.py) and keep the shape.
     """
     o = load_table(spark, sf_dir, "orders")
 
