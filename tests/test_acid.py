@@ -412,3 +412,87 @@ def test_maybe_compact_policy(spark, table):
     assert table.count() == 1200
     # healthy table: second call is a no-op
     assert table.maybe_compact(target_file_bytes=1 << 20, min_files=8) is None
+
+
+def test_compact_is_base_pinned_against_interleaved_commit(spark, table):
+    """A commit landing between compact's read and its commit must raise
+    ConcurrentCommitError (lost update), not silently drop the
+    interleaved writer's rows."""
+    table.commit(_df(spark, [(1, "a"), (2, "b")]).repartition(4))
+    # simulate the race: pin compact to version 0, then land a commit
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    with pytest.raises(ConcurrentCommitError):
+        table.compact(target_files=1, base_version=0)
+    # the interleaved append survived
+    assert sorted(r["k"] for r in table.read().collect()) == [1, 2, 3]
+
+
+def test_compact_carries_stats_and_bloom_forward(spark, table):
+    """Compaction defaults stats/bloom columns to what the compacted
+    version already carried, recomputed over the rewritten files — so
+    read_pruned/read_bloom_pruned keep skipping after compaction."""
+    df = spark.createDataFrame(
+        [(i, f"u{i:04d}") for i in range(400)], "k int, uid string"
+    ).repartition(8)
+    table.commit(df, stats_cols=["k"], bloom_cols=["uid"])
+    table.compact(target_files=4, sort_by=["k"])  # no cols passed
+    m = table._read_manifest(table.versions()[-1])
+    files = m["files"]
+    assert all("k" in m["stats"].get(f, {}) for f in files)
+    assert all("uid" in m["bloom"].get(f, {}) for f in files)
+    # bloom pruning still skips files and stays exact
+    got = table.read_bloom_pruned("uid", ["u0007"]).collect()
+    assert [r["k"] for r in got] == [7]
+
+
+def test_rename_error_discrimination():
+    """_is_dest_exists_error: only dest-exists failures are commit
+    races; transient IO / permission / missing-parent errors are not."""
+    from unicargo_medallion_data_pipeline_spark.sources.acid import _is_dest_exists_error
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._c = _JClass(name)
+            self._cause = cause
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JErr(Exception):
+        def __init__(self, msg, java_exception):
+            super().__init__(msg)
+            self.java_exception = java_exception
+
+    assert _is_dest_exists_error(
+        _Py4JErr("x", _JExc("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    )
+    # nested cause
+    assert _is_dest_exists_error(
+        _Py4JErr(
+            "x",
+            _JExc(
+                "java.io.IOException",
+                cause=_JExc("java.nio.file.FileAlreadyExistsException"),
+            ),
+        )
+    )
+    # message fallback (raw local FS)
+    assert _is_dest_exists_error(
+        Exception("rename destination /t/_manifests/v1.json already exists")
+    )
+    # real IO failures are NOT races
+    assert not _is_dest_exists_error(
+        _Py4JErr("x", _JExc("java.io.FileNotFoundException"))
+    )
+    assert not _is_dest_exists_error(Exception("Permission denied: /t/_manifests"))
+    assert not _is_dest_exists_error(Exception("Mkdirs failed to create /t"))

@@ -125,6 +125,34 @@ def test_kmv_merge_equals_direct(spark, n_users, seed):
         assert est == exact_total
 
 
+def test_kmv_hash_negative_ids_stay_in_range(spark):
+    """pmod (not %) keeps the documented [0, P) range for NEGATIVE ids:
+    with plain % (sign-preserving in Spark AND DuckDB) negative ids
+    hash into (−P, 0) and the saturated estimator goes negative."""
+    from unicargo_medallion_data_pipeline_spark.operators.sketch import (
+        KMV_P,
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_hash,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(-5000, 5000).select(F.col("id").alias("user_id"))
+    bounds = ids.select(
+        F.min(kmv_hash(F.col("user_id"))).alias("lo"),
+        F.max(kmv_hash(F.col("user_id"))).alias("hi"),
+    ).first()
+    assert 0 <= bounds["lo"] <= bounds["hi"] < KMV_P
+    # saturated estimator stays positive and sane on an all-negative set
+    neg = spark.range(1, 2001).select((-F.col("id")).alias("user_id")).withColumn(
+        "g", F.lit("x")
+    )
+    sk = kmv_bottom_k(neg, ["g"], "user_id", k=64)
+    est = kmv_estimate(sk, ["g"], k=64).first()["distinct_est"]
+    assert est > 0
+    assert abs(est - 2000) / 2000 < 0.52
+
+
 # ---------------------------------------------------------------------------
 # Pareto skyline: window plan == quadratic dominance definition
 # ---------------------------------------------------------------------------

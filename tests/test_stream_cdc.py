@@ -82,3 +82,47 @@ def test_cdc_apply_upsert_delete_last_wins(spark, dirs):
     assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "fresh"}
     # pre-CDC state still time-travelable
     assert {r["k"] for r in t.read(version=0).collect()} == {1, 2}
+
+
+def test_cdc_fence_survives_interleaved_non_cdc_commit(spark, dirs):
+    """The replay fence must read the max cdc_batch_id across ALL
+    versions: an interleaved non-CDC commit (here an append) replaces
+    latest_meta, and a latest-only fence would re-apply the stale CDC
+    batch on replay — resurrecting the deleted key and stale values."""
+    t = _table(spark, dirs)
+    spark.createDataFrame(
+        [(1, "fresh", "u", 1), (2, None, "d", 2)], CDC_SCHEMA
+    ).write.mode("append").parquet(dirs["src"])
+    run(spark, dirs, t)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "fresh"}
+
+    # interleaved NON-CDC commit: append k=9 (its manifest meta carries
+    # no cdc_batch_id — this is what erases a latest-only fence)
+    t.commit(
+        spark.createDataFrame([(9, "nine", "u", 0)], CDC_SCHEMA).select("k", "v"),
+        mode="append",
+    )
+    assert "cdc_batch_id" not in t.latest_meta()
+    after_append = {r["k"]: r["v"] for r in t.read().collect()}
+    assert after_append == {1: "fresh", 9: "nine"}
+
+    # crash-replay: wiped checkpoint re-delivers batch 0; the fence
+    # must skip it — NOT resurrect k=2 or clobber the appended k=9
+    ck2 = tempfile.mkdtemp(prefix="cdc_ck2_")
+    try:
+        run(spark, dirs, t, ckpt=ck2)
+    finally:
+        shutil.rmtree(ck2, ignore_errors=True)
+    assert {r["k"]: r["v"] for r in t.read().collect()} == after_append
+    assert t.max_meta_int("cdc_batch_id") == 0
+
+
+def test_cdc_apply_empty_table_raises(spark, dirs):
+    """apply_cdc_batch on an uninitialized table: a meaningful
+    FileNotFoundError (matching read()), not a bare IndexError."""
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import apply_cdc_batch
+
+    empty = ManifestTable(spark, os.path.join(dirs["tbl"], "missing"))
+    batch = spark.createDataFrame([(1, "one", "u", 0)], CDC_SCHEMA)
+    with pytest.raises(FileNotFoundError, match="no committed version"):
+        apply_cdc_batch(empty, batch, key_cols=["k"])

@@ -37,8 +37,17 @@ KMV_K = 64
 
 
 def kmv_hash(col: Column) -> Column:
-    """Affine permutation hash into [0, P) — exact BIGINT arithmetic."""
-    return (F.lit(KMV_A) * (col % F.lit(KMV_P)) + F.lit(KMV_B)) % F.lit(KMV_P)
+    """Affine permutation hash into [0, P) — exact BIGINT arithmetic.
+
+    ``pmod`` (not ``%``) keeps the documented [0, P) range for NEGATIVE
+    ids too: ``%`` keeps the dividend's sign in both Spark and DuckDB,
+    which would push negative ids into (−P, 0) and make the saturated
+    estimator (k−1)·P / h_k negative/undefined.  The matching oracle SQL
+    uses ``((u % P) + P) % P`` (DuckDB has no pmod builtin).  No
+    overflow: pmod(u, P) < P = 2³¹−1, so A·pmod + B < 2⁶² < 2⁶³."""
+    return F.pmod(
+        F.lit(KMV_A) * F.pmod(col, F.lit(KMV_P)) + F.lit(KMV_B), F.lit(KMV_P)
+    )
 
 
 def kmv_bottom_k(

@@ -552,7 +552,13 @@ from unicargo_medallion_data_pipeline_spark.operators.sketch import (  # noqa: E
 )
 
 
-_KMV_SQL_HASH = f"(({_KMV_A} * (user_id % {_KMV_P}) + {_KMV_B}) % {_KMV_P})"
+# pmod form, mirroring operators/sketch.kmv_hash: DuckDB's % keeps the
+# dividend's sign, so the inner ((u % P) + P) % P folds negative ids into
+# [0, P); the outer term is then nonnegative and plain % suffices.
+_KMV_SQL_HASH = (
+    f"(({_KMV_A} * ((user_id % {_KMV_P} + {_KMV_P}) % {_KMV_P})"
+    f" + {_KMV_B}) % {_KMV_P})"
+)
 
 
 @register(

@@ -114,6 +114,30 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _is_dest_exists_error(e: Exception) -> bool:
+    """True iff a ``FileContext.rename(…, Rename.NONE)`` failure means
+    the DESTINATION already exists — i.e. another writer won the commit
+    race.  Walks the Py4J Java cause chain for the known
+    already-exists exception classes and falls back to the message text
+    the raw local FS emits.  Everything else (transient IO, permissions,
+    missing parent) is a real IO failure, not a race."""
+    race_classes = (
+        "org.apache.hadoop.fs.FileAlreadyExistsException",
+        "org.apache.hadoop.fs.PathExistsException",
+        "java.nio.file.FileAlreadyExistsException",
+    )
+    j = getattr(e, "java_exception", None)
+    while j is not None:
+        try:
+            if j.getClass().getName() in race_classes:
+                return True
+            j = j.getCause()
+        except Exception:  # noqa: BLE001 — defensive: dead gateway
+            break
+    msg = str(e).lower()
+    return "already exists" in msg or "destination exists" in msg
+
+
 class ManifestTable:
     """A parquet table whose visible state is defined by its latest
     committed manifest.  All mutations are copy-on-write + one atomic
@@ -391,11 +415,23 @@ class ManifestTable:
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.NONE
         try:
             fc.rename(tmp, dest, opts)
-        except Exception as e:  # Py4JJavaError: dest exists / src gone
+        except Exception as e:
             fs.delete(tmp, False)
-            raise ConcurrentCommitError(
-                f"version {version} was committed concurrently at {self.path}: {e}"
-            ) from None
+            # Only a LOST RACE maps to ConcurrentCommitError: the dest
+            # manifest already exists (FileAlreadyExistsException, or the
+            # raw-FS variants that surface as "destination exists" /
+            # "already exists" messages).  Anything else — transient IO,
+            # permissions, missing parent — must NOT masquerade as a
+            # race, or retry loops re-run a doomed commit while bumping
+            # versions instead of surfacing the real failure.
+            if _is_dest_exists_error(e):
+                raise ConcurrentCommitError(
+                    f"version {version} was committed concurrently at "
+                    f"{self.path}: {e}"
+                ) from None
+            raise OSError(
+                f"manifest publish failed at {dest} (not a commit race): {e}"
+            ) from e
         return version
 
     def commit(
@@ -604,6 +640,25 @@ class ManifestTable:
             return {}
         return self._read_manifest(vs[-1]).get("meta", {})
 
+    def max_meta_int(self, key: str) -> int:
+        """Highest integer ``meta[key]`` across ALL committed versions
+        (−1 if none committed or the key never appears) — the
+        replay-fence primitive for exactly-once foreachBatch sinks.  A
+        fence read from :meth:`latest_meta` alone is WRONG: any
+        interleaved commit of another kind (append, compaction,
+        erasure, restore) replaces the latest manifest's ``meta`` and
+        erases the fence, so a checkpoint replay after a crash would
+        re-apply a stale batch on top of newer table state.  Scanning
+        every version survives interleaving; manifests are
+        O(versions) tiny JSON reads (bounded further by
+        :meth:`vacuum`)."""
+        out = -1
+        for v in self.versions():
+            b = self._read_manifest(v).get("meta", {}).get(key)
+            if b is not None and b > out:
+                out = b
+        return out
+
     def count(self, version: int | None = None) -> int:
         """METADATA-ONLY row count (Delta numRecords parity): summed
         from the manifest's per-file row counts, no data file opened.
@@ -782,6 +837,8 @@ class ManifestTable:
         target_files: int = 1,
         stats_cols: list[str] | None = None,
         sort_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Rewrite the latest version into ``target_files`` files —
         small-file compaction as one atomic commit (readers flip from
@@ -789,13 +846,38 @@ class ManifestTable:
         files stay until :meth:`vacuum`).  ``sort_by`` clusters rows
         before the rewrite so recorded ``stats_cols`` ranges become
         tight and :meth:`read_pruned` skips effectively — compaction
-        and Z-order-style clustering in one pass."""
-        df = self.read()
+        and Z-order-style clustering in one pass.
+
+        The commit is PINNED to the version it read (``base_version``):
+        a commit landing between the read and the compaction commit
+        raises :class:`ConcurrentCommitError` instead of being silently
+        dropped (lost update).  ``stats_cols`` / ``bloom_cols`` default
+        to the columns the compacted version already carried stats /
+        blooms for, so compaction never silently degrades
+        :meth:`read_pruned` / :meth:`read_bloom_pruned` to full scans —
+        per-file metadata is invalid for rewritten files and must be
+        recomputed, not dropped."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        base = vs[-1] if base_version is None else base_version
+        m = self._read_manifest(base)
+        if stats_cols is None:
+            stats_cols = sorted({c for f in m.get("stats", {}).values() for c in f})
+        if bloom_cols is None:
+            bloom_cols = sorted({c for f in m.get("bloom", {}).values() for c in f})
+        df = self.read(version=base)
         if sort_by:
             df = df.repartitionByRange(target_files, *sort_by)
         else:
             df = df.repartition(target_files)
-        return self.commit(df, mode="overwrite", stats_cols=stats_cols)
+        return self.commit(
+            df,
+            mode="overwrite",
+            stats_cols=stats_cols or None,
+            bloom_cols=bloom_cols or None,
+            base_version=base,
+        )
 
     #: Delta-style default retention: an unreferenced file younger than
     #: this may belong to an in-flight writer that has staged its data
@@ -829,13 +911,19 @@ class ManifestTable:
         min_files: int = 8,
         stats_cols: list[str] | None = None,
         sort_by: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int | None:
         """Policy-driven small-file compaction: rewrite only when the
         latest version has ≥ ``min_files`` files AND their average size
         is under half of ``target_file_bytes`` (both read from manifest
         metadata — no scan).  Target file count = ceil(total_bytes /
         target_file_bytes).  Returns the new version, or None if the
-        table is already healthy — safe to call after every append."""
+        table is already healthy — safe to call after every append:
+        the compaction commit is pinned to the version whose
+        ``files_meta`` informed the decision, so a commit landing in
+        between raises :class:`ConcurrentCommitError` rather than being
+        silently dropped, and stats/bloom columns are carried forward
+        (recomputed over the rewritten files) by default."""
         vs = self.versions()
         if not vs:
             return None
@@ -849,7 +937,11 @@ class ManifestTable:
             return None
         target = max(1, -(-total // target_file_bytes))
         return self.compact(
-            target_files=target, stats_cols=stats_cols, sort_by=sort_by
+            target_files=target,
+            stats_cols=stats_cols,
+            sort_by=sort_by,
+            bloom_cols=bloom_cols,
+            base_version=vs[-1],
         )
 
     def vacuum(

@@ -128,7 +128,13 @@ def write_stream_erasure_manifest(
             return
         if _max_erasure_batch(table) >= batch_id:
             return  # replay of a committed erasure batch: fenced
-        base = table.versions()[-1]
+        vs = table.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed version at {table.path} — erasure needs an "
+                "initialized target table"
+            )
+        base = vs[-1]
         current = table.read(version=base)
         keys = batch_df.select(*key_cols).distinct()
         survivors = current.join(keys, key_cols, "left_anti")
@@ -173,14 +179,10 @@ def write_stream_erasure_manifest(
 def _max_erasure_batch(table) -> int:
     """Highest committed erasure batch id across ALL versions (-1 if
     none): the fence must survive interleaved non-erasure commits that
-    would reset ``latest_meta``."""
-    out = -1
-    for v in table.versions():
-        m = table._read_manifest(v).get("meta", {})
-        b = m.get("erasure_batch_id")
-        if b is not None and b > out:
-            out = b
-    return out
+    would reset ``latest_meta``.  Delegates to the shared fence
+    primitive ``ManifestTable.max_meta_int`` (also used by the CDC
+    sink's ``cdc_batch_id`` fence)."""
+    return table.max_meta_int("erasure_batch_id")
 
 
 def erasure_audit_frame(spark, table) -> DataFrame:

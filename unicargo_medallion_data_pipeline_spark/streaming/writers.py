@@ -194,13 +194,21 @@ def write_stream_cdc_apply(
     batch).  Apply = current state, minus all touched keys, plus the
     winning upsert rows.  Crash anywhere: either the whole batch's
     effect is visible (fence skips the replay) or none of it is.
+
+    The fence reads the MAX ``cdc_batch_id`` across ALL versions
+    (``table.max_meta_int``), not just the latest manifest: an
+    interleaved non-CDC commit (append, compaction, erasure, restore)
+    replaces ``latest_meta`` and would otherwise erase the fence,
+    letting a checkpoint replay re-apply a stale CDC batch on top of
+    newer table state (stale upserts resurrecting old values, deletes
+    re-firing) — same hazard and same fix as the erasure sink's
+    ``_max_erasure_batch``.
     """
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = table.latest_meta().get("cdc_batch_id")
-        if last is not None and batch_id <= last:
-            return  # replay: fenced
+        if table.max_meta_int("cdc_batch_id") >= batch_id:
+            return  # replay of a committed CDC batch: fenced
         apply_cdc_batch(table, batch_df, key_cols, op_col=op_col, batch_id=batch_id)
 
     writer = (
@@ -231,7 +239,13 @@ def apply_cdc_batch(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    base = table.versions()[-1]
+    vs = table.versions()
+    if not vs:
+        raise FileNotFoundError(
+            f"no committed version at {table.path} — CDC apply needs an "
+            "initialized target table (commit a seed/empty version first)"
+        )
+    base = vs[-1]
     current = table.read(version=base)
     order = (
         F.col("_seq").desc()
