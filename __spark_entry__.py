@@ -31,85 +31,28 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 # last round rotate to the tail.  Anything newly registered and not named
 # below lands in the middle — inside the sampled window.
 
-# r6 window (50), per the r5 verdict's rotation plan (task 3):
-#   slots 1-5   — the 5 r5 hash-red queries, re-windowed after the root
-#                 cause (uncast SUM → DuckDB HUGEINT, a representation
-#                 the driver's value-hash rejects) was fixed by casting
-#                 every aggregate output to BIGINT; 6 latent siblings
-#                 with the same defect were cast in the same commit and
-#                 sit among the never-verified below;
-#   slots 6-43  — all 38 never-driver-verified queries (registered in
-#                 r4/r5; the r4 driver never ran), including every r5
-#                 flagship: ACID time travel, manifest-pruned scan,
-#                 recursive CTE, LATERAL top-k, binned quantiles,
-#                 duplicate-n-gram rate, erasure audit, expectations;
-#   slots 44-47 — round-6 additions (bloom point-lookup skipping,
-#                 manifest CDF, temperature mixture weights, multimodal
-#                 binary features), each oracle-green at all three SFs;
-#   slots 48-50 — the stalest single-green tail entries (r2-only) for
-#                 re-confirmation;
-#   slots 51-53 — round-6 late additions: the r7 never-verified backlog.
+# r7 window (50), per the r6 verdict's rotation plan (task 1):
+#   slots 1-33  — the full never-driver-verified backlog: every round-6
+#                 addition registered after the r6 window rotation
+#                 (KMV family, prefix-filter pair, Pareto frontier, PMI,
+#                 IVM, bucketed join, moments, attribution, churn, RRF,
+#                 trend slope, TWAP/OHLC, LTV/CUSUM/datasheet,
+#                 mutual-NN/1-NN accuracy, reconciliation/Benford, CDC
+#                 state, Z-order scan, CSV quarantine, column profile,
+#                 weighted median, sampling allocation, manifest
+#                 history, neardup representatives, hard negatives,
+#                 peak concurrency).  Catalog growth is FROZEN this
+#                 round (r6 verdict task 3) so this backlog goes to
+#                 zero: after r7 every catalog query has ≥1 driver row.
+#   slots 34-50 — the 17 stalest single-green tail entries (r2-only and
+#                 r3-only) for re-confirmation.
 # Every windowed query was locally oracle-verified at sf0.01 this round
-# under the NEW type-sensitive replica (oracle.py compares DuckDB/Spark
-# type classes — the blind spot that let the r5 failures ship), and the
+# under the type-sensitive replica (oracle.py type lattice), and the
 # full 50-slot window re-ran green under a vanilla driver-style session.
+# doc_prefix_filter_neardups' sf0.1 oracle run (the r6 verdict's open
+# debt) was completed this round — see docs/COVERAGE.md.
 _PRIORITY = [
-    # --- the 5 r5-red, now cast-fixed
-    "flight_seasonal_summary",
-    "flight_daily_summary",
-    "flight_operational_summary",
-    "top_event_paths",
-    "events_user_quota_batch",
-    # --- never-driver-verified backlog (38)
-    "events_value_outliers",
-    "events_value_drift",
-    "segment_revenue_trend",
-    "lineitem_price_qty_corr",
-    "events_winsorized_stats",
-    "user_activity_gini",
-    "events_reaggregation_chain",
-    "orders_content_fingerprint",
-    "events_ab_value_ttest",
-    "priority_price_extremes",
-    "events_value_mad",
-    "latest_orders_with_ties",
-    "nation_revenue_share_of_region",
-    "monthly_revenue_mom",
-    "daily_revenue_zscore_28d",
-    "revenue_dow_seasonality",
-    "funnel_time_to_convert",
-    "dedup_savings_by_source",
-    "revenue_top_decile_share",
-    "hourly_error_rate_24h",
-    "daily_new_vs_returning",
-    "user_longest_streak",
-    "nation_supplier_hhi",
-    "daily_reactivations",
-    "record_revenue_days",
-    "daily_revenue_autocorr",
-    "events_hourly_burstiness",
-    "events_value_binned_quantiles",
-    "events_window_top_types",
-    "doc_duplicate_ngram_rate",
-    "events_user_erasure_audit",
-    "orders_expectation_report",
-    "nation_reach_recursive",
-    "nation_top_customers_lateral",
-    "customer_order_window_corners",
-    "orders_acid_timetravel",
-    "events_manifest_pruned_scan",
-    "events_sliding_10min_counts",
-    # --- new in r6 (locally oracle-verified at all three SFs)
-    "events_bloom_pruned_lookup",
-    "orders_manifest_cdf",
-    "source_mixture_weights",
-    "doc_binary_asset_features",
-    # --- stalest single-green tail entries (re-confirmation fills)
-    "doc_repetition_signals",
-    "doc_pii_redaction",
-    "doc_shard_packing",
-    # --- window boundary: slots 51+ (first candidates if the driver
-    #     samples deeper; the never-verified backlog for the r7 window)
+    # --- never-driver-verified backlog (33, round-6 additions)
     "doc_neardup_representatives",
     "orders_reconciliation_audit",
     "orders_benford_digits",
@@ -127,7 +70,6 @@ _PRIORITY = [
     "embedding_mutual_nn_pairs",
     "embedding_knn_label_accuracy",
     "peak_concurrent_sessions",
-    # --- round-6 continuation additions (locally oracle-verified ×3 SFs)
     "events_kmv_distinct_rollup",
     "doc_prefix_filter_jaccard",
     "part_pareto_frontier",
@@ -144,18 +86,12 @@ _PRIORITY = [
     "doc_prefix_filter_neardups",
     "doc_sampling_allocation",
     "users_sliding_7d_kmv",
-]
-
-# Tail: every query with at least one green driver row, ordered
-# least-/stalest-verified first so those sit nearest the window boundary
-# if space ever opens.  (The 7 stalest moved into the r6 window above;
-# _ordered_names dedups, front wins.)
-_TAIL = [
-    # single green row ever (r2 only)
+    # --- stalest single-green tail entries (re-confirmation fills)
+    # r2-only
     "doc_curation_pipeline",
     "lang_id_confusion",
     "corpus_token_df",
-    # single green row ever (r3 only)
+    # r3-only
     "events_sketch_profile",
     "customer_revenue_rank",
     "customer_revenue_decile",
@@ -170,6 +106,16 @@ _TAIL = [
     "doc_tfidf_top_terms",
     "doc_editdist_near_dups",
     "doc_decontaminated_sample",
+]
+
+# Tail: every query with at least one green driver row, ordered
+# least-/stalest-verified first so those sit nearest the window boundary
+# if space ever opens.  (The 17 stalest moved into the r7 window above;
+# _ordered_names dedups, front wins.  The 50 r6-window queries — all
+# driver-green in CORRECTNESS_r06.json — are appended at the very end
+# as the freshest-verified.)
+_TAIL = [
+    # single green row ever (r3 only)
     "cheapest_shipment_supplier",
     "customer_order_dates",
     "order_measures_unpivot",
@@ -279,6 +225,58 @@ _TAIL = [
     "doc_token_jaccard_pairs",
     "embedding_norms",
     "embedding_knn_exact",
+    # --- the r6 window (50/50 green in CORRECTNESS_r06.json), rotated
+    #     out as the freshest-verified
+    "flight_seasonal_summary",
+    "flight_daily_summary",
+    "flight_operational_summary",
+    "top_event_paths",
+    "events_user_quota_batch",
+    "events_value_outliers",
+    "events_value_drift",
+    "segment_revenue_trend",
+    "lineitem_price_qty_corr",
+    "events_winsorized_stats",
+    "user_activity_gini",
+    "events_reaggregation_chain",
+    "orders_content_fingerprint",
+    "events_ab_value_ttest",
+    "priority_price_extremes",
+    "events_value_mad",
+    "latest_orders_with_ties",
+    "nation_revenue_share_of_region",
+    "monthly_revenue_mom",
+    "daily_revenue_zscore_28d",
+    "revenue_dow_seasonality",
+    "funnel_time_to_convert",
+    "dedup_savings_by_source",
+    "revenue_top_decile_share",
+    "hourly_error_rate_24h",
+    "daily_new_vs_returning",
+    "user_longest_streak",
+    "nation_supplier_hhi",
+    "daily_reactivations",
+    "record_revenue_days",
+    "daily_revenue_autocorr",
+    "events_hourly_burstiness",
+    "events_value_binned_quantiles",
+    "events_window_top_types",
+    "doc_duplicate_ngram_rate",
+    "events_user_erasure_audit",
+    "orders_expectation_report",
+    "nation_reach_recursive",
+    "nation_top_customers_lateral",
+    "customer_order_window_corners",
+    "orders_acid_timetravel",
+    "events_manifest_pruned_scan",
+    "events_sliding_10min_counts",
+    "events_bloom_pruned_lookup",
+    "orders_manifest_cdf",
+    "source_mixture_weights",
+    "doc_binary_asset_features",
+    "doc_repetition_signals",
+    "doc_pii_redaction",
+    "doc_shard_packing",
 ]
 
 
