@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""One-shot medallion pipeline measurement at bench scale.
+
+The per-query harness (``bench.py``) anchors QUERY latency; this anchors
+the PIPELINE envelope the reference publishes qualitatively ("full run
+well under 2h" — BASELINE.md): CSV → bronze (quarantine ingest) →
+silver star → full 20-table gold suite, timed per layer, at a
+deliberately larger-than-sf0.1 fact size.
+
+Generation is Spark-side and deterministic (xxhash64-derived columns —
+no RNG, rerun-stable), matching FIXTURES.md §1-3: valid 2015 dates with
+consistent Monday=1 day-of-week plus ~1% inconsistent rows, ~0.5%
+unknown airline/airport codes, ~0.3% origin==destination rows, nullable
+measures, cancellation reasons — every cleansing rule in
+``pipelines/silver.py`` gets real work.
+
+Prints ONE JSON line:
+  {"metric": "medallion_pipeline_wall", "value": total_sec,
+   "unit": "sec", "layers": {...}, "rows": {...}, "rows_per_sec": {...}}
+
+Usage: python bench_medallion.py [--rows 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+AIRLINES = ["AA", "DL", "UA", "WN", "B6", "AS", "NK", "F9", "HA", "VX", "OO", "EV", "MQ", "US"]
+
+
+def _airport_codes(n: int = 300) -> list[str]:
+    """Deterministic 3-letter code pool (no RNG: enumerate AAA, AAB, …)."""
+    out = []
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    for i in range(n):
+        out.append(letters[i // 676] + letters[(i // 26) % 26] + letters[i % 26])
+    return out
+
+
+def generate_flights_csv(spark, path: str, n_rows: int) -> None:
+    """FIXTURES.md §1 at scale, from pure Spark expressions."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.schemas.flights import FLIGHTS_SCHEMA
+
+    codes = _airport_codes()
+
+    def h(k: int):  # deterministic per-row uniform hash channel
+        return F.abs(F.xxhash64(F.col("id"), F.lit(k)))
+
+    def u(k: int, m: int):  # uniform int in [0, m)
+        return (h(k) % m).cast("int")
+
+    air_arr = F.array(*[F.lit(c) for c in AIRLINES])
+    apt_arr = F.array(*[F.lit(c) for c in codes])
+
+    df = spark.range(n_rows)
+    date = F.make_date(F.lit(2015), u(1, 12) + 1, u(2, 28) + 1)
+    dow_true = F.weekday(date) + 1  # Monday=1, matching the reference
+    df = (
+        df.withColumn("year", F.lit(2015))
+        .withColumn("month", F.month(date))
+        .withColumn("day", F.dayofmonth(date))
+        # ~1% deliberately inconsistent day_of_week (exercises the check)
+        .withColumn(
+            "day_of_week",
+            F.when(u(3, 100) == 0, (dow_true % 7) + 1).otherwise(dow_true),
+        )
+        # ~0.5% unknown airline codes (inner-join drops)
+        .withColumn(
+            "airline",
+            F.when(u(4, 200) == 0, F.lit("ZZ")).otherwise(
+                F.element_at(air_arr, u(5, len(AIRLINES)) + 1)
+            ),
+        )
+        .withColumn("flight_number", u(6, 7999) + 1)
+        .withColumn(
+            "tail_number",
+            F.when(u(7, 100) == 0, F.lit(None).cast("string")).otherwise(
+                F.concat(F.lit("N"), (u(8, 900) + 100).cast("string"), F.lit("XY"))
+            ),
+        )
+        .withColumn("origin_airport", F.element_at(apt_arr, u(9, len(codes)) + 1))
+        # ~0.3% origin == destination (must be filtered by silver)
+        .withColumn(
+            "destination_airport",
+            F.when(u(10, 333) == 0, F.col("origin_airport")).otherwise(
+                F.element_at(apt_arr, u(11, len(codes)) + 1)
+            ),
+        )
+        .withColumn("scheduled_departure", u(12, 2360))
+        .withColumn(
+            "departure_time",
+            F.when(u(13, 50) == 0, F.lit(None).cast("int")).otherwise(u(14, 2360)),
+        )
+        # right-skewed-ish delay with all bucket edges present
+        .withColumn(
+            "departure_delay",
+            F.when(u(15, 50) == 0, F.lit(None).cast("int")).otherwise(
+                u(16, 120) - 30 + F.when(u(17, 20) == 0, u(18, 500)).otherwise(F.lit(0))
+            ),
+        )
+        .withColumn("taxi_out", u(19, 58) + 3)
+        .withColumn("wheels_off", u(20, 2360))
+        .withColumn("scheduled_time", u(21, 471) + 30)
+        .withColumn("elapsed_time", u(22, 526) + 25)
+        .withColumn("air_time", u(23, 481) + 20)
+        .withColumn("distance", u(24, 2951) + 50)
+        .withColumn("wheels_on", u(25, 2360))
+        .withColumn("taxi_in", u(26, 39) + 2)
+        .withColumn("scheduled_arrival", u(27, 2360))
+        .withColumn("arrival_time", u(28, 2360))
+        .withColumn(
+            "arrival_delay",
+            F.when(u(29, 50) == 0, F.lit(None).cast("int")).otherwise(u(30, 140) - 40),
+        )
+        .withColumn("diverted", F.when(u(31, 500) == 0, 1).otherwise(0))
+        .withColumn("cancelled", F.when(u(32, 66) == 0, 1).otherwise(0))
+        .withColumn(
+            "cancellation_reason",
+            F.when(
+                F.col("cancelled") == 1,
+                F.element_at(F.array(F.lit("A"), F.lit("B"), F.lit("C"), F.lit("D")), u(33, 4) + 1),
+            ),
+        )
+        .withColumn("air_system_delay", F.lit(None).cast("int"))
+        .withColumn("security_delay", F.lit(None).cast("int"))
+        .withColumn("airline_delay", F.lit(None).cast("int"))
+        .withColumn("late_aircraft_delay", F.lit(None).cast("int"))
+        .withColumn("weather_delay", F.lit(None).cast("int"))
+        .select(*[f.name for f in FLIGHTS_SCHEMA.fields])
+    )
+    df.repartition(16).write.mode("overwrite").option("header", True).csv(path)
+
+
+def generate_dim_csvs(d: str) -> None:
+    with open(os.path.join(d, "airlines.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["iata_code", "airline"])
+        for c in AIRLINES:
+            w.writerow([c, f"{c} Airlines"])
+        w.writerow(["AA", "Duplicate AA Airlines"])  # dedup work
+        w.writerow(["", "Mystery Air"])  # null-key drop
+    with open(os.path.join(d, "airports.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["iata_code", "airline", "city", "state", "country", "latitude", "longitude"])
+        for i, c in enumerate(_airport_codes()):
+            w.writerow([c, f"{c} Intl", f"City {c}", "CA", "USA", 17.0 + (i % 55), -176.0 + (i % 112)])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_medallion
+    from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    work = tempfile.mkdtemp(prefix="medallion_bench_")
+    warehouse = os.path.join(work, "warehouse")
+    derby = os.path.join(work, "derby")
+    spark = get_spark(
+        "bench-medallion",
+        extra_conf={
+            "spark.sql.warehouse.dir": warehouse,
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={derby}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        flights_dir = os.path.join(work, "flights_csv")
+        t0 = time.perf_counter()
+        generate_flights_csv(spark, flights_dir, args.rows)
+        generate_dim_csvs(work)
+        gen_s = time.perf_counter() - t0
+
+        from unicargo_medallion_data_pipeline_spark.config.tables import DEFAULT_CONFIG
+
+        cfg = {
+            "environments": {"bench": {"storage_root": os.path.join(work, "lake")}},
+            "tables": DEFAULT_CONFIG["tables"],
+        }
+        timings: dict[str, float] = {}
+        t0 = time.perf_counter()
+        result = run_medallion(
+            spark,
+            {
+                "flights": flights_dir,
+                "airlines": os.path.join(work, "airlines.csv"),
+                "airports": os.path.join(work, "airports.csv"),
+            },
+            environment="bench",
+            config=cfg,
+            date_range=("2015-01-01", "2015-12-31"),
+            timings=timings,
+        )
+        total = time.perf_counter() - t0
+
+        rows = {
+            "flights_csv": args.rows,
+            "fact_flight": spark.read.table(result.silver["flights"]).count(),
+            "gold_tables": len(result.gold),
+        }
+        layers = {k: round(v, 2) for k, v in timings.items()}
+        rps = {
+            "bronze": round(args.rows / timings["bronze"]),
+            "silver": round(args.rows / timings["silver"]),
+            "end_to_end": round(args.rows / total),
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "medallion_pipeline_wall",
+                    "value": round(total, 2),
+                    "unit": "sec",
+                    "layers": layers,
+                    "rows": rows,
+                    "rows_per_sec": rps,
+                    "generation_sec": round(gen_s, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,12 +103,21 @@ def run_medallion(
     config: dict | None = None,
     gold_names: list[str] | None = None,
     date_range: tuple[str, str] = ("2015-01-01", "2030-12-31"),
+    timings: dict | None = None,
 ) -> MedallionResult:
     """Full bronze→silver→gold run.  Returns the table names written per
-    layer plus quality-gate profiles."""
+    layer plus quality-gate profiles.  Pass a dict as ``timings`` to
+    record per-layer wall seconds into it (keys ``bronze``/``silver``/
+    ``gold`` — the measurement hook ``bench_medallion.py`` uses)."""
+    import time as _time
+
     result = MedallionResult()
 
+    _t0 = _time.perf_counter()
     bronze = run_bronze(spark, csv_paths, environment, config)
+    if timings is not None:
+        timings["bronze"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
     for entity in bronze:
         result.bronze[entity] = get_table_config(entity, "bronze", environment, config).full_name
 
@@ -129,6 +138,9 @@ def run_medallion(
         cfg = get_table_config(entity, "silver", environment, config)
         save_to_table(df, cfg, spark, mode="overwrite")
         result.silver[entity] = cfg.full_name
+    if timings is not None:
+        timings["silver"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
     # Re-read materialized silver (medallion contract: layers decouple).
     fact_t = spark.read.table(result.silver["flights"])
@@ -171,4 +183,6 @@ def run_medallion(
         full_name = f"{environment}_gold.{name}"
         df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
         result.gold[name] = full_name
+    if timings is not None:
+        timings["gold"] = _time.perf_counter() - _t0
     return result

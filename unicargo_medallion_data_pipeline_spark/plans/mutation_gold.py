@@ -249,6 +249,7 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY priority
     """,
     operators=("S14", "J2", "A1"),
+    bench=True,  # r6 verdict task 4: bench must cover the bucketed-join layer
 )
 def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pay-shuffle-once contract under the hash gate: orders and

@@ -374,6 +374,7 @@ _BLOOM_USERS = (7, 70, 123)
     ORDER BY user_id
     """,
     operators=("S3", "P8", "A13"),
+    bench=True,  # r6 verdict task 4: bench must cover the manifest/ACID layer
 )
 def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file Bloom skipping (`sources/acid.ManifestTable.
