@@ -651,7 +651,15 @@ class ManifestTable:
         re-apply a stale batch on top of newer table state.  Scanning
         every version survives interleaving; manifests are
         O(versions) tiny JSON reads (bounded further by
-        :meth:`vacuum`)."""
+        :meth:`vacuum`).
+
+        Retention contract (Delta's own checkpoint-vs-vacuum rule): the
+        fence only reaches versions that still exist, so vacuum
+        retention must exceed the stream's maximum replay horizon — if
+        every version recording the key is expired AND the checkpoint
+        is simultaneously lost, a sufficiently old batch could re-apply.
+        Each sink commit records its own id, so keeping any version at
+        or after the last fenced commit preserves the full fence."""
         out = -1
         for v in self.versions():
             b = self._read_manifest(v).get("meta", {}).get(key)
