@@ -496,3 +496,77 @@ def test_rename_error_discrimination():
     )
     assert not _is_dest_exists_error(Exception("Permission denied: /t/_manifests"))
     assert not _is_dest_exists_error(Exception("Mkdirs failed to create /t"))
+
+
+def test_meta_max_fence_is_single_manifest_read(spark, table):
+    """The replay fence is carried forward manifest-to-manifest: after
+    any interleaving (append, compact, restore, other metadata), the
+    LATEST manifest alone holds the running max — max_meta_int needs no
+    history scan and agrees with one."""
+    import json as _json
+
+    table.commit(_df(spark, [(1, "a")]), meta={"cdc_batch_id": 3})
+    table.commit(_df(spark, [(2, "b")]), mode="append")  # meta-less
+    table.commit(_df(spark, [(3, "c")]), mode="append", meta={"other": 9})
+    table.compact()
+    table.commit(_df(spark, [(4, "d")]), mode="append", meta={"cdc_batch_id": 7})
+    table.restore(0)  # restore must NOT reset fences
+
+    latest = table._read_manifest(table.versions()[-1])
+    # restore() records its own integer meta (restored_from), which the
+    # monotone merge folds in too — assert on the fenced keys.
+    assert latest["meta_max"]["cdc_batch_id"] == 7
+    assert latest["meta_max"]["other"] == 9
+    assert table.max_meta_int("cdc_batch_id") == 7
+    assert table.max_meta_int("other") == 9
+    assert table.max_meta_int("absent") == -1
+    # agrees with a full history scan
+    scan = -1
+    for v in table.versions():
+        b = table._read_manifest(v).get("meta", {}).get("cdc_batch_id")
+        if b is not None and b > scan:
+            scan = b
+    assert scan == 7
+
+
+def test_meta_max_fence_survives_vacuum(spark, table):
+    """Expiring every manifest that RECORDED the fence must not lose
+    it: the running max lives in the latest manifest."""
+    table.commit(_df(spark, [(1, "a")]), meta={"erasure_batch_id": 5})
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    removed = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert table.versions() == [2]
+    assert table.max_meta_int("erasure_batch_id") == 5
+    assert removed is not None
+
+
+def test_meta_max_legacy_table_self_upgrades(spark, table):
+    """A table written before meta_max existed: the fence falls back to
+    scanning surviving manifests, and the first new commit rebuilds the
+    running max in place."""
+    import json as _json
+
+    table.commit(_df(spark, [(1, "a")]), meta={"batch_id": 4})
+    table.commit(_df(spark, [(2, "b")]), mode="append", meta={"batch_id": 6})
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    # simulate the legacy on-disk format: strip meta_max everywhere
+    mdir = os.path.join(table.path, "_manifests")
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            p = os.path.join(mdir, name)
+            with open(p) as f:
+                m = _json.load(f)
+            m.pop("meta_max", None)
+            with open(p, "w") as f:
+                _json.dump(m, f)
+            # the rewrite invalidates Hadoop LocalFS's sidecar checksum
+            crc = os.path.join(mdir, f".{name}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    assert "meta_max" not in table._read_manifest(table.versions()[-1])
+    assert table.max_meta_int("batch_id") == 6  # fallback scan
+    table.commit(_df(spark, [(9, "z")]), mode="append")  # upgrade
+    latest = table._read_manifest(table.versions()[-1])
+    assert latest["meta_max"]["batch_id"] == 6
+    assert table.max_meta_int("batch_id") == 6

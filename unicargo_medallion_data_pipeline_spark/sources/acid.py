@@ -353,6 +353,41 @@ class ManifestTable:
         bloom = {f"{commit_id}-{k}": v for k, v in bloom.items()}
         return names, stats, bloom, files_meta
 
+    def _next_meta_max(self, version: int, meta: dict | None) -> dict:
+        """Cumulative per-key maximum of every integer ``meta`` value
+        ever committed, carried forward manifest-to-manifest so the
+        replay fence (:meth:`max_meta_int`) is one manifest read instead
+        of a scan of all versions.  The merge is monotone: each commit
+        folds its own integer metadata into the parent's ``meta_max``,
+        so interleaved commits of any kind (append, compaction, erasure,
+        restore) PRESERVE fences rather than erasing them, and
+        :meth:`vacuum` can expire every older manifest without losing
+        the fence.  Tables written before this field existed are
+        self-upgrading: the first new commit reconstructs the running
+        max by scanning the surviving manifests once."""
+        mm: dict = {}
+        prior = [v for v in self.versions() if v < version]
+        if prior:
+            parent = self._read_manifest(prior[-1])
+            if "meta_max" in parent:
+                mm = dict(parent["meta_max"])
+            else:
+                # Legacy table: rebuild the running max once from every
+                # surviving manifest (meta only — none carries meta_max
+                # or it would have been picked above).
+                for v in prior:
+                    for k, val in (
+                        self._read_manifest(v).get("meta", {}).items()
+                    ):
+                        if isinstance(val, int) and not isinstance(val, bool):
+                            if k not in mm or val > mm[k]:
+                                mm[k] = val
+        for k, val in (meta or {}).items():
+            if isinstance(val, int) and not isinstance(val, bool):
+                if k not in mm or val > mm[k]:
+                    mm[k] = val
+        return mm
+
     def _commit(
         self,
         version: int,
@@ -385,6 +420,7 @@ class ManifestTable:
                 "files": sorted(files),
                 "schema": schema_json,
                 "meta": meta or {},
+                "meta_max": self._next_meta_max(version, meta),
                 "stats": stats or {},
                 "bloom": bloom or {},
                 "files_meta": files_meta or {},
@@ -648,20 +684,26 @@ class ManifestTable:
         interleaved commit of another kind (append, compaction,
         erasure, restore) replaces the latest manifest's ``meta`` and
         erases the fence, so a checkpoint replay after a crash would
-        re-apply a stale batch on top of newer table state.  Scanning
-        every version survives interleaving; manifests are
-        O(versions) tiny JSON reads (bounded further by
-        :meth:`vacuum`).
+        re-apply a stale batch on top of newer table state.
 
-        Retention contract (Delta's own checkpoint-vs-vacuum rule): the
-        fence only reaches versions that still exist, so vacuum
-        retention must exceed the stream's maximum replay horizon — if
-        every version recording the key is expired AND the checkpoint
-        is simultaneously lost, a sufficiently old batch could re-apply.
-        Each sink commit records its own id, so keeping any version at
-        or after the last fenced commit preserves the full fence."""
+        O(1): every commit carries the cumulative running max of its
+        integer metadata forward in the manifest (``meta_max``, a
+        monotone merge with the parent's — see :meth:`_next_meta_max`),
+        so the fence is ONE manifest read regardless of table history,
+        survives any interleaving, and survives :meth:`vacuum` expiring
+        every older version (the latest manifest always holds the full
+        fence).  Manifests written before ``meta_max`` existed fall
+        back to a one-time scan of the surviving versions; the next
+        commit upgrades the table in place."""
+        vs = self.versions()
+        if not vs:
+            return -1
+        m = self._read_manifest(vs[-1])
+        if "meta_max" in m:
+            b = m["meta_max"].get(key)
+            return b if isinstance(b, int) else -1
         out = -1
-        for v in self.versions():
+        for v in vs:
             b = self._read_manifest(v).get("meta", {}).get(key)
             if b is not None and b > out:
                 out = b

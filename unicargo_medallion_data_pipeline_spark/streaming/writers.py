@@ -143,8 +143,10 @@ def write_stream_to_manifest(
 
     * the streaming checkpoint replays a batch at most from its last
       uncommitted offset, and
-    * the manifest records the last committed ``batch_id``
-      (``latest_meta()``); a replayed batch with ``batch_id`` ≤ the
+    * the manifest records the running max committed ``batch_id``
+      (``max_meta_int`` — one manifest read, robust to interleaved
+      non-stream commits like compaction or erasure that would reset
+      ``latest_meta``); a replayed batch with ``batch_id`` ≤ the
       recorded one is SKIPPED — so even a crash between the manifest
       rename and the checkpoint write (the classic foreachBatch
       double-apply window) cannot append the same batch twice.
@@ -155,8 +157,7 @@ def write_stream_to_manifest(
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = table.latest_meta().get("batch_id")
-        if last is not None and batch_id <= last:
+        if table.max_meta_int("batch_id") >= batch_id:
             return  # replay of an already-committed batch
         table.commit(batch_df, mode=mode, meta={"batch_id": batch_id})
 
