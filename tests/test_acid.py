@@ -570,3 +570,44 @@ def test_meta_max_legacy_table_self_upgrades(spark, table):
     latest = table._read_manifest(table.versions()[-1])
     assert latest["meta_max"]["batch_id"] == 6
     assert table.max_meta_int("batch_id") == 6
+
+
+def test_meta_max_random_interleaving_matches_model(spark, table):
+    """State-machine differential test: a seeded random walk over every
+    commit kind (overwrite/append with and without metadata, compact,
+    restore, vacuum) must keep max_meta_int(k) equal to a pure-Python
+    running-max model for every key, after every step."""
+    import random
+
+    rng = random.Random(7)
+    model: dict[str, int] = {}
+    table.commit(_df(spark, [(0, "seed")]))
+    keys = ["batch_id", "cdc_batch_id", "erasure_batch_id"]
+
+    def check():
+        for k in keys:
+            assert table.max_meta_int(k) == model.get(k, -1), (
+                f"fence diverged for {k}"
+            )
+
+    for step in range(14):
+        op = rng.choice(["meta", "plain", "append", "compact", "restore", "vacuum"])
+        if op == "meta":
+            k = rng.choice(keys)
+            v = rng.randint(0, 50)
+            table.commit(
+                _df(spark, [(step, "m")]), mode="append", meta={k: v}
+            )
+            model[k] = max(model.get(k, -1), v)
+        elif op == "plain":
+            table.commit(_df(spark, [(step, "p")]))
+        elif op == "append":
+            table.commit(_df(spark, [(step, "a")]), mode="append")
+        elif op == "compact":
+            table.compact()
+        elif op == "restore":
+            vs = table.versions()
+            table.restore(rng.choice(vs))
+        elif op == "vacuum":
+            table.vacuum(keep_last=1, min_age_seconds=0)
+        check()
