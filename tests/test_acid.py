@@ -611,3 +611,26 @@ def test_meta_max_random_interleaving_matches_model(spark, table):
         elif op == "vacuum":
             table.vacuum(keep_last=1, min_age_seconds=0)
         check()
+
+
+def test_multi_bloom_columns_one_commit(spark, table):
+    """Two bloom columns + stats in ONE commit (single fused metadata
+    scan): each column's bitmap prunes independently, row counts stay
+    exact despite the explode fan-out, and pruned reads stay exact."""
+    df = spark.createDataFrame(
+        [(i, i * 7, 1000 - i, f"r{i}") for i in range(120)],
+        "k int, uid int, other int, v string",
+    ).repartitionByRange(6, "k")
+    table.commit(df, stats_cols=["k"], bloom_cols=["uid", "other"])
+    # exact metadata-only row counts survived the fan-out division
+    assert table.count() == 120
+    rep = {r["file"]: r["n_rows"] for r in table.file_report().collect()}
+    assert sum(rep.values()) == 120 and all(v > 0 for v in rep.values())
+    # both columns prune independently and exactly
+    got_uid = sorted(r["k"] for r in table.read_bloom_pruned("uid", [7, 77 * 7]).collect())
+    assert got_uid == [1, 77]
+    got_other = sorted(r["k"] for r in table.read_bloom_pruned("other", [1000]).collect())
+    assert got_other == [0]
+    assert len(table.read_bloom_pruned("uid", [7]).inputFiles()) < 6
+    # min/max stats recorded in the same scan still prune
+    assert len(table.read_pruned("k", 0, 10).inputFiles()) < 6

@@ -243,91 +243,111 @@ class ManifestTable:
         row counts and byte sizes (always).
 
         ``stats_cols`` requests per-FILE min/max for those columns,
-        computed in one pass over the staged files (a column-pruned scan
-        grouped by file name) and stored in the manifest for
-        :meth:`read_pruned` data skipping — the Iceberg/Delta file-stats
-        idea in its minimal form.  ``bloom_cols`` additionally records a
+        stored in the manifest for :meth:`read_pruned` data skipping —
+        the Iceberg/Delta file-stats idea in its minimal form.  Row
+        counts, stats, and blooms are all computed by ONE column-pruned
+        scan of the staged files grouped by file name (not one job per
+        metadata kind).  ``bloom_cols`` additionally records a
         per-(file, column) Bloom bitmap (``_BLOOM_BITS`` bits,
         ``_BLOOM_HASHES`` seeded xxhash64 probes) for
         :meth:`read_bloom_pruned` point-lookup skipping — min/max ranges
         cannot prune equality probes on high-cardinality keys whose
         values span every file (Parquet column-index blooms / Iceberg
         bloom stats are the public references)."""
+        from pyspark.sql import functions as F
+
         fs, jvm = _fs(self.spark, self.path)
         commit_id = uuid.uuid4().hex
         staging = posixpath.join(self.path, _DATA_DIR, f"_stage_{commit_id}")
         df.write.mode("overwrite").parquet(staging)
-        stats: dict = {}
-        if stats_cols:
-            from pyspark.sql import functions as F
+        # ------------------------------------------------------------------
+        # ONE metadata scan over the staged files computes everything the
+        # manifest records: per-file row counts (always — Delta numRecords
+        # parity, enabling metadata-only COUNT(*)), min/max stats, and
+        # Bloom bitmaps.  With bloom columns the scan explodes each row
+        # into exactly k probe positions per column ((column, position)
+        # structs): min/max are invariant under the row multiplication,
+        # and the exact row count falls out of the constant fan-out by
+        # integer division.  xxhash64 is total (NULL hashes to a value),
+        # so the fan-out never wavers.  Aggregation state per file is
+        # bounded by the bitmap size (collect_set ≤ m bits per column),
+        # not by row count.
+        # ------------------------------------------------------------------
+        stats_cols = list(stats_cols or [])
+        bloom_cols = list(bloom_cols or [])
+        staged = self.spark.read.parquet(staging).withColumn(
+            "_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        stat_aggs = []
+        for c in stats_cols:
+            stat_aggs += [
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            ]
+        if bloom_cols:
+            fan = _BLOOM_HASHES * len(bloom_cols)
 
-            aggs = []
-            for c in stats_cols:
-                aggs += [
-                    F.min(c).alias(f"min_{c}"),
-                    F.max(c).alias(f"max_{c}"),
-                ]
+            # A one-parameter callable is required: F.transform inspects
+            # arity, and a second (defaulted) parameter would receive
+            # the ARRAY INDEX, not the default.
+            def _tag(col_name: str):
+                return lambda p: F.struct(
+                    F.lit(col_name).alias("c"), p.alias("p")
+                )
+
+            per_col = [
+                F.transform(
+                    _bloom_positions(F.col(c), _BLOOM_BITS, _BLOOM_HASHES),
+                    _tag(c),
+                )
+                for c in bloom_cols
+            ]
             rows = (
-                self.spark.read.parquet(staging)
-                .withColumn(
+                staged.select(
                     "_file",
-                    F.element_at(
-                        F.split(F.input_file_name(), "/"), -1
-                    ),
+                    *stats_cols,
+                    F.explode(F.flatten(F.array(*per_col))).alias("_cp"),
                 )
                 .groupBy("_file")
-                .agg(*aggs)
+                .agg(
+                    F.expr(f"count(1) DIV {fan}").alias("_n"),
+                    F.collect_set("_cp").alias("_ps"),
+                    *stat_aggs,
+                )
                 .collect()
             )
-            for r in rows:
+        else:
+            rows = (
+                staged.groupBy("_file")
+                .agg(F.count(F.lit(1)).alias("_n"), *stat_aggs)
+                .collect()
+            )
+        stats: dict = {}
+        bloom: dict = {}
+        row_counts: dict = {}
+        for r in rows:
+            row_counts[r["_file"]] = r["_n"]
+            if stats_cols:
                 stats[r["_file"]] = {
                     c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
                     for c in stats_cols
                 }
-        bloom: dict = {}
-        if bloom_cols:
-            from pyspark.sql import functions as F
-
-            staged = self.spark.read.parquet(staging).withColumn(
-                "_file",
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-            )
-            for c in bloom_cols:
-                pos_rows = (
-                    staged.select(
-                        "_file",
-                        F.explode(
-                            _bloom_positions(F.col(c), _BLOOM_BITS, _BLOOM_HASHES)
-                        ).alias("_p"),
-                    )
-                    .groupBy("_file")
-                    .agg(F.collect_set("_p").alias("ps"))
-                    .collect()
-                )
-                for r in pos_rows:
-                    bitmap = bytearray(_BLOOM_BITS // 8)
-                    for p in r["ps"]:
-                        bitmap[p >> 3] |= 1 << (p & 7)
-                    bloom.setdefault(r["_file"], {})[c] = {
+            if bloom_cols:
+                bitmaps = {
+                    c: bytearray(_BLOOM_BITS // 8) for c in bloom_cols
+                }
+                for cp in r["_ps"]:
+                    p = cp["p"]
+                    bitmaps[cp["c"]][p >> 3] |= 1 << (p & 7)
+                bloom[r["_file"]] = {
+                    c: {
                         "m": _BLOOM_BITS,
                         "k": _BLOOM_HASHES,
-                        "b64": base64.b64encode(bytes(bitmap)).decode("ascii"),
+                        "b64": base64.b64encode(bytes(bm)).decode("ascii"),
                     }
-        # Per-file row counts (Delta numRecords parity): one count
-        # aggregate over the staged files — parquet counts resolve from
-        # row-group metadata, so this is footer-read cheap.  Enables
-        # metadata-only COUNT(*) (:meth:`count`) and row-count history.
-        from pyspark.sql import functions as F
-
-        row_counts = {
-            r["_file"]: r["n"]
-            for r in self.spark.read.parquet(staging)
-            .groupBy(
-                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_file")
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+                    for c, bm in bitmaps.items()
+                }
         names = []
         files_meta: dict = {}
         data_root = posixpath.join(self.path, _DATA_DIR)
@@ -353,7 +373,13 @@ class ManifestTable:
         bloom = {f"{commit_id}-{k}": v for k, v in bloom.items()}
         return names, stats, bloom, files_meta
 
-    def _next_meta_max(self, version: int, meta: dict | None) -> dict:
+    def _next_meta_max(
+        self,
+        version: int,
+        meta: dict | None,
+        prior_versions: list[int] | None = None,
+        parent_manifest: dict | None = None,
+    ) -> dict:
         """Cumulative per-key maximum of every integer ``meta`` value
         ever committed, carried forward manifest-to-manifest so the
         replay fence (:meth:`max_meta_int`) is one manifest read instead
@@ -364,11 +390,22 @@ class ManifestTable:
         :meth:`vacuum` can expire every older manifest without losing
         the fence.  Tables written before this field existed are
         self-upgrading: the first new commit reconstructs the running
-        max by scanning the surviving manifests once."""
+        max by scanning the surviving manifests once.
+
+        ``prior_versions`` / ``parent_manifest`` let callers that
+        already hold the version list or the parent's manifest (every
+        append does) avoid re-fetching them."""
         mm: dict = {}
-        prior = [v for v in self.versions() if v < version]
+        if prior_versions is None:
+            prior_versions = self.versions()
+        prior = [v for v in prior_versions if v < version]
         if prior:
-            parent = self._read_manifest(prior[-1])
+            parent = (
+                parent_manifest
+                if parent_manifest is not None
+                and parent_manifest.get("version") == prior[-1]
+                else self._read_manifest(prior[-1])
+            )
             if "meta_max" in parent:
                 mm = dict(parent["meta_max"])
             else:
@@ -397,6 +434,8 @@ class ManifestTable:
         stats: dict | None = None,
         bloom: dict | None = None,
         files_meta: dict | None = None,
+        prior_versions: list[int] | None = None,
+        parent_manifest: dict | None = None,
     ) -> int:
         """Atomically publish ``files`` as ``version``; raise
         :class:`ConcurrentCommitError` if someone else won the race.
@@ -420,7 +459,9 @@ class ManifestTable:
                 "files": sorted(files),
                 "schema": schema_json,
                 "meta": meta or {},
-                "meta_max": self._next_meta_max(version, meta),
+                "meta_max": self._next_meta_max(
+                    version, meta, prior_versions, parent_manifest
+                ),
                 "stats": stats or {},
                 "bloom": bloom or {},
                 "files_meta": files_meta or {},
@@ -528,6 +569,7 @@ class ManifestTable:
             df, stats_cols, bloom_cols
         )
         files = list(new_files)
+        prev = None
         if mode == "append" and vs:
             prev = self._read_manifest(vs[-1])
             files += prev["files"]
@@ -542,6 +584,8 @@ class ManifestTable:
             stats=stats,
             bloom=bloom,
             files_meta=files_meta,
+            prior_versions=vs,
+            parent_manifest=prev,
         )
 
     def read_pruned(self, col: str, lo, hi, more: list[tuple] | None = None) -> DataFrame:
@@ -953,6 +997,8 @@ class ManifestTable:
             stats=m.get("stats", {}),
             bloom=m.get("bloom", {}),
             files_meta=m.get("files_meta", {}),
+            prior_versions=vs,
+            parent_manifest=m if version == vs[-1] else None,
         )
 
     def maybe_compact(
