@@ -486,16 +486,29 @@ def test_rename_error_discrimination():
             ),
         )
     )
-    # message fallback (raw local FS)
+    # message fallback (raw local FS): only when the message names the
+    # DEST manifest being published
     assert _is_dest_exists_error(
-        Exception("rename destination /t/_manifests/v1.json already exists")
+        Exception("rename destination /t/_manifests/v1.json already exists"),
+        "/t/_manifests/v1.json",
+    )
+    # "already exists" about some OTHER path (sidecar .crc from a
+    # crashed attempt, staging dir) is NOT a race
+    assert not _is_dest_exists_error(
+        Exception("/t/_manifests/.v1.json.crc already exists"),
+        "/t/_manifests/v1.json",
     )
     # real IO failures are NOT races
     assert not _is_dest_exists_error(
-        _Py4JErr("x", _JExc("java.io.FileNotFoundException"))
+        _Py4JErr("x", _JExc("java.io.FileNotFoundException")),
+        "/t/_manifests/v1.json",
     )
-    assert not _is_dest_exists_error(Exception("Permission denied: /t/_manifests"))
-    assert not _is_dest_exists_error(Exception("Mkdirs failed to create /t"))
+    assert not _is_dest_exists_error(
+        Exception("Permission denied: /t/_manifests"), "/t/_manifests/v1.json"
+    )
+    assert not _is_dest_exists_error(
+        Exception("Mkdirs failed to create /t"), "/t/_manifests/v1.json"
+    )
 
 
 def test_meta_max_fence_is_single_manifest_read(spark, table):
@@ -503,8 +516,6 @@ def test_meta_max_fence_is_single_manifest_read(spark, table):
     any interleaving (append, compact, restore, other metadata), the
     LATEST manifest alone holds the running max — max_meta_int needs no
     history scan and agrees with one."""
-    import json as _json
-
     table.commit(_df(spark, [(1, "a")]), meta={"cdc_batch_id": 3})
     table.commit(_df(spark, [(2, "b")]), mode="append")  # meta-less
     table.commit(_df(spark, [(3, "c")]), mode="append", meta={"other": 9})
@@ -570,6 +581,66 @@ def test_meta_max_legacy_table_self_upgrades(spark, table):
     latest = table._read_manifest(table.versions()[-1])
     assert latest["meta_max"]["batch_id"] == 6
     assert table.max_meta_int("batch_id") == 6
+
+
+def test_legacy_vacuum_preserves_fence(spark, table):
+    """Vacuuming a PRE-meta_max table before any new-code commit must
+    not destroy the fence: the fences live only in per-version meta of
+    manifests vacuum would expire, so vacuum self-upgrades first with a
+    metadata-only commit reconstructing the running max."""
+    import json as _json
+
+    table.commit(_df(spark, [(1, "a")]), meta={"cdc_batch_id": 7})
+    table.commit(_df(spark, [(2, "b")]), mode="append")
+    mdir = os.path.join(table.path, "_manifests")
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            p = os.path.join(mdir, name)
+            with open(p) as f:
+                m = _json.load(f)
+            m.pop("meta_max", None)
+            with open(p, "w") as f:
+                _json.dump(m, f)
+            crc = os.path.join(mdir, f".{name}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    # vacuum straight away — no new-code commit in between
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    assert table.max_meta_int("cdc_batch_id") == 7, (
+        "vacuum on a legacy table destroyed the replay fence"
+    )
+    latest = table._read_manifest(table.versions()[-1])
+    assert latest["meta_max"]["cdc_batch_id"] == 7
+    assert [r["k"] for r in table.read().orderBy("k").collect()] == [1, 2]
+
+
+def test_reset_fence_enables_intentional_replay(spark, table):
+    """reset_fence: the sanctioned escape hatch for intentional
+    reprocessing — clears ONE key (others survive), rewrites no data,
+    is recorded in history, and lower batch ids apply again after."""
+    table.commit(_df(spark, [(1, "a")]), meta={"cdc_batch_id": 7})
+    table.commit(
+        _df(spark, [(2, "b")]), mode="append", meta={"erasure_batch_id": 3}
+    )
+    assert table.max_meta_int("cdc_batch_id") == 7
+    v = table.reset_fence("cdc_batch_id")
+    assert v == table.versions()[-1]
+    # the reset key is cleared; the OTHER fence is untouched
+    assert table.max_meta_int("cdc_batch_id") == -1
+    assert table.max_meta_int("erasure_batch_id") == 3
+    # metadata-only: table contents identical, recorded in history
+    assert [r["k"] for r in table.read().orderBy("k").collect()] == [1, 2]
+    assert table.latest_meta() == {"fence_reset": "cdc_batch_id"}
+    # a rebuild whose batch ids restart at 0 now applies again
+    table.commit(
+        _df(spark, [(3, "c")]), mode="append", meta={"cdc_batch_id": 0}
+    )
+    assert table.max_meta_int("cdc_batch_id") == 0
+    # and the reset survives further unrelated commits + vacuum
+    table.compact()
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    assert table.max_meta_int("cdc_batch_id") == 0
+    assert table.max_meta_int("erasure_batch_id") == 3
 
 
 def test_meta_max_random_interleaving_matches_model(spark, table):

@@ -114,13 +114,19 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _is_dest_exists_error(e: Exception) -> bool:
+def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
     """True iff a ``FileContext.rename(…, Rename.NONE)`` failure means
     the DESTINATION already exists — i.e. another writer won the commit
     race.  Walks the Py4J Java cause chain for the known
     already-exists exception classes and falls back to the message text
     the raw local FS emits.  Everything else (transient IO, permissions,
-    missing parent) is a real IO failure, not a race."""
+    missing parent) is a real IO failure, not a race.
+
+    The message fallback additionally requires ``dest`` (the manifest
+    path being published) to appear in the text: a wrapped IO error
+    whose message happens to say "already exists" about some OTHER path
+    (a sidecar ``.crc`` from a crashed attempt, a staging dir) must not
+    be misread as a lost race, or retry loops re-run a doomed commit."""
     race_classes = (
         "org.apache.hadoop.fs.FileAlreadyExistsException",
         "org.apache.hadoop.fs.PathExistsException",
@@ -135,7 +141,9 @@ def _is_dest_exists_error(e: Exception) -> bool:
         except Exception:  # noqa: BLE001 — defensive: dead gateway
             break
     msg = str(e).lower()
-    return "already exists" in msg or "destination exists" in msg
+    if "already exists" not in msg and "destination exists" not in msg:
+        return False
+    return dest is None or dest.lower() in msg
 
 
 class ManifestTable:
@@ -193,7 +201,12 @@ class ManifestTable:
         v = vs[-1] if version is None else version
         if v not in vs:
             raise FileNotFoundError(f"version {v} not in {vs}")
-        m = self._read_manifest(v)
+        return self._df_from_manifest(self._read_manifest(v))
+
+    def _df_from_manifest(self, m: dict) -> DataFrame:
+        """The DataFrame a manifest describes (shared by :meth:`read`
+        and callers that already hold the manifest, e.g.
+        :meth:`compact` — one JSON fetch, not two)."""
         files = [posixpath.join(self.path, _DATA_DIR, f) for f in m["files"]]
         from pyspark.sql.types import StructType
 
@@ -379,6 +392,7 @@ class ManifestTable:
         meta: dict | None,
         prior_versions: list[int] | None = None,
         parent_manifest: dict | None = None,
+        reset_keys: set[str] | None = None,
     ) -> dict:
         """Cumulative per-key maximum of every integer ``meta`` value
         ever committed, carried forward manifest-to-manifest so the
@@ -391,6 +405,11 @@ class ManifestTable:
         the fence.  Tables written before this field existed are
         self-upgrading: the first new commit reconstructs the running
         max by scanning the surviving manifests once.
+
+        ``reset_keys`` drops those keys from the carried-forward parent
+        maximum BEFORE folding this commit's own ``meta`` — the one
+        deliberate non-monotone step, used only by :meth:`reset_fence`
+        for intentional reprocessing.
 
         ``prior_versions`` / ``parent_manifest`` let callers that
         already hold the version list or the parent's manifest (every
@@ -419,6 +438,8 @@ class ManifestTable:
                         if isinstance(val, int) and not isinstance(val, bool):
                             if k not in mm or val > mm[k]:
                                 mm[k] = val
+        for k in reset_keys or ():
+            mm.pop(k, None)
         for k, val in (meta or {}).items():
             if isinstance(val, int) and not isinstance(val, bool):
                 if k not in mm or val > mm[k]:
@@ -436,6 +457,7 @@ class ManifestTable:
         files_meta: dict | None = None,
         prior_versions: list[int] | None = None,
         parent_manifest: dict | None = None,
+        reset_keys: set[str] | None = None,
     ) -> int:
         """Atomically publish ``files`` as ``version``; raise
         :class:`ConcurrentCommitError` if someone else won the race.
@@ -460,7 +482,7 @@ class ManifestTable:
                 "schema": schema_json,
                 "meta": meta or {},
                 "meta_max": self._next_meta_max(
-                    version, meta, prior_versions, parent_manifest
+                    version, meta, prior_versions, parent_manifest, reset_keys
                 ),
                 "stats": stats or {},
                 "bloom": bloom or {},
@@ -501,7 +523,7 @@ class ManifestTable:
             # permissions, missing parent — must NOT masquerade as a
             # race, or retry loops re-run a doomed commit while bumping
             # versions instead of surfacing the real failure.
-            if _is_dest_exists_error(e):
+            if _is_dest_exists_error(e, self._manifest_path(version)):
                 raise ConcurrentCommitError(
                     f"version {version} was committed concurrently at "
                     f"{self.path}: {e}"
@@ -753,6 +775,44 @@ class ManifestTable:
                 out = b
         return out
 
+    def reset_fence(self, key: str) -> int:
+        """Explicitly clear the replay fence ``key`` with a
+        METADATA-ONLY commit (same files/schema/stats — zero data
+        rewritten) whose ``meta_max`` drops the key, so
+        :meth:`max_meta_int` returns −1 again.
+
+        The fence is deliberately PERMANENT otherwise: it survives
+        append/compact/erasure/:meth:`restore`/:meth:`vacuum` so an
+        accidental checkpoint replay can never re-apply a stale batch.
+        That same permanence means INTENTIONAL reprocessing — a
+        fresh-checkpoint backfill whose batch ids restart at 0, or a
+        restore-then-replay rebuild — would be silently swallowed by
+        the sink's idempotence check.  This is the one sanctioned
+        escape hatch: an explicit operator action, recorded in history
+        (``meta.fence_reset``), after which replays of lower-numbered
+        batches apply again.  Delta analogue: clearing
+        ``txnAppId``/``txnVersion`` by writing with a new appId.
+
+        Raises :class:`ConcurrentCommitError` if another writer commits
+        concurrently (safe to retry) and ``FileNotFoundError`` on an
+        uninitialized table."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        m = self._read_manifest(vs[-1])
+        return self._commit(
+            vs[-1] + 1,
+            m["files"],
+            m["schema"],
+            meta={"fence_reset": key},
+            stats=m.get("stats", {}),
+            bloom=m.get("bloom", {}),
+            files_meta=m.get("files_meta", {}),
+            prior_versions=vs,
+            parent_manifest=m,
+            reset_keys={key},
+        )
+
     def count(self, version: int | None = None) -> int:
         """METADATA-ONLY row count (Delta numRecords parity): summed
         from the manifest's per-file row counts, no data file opened.
@@ -960,7 +1020,7 @@ class ManifestTable:
             stats_cols = sorted({c for f in m.get("stats", {}).values() for c in f})
         if bloom_cols is None:
             bloom_cols = sorted({c for f in m.get("bloom", {}).values() for c in f})
-        df = self.read(version=base)
+        df = self._df_from_manifest(m)
         if sort_by:
             df = df.repartitionByRange(target_files, *sort_by)
         else:
@@ -1062,6 +1122,29 @@ class ManifestTable:
             min_age_seconds = self.DEFAULT_RETENTION_SECONDS
         cutoff_ms = (time.time() - min_age_seconds) * 1000.0
         vs = self.versions()
+        # Legacy-table fence preservation: if manifests are about to be
+        # expired and the latest one predates ``meta_max``, the replay
+        # fences live ONLY in the per-version ``meta`` of manifests this
+        # vacuum may delete.  Self-upgrade first with a metadata-only
+        # commit (its ``_next_meta_max`` legacy path reconstructs the
+        # running max from every still-surviving manifest), so the
+        # documented "fence survives vacuum" property holds
+        # unconditionally — not just for tables that already took one
+        # new-code commit.  A concurrent commit racing this upgrade
+        # raises ConcurrentCommitError; vacuum is safe to re-run.
+        m = self._read_manifest(vs[-1]) if len(vs) > keep_last else None
+        if m is not None and "meta_max" not in m:
+            self._commit(
+                vs[-1] + 1,
+                m["files"],
+                m["schema"],
+                meta={"upgrade": "meta_max"},
+                stats=m.get("stats", {}),
+                bloom=m.get("bloom", {}),
+                files_meta=m.get("files_meta", {}),
+                prior_versions=vs,
+            )
+            vs = self.versions()
         keep = set(vs[-keep_last:])
         referenced: set[str] = set()
         for v in keep:

@@ -151,7 +151,12 @@ def write_stream_to_manifest(
       rename and the checkpoint write (the classic foreachBatch
       double-apply window) cannot append the same batch twice.
 
-    A reader never observes a torn batch: commits are single renames.
+    The fence is PERMANENT (survives compaction, erasure, restore,
+    vacuum) — so an intentional rebuild with a fresh checkpoint, whose
+    batch ids restart at 0, must first call
+    ``table.reset_fence("batch_id")`` or its batches are silently
+    skipped as replays.  A reader never observes a torn batch: commits
+    are single renames.
     """
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -203,7 +208,9 @@ def write_stream_cdc_apply(
     letting a checkpoint replay re-apply a stale CDC batch on top of
     newer table state (stale upserts resurrecting old values, deletes
     re-firing) — same hazard and same fix as the erasure sink's
-    ``_max_erasure_batch``.
+    ``_max_erasure_batch``.  The fence is permanent by design;
+    intentional reprocessing from a fresh checkpoint requires
+    ``table.reset_fence("cdc_batch_id")`` first.
     """
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
