@@ -705,3 +705,25 @@ def test_multi_bloom_columns_one_commit(spark, table):
     assert len(table.read_bloom_pruned("uid", [7]).inputFiles()) < 6
     # min/max stats recorded in the same scan still prune
     assert len(table.read_pruned("k", 0, 10).inputFiles()) < 6
+
+
+def test_decimal_stats_commit_and_pruning(spark, table):
+    """stats_cols on a DECIMAL column: the commit must serialize the
+    Decimal min/max (not crash json.dumps), and read_pruned must compare
+    the stored text NUMERICALLY — lexicographic '9.50' vs '10.20' would
+    mis-prune."""
+    from decimal import Decimal
+
+    rows = [(i, Decimal(s)) for i, s in enumerate(["9.50", "10.20", "100.75"])]
+    df = spark.createDataFrame(
+        rows, "k int, amount decimal(10,2)"
+    ).repartitionByRange(3, "amount")
+    table.commit(df, stats_cols=["amount"])
+    got = table.read_pruned("amount", Decimal("10.00"), Decimal("50.00"))
+    assert [str(r["amount"]) for r in got.collect()] == ["10.20"]
+    # numeric compare across the string boundary: the [9.50] file is
+    # below the range ('9.50' > '10.00' LEXICOGRAPHICALLY, which would
+    # keep it) and the [100.75] file is above it ('100.75' < '50.00'
+    # lexicographically) — both must be pruned
+    assert len(got.inputFiles()) == 1
+    assert len(table.read().inputFiles()) == 3

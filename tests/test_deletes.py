@@ -117,3 +117,32 @@ def test_idempotent_redelivery(spark, tmp_path):
     )
     assert audit2.count() == 0
     assert spark.read.parquet(path).count() == 4
+
+
+def test_emptied_partition_cleanup_with_escaped_dir_names(spark, tmp_path):
+    """Partition values Spark %XX-escapes on disk ('a:b' → 'a%3Ab'): the
+    emptied-partition cleanup must delete the REAL directory, not a
+    path built from the raw value (which does not exist — fs.delete
+    would no-op silently and the 'erased' rows would stay readable)."""
+    path = os.path.join(tmp_path, "t")
+    spark.createDataFrame(
+        [(1, 7, "x:1"), (2, 7, "x:2"), (3, 8, "x:2")],
+        "row_id int, user_id int, part string",
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+    # on-disk form is escaped
+    assert any(":" not in d and "x%3A1" in d for d in os.listdir(path)), (
+        "precondition: Spark escapes ':' in partition dirs"
+    )
+
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    # partition x:1 was fully emptied: its directory must be GONE
+    assert not any("x%3A1" in d for d in os.listdir(path)), (
+        "escaped emptied-partition directory survived the cleanup"
+    )
+    left = spark.read.parquet(path)
+    assert [(r["row_id"], r["part"]) for r in left.orderBy("row_id").collect()] == [
+        (3, "x:2")
+    ]

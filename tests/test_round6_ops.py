@@ -215,3 +215,25 @@ def test_global_prefix_sum_matches_serial(spark, n, parts, seed):
         acc += v
         want[k] = acc
     assert got == want
+
+
+def test_global_prefix_sum_exact_for_decimals(spark):
+    """Decimal inputs must accumulate EXACTLY across partition offsets:
+    int() truncation of a Decimal offset would silently shave the
+    fractional part off every later partition's prefix sums."""
+    from decimal import Decimal
+
+    from unicargo_medallion_data_pipeline_spark.operators.ranks import (
+        global_prefix_sum,
+    )
+
+    rows = [(i, Decimal(f"{i % 7}.{i % 100:02d}")) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v decimal(10,2)").repartition(5)
+    got = {
+        r.k: r.prefix_sum
+        for r in global_prefix_sum(df, ["k"], "v", num_partitions=8).collect()
+    }
+    acc = Decimal(0)
+    for k, v in sorted(rows):
+        acc += v
+        assert got[k] == acc, f"prefix sum diverged at k={k}: {got[k]} != {acc}"

@@ -61,6 +61,41 @@ def test_stream_commits_append_exactly_once(spark, dirs):
     assert sorted(r["k"] for r in prev.collect()) == [1, 2]
 
 
+def test_overwrite_mode_keeps_unchanged_groups(spark, dirs):
+    """mode='overwrite' must pair with COMPLETE output mode: a batch
+    touching only one group still commits the full aggregate state —
+    update mode would emit only the changed group and the overwrite
+    would silently drop every other group from the table."""
+    schema = "k int, v string"
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], schema
+    ).write.mode("append").parquet(dirs["src"])
+    table = ManifestTable(spark, os.path.join(dirs["tbl"], "t"))
+
+    def run():
+        counts = (
+            read_streaming_path(spark, dirs["src"], schema=schema)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_stream_to_manifest(
+            counts,
+            table,
+            checkpoint=dirs["ckpt"],
+            mode="overwrite",
+            await_termination=True,
+        )
+
+    run()
+    assert {(r["k"], r["n"]) for r in table.read().collect()} == {(1, 2), (2, 1)}
+    # new data for group 1 ONLY: group 2 must survive the overwrite
+    spark.createDataFrame([(1, "d")], schema).write.mode("append").parquet(
+        dirs["src"]
+    )
+    run()
+    assert {(r["k"], r["n"]) for r in table.read().collect()} == {(1, 3), (2, 1)}
+
+
 def test_batch_id_fence_blocks_double_apply(spark, dirs):
     """Even with a FRESH checkpoint (simulating the crash-after-commit /
     before-checkpoint window), a batch id ≤ the recorded one is not

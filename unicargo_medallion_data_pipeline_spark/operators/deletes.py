@@ -183,6 +183,12 @@ def propagate_deletes(
         )
         # Emptied partitions are absent from the staged data, so dynamic
         # overwrite left their old files alive: drop the directories.
+        # The on-disk names carry Hive/Spark %XX escaping (and the null
+        # sentinel), so NEVER construct them from the raw value — a
+        # value containing ':' or ' ' would target a path that does not
+        # exist, fs.delete would no-op silently, and the "erased" rows
+        # would stay readable while the audit claimed zero.  Instead
+        # list the real directories and match their UNESCAPED values.
         after_counts = {
             str(r[0]): r["count"]
             for r in staged.groupBy(partition_col).count().collect()
@@ -190,12 +196,25 @@ def propagate_deletes(
         emptied = {
             str(part) for part in parts if after_counts.get(str(part), 0) == 0
         }
-        for part in parts:
-            if str(part) in emptied:
-                remove_path(
-                    spark,
-                    posixpath.join(target_path, f"{partition_col}={part}"),
-                )
+        if emptied:
+            from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+                _parse_partition_dir,
+            )
+
+            jvm = spark._jvm
+            hroot = jvm.org.apache.hadoop.fs.Path(target_path)
+            fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+            for st in fs.listStatus(hroot):
+                name = st.getPath().getName()
+                if not st.isDirectory() or "=" not in name:
+                    continue
+                col, val = _parse_partition_dir(name)[0]
+                if col != partition_col:
+                    continue
+                if ("None" if val is None else val) in emptied:
+                    remove_path(
+                        spark, posixpath.join(target_path, name)
+                    )
         if emptied == all_parts:
             # Every partition of the table was erased: leave a readable
             # zero-row table (schema footer, partition column inlined)

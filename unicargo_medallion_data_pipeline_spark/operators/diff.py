@@ -62,17 +62,35 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"columns missing from one side: {missing}")
 
+    # The join must be NULL-SAFE on the keys: a plain equi-join never
+    # matches a NULL key, so an identical NULL-keyed row present in both
+    # snapshots would be double-reported as added AND removed (firing
+    # "removed > 0.1%" gates spuriously).  eqNullSafe join keys still
+    # plan as a hash-partitioned sort-merge join.
     o = old.select(
-        *[F.col(k).alias(k) for k in keys],
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
         *[F.col(c).alias(f"{c}_old") for c in compare_cols],
         F.lit(True).alias("_in_old"),
     )
     n = new.select(
-        *[F.col(k).alias(k) for k in keys],
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
         *[F.col(c).alias(f"{c}_new") for c in compare_cols],
         F.lit(True).alias("_in_new"),
     )
-    joined = o.join(n, on=keys, how="full_outer")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}")) for k in keys],
+    )
+    joined = o.join(n, on=cond, how="full_outer").select(
+        *[
+            F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+            for k in keys
+        ],
+        *[F.col(f"{c}_old") for c in compare_cols],
+        F.col("_in_old"),
+        *[F.col(f"{c}_new") for c in compare_cols],
+        F.col("_in_new"),
+    )
 
     if compare_cols:
         all_equal: Column = reduce(

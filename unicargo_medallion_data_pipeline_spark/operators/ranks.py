@@ -154,9 +154,14 @@ def global_prefix_sum(
     for r in per_pid:
         offsets[r["_pid"]] = acc
         acc += r["_psum"] or 0
+    # Offsets ride as STRINGS and are cast to the exact Spark sum type
+    # of val_col: int(...) here would silently truncate the Decimal
+    # offsets the docstring promises exactness for (Python Decimal
+    # accumulation above is itself exact).
+    sum_type = ranged.select(F.sum(val_col).alias("_s")).schema["_s"].dataType
     offset_df = df.sparkSession.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset bigint"
-    )
+        [(int(p), str(o)) for p, o in offsets.items()], "_pid int, _offset string"
+    ).withColumn("_offset", F.col("_offset").cast(sum_type))
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_by)

@@ -61,9 +61,18 @@ def kmv_bottom_k(
     distinct ``id_col`` values — the sketch rows.  Deterministic: ties
     on the hash break on the id.  One dedup exchange + one window over
     grain-sized partitions; output is ≤ |grains|·k rows.
+
+    NULL ids are EXCLUDED (COUNT DISTINCT semantics, same as
+    :func:`bitmap_grain`): ``kmv_hash(NULL)`` is NULL, which the
+    ascending window sorts FIRST — a null would occupy a bottom-k slot,
+    off-by-one the unsaturated count, and displace a real k-th hash in
+    the saturated estimator.
     """
-    ids = df.select(*key_cols, id_col).distinct().withColumn(
-        hash_col, kmv_hash(F.col(id_col))
+    ids = (
+        df.select(*key_cols, id_col)
+        .filter(F.col(id_col).isNotNull())
+        .distinct()
+        .withColumn(hash_col, kmv_hash(F.col(id_col)))
     )
     w = Window.partitionBy(*key_cols).orderBy(hash_col, id_col)
     return (

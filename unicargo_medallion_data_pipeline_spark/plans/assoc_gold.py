@@ -566,6 +566,7 @@ _KMV_SQL_HASH = (
     sql=f"""
     WITH u AS (
       SELECT DISTINCT event_type, user_id, {_KMV_SQL_HASH} AS h FROM events
+      WHERE user_id IS NOT NULL
     ),
     sk AS (
       SELECT event_type, user_id, h,
@@ -651,6 +652,8 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())  # COUNT DISTINCT semantics;
+        # a NULL hash would sort FIRST and corrupt a bottom-k slot
         .distinct()
         .withColumn("h", _kmv_hash(F.col("user_id")))
     )
@@ -718,6 +721,7 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
              {_KMV_SQL_HASH} AS h
       FROM events
+      WHERE user_id IS NOT NULL
     ),
     sk AS (
       SELECT day, user_id, h FROM (

@@ -84,25 +84,44 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def _json_safe(v):
-    """Manifest stats values must be JSON: dates/timestamps → ISO text
-    (comparisons on read re-parse through the column's type)."""
+    """Manifest stats values must be JSON: dates/timestamps → ISO text,
+    decimals → exact decimal text (comparisons on read re-parse —
+    casting a Decimal to float here could round a min UP or a max DOWN
+    and wrongly exclude a file from a pruned read)."""
     import datetime as _dt
+    from decimal import Decimal
 
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
     return v
 
 
 def _cmp_lt(a, b) -> bool:
     """Compare a pruning bound against a stored stat.  Dates/timestamps
     normalize to ISO text, whose lexicographic order equals temporal
-    order; mixed presence of a string forces text comparison."""
+    order.  A number against a string (how decimal stats come back from
+    JSON) compares NUMERICALLY via exact Decimal when both sides parse —
+    lexicographic '9.5' > '10.2' would mis-prune; only genuinely
+    non-numeric text (ISO dates, plain strings) falls back to text
+    comparison."""
     import datetime as _dt
+    from decimal import Decimal, InvalidOperation
 
     if isinstance(a, (_dt.datetime, _dt.date)):
         a = a.isoformat()
     if isinstance(b, (_dt.datetime, _dt.date)):
         b = b.isoformat()
+    if (
+        isinstance(a, Decimal)
+        or isinstance(b, Decimal)
+        or isinstance(a, str) != isinstance(b, str)
+    ):
+        try:
+            return Decimal(str(a)) < Decimal(str(b))
+        except InvalidOperation:
+            pass
     if isinstance(a, str) or isinstance(b, str):
         return str(a) < str(b)
     return a < b
@@ -934,13 +953,21 @@ class ManifestTable:
 
     # ------------------------------------------------------ mutations
 
+    def _latest_version(self) -> int:
+        """Latest committed version; FileNotFoundError (never a bare
+        IndexError) on an uninitialized table, matching :meth:`read`."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed version at {self.path}")
+        return vs[-1]
+
     def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """Copy-on-write MERGE: latest state anti-joined on ``keys``,
         unioned with ``updates``, committed as one new version — the
         whole upsert is visible atomically (no dynamic-overwrite swap
         window).  Updates win on key collision.  Pinned to the version
         read, so a concurrent commit conflicts instead of being lost."""
-        base = self.versions()[-1]
+        base = self._latest_version()
         current = self.read(version=base)
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
@@ -951,7 +978,7 @@ class ManifestTable:
     def delete_keys(self, delete_keys: DataFrame, keys: list[str]) -> int:
         """Copy-on-write DELETE: survivors committed as one version
         (base-pinned, same as merge)."""
-        base = self.versions()[-1]
+        base = self._latest_version()
         current = self.read(version=base)
         survivors = current.join(
             delete_keys.select(*keys).distinct(), keys, "left_anti"
@@ -972,7 +999,7 @@ class ManifestTable:
         """
         last: ConcurrentCommitError | None = None
         for _ in range(max_attempts):
-            base = self.versions()[-1]
+            base = self._latest_version()
             current = self.read(version=base)
             try:
                 return self.commit(
@@ -1112,8 +1139,13 @@ class ManifestTable:
         discriminator).  Stale ``_stage_*`` directories from crashed
         writers are removed under the same age rule.  Returns the names
         of removed data files/directories.  Time travel reaches only
-        surviving versions afterwards.  Tests pass
-        ``min_age_seconds=0`` to vacuum deterministically."""
+        surviving versions afterwards — and so does any PER-VERSION
+        metadata history (``history()``, CDF, the erasure sink's
+        ``erasure_audit_frame``): export what compliance needs to a
+        durable log table BEFORE vacuuming.  Replay fences survive
+        regardless (``meta_max``; legacy tables are self-upgraded
+        below).  Tests pass ``min_age_seconds=0`` to vacuum
+        deterministically."""
         import time
 
         if keep_last < 1:

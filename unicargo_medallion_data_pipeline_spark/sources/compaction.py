@@ -45,9 +45,13 @@ def partition_file_census(
         st = it.next()
         full = st.getPath().toString()
         rel = full[len(root) :].lstrip("/")
-        base = posixpath.basename(rel)
-        if base.startswith("_") or base.startswith("."):
-            continue  # _SUCCESS, hidden/staging files
+        # Skip hidden/staging names at ANY depth, not just the basename:
+        # a concurrent writer's task files live under non-hidden
+        # basenames inside `_temporary/...`, and counting them would
+        # fabricate a bogus `_temporary` "partition" whose column filter
+        # then aborts the whole compaction run.
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue  # _SUCCESS, _temporary/*, hidden/staging files
         part_dir = posixpath.dirname(rel)
         b, n = out.get(part_dir, (0, 0))
         out[part_dir] = (b + st.getLen(), n + 1)

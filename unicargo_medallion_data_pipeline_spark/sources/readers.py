@@ -228,7 +228,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # EXACT ns→µs floor: `/` is double division, whose bigint
+            # cast rounds modern epoch-nanos (~1.7e18, ULP 256 ns) onto
+            # the wrong microsecond near 1000 ns boundaries.  Subtract
+            # pmod first so the integer `div` is exact for any sign
+            # (pre-1970 included) — matching DuckDB's native ns→µs
+            # truncation on the same parquet bit-for-bit.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) div 1000").cast("long")
+                ),
+            )
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df

@@ -187,7 +187,15 @@ def _max_erasure_batch(table) -> int:
 
 def erasure_audit_frame(spark, table) -> DataFrame:
     """The exactly-once audit: one row per (version, batch, key, count),
-    reconstructed from manifest metadata."""
+    reconstructed from manifest metadata.
+
+    RETENTION: the audit lives in per-version manifests, so
+    ``ManifestTable.vacuum`` expiring a version deletes its audit rows
+    too (the replay FENCE survives via ``meta_max``; the per-batch
+    history does not).  A compliance archive must therefore EXPORT this
+    frame to a durable log table before vacuuming — the same contract
+    as Delta, where ``VACUUM``/log retention bounds how far back the
+    history/CDF audit reaches."""
     rows = []
     for v in table.versions():
         m = table._read_manifest(v).get("meta", {})

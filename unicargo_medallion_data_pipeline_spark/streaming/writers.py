@@ -157,6 +157,13 @@ def write_stream_to_manifest(
     ``table.reset_fence("batch_id")`` or its batches are silently
     skipped as replays.  A reader never observes a torn batch: commits
     are single renames.
+
+    ``mode="overwrite"`` pairs with ``outputMode("complete")``: each
+    batch then carries the FULL result (aggregated streams only — Spark
+    rejects complete mode otherwise) and the commit replaces the table
+    with it.  Update mode would be WRONG here: it emits only the groups
+    the batch changed, so an overwrite commit would silently drop every
+    unchanged group from the table.
     """
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -169,7 +176,7 @@ def write_stream_to_manifest(
     writer = (
         df.writeStream.foreachBatch(_commit_batch)
         .option("checkpointLocation", checkpoint)
-        .outputMode("update" if mode == "overwrite" else "append")
+        .outputMode("complete" if mode == "overwrite" else "append")
     )
     writer = _apply_trigger(writer, trigger)
     query = writer.start()
