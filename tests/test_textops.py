@@ -177,6 +177,7 @@ def test_pii_redaction_planted(spark):
             (3, "call +1 (555) 123-4567 now"),
             (4, "nothing sensitive here at all"),
             (5, "mixed: a@b.org then 987-65-4321 then 555-867-5309"),
+            (6, "released on 2015-01-01, buy 1 000 000 000 of v10.2.3.4567"),
         ],
         ["id", "text"],
     )
@@ -202,6 +203,11 @@ def test_pii_redaction_planted(spark):
     assert rows[5]["em"] == 1 and rows[5]["ss"] == 1
     assert "<EMAIL>" in rows[5]["red"] and "<SSN>" in rows[5]["red"]
     assert "<PHONE>" in rows[5]["red"]
+    # dates, spaced thousands, and dotted versions are NOT phones — the
+    # naive digit-run pattern redacted every ISO date in a corpus
+    assert rows[6]["ph"] == 0 and rows[6]["red"] == (
+        "released on 2015-01-01, buy 1 000 000 000 of v10.2.3.4567"
+    )
 
 
 def test_repetition_signals_detect_degenerate_doc(spark):

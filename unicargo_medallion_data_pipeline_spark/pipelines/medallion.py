@@ -71,9 +71,19 @@ def run_bronze(
         if quarantine:
             good, bad = read_csv_with_quarantine(spark, path, schemas[entity])
             # Row conservation: every raw data line is either typed or
-            # quarantined.  Raw line count excludes one header per file.
-            raw = spark.read.text(path)
-            n_raw = raw.count() - len(raw.inputFiles())
+            # quarantined.  "Raw data lines" = NON-EMPTY lines minus one
+            # header per file that has any lines: the CSV parser skips
+            # blank lines entirely (so counting them would make this
+            # gate falsely abort a lossless ingest over a trailing
+            # newline), and a zero-byte file contributes no header.
+            per_file = (
+                spark.read.text(path)
+                .filter(F.length("value") > 0)
+                .groupBy(F.input_file_name())
+                .count()
+                .collect()
+            )
+            n_raw = sum(max(int(r["count"]) - 1, 0) for r in per_file)
             n_good, n_bad = good.count(), bad.count()
             if n_good + n_bad != n_raw:
                 raise ValueError(

@@ -149,7 +149,11 @@ def _run_entity_chain(
         if failed:
             statuses.append((task.name, "SKIPPED"))
             continue
-        started = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        # Keep the tzinfo: a NAIVE utc datetime stored into TimestampType
+        # is re-interpreted in the SESSION zone, shifting started_at by
+        # the TZ offset (and log_date across midnight) on any non-UTC
+        # cluster; Spark converts an AWARE datetime correctly.
+        started = dt.datetime.now(dt.timezone.utc)
         t0 = time.perf_counter()
         try:
             last_df = task.fn(last_df)

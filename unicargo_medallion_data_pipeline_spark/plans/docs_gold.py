@@ -29,7 +29,10 @@ def _sql_list(words) -> str:
 _SW = _sql_list(ta.STOPWORDS_EN)
 _NSW = f"len(list_filter({_TOKS}, x -> list_contains({_SW}, x)))"
 _NPUNCT = "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-_CJK = "(length(text) - length(regexp_replace(text, '[^一-鿿]', '', 'g')))"
+# kept-CJK length (the replace removes non-CJK); length(text) MINUS
+# this would be the non-CJK count — the inversion that once tagged
+# every ASCII doc 'zh'
+_CJK = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
 
 
 def _marker_sql(lang: str) -> str:
@@ -93,9 +96,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id, n_tokens, n_stopwords, n_punct,
       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-      CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+      CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS punct_ratio,
       0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-        + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+        + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0))
         + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality_score
     FROM raw
     """,
@@ -113,7 +116,10 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
     )
     n_tok = F.col("n_tokens").cast("double")
-    n_chars = F.col("n_chars").cast("double")
+    # greatest(…, 1): an empty doc has n_chars=0 and would ANSI-crash
+    # the division (punct is 0 there, so the ratio stays exactly 0) —
+    # mirrored in the oracle SQL above
+    n_chars = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
     sw_ratio = F.col("n_stopwords").cast("double") / n_tok
     punct_ratio = F.col("n_punct").cast("double") / n_chars
     return raw.select(
@@ -314,7 +320,7 @@ def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT doc_id, lang,
         0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-          + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+          + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0))
           + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
           AS quality_score
       FROM raw

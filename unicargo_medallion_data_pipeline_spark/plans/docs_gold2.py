@@ -243,7 +243,7 @@ _MAX_TOP_TOKEN_FRAC = 0.15
 
 _QUALITY_SQL = (
     "0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)"
-    " + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+    " + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0))"
     " + 0.3 * (CAST(n_sw AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
 )
 
@@ -411,7 +411,7 @@ def corpus_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         lang,
         CASE
-          WHEN (length(text) - length(regexp_replace(text, '[^一-鿿]', '', 'g'))) > 0
+          WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0
             THEN 'zh'
           WHEN {_marker('en')} >= {_marker('de')} AND {_marker('en')} >= {_marker('fr')}
                AND {_marker('en')} >= {_marker('es')} THEN 'en'

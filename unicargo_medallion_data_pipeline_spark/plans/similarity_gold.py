@@ -597,7 +597,7 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality AS (
       SELECT doc_id,
              0.4 * least(1.0, CAST({_Q_NTOK} AS DOUBLE) / 100.0)
-               + 0.3 * (1.0 - CAST({_Q_NPUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE))
+               + 0.3 * (1.0 - CAST({_Q_NPUNCT} AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
                + 0.3 * (CAST({_Q_NSW} AS DOUBLE) / CAST({_Q_NTOK} AS DOUBLE))
                AS quality_score
       FROM documents

@@ -47,9 +47,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("a_id"), sim.quantized(F.col("embedding")).alias("a_q"))
     b = e.select(F.col("vec_id").alias("b_id"), sim.quantized(F.col("embedding")).alias("b_q"))
     pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
-    cos = sim.dot_q(F.col("a_q"), F.col("b_q")).cast("double") / (
+    cos = F.try_divide(  # NULL on a zero-norm vector (= DuckDB x/0.0)
+        sim.dot_q(F.col("a_q"), F.col("b_q")).cast("double"),
         F.sqrt(sim.dot_q(F.col("a_q"), F.col("a_q")).cast("double"))
-        * F.sqrt(sim.dot_q(F.col("b_q"), F.col("b_q")).cast("double"))
+        * F.sqrt(sim.dot_q(F.col("b_q"), F.col("b_q")).cast("double")),
     )
     return (
         pairs.select("a_id", "b_id", cos.alias("cosine_sim"))

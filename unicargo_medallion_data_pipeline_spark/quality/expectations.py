@@ -100,6 +100,17 @@ def run_suite(
     incident report).
     """
     spark = SparkSession.getActiveSession() or df.sparkSession
+    # Validate kinds UP FRONT: a misspelled kind would otherwise match no
+    # dispatch branch and surface only as a bare KeyError while the
+    # report is assembled — after every Spark job already ran — with no
+    # mention of which rule was bad.
+    known = ("not_null", "in_range", "accepted_values", "unique", "foreign_key")
+    for i, e in enumerate(suite):
+        if e.kind not in known:
+            raise ValueError(
+                f"unknown expectation kind {e.kind!r} at suite position {i} "
+                f"(target {e.target!r}); known kinds: {', '.join(known)}"
+            )
     # Keyed by POSITION, never by value: Expect compares structurally (dim
     # excluded), so duplicate rules — or two FK rules on the same column
     # against different dims — are equal and suite.index() would collapse

@@ -64,7 +64,12 @@ def validate_data_quality(
 
 
 def orphan_fk_counts(fact: DataFrame, dims: dict[str, tuple[DataFrame, str]]) -> dict[str, int]:
-    """Q2 — for each FK, count fact rows with no matching dim row.
+    """Q2 — for each FK, count fact rows with a NON-NULL key no dim row
+    matches.  NULL FKs are excluded (SQL foreign-key semantics, the same
+    contract as ``expectations.foreign_key`` — an anti-join counts them
+    as orphans because ``NULL = key`` is never true, which would fire a
+    permanent false alarm on any nullable FK); null-ness is a SEPARATE
+    check (``null_profile`` / the ``not_null`` expectation).
 
     ``dims`` maps fk_col → (dim_df, dim_key_col).  Each check is a
     left-anti join on the key column only; no broadcast hint is forced —
@@ -73,10 +78,11 @@ def orphan_fk_counts(fact: DataFrame, dims: dict[str, tuple[DataFrame, str]]) ->
     """
     out: dict[str, int] = {}
     for fk, (dim, dim_key) in dims.items():
+        non_null = fact.filter(F.col(fk).isNotNull())
         out[fk] = (
-            fact.join(
+            non_null.join(
                 dim.select(F.col(dim_key).alias("__k")),
-                fact[fk] == F.col("__k"),
+                non_null[fk] == F.col("__k"),
                 "left_anti",
             ).count()
         )

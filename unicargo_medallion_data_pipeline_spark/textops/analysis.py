@@ -67,7 +67,14 @@ def quality_score(col: str | Column = "text") -> Column:
     divisions of exact integers → deterministic.
     """
     n_tok = token_count(col).cast("double")
-    n_chars = F.length(F.col(col) if isinstance(col, str) else col).cast("double")
+    # n_tok is never 0 (split('') yields ['']), but n_chars is 0 for an
+    # empty document — unguarded, one empty doc kills the whole job
+    # under Spark 4's default ANSI divide-by-zero (punct is 0 there, so
+    # the clamp leaves the ratio at exactly 0).
+    n_chars = F.greatest(
+        F.length(F.col(col) if isinstance(col, str) else col).cast("double"),
+        F.lit(1.0),
+    )
     sw_ratio = stopword_count(col).cast("double") / n_tok
     punct_ratio = punct_count(col).cast("double") / n_chars
     length_term = F.least(F.lit(1.0), n_tok / F.lit(100.0))
@@ -83,8 +90,13 @@ def marker_count(lang: str, col: str | Column = "text") -> Column:
 
 
 def cjk_char_count(col: str | Column = "text") -> Column:
+    """Count of CJK-Unified-block characters.  The replace REMOVES
+    everything NON-CJK, so the kept length IS the count — subtracting it
+    from the total (punct_count's shape, whose class is un-negated)
+    would invert this into a non-CJK count and classify every document
+    with one ASCII char as 'zh'."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(c) - F.length(F.regexp_replace(c, "[^一-鿿]", ""))
+    return F.length(F.regexp_replace(c, "[^一-鿿]", ""))
 
 
 def predicted_lang(col: str | Column = "text") -> Column:

@@ -127,6 +127,12 @@ def minhash_lsh_candidates(
     by the ContextCleaner when the frame is dropped, a persist here would
     outlive the call.  At lake scale, write the signature table once and
     join against it instead (docs/SCALE.md)."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: the trailing "
+            f"{k % bands} signature components would be silently dropped "
+            "from candidate generation, reducing recall with no warning"
+        )
     rows_per_band = k // bands
     sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")

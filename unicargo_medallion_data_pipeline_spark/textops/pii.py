@@ -23,10 +23,18 @@ from pyspark.sql import functions as F
 #: (kind, pattern, replacement) — applied in order.  Email first so the
 #: phone pattern cannot eat an address's digit runs; SSN before phone so
 #: a 3-2-4 digit group is labelled specifically.
+#:
+#: The phone pattern requires PHONE-LIKE GROUPING — optional +CC, then
+#: 3-4 / 3 / 4 digit groups — not just "8+ digits with dashes": the
+#: naive class form also matched every ISO date ('2015-01-01'), spaced
+#: thousands ('1 000 000 000'), and dotted versions, silently redacting
+#: dates corpus-wide.  4-2-2 (dates) and bare 8-digit runs cannot
+#: satisfy the 3/4-digit group minimums (lookaround stays banned: this
+#: must run identically on Java regex and RE2).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d[\d(). -]{6,}\d", "<PHONE>"),
+    ("phone", r"(?:\+\d{1,3}[ .-]?)?\(?\d{3,4}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
 )
 
 

@@ -46,9 +46,17 @@ def dot_q(a: Column, b: Column) -> Column:
 
 
 def cosine_q(a: Column, b: Column) -> Column:
-    """Cosine from quantized arrays: exact int sums → one IEEE division."""
-    return dot_q(a, b).cast("double") / (
-        F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double"))
+    """Cosine from quantized arrays: exact int sums → one IEEE division.
+
+    ``try_divide``, not ``/``: a zero (or sub-quantization) vector has
+    norm 0, and under Spark 4's default ANSI mode a plain division
+    would abort the whole job on one degenerate embedding.  NULL is
+    also exactly what DuckDB returns for double x/0.0, so the oracle
+    mirrors need no change; NULL cosines sort last under DESC and never
+    enter a top-k."""
+    return F.try_divide(
+        dot_q(a, b).cast("double"),
+        F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double")),
     )
 
 
@@ -239,12 +247,18 @@ def ivf_codebook(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # greatest(…, 1e-30): the same zero-norm guard _ivf_assign applies
+    # with np.maximum — one all-zero embedding must not ANSI-crash the
+    # codebook build (it normalizes to the zero vector instead).
+    norm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        F.lit(1e-30),
     )
     normalized = corpus.select(
         array_to_vector(
@@ -264,7 +278,7 @@ def _ivf_assign(centroids: list[list[float]], n_probe: int):
     from pyspark.sql.pandas.functions import pandas_udf
 
     C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
 
     def assign(vecs):
         M = np.stack(vecs.to_numpy())
@@ -385,9 +399,9 @@ def cosine_topk_lsh(
     scored = cand.select(
         "qid",
         "vid",
-        (
-            dot_q(F.col("q_emb"), F.col("c_emb")).cast("double")
-            / (F.col("q_norm") * F.col("c_norm"))
+        F.try_divide(  # NULL on a zero-norm vector (= DuckDB x/0.0)
+            dot_q(F.col("q_emb"), F.col("c_emb")).cast("double"),
+            F.col("q_norm") * F.col("c_norm"),
         ).alias("cosine_sim"),
     )
     merged = scored.groupBy("qid", "vid").agg(F.max("cosine_sim").alias("cosine_sim"))

@@ -17,6 +17,8 @@ imperative row expansion (recursive parsers, stateful tokenizers).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
 
 #: Sentence delimiter mirrored by the expression twin in tests:
@@ -38,7 +40,14 @@ class SentenceSplitter:
     def eval(self, text):  # noqa: ANN001 — UDTF signature is positional
         if text is None:
             return
-        norm = " ".join(text.lower().split())
+        # ASCII-whitespace split ONLY: norm_text's Java '\s+' is
+        # ASCII-scoped, while Python str.split() also breaks on Unicode
+        # whitespace (NBSP, ideographic space — ubiquitous in scraped
+        # web text), which would silently violate the "normalizes
+        # exactly like norm_text" contract above.
+        norm = " ".join(
+            t for t in re.split("[ \\t\\n\\x0b\\f\\r]+", text.lower()) if t
+        )
         idx = 0
         for frag in norm.split(_DELIM):
             if frag:
