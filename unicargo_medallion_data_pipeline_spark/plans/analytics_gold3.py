@@ -11,7 +11,6 @@ round-6 rotation.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -19,6 +18,7 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.operators.deletes import propagate_deletes
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
 
 # ---------------------------------------------------------------------------
 # Mergeable binned quantiles — the scale twin of exact percentiles
@@ -325,7 +325,7 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="erase_q_"), "events")
+    path = os.path.join(scratch_dir("erase_q_"), "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
     cohort = (
         ev.filter(F.col("user_id") % _ERASE_MOD == 0)

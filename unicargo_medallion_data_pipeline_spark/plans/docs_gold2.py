@@ -255,7 +255,7 @@ _QUALITY_SQL = (
       SELECT doc_id, lang,
              CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
              len(list_filter({_TOKS},
-                 x -> list_contains(['the','and','of','to','in','a','is','for','on','with'], x)))
+                 x -> list_contains([{", ".join(f"'{w}'" for w in ta.STOPWORDS_EN)}], x)))
                AS n_sw,
              (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS n_punct,
              length(text) AS n_chars,

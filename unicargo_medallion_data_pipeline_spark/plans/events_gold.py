@@ -405,7 +405,7 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "peak_concurrent_sessions",
     sql="""
     WITH seq AS (
-      SELECT user_id,
+      SELECT user_id, ts, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
              CASE WHEN LAG(CAST(floor(epoch(ts)) AS BIGINT))
                          OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -418,9 +418,13 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     sess AS (
+      -- cumsum MUST ride the same (ts, event_id) TOTAL order as the
+      -- lag above: ordering by the truncated second alone lets rows
+      -- tied on ts_s permute across the is_start row, assigning them
+      -- to the neighboring session engine-dependently
       SELECT user_id,
              SUM(is_start) OVER (PARTITION BY user_id
-                                 ORDER BY ts_s
+                                 ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_seq,
              ts_s
       FROM seq
@@ -476,7 +480,10 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     ).withColumn("ts_s", epoch)
-    wcum = Window.partitionBy("user_id").orderBy("ts_s").rowsBetween(
+    # same (ts, event_id) TOTAL order as the lag — ts_s alone is not a
+    # total order and same-second ties would permute across the
+    # session-start row (mirrored in the SQL above)
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = seq.withColumn("session_seq", F.sum("is_start").over(wcum))

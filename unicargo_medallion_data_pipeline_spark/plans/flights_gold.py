@@ -65,11 +65,25 @@ _SILVER_CACHE: dict[int, tuple] = {}
 
 def _silver(spark: SparkSession):
     """Fixture parquet → silver star schema (the real pipeline path),
-    built once per session."""
+    built once per session.
+
+    The memo is revalidated like the catalog's other session caches
+    (_BUCKETED_STATE rechecks the catalog, _BLOOM_TABLE_STATE the
+    manifest dir): the entry pins the session OBJECT and checks its
+    context is still alive — keyed on id(spark) alone, a stopped+GC'd
+    session whose address a new one reuses would serve frames and
+    checkpoint blocks belonging to a dead SparkContext."""
     key = id(spark)
     hit = _SILVER_CACHE.get(key)
     if hit is not None:
-        return hit
+        cached_spark, frames = hit
+        try:
+            alive = cached_spark is spark and not spark.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — dead gateway counts as stopped
+            alive = False
+        if alive:
+            return frames
+        del _SILVER_CACHE[key]
     paths = ensure_flights_fixture()
     dim_airline = build_dim_airline(
         spark.read.parquet(paths["airlines"])
@@ -87,7 +101,7 @@ def _silver(spark: SparkSession):
         dim_airport,
     ).localCheckpoint(eager=True)
     out = (fact, dim_airline, dim_airport, dim_date)
-    _SILVER_CACHE[key] = out
+    _SILVER_CACHE[key] = (spark, out)
     return out
 
 

@@ -15,7 +15,6 @@ incremental maintenance path equals the from-scratch computation.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +25,7 @@ from unicargo_medallion_data_pipeline_spark.operators.rollup import merge_additi
 from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2, as_of
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
 
 _AS_OF = "1995-06-15"
 _B1, _B2 = "1994-01-01", "1996-01-01"
@@ -95,7 +95,7 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["o_orderkey"],
     ).drop("o_orderkey")
 
-    path = os.path.join(tempfile.mkdtemp(prefix="scd2_q_"), "dim")
+    path = os.path.join(scratch_dir("scd2_q_"), "dim")
     ts = F.col("effective_ts")
     batches = (
         ts < F.lit(_B1).cast("timestamp"),
@@ -141,7 +141,7 @@ def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFram
     is bitwise, not approximate.
     """
     e = load_table(spark, sf_dir, "events")
-    path = os.path.join(tempfile.mkdtemp(prefix="rollup_q_"), "rollup")
+    path = os.path.join(scratch_dir("rollup_q_"), "rollup")
     slice_key = F.coalesce(F.col("user_id") % 3, F.lit(0))
     for s in range(3):
         delta = (

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
 
 # ---------------------------------------------------------------------------
 # Recursive CTE: multi-hop reachability over a sparsified trade graph
@@ -262,7 +263,6 @@ def orders_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     but cannot demonstrate in this environment).
     """
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
@@ -271,7 +271,7 @@ def orders_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("priority"), "o_orderdate"
     )
-    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="acid_q_"), "t"))
+    t = ManifestTable(spark, os.path.join(scratch_dir("acid_q_"), "t"))
     v0_state = (
         o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
         .groupBy("priority")
@@ -326,13 +326,12 @@ def events_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning regression (reading everything) would still hash-match.
     """
     import os
-    import tempfile
 
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     t = ManifestTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="prune_q_"), "t")
+        spark, os.path.join(scratch_dir("prune_q_"), "t")
     )
     t.commit(
         ev.repartitionByRange(8, "value"), stats_cols=["value"]
@@ -396,7 +395,6 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `isin` keeps exactness under bloom false positives.
     """
     import os
-    import tempfile
 
     from unicargo_medallion_data_pipeline_spark.functions.exact import dsum
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
@@ -412,7 +410,7 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", "event_type", "value"
         )
-        path = os.path.join(tempfile.mkdtemp(prefix="bloom_q_"), "t")
+        path = os.path.join(scratch_dir("bloom_q_"), "t")
         t = ManifestTable(spark, path)
         t.commit(ev.repartitionByRange(8, "user_id"), bloom_cols=["user_id"])
         _BLOOM_TABLE_STATE[key] = path
@@ -474,7 +472,6 @@ def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides before the diff (append-only commits diff only their
     appended files — the Iceberg incremental-read shape)."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
@@ -483,7 +480,7 @@ def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("priority"), "o_orderdate"
     )
-    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="cdf_q_"), "t"))
+    t = ManifestTable(spark, os.path.join(scratch_dir("cdf_q_"), "t"))
     t.commit(
         o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
         .groupBy("priority")
@@ -711,7 +708,6 @@ def priority_rollup_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFram
     version-exclusive files; the delta aggregate is map-side combined
     on the same key as the base rollup."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
@@ -723,7 +719,7 @@ def priority_rollup_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderdate",
         cents.alias("total_cents"),
     )
-    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="ivm_q_"), "t"))
+    t = ManifestTable(spark, os.path.join(scratch_dir("ivm_q_"), "t"))
     v0_rows = o.filter(
         F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date")
     ).drop("o_orderdate")
@@ -782,14 +778,13 @@ def orders_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true table cardinality at every version — the invariant that
     makes metadata-only COUNT(*) (`ManifestTable.count`) trustworthy."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="hist_q_"), "t"))
+    t = ManifestTable(spark, os.path.join(scratch_dir("hist_q_"), "t"))
     cutoff = F2.lit(_ACID_CUTOFF).cast("date")
     t.commit(o.filter(F2.col("o_orderdate") < cutoff))
     t.commit(o.filter(F2.col("o_orderdate") >= cutoff), mode="append")
@@ -834,7 +829,6 @@ def orders_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value.  Prices stay integer cents end-to-end, so the
     doubled totals are exact."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
@@ -846,7 +840,7 @@ def orders_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F2.col("o_orderpriority").alias("priority"),
         F2.round(F2.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
     )
-    t = ManifestTable(spark, os.path.join(tempfile.mkdtemp(prefix="cdcq_"), "t"))
+    t = ManifestTable(spark, os.path.join(scratch_dir("cdcq_"), "t"))
     t.commit(o)
 
     mod = F2.col("k") % 13
@@ -914,7 +908,6 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (O(data)); the pruned read's decision is driver-side manifest
     metadata.  Exact decimal-routed sum keeps the aggregate hashable."""
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
 
@@ -929,7 +922,7 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.repartitionByRange(8, "__z").sortWithinPartitions("__z").drop("__z")
     )
     t = ManifestTable(
-        spark, os.path.join(tempfile.mkdtemp(prefix="zorder_q_"), "t")
+        spark, os.path.join(scratch_dir("zorder_q_"), "t")
     )
     t.commit(clustered, stats_cols=["value", "user_id"])
     pruned = t.read_pruned(
@@ -984,7 +977,6 @@ def orders_csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     import csv as _csv
     import glob
     import os
-    import tempfile
 
     from pyspark.sql import functions as F2
     from pyspark.sql.types import (
@@ -1009,7 +1001,7 @@ def orders_csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         F2.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
         "o_orderpriority",
     )
-    d = tempfile.mkdtemp(prefix="csvq_")
+    d = scratch_dir("csvq_")
     csv_dir = os.path.join(d, "csv")
     o.coalesce(1).write.option("header", "true").mode("overwrite").csv(csv_dir)
     # inject exactly 3 malformed lines into the part file; drop the

@@ -34,3 +34,28 @@ def remove_path(spark: SparkSession, path: str) -> None:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(hpath, True)
+
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A process-scoped scratch directory (LOCAL-mode working tables —
+    the catalog's mutation/ACID queries stage demo tables here).
+
+    All scratch dirs live under ONE per-process root that is removed at
+    interpreter exit: bare ``tempfile.mkdtemp`` per query invocation
+    leaked ~10 table copies per catalog sweep, and repeated bench
+    best-of-N runs multiplied that until /tmp filled on long-running
+    harness hosts.  Driver-local by design (unlike :func:`staging_path`,
+    which stages next to cluster targets): these tables exist only for
+    the duration of a local correctness/bench run."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="umdp_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
