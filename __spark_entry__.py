@@ -280,12 +280,21 @@ _TAIL = [
 ]
 
 
+#: First _BACKLOG_N entries of _PRIORITY are the never-driver-verified
+#: backlog; the rest are stale re-confirmations.  Unlisted (newly
+#: registered) queries slot BETWEEN them so they stay inside the
+#: driver's 50-entry sample window by displacing re-confirmations —
+#: _PRIORITY alone fills all 50 slots, so appending the middle after it
+#: would silently push every new query out of the window.
+_BACKLOG_N = 33
+
+
 def _ordered_names() -> list[str]:
     front = [n for n in _PRIORITY if n in CATALOG]
     tail = [n for n in _TAIL if n in CATALOG and n not in front]
     placed = set(front) | set(tail)
     middle = [n for n in CATALOG if n not in placed]
-    return front + middle + tail
+    return front[:_BACKLOG_N] + middle + front[_BACKLOG_N:] + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -82,7 +82,10 @@ def get_table_config(
     Raises KeyError with a precise message on unknown keys (the reference
     silently KeyErrors deep in dict access; the engine names the miss).
     """
-    cfg = config or DEFAULT_CONFIG
+    # `is None`, not truthiness: an EMPTY config (blank YAML → {}) must
+    # fail fast on the key lookups below, not silently resolve every
+    # table against the built-in defaults
+    cfg = DEFAULT_CONFIG if config is None else config
     envs = cfg["environments"]
     if environment not in envs:
         raise KeyError(f"unknown environment {environment!r}; have {sorted(envs)}")

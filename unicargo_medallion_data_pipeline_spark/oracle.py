@@ -45,6 +45,10 @@ _DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT", "USMALLINT"
 def duck_type_class(t) -> str:
     """Collapse a DuckDB type (string form) onto the comparison lattice."""
     u = str(t).upper()
+    # arrays FIRST: 'TIMESTAMP[]'/'DECIMAL(10,2)[]' must not fall into
+    # the scalar startswith() branches below and misclassify as scalars
+    if u.endswith("[]"):
+        return f"list<{duck_type_class(u[:-2])}>"
     if u in _DUCK_INT:
         return "int"
     if u in {"HUGEINT", "UHUGEINT", "UBIGINT"}:
@@ -63,8 +67,6 @@ def duck_type_class(t) -> str:
         return "timestamp"
     if u.startswith("INTERVAL"):
         return "interval"
-    if u.endswith("[]"):
-        return f"list<{duck_type_class(u[:-2])}>"
     return f"other:{u}"
 
 
@@ -98,6 +100,17 @@ def spark_type_class(dt) -> str:
 UNSAFE_ORACLE_CLASSES = ("int128", "decimal")
 
 
+def _class_unsafe(cls: str) -> bool:
+    """True for an unsafe class at any nesting depth — list(sum(x)) per
+    group yields HUGEINT[] → list<int128>, just as defective as a bare
+    HUGEINT column."""
+    if cls in UNSAFE_ORACLE_CLASSES:
+        return True
+    if cls.startswith("list<") and cls.endswith(">"):
+        return _class_unsafe(cls[5:-1])
+    return False
+
+
 def oracle_type_defects(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str]]:
     """(column, duckdb_type) pairs whose type class can never hash-match
     Spark output.  Plan-only: ``con.sql`` binds without executing."""
@@ -105,7 +118,7 @@ def oracle_type_defects(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[
     return [
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
-        if duck_type_class(t) in UNSAFE_ORACLE_CLASSES
+        if _class_unsafe(duck_type_class(t))
     ]
 
 
@@ -118,7 +131,12 @@ def _norm_cell(v):
             return "NaN"
         return v
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # an AWARE datetime converts to UTC before dropping tzinfo;
+        # merely stripping it would compare wall-clock in whatever zone
+        # the producer used
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -142,21 +160,18 @@ class CompareResult:
 def compare_query(
     spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, fn, sql: str, sf_dir: str
 ) -> CompareResult:
+    # Metadata checks FIRST (schema + plan-only bind, no job): a
+    # column-name or type-class defect fails before the expensive Spark
+    # collect runs — seconds per query across a 200-entry catalog.
     sdf = fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
-    srows = [
-        tuple(_norm_cell(r[c]) for c in spark_cols) for r in sdf.collect()
-    ]
     rel = con.sql(sql)
     duck_types = {c: duck_type_class(t) for c, t in zip(rel.columns, rel.types)}
-    res = con.execute(sql)
-    duck_cols_raw = [d[0] for d in res.description]
-    drows_raw = res.fetchall()
-    duck_cols = sorted(duck_cols_raw)
+    duck_cols = sorted(rel.columns)
     if spark_cols != duck_cols:
         return CompareResult(name, False, f"columns differ: spark={spark_cols} duckdb={duck_cols}")
-    # Representation check first: the driver's hash is type-sensitive, so a
-    # class mismatch is a failure even when every value compares equal here.
+    # the driver's hash is type-sensitive, so a class mismatch is a
+    # failure even when every value compares equal here
     spark_types = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
     type_diffs = [
         f"{c}: spark={spark_types[c]} duckdb={duck_types[c]}"
@@ -165,6 +180,12 @@ def compare_query(
     ]
     if type_diffs:
         return CompareResult(name, False, "type class mismatch: " + "; ".join(type_diffs))
+    srows = [
+        tuple(_norm_cell(r[c]) for c in spark_cols) for r in sdf.collect()
+    ]
+    res = con.execute(sql)
+    duck_cols_raw = [d[0] for d in res.description]
+    drows_raw = res.fetchall()
     idx = [duck_cols_raw.index(c) for c in duck_cols]
     drows = [tuple(_norm_cell(r[i]) for i in idx) for r in drows_raw]
     if len(srows) != len(drows):
@@ -182,6 +203,13 @@ def compare_query(
 def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[CompareResult]:
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG as catalog  # noqa: PLC0415
 
+    if names:
+        unknown = [n for n in names if n not in catalog]
+        if unknown:
+            raise ValueError(
+                f"unknown query name(s): {unknown} — a typo here would "
+                "otherwise report '0/0 queries match' and exit 0"
+            )
     con = duckdb_connection(sf_dir)
     out: list[CompareResult] = []
     for qname, q in catalog.items():
@@ -210,6 +238,18 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     args = ap.parse_args()
+    # PySpark's collect() materializes TimestampType through the HOST
+    # timezone (datetime.fromtimestamp), while DuckDB returns the
+    # parquet's naive UTC wall time — on a non-UTC host every timestamp
+    # would shift by the UTC offset despite session.timeZone=UTC.  Pin
+    # the process zone before the session exists.
+    os.environ["TZ"] = "UTC"
+    try:
+        import time as _time
+
+        _time.tzset()
+    except AttributeError:  # pragma: no cover — non-POSIX
+        pass
     spark = get_spark("oracle-check")
     results = run_all(spark, args.sf, args.names or None)
     failed = [r for r in results if not r.ok]

@@ -55,9 +55,16 @@ def get_spark(
     """
     builder = SparkSession.builder.appName(app_name)
     local_mode = False
-    if master is None and "SPARK_MASTER" not in os.environ:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+    if master is None:
+        # honor $SPARK_MASTER by APPLYING it — merely skipping the local
+        # default would leave the builder masterless (Spark itself never
+        # reads this variable) and crash plain-python entrypoints
+        env_master = os.environ.get("SPARK_MASTER")
+        if env_master:
+            master = env_master
+        else:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if master and master.startswith("local"):
         local_mode = True
     if master:
