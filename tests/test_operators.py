@@ -161,3 +161,47 @@ def test_round_half_up_vs_half_even_documented(spark):
     # the engines are NOT guaranteed to agree, so oracle paths avoid
     # ROUND at representable .5 boundaries entirely.
     assert r25 in (2.0, 3.0) and r35 in (3.0, 4.0)
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """An identical NULL-keyed row present in both snapshots is
+    UNCHANGED — a null-unsafe equi-join would double-report it as both
+    added and removed, spuriously firing 'removed > x%' gates."""
+    from unicargo_medallion_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (2, "b")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (3, "c")], "k int, v string"
+    )
+    got = {
+        (r["k"], r["change_status"])
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert got == {
+        (1, "unchanged"),
+        (None, "unchanged"),
+        (2, "removed"),
+        (3, "added"),
+    }
+    # NULL vs value in a COMPARED column still reads as changed
+    new2 = spark.createDataFrame([(None, None)], "k int, v string")
+    old2 = spark.createDataFrame([(None, "n")], "k int, v string")
+    (row,) = snapshot_diff(old2, new2, keys=["k"]).collect()
+    assert row["change_status"] == "changed"
+
+
+def test_orphan_fk_counts_exclude_null_fks(spark):
+    """NULL FKs are not orphans (SQL FK semantics, matching the
+    foreign_key expectation) — an anti-join alone counts them because
+    NULL = key is never true, permanently false-alarming on nullable
+    FKs.  Null-ness is a separate check."""
+    from unicargo_medallion_data_pipeline_spark.quality.validation import orphan_fk_counts
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99)], "id int, dim_id int"
+    )
+    dim = spark.createDataFrame([(10,)], "dk int")
+    counts = orphan_fk_counts(fact, {"dim_id": (dim, "dk")})
+    assert counts == {"dim_id": 1}  # only the real miss (99), not the NULL
