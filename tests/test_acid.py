@@ -498,6 +498,10 @@ def test_rename_error_discrimination():
         Exception("/t/_manifests/.v1.json.crc already exists"),
         "/t/_manifests/v1.json",
     )
+    # dest=None (no path to corroborate) stays permissive by design —
+    # pin it so a future caller without a dest keeps that behavior
+    # visibly rather than silently
+    assert _is_dest_exists_error(Exception("whatever already exists"))
     # real IO failures are NOT races
     assert not _is_dest_exists_error(
         _Py4JErr("x", _JExc("java.io.FileNotFoundException")),
@@ -552,16 +556,13 @@ def test_meta_max_fence_survives_vacuum(spark, table):
     assert removed is not None
 
 
-def test_meta_max_legacy_table_self_upgrades(spark, table):
-    """A table written before meta_max existed: the fence falls back to
-    scanning surviving manifests, and the first new commit rebuilds the
-    running max in place."""
+def _strip_meta_max(table):
+    """Simulate the legacy on-disk format: remove meta_max from every
+    committed manifest (and the LocalFS checksum sidecars the rewrite
+    invalidates) — shared by the legacy-upgrade and legacy-vacuum
+    tests so the simulation cannot drift between them."""
     import json as _json
 
-    table.commit(_df(spark, [(1, "a")]), meta={"batch_id": 4})
-    table.commit(_df(spark, [(2, "b")]), mode="append", meta={"batch_id": 6})
-    table.commit(_df(spark, [(3, "c")]), mode="append")
-    # simulate the legacy on-disk format: strip meta_max everywhere
     mdir = os.path.join(table.path, "_manifests")
     for name in os.listdir(mdir):
         if name.endswith(".json"):
@@ -571,10 +572,19 @@ def test_meta_max_legacy_table_self_upgrades(spark, table):
             m.pop("meta_max", None)
             with open(p, "w") as f:
                 _json.dump(m, f)
-            # the rewrite invalidates Hadoop LocalFS's sidecar checksum
             crc = os.path.join(mdir, f".{name}.crc")
             if os.path.exists(crc):
                 os.remove(crc)
+
+
+def test_meta_max_legacy_table_self_upgrades(spark, table):
+    """A table written before meta_max existed: the fence falls back to
+    scanning surviving manifests, and the first new commit rebuilds the
+    running max in place."""
+    table.commit(_df(spark, [(1, "a")]), meta={"batch_id": 4})
+    table.commit(_df(spark, [(2, "b")]), mode="append", meta={"batch_id": 6})
+    table.commit(_df(spark, [(3, "c")]), mode="append")
+    _strip_meta_max(table)
     assert "meta_max" not in table._read_manifest(table.versions()[-1])
     assert table.max_meta_int("batch_id") == 6  # fallback scan
     table.commit(_df(spark, [(9, "z")]), mode="append")  # upgrade
@@ -588,22 +598,9 @@ def test_legacy_vacuum_preserves_fence(spark, table):
     not destroy the fence: the fences live only in per-version meta of
     manifests vacuum would expire, so vacuum self-upgrades first with a
     metadata-only commit reconstructing the running max."""
-    import json as _json
-
     table.commit(_df(spark, [(1, "a")]), meta={"cdc_batch_id": 7})
     table.commit(_df(spark, [(2, "b")]), mode="append")
-    mdir = os.path.join(table.path, "_manifests")
-    for name in os.listdir(mdir):
-        if name.endswith(".json"):
-            p = os.path.join(mdir, name)
-            with open(p) as f:
-                m = _json.load(f)
-            m.pop("meta_max", None)
-            with open(p, "w") as f:
-                _json.dump(m, f)
-            crc = os.path.join(mdir, f".{name}.crc")
-            if os.path.exists(crc):
-                os.remove(crc)
+    _strip_meta_max(table)
     # vacuum straight away — no new-code commit in between
     table.vacuum(keep_last=1, min_age_seconds=0)
     assert table.max_meta_int("cdc_batch_id") == 7, (
