@@ -80,3 +80,43 @@ def test_bloom_rejects_null_and_empty_probes(spark):
             t.read_bloom_pruned("nope", [1])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# _cmp_lt: the pruning comparator must order ANY mix of numeric
+# representations (int / float / Decimal / decimal-text from JSON)
+# exactly like exact decimal arithmetic — a lexicographic slip here
+# silently mis-prunes files.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    a=st.one_of(
+        st.integers(-10**12, 10**12),
+        st.decimals(
+            allow_nan=False, allow_infinity=False, places=4,
+            min_value=-10**9, max_value=10**9,
+        ),
+    ),
+    b=st.one_of(
+        st.integers(-10**12, 10**12),
+        st.decimals(
+            allow_nan=False, allow_infinity=False, places=4,
+            min_value=-10**9, max_value=10**9,
+        ),
+    ),
+    a_as_text=st.booleans(),
+    b_as_text=st.booleans(),
+)
+def test_cmp_lt_numeric_across_representations(a, b, a_as_text, b_as_text):
+    from decimal import Decimal
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import _cmp_lt
+
+    want = Decimal(a) < Decimal(b)
+    av = str(a) if a_as_text else a
+    bv = str(b) if b_as_text else b
+    # identical-type text/text pairs compare as text by design (dates);
+    # only assert when at least one side is a real number
+    if not (isinstance(av, str) and isinstance(bv, str)):
+        assert _cmp_lt(av, bv) == want, (av, bv)
