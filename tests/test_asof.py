@@ -129,3 +129,17 @@ def test_asof_randomized_against_reference(spark):
             else:
                 break
         assert got[lid] == best, (k, t, lid)
+
+
+def test_null_right_timestamp_never_matches(spark):
+    """A right row with NULL ts can never satisfy right.ts <= left.ts:
+    unfiltered it sorts FIRST under the window order and its payload
+    would be carried into every left row before the first real right."""
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 5, "L")], "k int, ts int, lv string")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 9, "late")], "k int, ts int, rv string"
+    )
+    (row,) = asof_join_backward(left, right, on=["k"], ts_col="ts").collect()
+    assert row["rv"] is None, "NULL-ts right row fabricated a match"

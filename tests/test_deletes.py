@@ -146,3 +146,43 @@ def test_emptied_partition_cleanup_with_escaped_dir_names(spark, tmp_path):
     assert [(r["row_id"], r["part"]) for r in left.orderBy("row_id").collect()] == [
         (3, "x:2")
     ]
+
+
+def test_null_partition_rows_survive_unmatched(spark, tmp_path):
+    """Rows in the NULL partition that match NO delete key must survive:
+    isin() is never true for NULL, so they were excluded from the
+    rewrite while the whole __HIVE_DEFAULT_PARTITION__ directory was
+    deleted as 'emptied' — silent data loss."""
+    path = os.path.join(tmp_path, "t")
+    spark.createDataFrame(
+        [(1, 7, None), (2, 8, None), (3, 8, "a")],
+        "row_id int, user_id int, part string",
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    left = spark.read.parquet(path)
+    rows = {(r["row_id"], r["part"]) for r in left.collect()}
+    assert rows == {(2, None), (3, "a")}, (
+        "non-matching NULL-partition row was destroyed"
+    )
+    # audit is internally consistent for the null partition
+    (arow,) = [r for r in audit.collect() if r["partition"] == "None"]
+    assert arow["rows_before"] == 2 and arow["rows_deleted"] == 1
+
+
+def test_null_partition_fully_emptied_is_removed(spark, tmp_path):
+    """When every NULL-partition row matches, the sentinel directory IS
+    removed (the legitimate emptied-partition cleanup)."""
+    path = os.path.join(tmp_path, "t")
+    spark.createDataFrame(
+        [(1, 7, None), (2, 9, "a")], "row_id int, user_id int, part string"
+    ).write.mode("overwrite").partitionBy("part").parquet(path)
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="part"
+    )
+    assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+    assert [r["row_id"] for r in spark.read.parquet(path).collect()] == [2]

@@ -128,3 +128,26 @@ def test_pagerank_mass_bounded_and_positive(spark):
     base = (scale * 15) // 100 // 8
     assert sum(ranks) <= scale
     assert all(r >= base for r in ranks)
+
+
+def test_pagerank_dedups_node_frame(spark):
+    """A duplicated node id must not inflate N or multiply its
+    neighbors' rank mass — ranks equal those from the distinct frame."""
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (1, 3, 1)], "src int, dst int, w int"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node int")
+    dup_nodes = nodes.unionByName(
+        spark.createDataFrame([(1,), (1,)], "node int")
+    )
+    clean = {
+        r[0]: r[1]
+        for r in pagerank_integer(nodes, edges, iterations=5).collect()
+    }
+    dup = {
+        r[0]: r[1]
+        for r in pagerank_integer(dup_nodes, edges, iterations=5).collect()
+    }
+    assert clean == dup, "duplicate node rows changed pagerank output"

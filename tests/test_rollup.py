@@ -224,3 +224,30 @@ def test_bitmap_distinct_rollup_is_exact_and_mergeable(spark):
         .collect()
     }
     assert per_type == exact_per_type
+
+
+def test_bootstrap_rejects_null_partitions(spark, tmp_path):
+    """The FIRST increment enforces the same null-partition rule as
+    every later merge — bootstrapped NULLs would land in the Hive
+    sentinel where isin()-scoped merges can never fold them."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.rollup import (
+        merge_additive_rollup,
+    )
+
+    delta = spark.createDataFrame(
+        [(None, 1), ("a", 2)], "day string, n long"
+    ).groupBy("day").agg(F.sum("n").alias("n"))
+    with pytest.raises(ValueError, match="NULL 'day'"):
+        merge_additive_rollup(
+            spark,
+            os.path.join(tmp_path, "r"),
+            delta,
+            keys=["day"],
+            measures={"n": "sum"},
+            partition_col="day",
+        )

@@ -62,8 +62,14 @@ def asof_join_backward(
     l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
         "_payload", F.lit(None).cast(payload_t)
     )
-    r_tagged = right.withColumn("_side", F.lit(0)).withColumn(
-        "_payload", F.struct(*payload)
+    # A right row with a NULL timestamp can never satisfy right.ts <=
+    # left.ts (DuckDB ASOF semantics) — unfiltered it would sort FIRST
+    # under the ascending window order and its payload would be carried
+    # into every left row before the first real right row.
+    r_tagged = (
+        right.filter(F.col(ts_col).isNotNull())
+        .withColumn("_side", F.lit(0))
+        .withColumn("_payload", F.struct(*payload))
     )
     for c in left_extra:
         r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))

@@ -72,7 +72,8 @@ def fill_nulls(
         num_cols = [
             f.name
             for f in df.schema.fields
-            if f.dataType.typeName() in ("integer", "long", "double", "float", "short")
+            if f.dataType.typeName()
+            in ("integer", "long", "double", "float", "short", "byte", "decimal")
         ]
         if num_cols:
             df = df.fillna(numeric_default, subset=num_cols)

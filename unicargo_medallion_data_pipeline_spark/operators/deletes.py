@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.sources.staging import (
+    dynamic_partition_overwrite,
     remove_path,
     staging_path,
 )
@@ -106,6 +107,16 @@ def propagate_deletes(
             .count()
             .collect()
         )
+        # The blast-radius cap is part of the documented contract on
+        # BOTH paths — without it the Delta branch would run an
+        # unbounded full-table-scale MERGE the parquet path refuses.
+        if len(before) > max_touched_partitions:
+            raise ValueError(
+                f"deletion touches > {max_touched_partitions} distinct "
+                f"'{partition_col}' partitions; a delete at that scale "
+                "should be an explicit full rewrite. Raise "
+                "max_touched_partitions explicitly."
+            )
         cond = " AND ".join(f"t.{k} = d.{k}" for k in key_cols)
         target.alias("t").merge(keys.alias("d"), cond).whenMatchedDelete().execute()
         # After a whenMatchedDelete, every matched row is gone: per
@@ -162,7 +173,21 @@ def propagate_deletes(
         for r in existing_all.select(partition_col).distinct().collect()
     }
 
-    touched = existing_all.filter(F.col(partition_col).isin(parts))
+    # NULL-safe partition selection: isin() is never true for NULL, so
+    # rows in the __HIVE_DEFAULT_PARTITION__ partition would be excluded
+    # from the rewrite while the partition still landed in `emptied` —
+    # and the cleanup below would then delete the whole null-partition
+    # directory including rows that matched NO delete key (silent data
+    # loss with an inconsistent audit).
+    non_null_parts = [p for p in parts if p is not None]
+    part_filter = (
+        F.col(partition_col).isin(non_null_parts)
+        if non_null_parts
+        else F.lit(False)
+    )
+    if any(p is None for p in parts):
+        part_filter = part_filter | F.col(partition_col).isNull()
+    touched = existing_all.filter(part_filter)
     before_counts = {
         str(r[0]): r["count"]
         for r in touched.groupBy(partition_col).count().collect()
@@ -170,17 +195,16 @@ def propagate_deletes(
     survivors = touched.join(keys, key_cols, "left_anti")
 
     staging = staging_path(target_path, "erase")
-    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         survivors.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            staged.write.mode("overwrite")
-            .format("parquet")
-            .partitionBy(partition_col)
-            .save(target_path)
-        )
+        with dynamic_partition_overwrite(spark):
+            (
+                staged.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy(partition_col)
+                .save(target_path)
+            )
         # Emptied partitions are absent from the staged data, so dynamic
         # overwrite left their old files alive: drop the directories.
         # The on-disk names carry Hive/Spark %XX escaping (and the null
@@ -226,10 +250,6 @@ def propagate_deletes(
                 .parquet(target_path)
             )
     finally:
-        if prior_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
         remove_path(spark, staging)
 
     rows = [

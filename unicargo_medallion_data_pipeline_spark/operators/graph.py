@@ -119,6 +119,10 @@ def pagerank_integer(
     plan depth stays O(1) instead of O(iterations) (same discipline as
     connected_components above).  Rank state is one long per node.
     """
+    # dedup like connected_components: a duplicated node id would
+    # inflate n_nodes (wrong r0/base) AND fan every outgoing edge out
+    # per duplicate, multiplying its neighbors' rank mass silently
+    nodes = nodes.select(node_col).distinct()
     n_nodes = nodes.count()  # bounded metadata (node count, not rows-of-data)
     if n_nodes == 0:
         raise ValueError("pagerank_integer requires a non-empty node frame")

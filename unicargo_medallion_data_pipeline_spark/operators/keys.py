@@ -42,8 +42,11 @@ def dim_surrogate_key(
 def fact_hash_key(business_key_cols: list[str | Column]) -> Column:
     """Deterministic 64-bit fact key: xxhash64 over the business key.
 
-    Collision odds for N rows ≈ N²/2⁶⁵ (≈ 3e-7 for 1e8 rows of one daily
-    partition — the dedup granularity the key is derived at).  Stable
+    Collision odds for N rows ≈ N²/2⁶⁵ — ≈ 2.7e-4 for 1e8 rows of one
+    daily partition (the dedup granularity the key is derived at), i.e.
+    ~10% over a year of such partitions: acceptable for surrogate-key
+    dedup within a partition, NOT a global uniqueness guarantee — pair
+    with the business key where absolute uniqueness matters.  Stable
     across runs/partitionings, computed map-side with zero shuffle.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in business_key_cols]

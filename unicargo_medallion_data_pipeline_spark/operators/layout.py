@@ -62,6 +62,23 @@ def zvalue_column(
     """
     if not cols:
         raise ValueError("zvalue_column needs at least one column")
+    # cluster columns must be ORDERABLE-NUMERIC (numeric / date /
+    # timestamp): a string column would cast('double') to NULL for every
+    # value, quantize entirely to bucket 0, and contribute NOTHING to
+    # the curve — silently unclustered data, then a TypeError later in
+    # clustering_report's span arithmetic.
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name in cols and not isinstance(
+            f.dataType,
+            (T.NumericType, T.DateType, T.TimestampType, T.TimestampNTZType),
+        ):
+            raise TypeError(
+                f"z-order column {f.name!r} has non-numeric type "
+                f"{f.dataType.simpleString()}; map it to a numeric rank "
+                "first (e.g. a dictionary/dense_rank encoding)"
+            )
     n = len(cols)
     if n * bits > 62:
         raise ValueError(f"{n} cols x {bits} bits exceeds a long's 62 usable bits")
@@ -132,6 +149,9 @@ def clustering_report(path: str, cols: list[str]) -> dict[str, float]:
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
         md = frag.metadata
+        if md.num_row_groups == 0:  # zero-row file: nothing to report
+            per_file.append({c: (None, None) for c in cols})
+            continue
         schema_names = [md.row_group(0).column(i).path_in_schema
                         for i in range(md.row_group(0).num_columns)]
         for rg in range(md.num_row_groups):

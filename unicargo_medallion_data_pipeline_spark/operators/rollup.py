@@ -154,6 +154,14 @@ def merge_additive_rollup(
     try:
         existing_all = spark.read.parquet(target_path)
     except AnalysisException:
+        # Bootstrap enforces the SAME null-partition rule as every later
+        # merge: letting NULLs through here would write them to the Hive
+        # null sentinel, where isin()-scoped merges can never fold them —
+        # the grain silently diverges from a full recompute forever.
+        if delta.filter(F.col(partition_col).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"increment contains NULL '{partition_col}' values"
+            )
         (
             delta.select(*cols)
             .write.mode("overwrite")
@@ -195,25 +203,21 @@ def merge_additive_rollup(
     # sources/staging.py) — a driver-local tempdir would only work in
     # local mode, at odds with this module's scale framing.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        dynamic_partition_overwrite,
         remove_path,
         staging_path,
     )
 
     staging = staging_path(target_path, "rollup")
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         combined.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            staged.write.mode("overwrite")
-            .format("parquet")
-            .partitionBy(partition_col)
-            .save(target_path)
-        )
+        with dynamic_partition_overwrite(spark):
+            (
+                staged.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy(partition_col)
+                .save(target_path)
+            )
     finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         remove_path(spark, staging)

@@ -283,12 +283,12 @@ def _write_scd2_delta(
     # local mode — see sources/staging.py), because new_current reads the
     # partition it will overwrite.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        dynamic_partition_overwrite,
         remove_path,
         staging_path,
     )
 
     staging = staging_path(target_path, "scd2")
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         if n_changed:
             closed.write.mode("overwrite").parquet(staging + "/closed")
@@ -305,19 +305,15 @@ def _write_scd2_delta(
                 .partitionBy("scd_state")
                 .save(target_path)
             )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            spark.read.parquet(staging + "/current")
-            .write.mode("overwrite")
-            .format("parquet")
-            .partitionBy("scd_state")
-            .save(target_path)
-        )
+        with dynamic_partition_overwrite(spark):
+            (
+                spark.read.parquet(staging + "/current")
+                .write.mode("overwrite")
+                .format("parquet")
+                .partitionBy("scd_state")
+                .save(target_path)
+            )
     finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         remove_path(spark, staging)
 
 

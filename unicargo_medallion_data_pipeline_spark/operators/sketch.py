@@ -68,6 +68,17 @@ def kmv_bottom_k(
     off-by-one the unsaturated count, and displace a real k-th hash in
     the saturated estimator.
     """
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"kmv_bottom_k requires an INTEGRAL id column; {id_col!r} is "
+            f"{dt.simpleString()} — a non-numeric id would implicitly cast "
+            "to NULL hashes that fill bottom-k slots and NULL the "
+            "saturated estimator silently.  Hash non-integral ids first "
+            "(e.g. xxhash64)."
+        )
     ids = (
         df.select(*key_cols, id_col)
         .filter(F.col(id_col).isNotNull())

@@ -119,6 +119,7 @@ def compact_partitioned_path(
         return {}
 
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        dynamic_partition_overwrite,
         remove_path,
         staging_path,
     )
@@ -133,7 +134,6 @@ def compact_partitioned_path(
     )
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     staging = staging_path(path, "compact")
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         df = spark.read.parquet(path)
         keep = None
@@ -184,18 +184,14 @@ def compact_partitioned_path(
         staged_dirs = set(partition_file_census(spark, staging))
         done = {d: nf for d, (_, nf) in todo.items() if d in staged_dirs}
         staged = spark.read.parquet(staging)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            staged.write.mode("overwrite")
-            .format("parquet")
-            .partitionBy(*partition_cols)
-            .save(path)
-        )
+        with dynamic_partition_overwrite(spark):
+            (
+                staged.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy(*partition_cols)
+                .save(path)
+            )
     finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
         if prior_infer is None:
             spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
         else:

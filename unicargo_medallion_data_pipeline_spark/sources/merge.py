@@ -147,25 +147,21 @@ def merge_upsert_partitioned(
     # failure (this runs per micro-batch under write_stream_with_merge —
     # leaks would compound).
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        dynamic_partition_overwrite,
         remove_path,
         staging_path,
     )
 
     staging = staging_path(target_path, "merge")
-    prior_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     try:
         merged.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            staged.write.mode("overwrite")
-            .format("parquet")
-            .partitionBy(partition_col)
-            .save(target_path)
-        )
+        with dynamic_partition_overwrite(spark):
+            (
+                staged.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy(partition_col)
+                .save(target_path)
+            )
     finally:
-        if prior_mode is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
         remove_path(spark, staging)

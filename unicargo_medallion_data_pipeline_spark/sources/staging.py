@@ -15,10 +15,31 @@ remnants (same convention as ``_SUCCESS`` / ``_temporary``).
 
 from __future__ import annotations
 
+import contextlib
 import posixpath
 import uuid
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """``spark.sql.sources.partitionOverwriteMode=dynamic`` for the
+    block, restoring the prior value (or unsetting) on exit.
+
+    One shared implementation: the save/set/try-finally bookkeeping was
+    copy-pasted five times (merge, SCD2, rollup, deletes, compaction),
+    and a drifted copy that leaks ``dynamic`` session-wide would turn
+    every later whole-table INSERT OVERWRITE into a partial one."""
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
 
 
 def staging_path(target_path: str, prefix: str) -> str:
