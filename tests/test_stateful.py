@@ -157,3 +157,29 @@ def test_batch_mirror_matches_session_window(spark):
         (1, 2, 2.0),
         (2, 1, 5.0),
     ]
+
+
+def test_late_event_extends_session_start_backwards(spark):
+    """A late-but-within-watermark event EARLIER than the open session
+    must pull session_start (and first_event_type) backwards — the old
+    forward-only fold absorbed it but kept the later start."""
+    src = tempfile.mkdtemp(prefix="sess2_src_")
+    ckpt = tempfile.mkdtemp(prefix="sess2_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="sess2_out_")
+    seen: list = []
+
+    # batch 1: the session opens at t0+100
+    _write_batch(spark, src, "b1", [(5, 100, "mid", 1.0)])
+    assert _run_once(spark, src, ckpt, out_dir, seen) == []
+    # batch 2: t0+95 — above the watermark (90) but BEFORE the session
+    _write_batch(spark, src, "b2", [(5, 95, "early", 2.0)])
+    assert _run_once(spark, src, ckpt, out_dir, seen) == []
+    # batch 3: far-future event advances the watermark past the timeout
+    _write_batch(spark, src, "b3", [(5, 600, "later", 0.0)])
+    out = _run_once(spark, src, ckpt, out_dir, seen)
+    (s,) = [r for r in out if r["n_events"] == 2]
+    assert s["session_start"] == T0 + dt.timedelta(seconds=95)
+    assert s["session_end"] == T0 + dt.timedelta(seconds=100)
+    assert s["first_event_type"] == "early"
+    assert s["last_event_type"] == "mid"
+    assert s["total_value"] == pytest.approx(3.0)

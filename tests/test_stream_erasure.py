@@ -145,3 +145,37 @@ def test_manifest_erasure_delete_and_audit_atomic(spark, dirs):
     run(dirs["ckpt"])
     assert sorted(r["row_id"] for r in t.read().collect()) == [2, 9]
     assert erasure_audit_frame(spark, t).count() == 2
+
+
+def test_manifest_erasure_rejects_null_keys(spark, dirs):
+    """A NULL-keyed deletion request must FAIL the batch, not silently
+    delete nothing with no audit row (the compliance hazard the parquet
+    sibling already raises for)."""
+    from pyspark.errors import StreamingQueryException
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+    from unicargo_medallion_data_pipeline_spark.streaming.erasure import (
+        write_stream_erasure_manifest,
+    )
+
+    t = ManifestTable(spark, os.path.join(dirs["target"], "mt2"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, 10, "a")], "row_id int, user_id int, part string"
+        )
+    )
+    req_schema = "user_id int"
+    spark.createDataFrame([(None,)], req_schema).write.mode("append").parquet(
+        dirs["requests"]
+    )
+    with pytest.raises(StreamingQueryException, match="NULL"):
+        write_stream_erasure_manifest(
+            read_streaming_path(spark, dirs["requests"], schema=req_schema),
+            table=t,
+            checkpoint=dirs["ckpt"],
+            key_cols=["user_id"],
+            await_termination=True,
+        )
+    # table untouched, no phantom audit commit
+    assert t.read().count() == 1
+    assert t.max_meta_int("erasure_batch_id") == -1

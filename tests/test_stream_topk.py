@@ -105,3 +105,44 @@ def test_stream_topk_keeps_ties(spark, dirs):
     finally:
         for p in (src, out, ckpt):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_topk_replay_does_not_duplicate(spark, dirs):
+    """foreachBatch is at-least-once: a replayed batch (fresh
+    checkpoint, same source) must OVERWRITE its own _b partition, not
+    append a second copy of every finalized window."""
+    import shutil
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.streaming.topk import (
+        write_stream_window_topk,
+    )
+
+    src, out = dirs["src"], tempfile.mkdtemp(prefix="topk_replay_out_")
+    ckpt1 = tempfile.mkdtemp(prefix="topk_ck1_")
+    ckpt2 = tempfile.mkdtemp(prefix="topk_ck2_")
+    try:
+        schema = spark.read.parquet(src).schema
+
+        def run(ckpt):
+            write_stream_window_topk(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint=ckpt,
+                k=3,
+                window_width="5 minutes",
+                watermark_delay="1 minute",
+                await_termination=True,
+            )
+
+        run(ckpt1)
+        n1 = spark.read.parquet(out).count()
+        assert n1 > 0
+        # simulate the crash-replay: wipe the checkpoint, same source
+        run(ckpt2)
+        assert spark.read.parquet(out).count() == n1, (
+            "replayed batches appended duplicates"
+        )
+    finally:
+        for p in (out, ckpt1, ckpt2):
+            shutil.rmtree(p, ignore_errors=True)

@@ -278,3 +278,36 @@ def test_streaming_curation_composes(spark):
     finally:
         for d in (src, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_merge_sink_reduces_duplicate_keys_within_batch(spark):
+    """Two updates for one key in ONE micro-batch must reduce to a
+    single winner before the merge (seq_col picks it): unreduced
+    duplicates kill a Delta MERGE and land as duplicate key rows
+    through the parquet fallback's union."""
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import write_stream_with_merge
+
+    src = tempfile.mkdtemp(prefix="mdup_src_")
+    target = tempfile.mkdtemp(prefix="mdup_target_")
+    ckpt = tempfile.mkdtemp(prefix="mdup_ckpt_")
+    schema = "k int, part string, v string, seq long"
+    spark.createDataFrame(
+        [(1, "a", "old-batch-row1", 1), (1, "a", "new-batch-row2", 2)], schema
+    ).write.mode("overwrite").parquet(src)
+    spark.createDataFrame([(1, "a", "seed", 0)], schema).write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(target)
+
+    write_stream_with_merge(
+        read_streaming_path(spark, src, schema),
+        target,
+        ckpt,
+        merge_keys=["k"],
+        partition_col="part",
+        seq_col="seq",
+        await_termination=True,
+    )
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1, f"duplicate key rows written: {rows}"
+    assert rows[0]["v"] == "new-batch-row2" and rows[0]["seq"] == 2

@@ -137,6 +137,20 @@ def write_stream_erasure_manifest(
         base = vs[-1]
         current = table.read(version=base)
         keys = batch_df.select(*key_cols).distinct()
+        # NULL-keyed deletion requests would silently delete nothing
+        # (NULL never equi-joins) and leave NO audit row — the same
+        # compliance hazard propagate_deletes raises for; enforce it
+        # here too rather than diverging from the parquet sibling.
+        null_cond = None
+        for kc in key_cols:
+            c = FX.col(kc).isNull()
+            null_cond = c if null_cond is None else (null_cond | c)
+        if keys.filter(null_cond).limit(1).count():
+            raise ValueError(
+                f"erasure request batch {batch_id} contains NULL values "
+                f"in {key_cols}; a NULL key never matches and would "
+                "silently skip the deletion"
+            )
         survivors = current.join(keys, key_cols, "left_anti")
         # audit BEFORE the commit, from the same pinned version
         hit = (
@@ -145,9 +159,14 @@ def write_stream_erasure_manifest(
             .agg(FX.count(FX.lit(1)).alias("rows_deleted"))
             .collect()
         )
-        # manifest meta is JSON: stringify non-primitive key values
-        # (dates/timestamps) the way acid._json_safe does for stats
+        # manifest meta is JSON: serialize key values through the SAME
+        # function the manifest uses for stats (dates/timestamps → ISO,
+        # decimals → exact text), so one value never carries two formats
+        # in one file; str() only for anything _json_safe passes through
         def _safe(v):
+            from unicargo_medallion_data_pipeline_spark.sources.acid import _json_safe
+
+            v = _json_safe(v)
             return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
 
         audit = [

@@ -57,18 +57,26 @@ def write_stream_kmv_sketch(
             return
         batch_sk = kmv_bottom_k(batch_df, [key_col], id_col, k)
         t = ManifestTable(spark, table_path)
-        if t.versions():
-            stored = t.read()
+        vs = t.versions()
+        if vs:
+            base = vs[-1]
+            stored = t.read(version=base)
             merged = kmv_bottom_k(
                 stored.unionByName(batch_sk), [key_col], id_col, k
             )
         else:
+            base = -1  # "table must not exist yet" pin
             merged = batch_sk
         # Pin before the overwrite: `merged` reads the CURRENT version's
         # files, which the new commit supersedes (same crash-window
         # reasoning as the SCD2 manifest variant).
         merged = merged.localCheckpoint(eager=True)
-        t.commit(merged, mode="overwrite")
+        # base-pinned: an interleaved commit (backfill, second stream)
+        # raises ConcurrentCommitError instead of being silently
+        # overwritten by a merge derived from the stale read; the query
+        # restart then replays the batch over the winner's state (the
+        # KMV merge is idempotent under replay).
+        t.commit(merged, mode="overwrite", base_version=base)
 
     writer = events.writeStream.foreachBatch(_merge_batch).option(
         "checkpointLocation", checkpoint

@@ -116,25 +116,49 @@ def make_session_fn(gap_seconds: int):
             yield emit(tup)
             return
 
-        # Fold this micro-batch's rows (event-time order) into the state.
+        # Merge this micro-batch into the state as an INTERVAL merge, not
+        # a forward-only fold: a late-but-within-watermark event can
+        # precede the open session (batches are not globally time-
+        # ordered), and the old fold either mis-stamped session_start or
+        # absorbed a far-earlier event into a session it was nowhere
+        # near.  Items = one [start, end, n, total, first, last]
+        # aggregate per batch event plus the stored session; sorted by
+        # start, adjacent items within the gap merge.  All but the last
+        # (still-open) session emit.
         rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
-        cur = list(state.get) if state.exists else None
-        out: list = []
-        for ts, etype, value in zip(rows["ts"], rows["event_type"], rows["value"]):
-            us = _ts_to_us(ts)
-            if cur is not None and us - cur[1] > gap_us:
-                out.append(emit(tuple(cur)))  # gap exceeded inside the batch
-                cur = None
-            if cur is None:
-                cur = [us, us, 0, 0.0, etype, etype]
-            cur[1] = max(cur[1], us)
-            cur[2] += 1
-            cur[3] += float(value) if pd.notna(value) else 0.0
-            cur[5] = etype
+        items = [
+            [
+                _ts_to_us(ts),
+                _ts_to_us(ts),
+                1,
+                float(value) if pd.notna(value) else 0.0,
+                etype,
+                etype,
+            ]
+            for ts, etype, value in zip(
+                rows["ts"], rows["event_type"], rows["value"]
+            )
+        ]
+        if state.exists:
+            items.append(list(state.get))
+        items.sort(key=lambda it: it[0])
+        merged: list[list] = []
+        for it in items:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                if it[1] >= m[1]:
+                    m[1] = it[1]
+                    m[5] = it[5]
+                m[2] += it[2]
+                m[3] += it[3]
+            else:
+                merged.append(list(it))
+        for closed in merged[:-1]:
+            yield emit(tuple(closed))
+        cur = merged[-1]
         state.update(tuple(cur))
         # Close when the watermark (not wall clock) passes last_ts + gap.
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
-        yield from iter(out)
 
     return fn
 

@@ -10,8 +10,12 @@ batch mirror of this exact computation is the oracle-verified
 `events_window_top_types` catalog query (plans/analytics_gold3.py).
 
 State stays bounded by the watermark; each emitted window is ranked once
-and never revised, so the sink is append-only and replay-safe (the
-aggregation checkpoint owns exactly-once)."""
+and never revised.  Replay safety: ``foreachBatch`` is at-least-once —
+a crash between the sink write and the checkpoint commit replays the
+batch — so each batch writes its OWN ``_b=<batch_id>`` partition under
+dynamic overwrite: the replay rewrites the same partition with the same
+(deterministic) rows instead of appending duplicates.  Readers see the
+micro-batch id as a ``_b`` column and may ignore it."""
 
 from __future__ import annotations
 
@@ -19,6 +23,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from unicargo_medallion_data_pipeline_spark.sources.staging import (
+    dynamic_partition_overwrite,
+)
 from unicargo_medallion_data_pipeline_spark.streaming.writers import _apply_trigger
 
 
@@ -61,7 +68,18 @@ def write_stream_window_topk(
             batch_df.withColumn("rk", F.rank().over(w))
             .filter(F.col("rk") <= k)
         )
-        top.write.mode("append").parquet(out_path)
+        # idempotent under foreachBatch replay: overwrite THIS batch's
+        # partition only (a bare append would duplicate every finalized
+        # window when a crash lands between this write and the
+        # checkpoint commit)
+        with dynamic_partition_overwrite(batch_df.sparkSession):
+            (
+                top.withColumn("_b", F.lit(batch_id))
+                .write.mode("overwrite")
+                .format("parquet")
+                .partitionBy("_b")
+                .save(out_path)
+            )
 
     writer = (
         agg.writeStream.foreachBatch(_rank_batch)

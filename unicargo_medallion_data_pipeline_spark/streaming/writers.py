@@ -15,7 +15,8 @@ same convention, ``src/streaming/checkpoints.py``)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_partitioned
@@ -96,21 +97,47 @@ def write_stream_with_merge(
     checkpoint: str,
     merge_keys: list[str],
     partition_col: str,
+    seq_col: str | None = None,
     trigger: dict | None = None,
     await_termination: bool = True,
 ) -> StreamingQuery:
     """S11/T4 — foreachBatch upsert: each micro-batch MERGEs into the
     target (batch_df, not the unbounded streaming frame — fixing the
     reference's T4 bug).  Exactly-once comes from the checkpoint +
-    idempotent per-key merge."""
+    idempotent per-key merge.
+
+    The batch is reduced to ONE winner per key before the merge (same
+    rule as the CDC sink): an at-least-once feed routinely delivers two
+    updates for a key in one micro-batch, and unreduced duplicates
+    either kill a Delta MERGE ("multiple source rows matched…") or land
+    as duplicate key rows through the parquet fallback's union.
+    ``seq_col`` names a monotonic per-key sequence for the tiebreak
+    (LSN-like); without one the winner is the row greatest under the
+    non-key columns — deterministic, but supply a sequence when a key
+    can genuinely change twice in a batch."""
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        order = (
+            [F.col(seq_col).desc()]
+            if seq_col
+            else [
+                F.col(c).desc()
+                for c in batch_df.columns
+                if c not in merge_keys
+            ]
+        ) or [F.lit(1)]
+        w = Window.partitionBy(*merge_keys).orderBy(*order)
+        winners = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         merge_upsert_partitioned(
             batch_df.sparkSession,
             target_path,
-            batch_df,
+            winners,
             merge_keys=merge_keys,
             partition_col=partition_col,
         )
