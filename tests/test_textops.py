@@ -178,6 +178,7 @@ def test_pii_redaction_planted(spark):
             (4, "nothing sensitive here at all"),
             (5, "mixed: a@b.org then 987-65-4321 then 555-867-5309"),
             (6, "released on 2015-01-01, buy 1 000 000 000 of v10.2.3.4567"),
+            (7, "isbn 9780306406157, card 4111111111111111, epoch 1755234000000"),
         ],
         ["id", "text"],
     )
@@ -207,6 +208,12 @@ def test_pii_redaction_planted(spark):
     # naive digit-run pattern redacted every ISO date in a corpus
     assert rows[6]["ph"] == 0 and rows[6]["red"] == (
         "released on 2015-01-01, buy 1 000 000 000 of v10.2.3.4567"
+    )
+    # the match must START at a run boundary: without the leading
+    # anchor the engine started MID-RUN and redacted the tail of any
+    # 10+ digit run (ISBNs, card numbers, epoch timestamps)
+    assert rows[7]["ph"] == 0 and rows[7]["red"] == (
+        "isbn 9780306406157, card 4111111111111111, epoch 1755234000000"
     )
 
 

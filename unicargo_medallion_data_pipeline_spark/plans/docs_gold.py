@@ -271,7 +271,7 @@ def doc_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MD5_INT = "CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)"
+_MD5_INT = ta.sql_md5_int60()
 
 
 @register(
@@ -296,7 +296,7 @@ def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is re-ingested.  (15 hex digits = 60 bits, exact in both
     engines' signed 64-bit ints.)"""
     d = load_table(spark, sf_dir, "documents")
-    md5_int = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    md5_int = ta.md5_int60("text")
     return (
         d.select(
             "doc_id", "lang", "source", (md5_int % 10).alias("sample_bucket")

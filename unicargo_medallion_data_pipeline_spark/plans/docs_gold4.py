@@ -39,8 +39,8 @@ _FP = f"md5({_NORM})"
 # 60-bit integer from an md5 prefix — exact in both engines' int64
 # (same shape as docs_gold.py's _MD5_INT, but salted so the split
 # assignment is independent of the sampling bucket).
-_SPLIT_INT = "CAST(('0x' || substr(md5('split:' || text), 1, 15)) AS BIGINT)"
-_WS_INT = "CAST(('0x' || substr(md5('wsample:' || text), 1, 15)) AS BIGINT)"
+_SPLIT_INT = ta.sql_md5_int60("text", "split:")
+_WS_INT = ta.sql_md5_int60("text", "wsample:")
 
 
 @register(
@@ -176,9 +176,7 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no joins, no windows, scan-throughput at any scale.
     """
     d = load_table(spark, sf_dir, "documents")
-    split_int = F.conv(
-        F.substring(F.md5(F.concat(F.lit("split:"), F.col("text"))), 1, 15), 16, 10
-    ).cast("long")
+    split_int = ta.md5_int60("text", "split:")
     bucket = split_int % 100
     return (
         d.select(
@@ -217,17 +215,21 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each doc gets key ln(u)/w where u in (0,1] derives from a salted
     content hash (not rand() — reproducible across engines, reruns and
     partitionings) and w = n_chars; the top-50 keys are a weighted
-    sample without replacement.  The float key is computed identically
-    in both engines (same hash -> same u, libm ln on the same host) and
-    is only used for ORDERING — it is not emitted, so the hash compare
-    is over exact integers/strings.  Spark executes the top-k as
+    sample without replacement.  The float key is only used for
+    ORDERING — it is not emitted, so the hash compare is over exact
+    integers/strings.  Honest residual (the one place the catalog's
+    log-free rule cannot apply, since log(u)/w for VARYING w has no
+    order-equivalent integer form): JVM ``Math.log`` and DuckDB's
+    ``ln`` may differ in the last ulp, so the 50-row cut could differ
+    iff the two keys straddling the rank-50 boundary land within ~1 ulp
+    of each other — with u on a 2³⁰ lattice and integer w that is a
+    ~2⁻⁴⁰ event, far below other accepted hash-collision risks; ties on
+    the EXACT same key break on doc_id deterministically.  Spark executes the top-k as
     TakeOrderedAndProject (per-partition heap + driver merge of 50-row
     heads), never a global sort — the only scalable global top-k shape.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws_int = F.conv(
-        F.substring(F.md5(F.concat(F.lit("wsample:"), F.col("text"))), 1, 15), 16, 10
-    ).cast("long")
+    ws_int = ta.md5_int60("text", "wsample:")
     u = (F.col("ws_int") % 1073741824 + 1).cast("double") / F.lit(1073741824.0)
     return (
         d.select("doc_id", "lang", "n_chars", ws_int.alias("ws_int"))
@@ -326,7 +328,10 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp behavior differs across engines, while int64→double
     rounding and division are IEEE-pinned.  Ranking by the ratio is
     order-equivalent to ranking by PMI (log is monotone).  BIGINT
-    envelope: c12·N1² < 2^63 up to ~N1 = 3·10^9 corpus tokens at the
+    envelope: c12·N1² ≤ 2⁶³−1 requires N1 ≤ sqrt(2⁶³/c12) — ~1.36·10⁹
+    corpus tokens at the emitted floor c12 = 5, and LOWER for the
+    common bigrams whose c12 grows with the corpus; promote to
+    DECIMAL(38,0) arithmetic before ~10⁹ tokens at the
     observed pair counts; beyond that, promote the products to
     DECIMAL(38,0) (same plan shape) or rank in log-space.
 

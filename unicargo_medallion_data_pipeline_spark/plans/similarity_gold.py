@@ -46,9 +46,12 @@ _SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
 _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
 
 
-@register(
-    "doc_token_jaccard_pairs",
-    sql=f"""
+#: Shared all-pairs token-Jaccard oracle (threshold 0.8): ONE text for
+#: both the guarded exact anchor (doc_token_jaccard_pairs) and its
+#: lossless prefix-filter twin (doc_prefix_filter_jaccard) — the
+#: "provably identical output" contract between them is only checkable
+#: if their oracles cannot drift apart.
+_SQL_JACCARD_PAIRS_08 = f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKSET} AS tokset FROM documents
     )
@@ -62,7 +65,12 @@ _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
     WHERE a.doc_id < b.doc_id
       AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
         / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))) >= 0.8
-    """,
+"""
+
+
+@register(
+    "doc_token_jaccard_pairs",
+    sql=_SQL_JACCARD_PAIRS_08,
     operators=("P10", "J7"),
 )
 def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,6 +105,33 @@ _SQL_SHINGLES3 = r"""
         FROM documents
       )
 """
+
+
+#: Shared recursive-CTE prelude computing shingle-Jaccard (>= 0.3)
+#: connected components — ONE text for doc_neardup_components and
+#: doc_neardup_representatives, whose results must come from the SAME
+#: component structure (a one-sided threshold edit would silently
+#: desynchronize cluster membership from representative election).
+_SQL_NEARDUP_COMP_PRELUDE = f"""
+    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT s.v AS node, r.label AS label
+      FROM reach r JOIN sym s ON s.u = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
+    )"""
+
 
 
 @register(
@@ -511,25 +546,7 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_neardup_components",
-    sql=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
-    edges AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a, sh b
-      WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
-    ),
-    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS label FROM documents
-      UNION
-      SELECT s.v AS node, r.label AS label
-      FROM reach r JOIN sym s ON s.u = r.node
-    ),
-    comp AS (
-      SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
-    )
+    sql=_SQL_NEARDUP_COMP_PRELUDE + f"""
     SELECT doc_id, component_id,
       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size,
       doc_id = component_id AS is_representative
@@ -575,25 +592,7 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_neardup_representatives",
-    sql=f"""
-    WITH RECURSIVE sh AS ({_SQL_SHINGLES3}),
-    edges AS (
-      SELECT a.doc_id AS u, b.doc_id AS v
-      FROM sh a, sh b
-      WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
-    ),
-    sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
-    reach AS (
-      SELECT doc_id AS node, doc_id AS label FROM documents
-      UNION
-      SELECT s.v AS node, r.label AS label
-      FROM reach r JOIN sym s ON s.u = r.node
-    ),
-    comp AS (
-      SELECT node AS doc_id, MIN(label) AS component_id FROM reach GROUP BY node
-    ),
+    sql=_SQL_NEARDUP_COMP_PRELUDE + f""",
     quality AS (
       SELECT doc_id,
              0.4 * least(1.0, CAST({_Q_NTOK} AS DOUBLE) / 100.0)
@@ -692,6 +691,13 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < 10), e, dim=64, k=3, n_planes=8,
         max_sim=_HARD_NEG_CAP,
     )
+
+
+# render the threshold into the docstring (same pattern as
+# doc_editdist_near_dups — register() snapshots __doc__ at import)
+embedding_hard_negatives.__doc__ = embedding_hard_negatives.__doc__.format(
+    _HARD_NEG_CAP=_HARD_NEG_CAP
+)
 
 
 @register(
@@ -805,21 +811,7 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_prefix_filter_jaccard",
-    sql=f"""
-    WITH t AS (
-      SELECT doc_id, {_SQL_TOKSET} AS tokset FROM documents
-    )
-    SELECT
-      a.doc_id AS a_id,
-      b.doc_id AS b_id,
-      CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
-        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset)))
-        AS jaccard
-    FROM t a, t b
-    WHERE a.doc_id < b.doc_id
-      AND CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
-        / (len(a.tokset) + len(b.tokset) - len(list_intersect(a.tokset, b.tokset))) >= 0.8
-    """,
+    sql=_SQL_JACCARD_PAIRS_08,
     operators=("P10", "J7", "A1"),
 )
 def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

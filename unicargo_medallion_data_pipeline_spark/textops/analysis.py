@@ -105,7 +105,9 @@ def predicted_lang(col: str | Column = "text") -> Column:
     zh = cjk_char_count(col)
     counts = {lang: marker_count(lang, col) for lang in MARKERS}
     expr = F.when(zh > 0, "zh")
-    # strict > against all later languages → deterministic tiebreak chain
+    # >= against all later languages: an earlier language WINS ties
+    # (the documented fixed-chain tiebreak — all-zero marker counts
+    # resolve to 'en', and changing this flips results corpus-wide)
     order = ["en", "de", "fr", "es"]
     for i, lang in enumerate(order[:-1]):
         cond = F.lit(True)
@@ -168,3 +170,24 @@ def duplicated_instance_count(arr: Column) -> Column:
         F.lit(0),
         lambda acc, c: acc + F.when(c >= 2, c).otherwise(F.lit(0)),
     )
+
+
+def md5_int60(col: str | Column = "text", salt: str = "") -> Column:
+    """60-bit nonnegative integer from a (salted) md5 prefix — 15 hex
+    digits, exact in both engines' signed int64.  The deterministic
+    pseudo-randomness primitive behind sampling buckets, train/val/test
+    splits, and weighted-sampling keys.  MUST stay bitwise-lockstep
+    with :func:`sql_md5_int60` (defined adjacently on purpose — the
+    pair replaces four hand-copied expression/SQL sites that had to be
+    edited in lockstep by discipline alone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(F.lit(salt), c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_int60(expr: str = "text", salt: str = "") -> str:
+    """DuckDB mirror of :func:`md5_int60` — same salt, same 15-hex-digit
+    prefix, same int64 value."""
+    inner = f"'{salt}' || {expr}" if salt else expr
+    return f"CAST(('0x' || substr(md5({inner}), 1, 15)) AS BIGINT)"

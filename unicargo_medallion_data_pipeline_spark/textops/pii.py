@@ -29,12 +29,22 @@ from pyspark.sql import functions as F
 #: naive class form also matched every ISO date ('2015-01-01'), spaced
 #: thousands ('1 000 000 000'), and dotted versions, silently redacting
 #: dates corpus-wide.  4-2-2 (dates) and bare 8-digit runs cannot
-#: satisfy the 3/4-digit group minimums (lookaround stays banned: this
-#: must run identically on Java regex and RE2).
+#: satisfy the 3/4-digit group minimums.  The leading alternation
+#: anchors the match START (a '+CC' prefix, a literal '(', or a word
+#: boundary before the first digit): without it the engine starts
+#: MID-RUN and redacts the tail of any 10+ digit run (ISBNs, card
+#: numbers, epoch timestamps).  A bare ``\b`` prefix cannot do this —
+#: '+' and '(' are non-word, so ``\b`` before them never matches after
+#: a space.  Lookaround stays banned: this must run identically on
+#: Java regex and RE2 (cross-engine pinned in tests).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"(?:\+\d{1,3}[ .-]?)?\(?\d{3,4}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    (
+        "phone",
+        r"(?:\+\d{1,3}[ .-]?\(?|\(|\b)\d{3,4}\)?[ .-]?\d{3}[ .-]?\d{4}\b",
+        "<PHONE>",
+    ),
 )
 
 
@@ -51,9 +61,12 @@ def pii_count(kind: str, col: str | Column = "text") -> Column:
     EARLIER pattern already redacted — exactly mirroring the sequential
     semantics of ``redact_pii``, so each kind counts the matches its
     replacement actually consumes.  Counting every kind on the original
-    text instead would double-count overlaps: the phone pattern also
-    matches an SSN-shaped 123-45-6789, so every SSN would inflate
-    n_phones by one."""
+    text instead would double-count overlaps — e.g. the digits of a
+    phone number embedded in an email's local part are consumed by the
+    email redaction first and must not also count as a phone.  (The
+    current phone pattern no longer matches SSN-shaped 3-2-4 groupings,
+    but the sequential contract is what keeps EVERY such overlap class
+    correct, so keep counting on the redacted-so-far text.)"""
     c = F.col(col) if isinstance(col, str) else col
     for k, pattern, repl in PII_PATTERNS:
         if k == kind:

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
 
-#: Quantization scale: 1e8 keeps 64 products of |v|<~30 within int64.
+#: Quantization scale.  Honest int64 envelope: a 64-term dot product of
+#: quantized values needs 64·(|v|·1e8)² ≤ 2⁶³−1, i.e. |v| ≤ ~3.79 —
+#: fine for normalized / unit-ish embeddings (this corpus is |v| ≤ 1),
+#: NOT for raw feature vectors; ANSI mode turns an overflow into a hard
+#: ArithmeticException rather than silent wraparound.  Scale down (or
+#: pre-normalize) before quantizing wider-range vectors.
 _SCALE = 100_000_000
 
 
@@ -284,7 +289,11 @@ def _ivf_assign(centroids: list[list[float]], n_probe: int):
         M = np.stack(vecs.to_numpy())
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         sims = M @ C.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
+        # stable: ties (e.g. a zero embedding scoring 0.0 to every
+        # centroid) must break toward the LOWER cid, matching the frozen
+        # path's documented (-score, cid) order — default introsort
+        # would leave tied probe sets numpy-version-dependent
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     # Real class objects, not strings: this module's `from __future__
