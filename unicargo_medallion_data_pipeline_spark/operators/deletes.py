@@ -96,47 +96,59 @@ def propagate_deletes(
             "never matches and would silently skip a deletion request"
         )
 
+    # Dispatch on what the TARGET actually is, not on import
+    # availability: in a delta-enabled environment a plain-parquet
+    # target (e.g. the erasure-audit catalog query's staged table)
+    # would otherwise hit DeltaTable.forPath and die with "not a Delta
+    # table" instead of taking the parquet rewrite below.
     if delta_available():
         from delta.tables import DeltaTable
 
-        target = DeltaTable.forPath(spark, target_path)
-        before = (
-            target.toDF()
-            .join(keys, key_cols, "left_semi")
-            .groupBy(F.col(partition_col).cast("string").alias("partition"))
-            .count()
-            .collect()
-        )
-        # The blast-radius cap is part of the documented contract on
-        # BOTH paths — without it the Delta branch would run an
-        # unbounded full-table-scale MERGE the parquet path refuses.
-        if len(before) > max_touched_partitions:
-            raise ValueError(
-                f"deletion touches > {max_touched_partitions} distinct "
-                f"'{partition_col}' partitions; a delete at that scale "
-                "should be an explicit full rewrite. Raise "
-                "max_touched_partitions explicitly."
-            )
-        cond = " AND ".join(f"t.{k} = d.{k}" for k in key_cols)
-        target.alias("t").merge(keys.alias("d"), cond).whenMatchedDelete().execute()
-        # After a whenMatchedDelete, every matched row is gone: per
-        # touched partition rows_deleted == matched count.
-        after = {
-            r["partition"]: r["count"]
-            for r in (
+        if DeltaTable.isDeltaTable(spark, target_path):
+            target = DeltaTable.forPath(spark, target_path)
+            before = (
                 target.toDF()
+                .join(keys, key_cols, "left_semi")
                 .groupBy(F.col(partition_col).cast("string").alias("partition"))
                 .count()
                 .collect()
             )
-        }
-        rows = []
-        for r in before:
-            part = r["partition"]
-            deleted = r["count"]
-            remaining = after.get(part, 0)
-            rows.append((part, remaining + deleted, remaining, deleted))
-        return _audit_df(spark, rows)
+            # The blast-radius cap is part of the documented contract on
+            # BOTH paths — without it the Delta branch would run an
+            # unbounded full-table-scale MERGE the parquet path refuses.
+            if len(before) > max_touched_partitions:
+                raise ValueError(
+                    f"deletion touches > {max_touched_partitions} distinct "
+                    f"'{partition_col}' partitions; a delete at that scale "
+                    "should be an explicit full rewrite. Raise "
+                    "max_touched_partitions explicitly."
+                )
+            cond = " AND ".join(f"t.{k} = d.{k}" for k in key_cols)
+            target.alias("t").merge(
+                keys.alias("d"), cond
+            ).whenMatchedDelete().execute()
+            # After a whenMatchedDelete, every matched row is gone: per
+            # touched partition rows_deleted == matched count.
+            after = {
+                r["partition"]: r["count"]
+                for r in (
+                    target.toDF()
+                    .groupBy(
+                        F.col(partition_col).cast("string").alias("partition")
+                    )
+                    .count()
+                    .collect()
+                )
+            }
+            rows = []
+            for r in before:
+                part = r["partition"]
+                deleted = r["count"]
+                remaining = after.get(part, 0)
+                rows.append((part, remaining + deleted, remaining, deleted))
+            return _audit_df(spark, rows)
+        # delta importable but the target is plain parquet: fall through
+        # to the partition-scoped rewrite below
 
     # ---- parquet path: partition-scoped rewrite -------------------------
     existing_all = spark.read.parquet(target_path)

@@ -474,17 +474,12 @@ def events_reaggregation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hex15_sql(col: str) -> str:
-    """Unrolled exact hex→int parse of the first 15 md5 digits (SQL).
-
-    16^k appear as LITERAL integer constants because POWER() is
-    double-typed in both engines and 16^14 exceeds 2^53 — the unrolled
-    integer form stays exact in BIGINT (max value 16^15−1 ≈ 1.15e18).
-    """
-    terms = [
-        f"(strpos('0123456789abcdef', substr({col}, {i}, 1)) - 1) * {16 ** (15 - i)}"
-        for i in range(1, 16)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """Exact hex→int parse of the first 15 md5 digits (SQL): the
+    '0x'-prefix BIGINT cast idiom proven cross-engine throughout the
+    catalog (textops.analysis.sql_md5_int60) — replaces a hand-unrolled
+    15-term strpos polynomial that interpolated the md5 expression 15
+    times.  Max value 16^15−1 ≈ 1.15e18, exact in BIGINT."""
+    return f"CAST(('0x' || substr({col}, 1, 15)) AS BIGINT)"
 
 
 @register(
@@ -521,9 +516,8 @@ def orders_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting is engine-specific), timestamps through DATE, NULLs
     become an explicit '<null>' sentinel (concat_ws SKIPS nulls, so
     without the sentinel a null moving between columns would not
-    change the hash), and columns join on '|'.  The hex parse is unrolled with literal 16^k
-    constants (POWER is double-typed and 16^14 > 2^53); the row value
-    is < 16^15 so the per-row BIGINT and the DECIMAL(38) sum are both
+    change the hash), and columns join on '|'.  The row value is
+    < 16^15 so the per-row BIGINT and the DECIMAL(38) sum are both
     exact.  The final hash is emitted as a STRING so engine decimal
     types cannot differ.  Collision odds: summing 60-bit values is not
     cryptographic, but flipping any row changes the sum unless an

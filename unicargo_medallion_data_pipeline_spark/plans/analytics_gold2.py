@@ -744,26 +744,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proven deterministic pattern.  Stage frames shrink every hop;
     the percentile sort runs over the CONVERTED population only.
     """
+    from unicargo_medallion_data_pipeline_spark.plans.events_gold import (
+        funnel_stage_frames,
+    )
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c.select("user_id", "t_click"), "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    v, c, p = funnel_stage_frames(ev)
     vc = c.join(v, "user_id").select(
         F.lit("view_to_click").alias("stage"),
         (F.unix_timestamp("t_click") - F.unix_timestamp("t_view")).alias("lag_s"),

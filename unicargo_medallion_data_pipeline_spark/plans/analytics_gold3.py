@@ -609,7 +609,6 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator an exact integer; one final IEEE division.  Scale: one
     user-keyed window (LEAD) + one keyed aggregate — both map-side
     partial where possible, shuffled once on user_id."""
-    from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -618,7 +617,7 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     held = (
         ev.withColumn("next_s", F.lead("ts_s").over(w))
         .filter(F.col("next_s").isNotNull())
@@ -673,7 +672,6 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE hour-keyed exchange serves both row_number windows and the
     final aggregate (same partitioning); open/close resolve via
     rank-1-flag min/max so no second shuffle or self-join appears."""
-    from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").select(
         "value",
@@ -683,8 +681,8 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("hour_start"),
     )
-    w_open = W.partitionBy("hour_start").orderBy("ts", "event_id")
-    w_close = W.partitionBy("hour_start").orderBy(
+    w_open = Window.partitionBy("hour_start").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("hour_start").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
     seq = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
@@ -785,9 +783,8 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_age = flows.groupBy("cohort_month", "age_months").agg(
         F.sum("cents").alias("cents")
     )
-    from pyspark.sql import Window as W
 
-    wcum = W.partitionBy("cohort_month").orderBy("age_months")
+    wcum = Window.partitionBy("cohort_month").orderBy("age_months")
     return (
         per_age.join(sizes, "cohort_month")
         .select(
@@ -854,7 +851,6 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     only; the argmax tie-breaks to the earliest day.  Scale: the series
     is one map-side-combinable daily aggregate (≤ calendar-days rows);
     every window runs over that aggregated frame, never the fact."""
-    from pyspark.sql import Window as W
 
     daily = (
         load_table(spark, sf_dir, "orders")
@@ -865,13 +861,13 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    wseq = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wall = W.partitionBy()
+    wseq = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
     seq = daily.select(
         "day",
         "cents",
         F.sum("cents").over(wseq).alias("prefix"),
-        F.row_number().over(W.orderBy("day")).cast("bigint").alias("k"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
         F.sum("cents").over(wall).alias("total"),
         F.count(F.lit(1)).over(wall).alias("n"),
     ).withColumn(

@@ -248,7 +248,6 @@ def events_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Quantization scale for the covariance query: |x| < 0.6, so q ≤ 6e3,
 #: q² ≤ 3.6e7, and every closed-form combination stays exact in DECIMAL.
 _COV_SCALE = 10_000
-_COV_SCALE_SQL = _COV_SCALE
 
 
 @register(
@@ -656,14 +655,18 @@ def events_kmv_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a NULL hash would sort FIRST and corrupt a bottom-k slot
         .distinct()
         .withColumn("h", _kmv_hash(F.col("user_id")))
+        # pin: `ev` feeds kept, exact, AND direct — unpinned, the fact
+        # scan + dedup exchange would execute three times per run
+        .localCheckpoint(eager=True)
     )
     w_type = Window.partitionBy("event_type").orderBy("h", "user_id")
     kept = (
         ev.withColumn("rn", F.row_number().over(w_type))
         .filter(F.col("rn") <= _KMV_K)
     )
-    # Pin: `kept` feeds per_type, merged and (via ev) shares the dedup
-    # exchange; it is sketch-sized (≤ |types|·k rows) so the pin is free.
+    # Pin: `kept` feeds per_type and merged; sketch-sized (≤ |types|·k
+    # rows) so the pin is free.  (`ev` carries its own pin above — the
+    # scan/dedup subtree must not re-execute for exact/direct.)
     kept = kept.localCheckpoint(eager=True)
     per_type = kept.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("sketch_rows"),

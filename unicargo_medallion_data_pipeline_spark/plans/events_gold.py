@@ -17,6 +17,37 @@ from pyspark.sql.window import Window
 
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
+
+
+def funnel_stage_frames(ev: DataFrame):
+    """The strictly-ordered view → click → purchase stage frames
+    (first-touch timestamps per user; step k counts only AFTER the
+    user's first step-(k−1) event).  ONE definition shared by
+    events_funnel_conversion and analytics_gold2's
+    funnel_time_to_convert — a one-sided edit to the ordering rule
+    (e.g. ``>=`` instead of ``>``) must not silently de-synchronize the
+    two funnels' populations."""
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v, c, p
 
 
 @register(
@@ -58,26 +89,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequencing needs the stage joins.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    v, c, p = funnel_stage_frames(ev)
     return (
         v.agg(F.count(F.lit(1)).alias("n_viewed"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
@@ -92,8 +104,10 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the retention matrix has real structure to verify.  Production drops
 #: this filter — the operator shape is unchanged.
 _THIN_SQL = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || "
-    "CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0"
+    ta.sql_md5_int60(
+        "CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR)"
+    )
+    + " % 5 = 0"
 )
 
 
@@ -136,19 +150,9 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     day = F.col("ts").cast("date")
-    thin_key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("user_id").cast("string"), F.lit(":"), day.cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    thin_key = ta.md5_int60(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
+    )
     thinned = ev.filter(thin_key % 5 == 0)
     first_week = thinned.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
