@@ -2,10 +2,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ..., "calibration": {...}}.
 
 Each query is executed to completion (count() action) after a warm-up of
 the session; per-query wall time includes plan + execution.
+
+Self-evidencing against host noise: the harness VM's CPU throughput has
+been observed to swing ~3x between windows (a fixed Python loop measured
+0.30s vs 0.96s across rounds — docs/PLANS.md round-7 bench note), which
+makes a bare wall-clock total impossible to interpret after the fact.
+So the harness runs a fixed-work CPU calibration probe BEFORE the first
+query round, BETWEEN rounds, and AFTER the last, and embeds every probe
+timing in the output JSON.  A probe spread (max/min) near 1.0 means the
+window was steady and the query timings are trustworthy; a spread above
+~1.5 proves the window was noisy and the wall-clock numbers must be
+discounted accordingly — the artifact carries its own evidence either
+way.
 """
 
 from __future__ import annotations
@@ -18,6 +30,29 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+#: Interleaved best-of-N rounds (round-robin over all queries per round,
+#: so a sustained host stall cannot swallow every attempt of one query).
+N_ROUNDS = 4
+
+
+def _cpu_probe() -> float:
+    """Fixed-work, deterministic CPU probe (~0.3s on a quiet host):
+    a pure-Python arithmetic loop plus a NumPy matmul chain, covering
+    both the interpreter and the BLAS paths a Spark driver exercises."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    a = np.random.default_rng(0).random((400, 400))
+    for _ in range(8):
+        a = (a @ a) * 1e-3  # rescale to keep magnitudes bounded
+    # fold results into a value the optimizer cannot elide
+    if s < 0 or not float(a.sum()) == float(a.sum()):
+        raise AssertionError("probe arithmetic diverged")
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -35,18 +70,20 @@ def main() -> None:
     # Best-of-N per query: the harness VM shows intermittent CPU-steal
     # stalls (observed 50-160s, occasionally minutes); the minimum is the
     # faithful measure of the plan.  Attempts are INTERLEAVED round-robin
-    # (all queries once, then again) so a sustained stall cannot swallow
-    # every attempt of one query; a third round runs only for queries
-    # whose first two attempts disagree wildly.
+    # (all queries once, then again); the final round runs only for
+    # queries whose earlier attempts disagree wildly.  Calibration probes
+    # bracket every round so the JSON carries its own noise evidence.
+    probes: list[float] = [_cpu_probe()]
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
-    for rnd in range(3):
+    for rnd in range(N_ROUNDS):
         for name, q in bench_queries.items():
             r = runs[name]
-            if rnd == 2 and len(r) == 2 and max(r) <= 3 * min(r):
+            if rnd == N_ROUNDS - 1 and len(r) >= 2 and max(r) <= 3 * min(r):
                 continue
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             r.append(time.perf_counter() - t0)
+        probes.append(_cpu_probe())
     timings = {name: round(min(r), 3) for name, r in runs.items()}
 
     total = round(sum(timings.values()), 3)
@@ -55,6 +92,12 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    probe_min = min(probes)
+    calibration = {
+        "probe_sec": [round(p, 3) for p in probes],
+        "probe_spread": round(max(probes) / probe_min, 3) if probe_min else None,
+        "rounds": N_ROUNDS,
+    }
     print(
         json.dumps(
             {
@@ -63,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "calibration": calibration,
             }
         )
     )

@@ -498,6 +498,21 @@ def test_rename_error_discrimination():
         Exception("/t/_manifests/.v1.json.crc already exists"),
         "/t/_manifests/v1.json",
     )
+    # an FS that names only the destination FILE, not the full path, is
+    # still a race — requiring the full path would reclassify a genuine
+    # lost race as OSError and hard-fail instead of retrying
+    assert _is_dest_exists_error(
+        Exception("rename failed: v1.json already exists"),
+        "/t/_manifests/v1.json",
+    )
+    assert _is_dest_exists_error(
+        Exception("file 'v1.json' already exists"),
+        "/t/_manifests/v1.json",
+    )
+    # basename inside a DIFFERENT filename is still not a race
+    assert not _is_dest_exists_error(
+        Exception("old-v1.json already exists"), "/t/_manifests/v1.json"
+    )
     # dest=None (no path to corroborate) stays permissive by design —
     # pin it so a future caller without a dest keeps that behavior
     # visibly rather than silently

@@ -186,3 +186,49 @@ def test_null_partition_fully_emptied_is_removed(spark, tmp_path):
     )
     assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
     assert [r["row_id"] for r in spark.read.parquet(path).collect()] == [2]
+
+
+def test_bool_partition_emptied_dir_removed(spark, tmp_path):
+    """Partition types whose Python repr differs from Spark's directory
+    rendering (bool True vs 'true') must still get their emptied
+    directory removed — the cleanup keys on Spark's own cast-to-string
+    rendering, never str(python_value)."""
+    path = os.path.join(tmp_path, "t")
+    spark.createDataFrame(
+        [(1, 7, True), (2, 8, False)], "row_id int, user_id int, flagged boolean"
+    ).write.mode("overwrite").partitionBy("flagged").parquet(path)
+    assert os.path.exists(os.path.join(path, "flagged=true"))
+
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="flagged"
+    )
+    # the emptied flagged=true directory is GONE (not just empty) and
+    # the erased row is unreadable
+    assert not os.path.exists(os.path.join(path, "flagged=true"))
+    left = spark.read.parquet(path)
+    assert [r["row_id"] for r in left.collect()] == [2]
+    # audit keys use Spark's rendering too
+    (arow,) = audit.collect()
+    assert arow["partition"] == "true"
+    assert (arow["rows_before"], arow["rows_after"], arow["rows_deleted"]) == (1, 0, 1)
+
+
+def test_decimal_partition_emptied_dir_removed(spark, tmp_path):
+    """Decimal partition values render with scale-padded trailing zeros
+    ('1.10'); the cleanup must match that rendering, not repr()."""
+    from decimal import Decimal
+
+    path = os.path.join(tmp_path, "t")
+    spark.createDataFrame(
+        [(1, 7, Decimal("1.1")), (2, 8, Decimal("2.5"))],
+        "row_id int, user_id int, rate decimal(10,2)",
+    ).write.mode("overwrite").partitionBy("rate").parquet(path)
+
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="rate"
+    )
+    dirs = [d for d in os.listdir(path) if d.startswith("rate=")]
+    assert all("1.1" not in d for d in dirs), f"emptied dir survived: {dirs}"
+    assert [r["row_id"] for r in spark.read.parquet(path).collect()] == [2]

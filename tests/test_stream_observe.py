@@ -106,9 +106,16 @@ def test_progress_row_handles_sparse_payloads():
     }
     r = progress_row(minimal)
     assert r["query_id"] == "abc"
-    assert r["input_rows_per_sec"] is None or r["input_rows_per_sec"] != r[
+    # "NaN" maps to NULL — a real NaN row would poison threshold
+    # comparisons (input_rows_per_sec > processed_rows_per_sec) in the
+    # log table
+    assert r["input_rows_per_sec"] is None
+    assert progress_row({**minimal, "inputRowsPerSecond": "Infinity"})[
         "input_rows_per_sec"
-    ]  # None or NaN accepted
+    ] is None
+    assert progress_row({**minimal, "inputRowsPerSecond": 12.5})[
+        "input_rows_per_sec"
+    ] == 12.5
     assert r["trigger_execution_ms"] is None
     assert r["watermark"] is None
     assert r["state_rows_total"] is None

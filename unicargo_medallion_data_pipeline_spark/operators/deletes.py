@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.sources.staging import (
-    dynamic_partition_overwrite,
+    write_dynamic_overwrite,
     remove_path,
     staging_path,
 )
@@ -157,11 +157,19 @@ def propagate_deletes(
     # One column-pruned pass: per-partition matching-row counts.  The
     # collect is bounded metadata (≤ touched-partition rows), the same
     # discipline as merge_upsert_partitioned's partition list.
+    # ``part_str`` is Spark's OWN string rendering of the partition value
+    # (cast-to-string), which is also how the value appears (unescaped) in
+    # the partition directory name.  Every audit/cleanup dict below keys on
+    # it — never on ``str(python_value)``, whose repr diverges from Spark's
+    # for booleans ('True' vs 'true') and trailing-zero decimals, which
+    # would leave an emptied directory alive while the audit reported its
+    # rows deleted.
     matched_counts = (
         existing_all.select(partition_col, *key_cols)
         .join(keys, key_cols, "left_semi")
         .groupBy(partition_col)
         .count()
+        .withColumn("part_str", F.col(partition_col).cast("string"))
         .limit(max_touched_partitions + 1)
         .collect()
     )
@@ -175,14 +183,24 @@ def propagate_deletes(
     if not matched_counts:
         return _audit_df(spark, [])
     parts = [r[0] for r in matched_counts]
-    deleted_by_part = {str(r[0]): r["count"] for r in matched_counts}
+    part_strs = [
+        "None" if r["part_str"] is None else r["part_str"]
+        for r in matched_counts
+    ]
+    deleted_by_part = dict(
+        zip(part_strs, (r["count"] for r in matched_counts))
+    )
 
     # Partition-column-only distinct (values come from directory names —
     # no data pages are read): needed to detect the table-fully-emptied
     # edge below.
     all_parts = {
-        str(r[0])
-        for r in existing_all.select(partition_col).distinct().collect()
+        "None" if r[0] is None else r[0]
+        for r in existing_all.select(
+            F.col(partition_col).cast("string")
+        )
+        .distinct()
+        .collect()
     }
 
     # NULL-safe partition selection: isin() is never true for NULL, so
@@ -201,8 +219,12 @@ def propagate_deletes(
         part_filter = part_filter | F.col(partition_col).isNull()
     touched = existing_all.filter(part_filter)
     before_counts = {
-        str(r[0]): r["count"]
-        for r in touched.groupBy(partition_col).count().collect()
+        "None" if r[0] is None else r[0]: r["count"]
+        for r in touched.groupBy(
+            F.col(partition_col).cast("string")
+        )
+        .count()
+        .collect()
     }
     survivors = touched.join(keys, key_cols, "left_anti")
 
@@ -210,13 +232,7 @@ def propagate_deletes(
     try:
         survivors.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        with dynamic_partition_overwrite(spark):
-            (
-                staged.write.mode("overwrite")
-                .format("parquet")
-                .partitionBy(partition_col)
-                .save(target_path)
-            )
+        write_dynamic_overwrite(staged, target_path, partition_col)
         # Emptied partitions are absent from the staged data, so dynamic
         # overwrite left their old files alive: drop the directories.
         # The on-disk names carry Hive/Spark %XX escaping (and the null
@@ -224,13 +240,22 @@ def propagate_deletes(
         # value containing ':' or ' ' would target a path that does not
         # exist, fs.delete would no-op silently, and the "erased" rows
         # would stay readable while the audit claimed zero.  Instead
-        # list the real directories and match their UNESCAPED values.
+        # list the real directories and match their UNESCAPED values —
+        # parsed back through the partition column's (read-back) type
+        # and re-rendered by cast-to-string, so both sides compare in
+        # the same canonical space even when the dir rendering differs
+        # from the column's string form (decimal 'rate=1.10' reads back
+        # as double → '1.1').
         after_counts = {
-            str(r[0]): r["count"]
-            for r in staged.groupBy(partition_col).count().collect()
+            "None" if r[0] is None else r[0]: r["count"]
+            for r in staged.groupBy(
+                F.col(partition_col).cast("string")
+            )
+            .count()
+            .collect()
         }
         emptied = {
-            str(part) for part in parts if after_counts.get(str(part), 0) == 0
+            ps for ps in part_strs if after_counts.get(ps, 0) == 0
         }
         if emptied:
             from unicargo_medallion_data_pipeline_spark.sources.compaction import (
@@ -240,6 +265,7 @@ def propagate_deletes(
             jvm = spark._jvm
             hroot = jvm.org.apache.hadoop.fs.Path(target_path)
             fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+            cand: list[tuple[str, str | None]] = []
             for st in fs.listStatus(hroot):
                 name = st.getPath().getName()
                 if not st.isDirectory() or "=" not in name:
@@ -247,7 +273,31 @@ def propagate_deletes(
                 col, val = _parse_partition_dir(name)[0]
                 if col != partition_col:
                     continue
-                if ("None" if val is None else val) in emptied:
+                cand.append((name, val))
+            # Canonicalize the raw dir values through the column's type
+            # (one tiny driver-local job over ≤ #partition-dirs rows).
+            ptype = existing_all.schema[partition_col].dataType
+            canon = (
+                [
+                    r[0]
+                    for r in spark.createDataFrame(
+                        [(v,) for _, v in cand], "v string"
+                    )
+                    .coalesce(1)
+                    .select(F.col("v").cast(ptype).cast("string"))
+                    .collect()
+                ]
+                if cand
+                else []
+            )
+            for (name, val), cval in zip(cand, canon):
+                if val is None:
+                    key = "None"
+                elif cval is None:
+                    continue  # unparseable under the column type: not ours
+                else:
+                    key = cval
+                if key in emptied:
                     remove_path(
                         spark, posixpath.join(target_path, name)
                     )
@@ -271,6 +321,6 @@ def propagate_deletes(
             after_counts.get(p, 0),
             deleted_by_part.get(p, 0),
         )
-        for p in sorted(str(p) for p in parts)
+        for p in sorted(part_strs)
     ]
     return _audit_df(spark, rows)

@@ -203,7 +203,7 @@ def merge_additive_rollup(
     # sources/staging.py) — a driver-local tempdir would only work in
     # local mode, at odds with this module's scale framing.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
-        dynamic_partition_overwrite,
+        write_dynamic_overwrite,
         remove_path,
         staging_path,
     )
@@ -212,12 +212,6 @@ def merge_additive_rollup(
     try:
         combined.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        with dynamic_partition_overwrite(spark):
-            (
-                staged.write.mode("overwrite")
-                .format("parquet")
-                .partitionBy(partition_col)
-                .save(target_path)
-            )
+        write_dynamic_overwrite(staged, target_path, partition_col)
     finally:
         remove_path(spark, staging)

@@ -283,7 +283,7 @@ def _write_scd2_delta(
     # local mode — see sources/staging.py), because new_current reads the
     # partition it will overwrite.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
-        dynamic_partition_overwrite,
+        write_dynamic_overwrite,
         remove_path,
         staging_path,
     )
@@ -305,14 +305,9 @@ def _write_scd2_delta(
                 .partitionBy("scd_state")
                 .save(target_path)
             )
-        with dynamic_partition_overwrite(spark):
-            (
-                spark.read.parquet(staging + "/current")
-                .write.mode("overwrite")
-                .format("parquet")
-                .partitionBy("scd_state")
-                .save(target_path)
-            )
+        write_dynamic_overwrite(
+            spark.read.parquet(staging + "/current"), target_path, "scd_state"
+        )
     finally:
         remove_path(spark, staging)
 

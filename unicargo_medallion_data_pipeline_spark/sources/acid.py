@@ -45,6 +45,7 @@ from __future__ import annotations
 import base64
 import json
 import posixpath
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,7 +146,11 @@ def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
     path being published) to appear in the text: a wrapped IO error
     whose message happens to say "already exists" about some OTHER path
     (a sidecar ``.crc`` from a crashed attempt, a staging dir) must not
-    be misread as a lost race, or retry loops re-run a doomed commit."""
+    be misread as a lost race, or retry loops re-run a doomed commit.
+    Some filesystems name only the file, not the full path, so the
+    manifest BASENAME (``v{N}.json``) is accepted too — requiring the
+    full path would reclassify a genuine lost race as OSError and make
+    ``merge_upsert_with_retry`` hard-fail instead of retrying."""
     race_classes = (
         "org.apache.hadoop.fs.FileAlreadyExistsException",
         "org.apache.hadoop.fs.PathExistsException",
@@ -162,7 +167,20 @@ def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
     msg = str(e).lower()
     if "already exists" not in msg and "destination exists" not in msg:
         return False
-    return dest is None or dest.lower() in msg
+    if dest is None:
+        return True
+    if dest.lower() in msg:
+        return True
+    # Basename match must be a standalone path component: a crashed
+    # attempt's sidecar ``.v{N}.json.crc`` CONTAINS ``v{N}.json`` as a
+    # substring but is a different file — the leading-dot lookbehind and
+    # the trailing extension lookahead reject it.
+    base = posixpath.basename(dest.rstrip("/")).lower()
+    return bool(base) and bool(
+        re.search(
+            r"(?<![\w.\-])" + re.escape(base) + r"(?![\w\-])(?!\.\w)", msg
+        )
+    )
 
 
 class ManifestTable:

@@ -119,7 +119,7 @@ def compact_partitioned_path(
         return {}
 
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
-        dynamic_partition_overwrite,
+        write_dynamic_overwrite,
         remove_path,
         staging_path,
     )
@@ -184,13 +184,7 @@ def compact_partitioned_path(
         staged_dirs = set(partition_file_census(spark, staging))
         done = {d: nf for d, (_, nf) in todo.items() if d in staged_dirs}
         staged = spark.read.parquet(staging)
-        with dynamic_partition_overwrite(spark):
-            (
-                staged.write.mode("overwrite")
-                .format("parquet")
-                .partitionBy(*partition_cols)
-                .save(path)
-            )
+        write_dynamic_overwrite(staged, path, *partition_cols)
     finally:
         if prior_infer is None:
             spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")

@@ -147,7 +147,7 @@ def merge_upsert_partitioned(
     # failure (this runs per micro-batch under write_stream_with_merge —
     # leaks would compound).
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
-        dynamic_partition_overwrite,
+        write_dynamic_overwrite,
         remove_path,
         staging_path,
     )
@@ -156,12 +156,6 @@ def merge_upsert_partitioned(
     try:
         merged.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
-        with dynamic_partition_overwrite(spark):
-            (
-                staged.write.mode("overwrite")
-                .format("parquet")
-                .partitionBy(partition_col)
-                .save(target_path)
-            )
+        write_dynamic_overwrite(staged, target_path, partition_col)
     finally:
         remove_path(spark, staging)

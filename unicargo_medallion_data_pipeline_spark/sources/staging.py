@@ -15,31 +15,31 @@ remnants (same convention as ``_SUCCESS`` / ``_temporary``).
 
 from __future__ import annotations
 
-import contextlib
 import posixpath
 import uuid
 
 from pyspark.sql import SparkSession
 
 
-@contextlib.contextmanager
-def dynamic_partition_overwrite(spark: SparkSession):
-    """``spark.sql.sources.partitionOverwriteMode=dynamic`` for the
-    block, restoring the prior value (or unsetting) on exit.
+def write_dynamic_overwrite(df, target_path: str, *partition_cols: str) -> None:
+    """Partitioned parquet overwrite replacing ONLY the partitions
+    present in ``df`` (dynamic mode), scoped to this single write via
+    ``DataFrameWriter.option`` — never the session conf.
 
-    One shared implementation: the save/set/try-finally bookkeeping was
-    copy-pasted five times (merge, SCD2, rollup, deletes, compaction),
-    and a drifted copy that leaks ``dynamic`` session-wide would turn
-    every later whole-table INSERT OVERWRITE into a partial one."""
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        yield
-    finally:
-        if prior is None:
-            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        else:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    One shared implementation: the save/set/try-finally session-conf
+    bookkeeping was copy-pasted five times (merge, SCD2, rollup,
+    deletes, compaction) and then centralized; but even the centralized
+    context manager toggled the SESSION-wide mode, so a concurrent job
+    in the same SparkSession doing a full INSERT OVERWRITE during the
+    window silently became a partial overwrite.  The writer option has
+    per-write scope (Spark ≥ 2.4) and closes that race entirely."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .save(target_path)
+    )
 
 
 def staging_path(target_path: str, prefix: str) -> str:

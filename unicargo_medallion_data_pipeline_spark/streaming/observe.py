@@ -35,6 +35,7 @@ means a missing watermark.
 from __future__ import annotations
 
 import json
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -99,9 +100,14 @@ def progress_row(p: Any) -> dict:
     def _rate(key: str) -> float | None:
         v = d.get(key)
         try:
-            return None if v is None else float(v)
+            v = None if v is None else float(v)
         except (TypeError, ValueError):
             return None
+        # First-trigger payloads carry the literal string "NaN";
+        # float("NaN") is a real NaN that would poison threshold
+        # comparisons over the log table — map non-finite to NULL as the
+        # docstring promises.
+        return v if v is not None and math.isfinite(v) else None
 
     return {
         "query_id": str(d.get("id")),

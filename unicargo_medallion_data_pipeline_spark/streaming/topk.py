@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from unicargo_medallion_data_pipeline_spark.sources.staging import (
-    dynamic_partition_overwrite,
+    write_dynamic_overwrite,
 )
 from unicargo_medallion_data_pipeline_spark.streaming.writers import _apply_trigger
 
@@ -71,15 +71,11 @@ def write_stream_window_topk(
         # idempotent under foreachBatch replay: overwrite THIS batch's
         # partition only (a bare append would duplicate every finalized
         # window when a crash lands between this write and the
-        # checkpoint commit)
-        with dynamic_partition_overwrite(batch_df.sparkSession):
-            (
-                top.withColumn("_b", F.lit(batch_id))
-                .write.mode("overwrite")
-                .format("parquet")
-                .partitionBy("_b")
-                .save(out_path)
-            )
+        # checkpoint commit); dynamic mode is a per-WRITE option so a
+        # concurrent full overwrite elsewhere in the session is unaffected
+        write_dynamic_overwrite(
+            top.withColumn("_b", F.lit(batch_id)), out_path, "_b"
+        )
 
     writer = (
         agg.writeStream.foreachBatch(_rank_batch)
