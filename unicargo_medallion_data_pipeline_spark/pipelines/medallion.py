@@ -187,12 +187,16 @@ def run_medallion(
         "flight_number_performance": (fact_t, da_t),
         "distance_bucket_stats": (fact_t,),
     }
+    per_table: dict[str, float] = {}
     for name in gold_names or list(needs):
         fn = gold_flights.GOLD_SUITE[name]
         df = fn(*needs[name])
         full_name = f"{environment}_gold.{name}"
+        _tg = _time.perf_counter()
         df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
+        per_table[name] = _time.perf_counter() - _tg
         result.gold[name] = full_name
     if timings is not None:
         timings["gold"] = _time.perf_counter() - _t0
+        timings["gold_tables"] = per_table
     return result
