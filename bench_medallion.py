@@ -212,6 +212,12 @@ def main() -> None:
             "fact_flight": spark.read.table(result.silver["flights"]).count(),
             "gold_tables": len(result.gold),
         }
+        per_table = {
+            k: round(v, 2)
+            for k, v in sorted(
+                timings.pop("gold_tables", {}).items(), key=lambda kv: -kv[1]
+            )
+        }
         layers = {k: round(v, 2) for k, v in timings.items()}
         rps = {
             "bronze": round(args.rows / timings["bronze"]),
@@ -228,6 +234,7 @@ def main() -> None:
                     "rows": rows,
                     "rows_per_sec": rps,
                     "generation_sec": round(gen_s, 2),
+                    "gold_per_table": per_table,
                 }
             )
         )

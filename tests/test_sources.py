@@ -253,3 +253,39 @@ def test_partitioned_path_scan_prunes_partitions(spark):
     assert pf and "day" in pf[0], f"no partition filter in scan: {pf}"
     expected = ev.filter(F.col("day") == "2024-01-05").count()
     assert q.count() == expected > 0
+
+
+def test_partitioned_write_clusters_files_per_partition(spark):
+    """S5 layout contract: with ``target_files_per_partition=1`` every
+    partition-column VALUE lands in exactly one parquet file, however
+    many tasks the upstream job ran.  Without clustering a W-task write
+    sprays ~W slivers into every partition directory — the small-files
+    tax every downstream scan then pays (the round-8 medallion gold
+    profile measured it as a uniform ~4s/table scan overhead)."""
+    import glob as _glob
+
+    from unicargo_medallion_data_pipeline_spark.config.tables import TableConfig
+    from unicargo_medallion_data_pipeline_spark.sources.writers import save_to_table
+
+    root = tempfile.mkdtemp(prefix="layout_test_")
+    cfg = TableConfig(
+        entity="t2", layer="layout", environment="test",
+        table="t2", storage_root=root, partition_by=("d",),
+    )
+    df = (
+        spark.range(0, 3000, 1, 16)  # 16 upstream tasks
+        .selectExpr("id", "cast(id % 5 as int) AS d")
+    )
+    save_to_table(df, cfg, spark, target_files_per_partition=1)
+
+    tbl_dir = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {cfg.full_name}")
+        .filter("col_name = 'Location'")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    for d in range(5):
+        files = _glob.glob(os.path.join(tbl_dir, f"d={d}", "*.parquet"))
+        assert len(files) == 1, f"d={d} has {len(files)} files, want 1"
+    # all rows survive the re-clustering
+    assert spark.read.table(cfg.full_name).count() == 3000
+    spark.sql(f"DROP TABLE {cfg.full_name}")

@@ -146,7 +146,20 @@ def run_medallion(
     }
     for entity, df in silver_tables.items():
         cfg = get_table_config(entity, "silver", environment, config)
-        save_to_table(df, cfg, spark, mode="overwrite")
+        # One file per partition value: the fact partitions by date_sk
+        # (~365 values/year), and without clustering every write task
+        # emits a sliver into every date directory — ~W×P tiny files
+        # that EVERY downstream gold scan then re-lists and re-opens.
+        # Measured at 2M rows / 20 gold tables: the small-files layout
+        # alone accounted for most of a uniform ~4s/table scan tax
+        # (docs/PLANS.md round-8 gold profile).
+        save_to_table(
+            df,
+            cfg,
+            spark,
+            mode="overwrite",
+            target_files_per_partition=1 if cfg.partition_by else None,
+        )
         result.silver[entity] = cfg.full_name
     if timings is not None:
         timings["silver"] = _time.perf_counter() - _t0
@@ -157,6 +170,14 @@ def run_medallion(
     da_t = spark.read.table(result.silver["airlines"])
     dp_t = spark.read.table(result.silver["airports"])
     dd_t = spark.read.table(result.silver["dates"])
+
+    # The gold suite fans ~20 independent aggregates out of ONE fact:
+    # persist it so the parquet scan is paid once, not per gold table
+    # (spill-safe MEMORY_AND_DISK — at cluster scale a fact that
+    # exceeds executor memory degrades to local-disk reads, still
+    # cheaper than 20 remote re-scans).  The quality gate below is the
+    # action that materializes the cache.
+    fact_t = fact_t.persist()
 
     # Quality gates (Q1): fail fast before building gold.
     result.quality["fact_flight"] = validate_data_quality(
@@ -188,14 +209,17 @@ def run_medallion(
         "distance_bucket_stats": (fact_t,),
     }
     per_table: dict[str, float] = {}
-    for name in gold_names or list(needs):
-        fn = gold_flights.GOLD_SUITE[name]
-        df = fn(*needs[name])
-        full_name = f"{environment}_gold.{name}"
-        _tg = _time.perf_counter()
-        df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
-        per_table[name] = _time.perf_counter() - _tg
-        result.gold[name] = full_name
+    try:
+        for name in gold_names or list(needs):
+            fn = gold_flights.GOLD_SUITE[name]
+            df = fn(*needs[name])
+            full_name = f"{environment}_gold.{name}"
+            _tg = _time.perf_counter()
+            df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
+            per_table[name] = _time.perf_counter() - _tg
+            result.gold[name] = full_name
+    finally:
+        fact_t.unpersist()
     if timings is not None:
         timings["gold"] = _time.perf_counter() - _t0
         timings["gold_tables"] = per_table

@@ -61,7 +61,24 @@ def save_to_table(
     ensure_database(spark, config.database)
     fmt = file_format or DEFAULT_FORMAT
     if target_files_per_partition and config.partition_by:
-        df = df.repartition(target_files_per_partition, *config.partition_by)
+        # Cluster all rows of one partition VALUE into at most
+        # ``target_files_per_partition`` write tasks, so a W-task job
+        # over a P-value partition column produces ≤ P×target files
+        # instead of up to W×P tiny ones (the small-files problem every
+        # downstream scan then pays for).  ``repartition(N, cols)``
+        # would instead cap the WHOLE write at N tasks — wrong knob.
+        # The salt is spark_partition_id-derived: deterministic for a
+        # given input partitioning, never a row-level RNG.
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in config.partition_by]
+        if target_files_per_partition > 1:
+            cols.append(
+                F.pmod(
+                    F.spark_partition_id(), F.lit(target_files_per_partition)
+                )
+            )
+        df = df.repartition(*cols)
     writer = df.write.mode(mode).format(fmt)
     if overwrite_schema and mode == "overwrite":
         writer = writer.option("overwriteSchema", "true")
