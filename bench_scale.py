@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Scaling-curvature measurement (r7 verdict task 8).
+
+All per-query timing evidence so far is sf0.1; the 100x-scale argument
+rests on plan shape.  This harness adds the second data point: it
+builds an **sf0.5-equivalent** dataset by replicating the sf0.1 tables
+5x with consistent key remapping (replica i offsets every
+primary/foreign key by i*max_key, so joins keep their selectivity and
+group-by keys keep their cardinality where the schema implies it), then
+times the TPC-H/events headline queries at both scales and reports the
+ratio.  Linear-ish ratios (~5x on scan-bound, less on
+fixed-group aggregates) confirm no super-linear term is hiding in the
+plans.
+
+Only replication-clean queries are included: document/embedding
+queries are EXCLUDED because replicating near-identical text/vectors
+5x inflates near-dup candidate density super-linearly relative to a
+true sf0.5 corpus — their timing ratio would measure the distortion,
+not the plan.
+
+Prints ONE JSON line:
+  {"metric": "scale_curvature", "queries": {name: {"sf01": s, "sf05": s,
+   "ratio": r}}, "calibration": {...}}
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+REPLICAS = 5
+QUERIES = [
+    "pricing_summary",
+    "daily_order_summary",
+    "segment_scorecard",
+    "top_trade_routes",
+    "rolling_7day_revenue",
+    "events_tumbling_5min",
+]
+
+#: Per-table key columns that must be offset per replica so that joins
+#: neither collide across replicas nor break within one.  nation/region
+#: (fixed-size dims — TPC-H does not scale them) and documents/
+#: embeddings (excluded queries) are copied as-is.
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+}
+#: Offset units: the key space of the table OWNING the key.
+KEY_SPACE_OF = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+}
+COPY_AS_IS = ["nation", "region", "documents", "embeddings"]
+
+
+def build_scaled(spark, src_dir: str, dst_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    os.makedirs(dst_dir, exist_ok=True)
+    spaces: dict[tuple[str, str], int] = {}
+    for tbl, col in set(KEY_SPACE_OF.values()):
+        df = load_table(spark, src_dir, tbl)
+        spaces[(tbl, col)] = int(df.agg(F.max(col)).collect()[0][0]) + 1
+
+    for tbl, keys in KEY_COLS.items():
+        df = load_table(spark, src_dir, tbl)
+        rep = df.crossJoin(
+            spark.range(REPLICAS).withColumnRenamed("id", "_r")
+        )
+        for k in keys:
+            rep = rep.withColumn(
+                k, F.col(k) + F.col("_r") * F.lit(spaces[KEY_SPACE_OF[k]])
+            )
+        (
+            rep.drop("_r")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst_dir, f"{tbl}.parquet"))
+        )
+    for tbl in COPY_AS_IS:
+        shutil.copy(
+            os.path.join(src_dir, f"{tbl}.parquet"),
+            os.path.join(dst_dir, f"{tbl}.parquet"),
+        )
+
+
+def time_queries(spark, catalog, sf_dir: str, rounds: int = 3) -> dict[str, float]:
+    runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for _ in range(rounds):
+        for n in QUERIES:
+            t0 = time.perf_counter()
+            catalog[n].fn(spark, sf_dir).count()
+            runs[n].append(time.perf_counter() - t0)
+    return {n: round(min(r), 3) for n, r in runs.items()}
+
+
+def main() -> None:
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from bench import _cpu_probe
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="scale_bench_")
+    try:
+        sf05 = os.path.join(work, "sf0.5eq")
+        build_scaled(spark, sf01, sf05)
+
+        probes = [_cpu_probe()]
+        t01 = time_queries(spark, CATALOG, sf01)
+        probes.append(_cpu_probe())
+        t05 = time_queries(spark, CATALOG, sf05)
+        probes.append(_cpu_probe())
+
+        out = {
+            n: {
+                "sf01": t01[n],
+                "sf05": t05[n],
+                "ratio": round(t05[n] / t01[n], 2) if t01[n] else None,
+            }
+            for n in QUERIES
+        }
+        pm = min(probes)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_curvature",
+                    "replicas": REPLICAS,
+                    "queries": out,
+                    "calibration": {
+                        "probe_sec": [round(p, 3) for p in probes],
+                        "probe_spread": round(max(probes) / pm, 3) if pm else None,
+                    },
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
