@@ -162,6 +162,12 @@ def generate_dim_csvs(d: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument(
+        "--gold-parallelism",
+        type=int,
+        default=4,
+        help="concurrent gold-table writes (1 = serial)",
+    )
     args = ap.parse_args()
 
     from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_medallion
@@ -204,6 +210,7 @@ def main() -> None:
             config=cfg,
             date_range=("2015-01-01", "2015-12-31"),
             timings=timings,
+            gold_parallelism=args.gold_parallelism,
         )
         total = time.perf_counter() - t0
 

@@ -189,3 +189,42 @@ def test_fact_rerun_is_deterministic(spark, flight_fixture_dir, medallion):
     }
     existing_keys = {r[0] for r in fact_existing.select("flight_sk").collect()}
     assert rebuilt_keys == existing_keys
+
+
+def test_gold_parallelism_matches_serial(spark, medallion, flight_fixture_dir, test_env_config):
+    """gold_parallelism>1 must produce bitwise-identical gold tables to
+    the serial path (distinct targets, shared read-only cached fact) —
+    the correctness contract behind the bench's concurrent fan-out."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_medallion
+
+    par = run_medallion(
+        spark,
+        {
+            "flights": os.path.join(flight_fixture_dir, "flights.csv"),
+            "airlines": os.path.join(flight_fixture_dir, "airlines.csv"),
+            "airports": os.path.join(flight_fixture_dir, "airports.csv"),
+        },
+        environment="testpar",
+        config={
+            "environments": {
+                "testpar": test_env_config["environments"]["test"],
+                **{
+                    k: v
+                    for k, v in test_env_config["environments"].items()
+                    if k != "test"
+                },
+            },
+            "tables": test_env_config["tables"],
+        },
+        date_range=("2015-01-01", "2015-12-31"),
+        gold_parallelism=4,
+    )
+    assert set(par.gold) == set(medallion.gold)
+    for name in par.gold:
+        a = spark.read.table(medallion.gold[name])
+        b = spark.read.table(par.gold[name])
+        assert a.schema == b.schema, name
+        assert (
+            a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        ), f"gold table {name} differs between serial and parallel"
+        assert a.count() == b.count(), name
