@@ -1,0 +1,105 @@
+"""Smoke + discipline tests for the committed bench harnesses.
+
+The harnesses (bench.py, bench_scale.py, bench_streaming.py) are
+round-graded artifacts; a bit-rotted harness silently destroys the
+round's performance evidence, so each gets a fast sf0.001-scale
+execution here.  The session-conf discipline test pins the round-8
+rule that dynamic partition overwrite is a per-WRITE option, never a
+session-wide toggle."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from tests.conftest import REPO, SF_SMOKE
+
+
+def test_cpu_probe_is_fixed_work_and_bounded():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    t = m._cpu_probe()
+    assert 0.001 < t < 30.0  # fixed work, sane bounds even on a bad VM
+
+
+def test_bench_scale_build_scaled_preserves_join_semantics(spark, tmp_path):
+    """5x replication with key remapping: row counts scale exactly 5x,
+    keys never collide across replicas, and FK joins lose no rows."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale_mod", os.path.join(REPO, "bench_scale.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    dst = str(tmp_path / "sf5x")
+    m.build_scaled(spark, SF_SMOKE, dst)
+
+    for tbl in ("orders", "lineitem", "customer", "events"):
+        n_src = load_table(spark, SF_SMOKE, tbl).count()
+        scaled = load_table(spark, dst, tbl)
+        assert scaled.count() == 5 * n_src, tbl
+
+    orders = load_table(spark, dst, "orders")
+    cust = load_table(spark, dst, "customer")
+    # primary keys stay unique after remapping
+    assert orders.select("o_orderkey").distinct().count() == orders.count()
+    assert cust.select("c_custkey").distinct().count() == cust.count()
+    # every order still resolves its customer (FK integrity across replicas)
+    orphans = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).count()
+    assert orphans == 0
+
+
+def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
+    """bench_streaming's pipeline shape executes end-to-end and reports
+    consistent progress at sf0.001 (1k events, 2 micro-batches)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_SMOKE, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_streaming.py"),
+         "--files", "4", "--files-per-trigger", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "streaming_backfill"
+    assert rec["rows"] == rec["source_rows"] > 0
+    assert rec["batches"] >= 2
+    assert rec["rows_per_sec"] > 0
+
+
+def test_no_session_wide_partition_overwrite_toggle():
+    """Round-8 rule: partitionOverwriteMode is set per-write via
+    DataFrameWriter.option, never via spark.conf.set — a session-wide
+    toggle turns a concurrent full INSERT OVERWRITE into a partial one."""
+    offenders = []
+    for path in glob.glob(
+        os.path.join(REPO, "unicargo_medallion_data_pipeline_spark", "**", "*.py"),
+        recursive=True,
+    ):
+        with open(path) as fh:
+            src = fh.read()
+        if "conf.set" in src and "partitionOverwriteMode" in src:
+            for i, ln in enumerate(src.splitlines(), 1):
+                if "conf.set" in ln and "partitionOverwriteMode" in ln:
+                    offenders.append(f"{path}:{i}")
+    assert not offenders, (
+        "session-wide partitionOverwriteMode toggle found: "
+        f"{offenders} — use sources.staging.write_dynamic_overwrite"
+    )
