@@ -232,3 +232,30 @@ def test_decimal_partition_emptied_dir_removed(spark, tmp_path):
     dirs = [d for d in os.listdir(path) if d.startswith("rate=")]
     assert all("1.1" not in d for d in dirs), f"emptied dir survived: {dirs}"
     assert [r["row_id"] for r in spark.read.parquet(path).collect()] == [2]
+
+
+def test_timestamp_partition_emptied_dir_removed(spark, tmp_path):
+    """Timestamp partition values escape ':' as %3A in the directory
+    name AND need type-canonicalized comparison — the two hazards
+    compose.  The emptied dir must be removed via the listing-based
+    matcher, never by constructing the escaped name from the value."""
+    import datetime as _dt
+
+    path = os.path.join(tmp_path, "t")
+    t1 = _dt.datetime(2024, 1, 1, 12, 30, 0)
+    t2 = _dt.datetime(2024, 1, 2, 7, 15, 0)
+    spark.createDataFrame(
+        [(1, 7, t1), (2, 8, t2)], "row_id int, user_id int, batch_ts timestamp"
+    ).write.mode("overwrite").partitionBy("batch_ts").parquet(path)
+    # sanity: dir name carries escaping
+    assert any("%3A" in d for d in os.listdir(path) if d.startswith("batch_ts="))
+
+    keys = spark.createDataFrame([(7,)], "user_id int")
+    audit = propagate_deletes(
+        spark, path, keys, key_cols=["user_id"], partition_col="batch_ts"
+    )
+    dirs = [d for d in os.listdir(path) if d.startswith("batch_ts=")]
+    assert len(dirs) == 1 and "01-02" in dirs[0], f"emptied ts dir survived: {dirs}"
+    assert [r["row_id"] for r in spark.read.parquet(path).collect()] == [2]
+    (arow,) = audit.collect()
+    assert (arow["rows_before"], arow["rows_after"], arow["rows_deleted"]) == (1, 0, 1)
