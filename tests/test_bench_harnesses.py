@@ -84,22 +84,25 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
     assert rec["rows_per_sec"] > 0
 
 
-def test_no_session_wide_partition_overwrite_toggle():
-    """Round-8 rule: partitionOverwriteMode is set per-write via
-    DataFrameWriter.option, never via spark.conf.set — a session-wide
-    toggle turns a concurrent full INSERT OVERWRITE into a partial one."""
+def test_no_session_wide_write_conf_toggles():
+    """Round-8 rule: write-scoped behavior is configured per read/write
+    (DataFrameWriter.option / explicit read schema), never via
+    spark.conf.set — a session-wide toggle silently changes the
+    semantics of every CONCURRENT job in the session for the duration
+    (partitionOverwriteMode: full overwrites become partial;
+    partitionColumnTypeInference: partition columns change type)."""
+    banned = ("partitionOverwriteMode", "partitionColumnTypeInference")
     offenders = []
     for path in glob.glob(
         os.path.join(REPO, "unicargo_medallion_data_pipeline_spark", "**", "*.py"),
         recursive=True,
     ):
         with open(path) as fh:
-            src = fh.read()
-        if "conf.set" in src and "partitionOverwriteMode" in src:
-            for i, ln in enumerate(src.splitlines(), 1):
-                if "conf.set" in ln and "partitionOverwriteMode" in ln:
-                    offenders.append(f"{path}:{i}")
+            lines = fh.read().splitlines()
+        for i, ln in enumerate(lines, 1):
+            if "conf.set" in ln and any(b in ln for b in banned):
+                offenders.append(f"{path}:{i}")
     assert not offenders, (
-        "session-wide partitionOverwriteMode toggle found: "
-        f"{offenders} — use sources.staging.write_dynamic_overwrite"
+        f"session-wide write-conf toggle found: {offenders} — use "
+        "sources.staging.write_dynamic_overwrite / an explicit read schema"
     )

@@ -299,19 +299,23 @@ def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         _BUCKETED_STATE[id(spark)] = sf_dir
 
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bucketed_gold.lineitem_b").join(
-            spark.table("bucketed_gold.orders_b"), "l_orderkey"
+    # A `merge` hint pins sort-merge per-QUERY (the strategy bucketing
+    # accelerates) instead of toggling autoBroadcastJoinThreshold
+    # session-wide.  The old toggle also had a latent inconsistency: the
+    # plan was ASSERTED under threshold=-1, but the returned DataFrame
+    # executed after the conf was restored — a small sf could broadcast
+    # and never exercise the bucketed path the assert vouched for.  The
+    # hint makes the asserted plan and the executed plan the same plan.
+    joined = (
+        spark.table("bucketed_gold.lineitem_b")
+        .hint("merge")
+        .join(spark.table("bucketed_gold.orders_b"), "l_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError(
+            "bucketed fact-to-fact join must not shuffle; plan:\n" + plan
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan:
-            raise AssertionError(
-                "bucketed fact-to-fact join must not shuffle; plan:\n" + plan
-            )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     return (
         joined.groupBy(F.col("o_orderpriority").alias("priority"))

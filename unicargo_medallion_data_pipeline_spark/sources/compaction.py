@@ -16,8 +16,9 @@ Shape: ONE job for all targeted partitions.
      produces at most ``n_target`` files — per-partition file-count
      control in a single shuffle.
   4. Stage + dynamic partition overwrite (same hygiene as
-     ``sources/merge.py``: staging dir removed and prior
-     ``partitionOverwriteMode`` restored in a ``finally``).
+     ``sources/merge.py``: staging dir removed in a ``finally``;
+     dynamic mode and string partition typing are both per-read/
+     per-write scoped — no session conf is ever mutated).
 
 Untouched partitions are never read or rewritten.
 """
@@ -124,18 +125,31 @@ def compact_partitioned_path(
         staging_path,
     )
 
-    # Partition-column TYPE INFERENCE must be off for the rewrite: with it
-    # on, a dir like day=00 reads back as int 0 and would be REWRITTEN
-    # under a renamed dir (day=0), leaving the original files behind as
-    # duplicates.  With inference off the values stay strings and the
-    # write escapes them back to the exact original dir names.
-    prior_infer = spark.conf.get(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", None
+    # Partition columns must round-trip as RAW STRINGS through the
+    # rewrite: type inference would read a dir like day=00 back as int 0
+    # and rewrite it under a RENAMED dir (day=0), leaving the original
+    # files behind as duplicates.  An explicit read schema with the
+    # partition columns forced to string achieves that with per-READ
+    # scope — unlike the session-wide partitionColumnTypeInference
+    # toggle it replaces, which made every CONCURRENT read in the same
+    # session see string partition columns for the duration of the
+    # rewrite (the same hazard class as the retired session-wide
+    # partitionOverwriteMode toggle).
+    from pyspark.sql import types as _T
+
+    inferred = spark.read.parquet(path).schema
+    pset = set(partition_cols)
+    read_schema = _T.StructType(
+        [
+            _T.StructField(f.name, _T.StringType(), True)
+            if f.name in pset
+            else f
+            for f in inferred.fields
+        ]
     )
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     staging = staging_path(path, "compact")
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.schema(read_schema).parquet(path)
         keep = None
         for part_dir in todo:
             cond = _partition_filter(part_dir)
@@ -183,14 +197,11 @@ def compact_partitioned_path(
         # dir name this code failed to decode — must not be reported).
         staged_dirs = set(partition_file_census(spark, staging))
         done = {d: nf for d, (_, nf) in todo.items() if d in staged_dirs}
-        staged = spark.read.parquet(staging)
+        # The staging read needs the SAME explicit schema: its partition
+        # dirs carry our string values, and re-inference here would
+        # retype day=00 → 0 right before the final overwrite.
+        staged = spark.read.schema(read_schema).parquet(staging)
         write_dynamic_overwrite(staged, path, *partition_cols)
     finally:
-        if prior_infer is None:
-            spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
-        else:
-            spark.conf.set(
-                "spark.sql.sources.partitionColumnTypeInference.enabled", prior_infer
-            )
         remove_path(spark, staging)
     return done
