@@ -143,9 +143,9 @@ def merge_upsert_partitioned(
     # Staging is a SIBLING of the target on the same filesystem (see
     # sources/staging.py — a driver-local tempdir would be invisible to
     # executors on a real cluster).  Session hygiene: the staging dir is
-    # removed and the prior partitionOverwriteMode restored even on
-    # failure (this runs per micro-batch under write_stream_with_merge —
-    # leaks would compound).
+    # removed even on failure (this runs per micro-batch under
+    # write_stream_with_merge — leaks would compound), and dynamic
+    # overwrite is a per-WRITE option, never session state.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
         write_dynamic_overwrite,
         remove_path,
