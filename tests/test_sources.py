@@ -289,3 +289,28 @@ def test_partitioned_write_clusters_files_per_partition(spark):
     # all rows survive the re-clustering
     assert spark.read.table(cfg.full_name).count() == 3000
     spark.sql(f"DROP TABLE {cfg.full_name}")
+
+
+def test_write_dynamic_overwrite_replaces_only_present_partitions(spark):
+    """Direct contract of sources.staging.write_dynamic_overwrite: the
+    write replaces exactly the partitions present in the incoming frame
+    — other partitions survive untouched — and the dynamic mode is a
+    per-write option, leaving the session conf unset."""
+    from unicargo_medallion_data_pipeline_spark.sources.staging import write_dynamic_overwrite
+
+    root = tempfile.mkdtemp(prefix="dynow_test_")
+    path = os.path.join(root, "t")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, part string"
+    )
+    base.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    repl = spark.createDataFrame([(9, "a")], "id int, part string")
+    write_dynamic_overwrite(repl, path, "part")
+
+    back = {(r["id"], r["part"]) for r in spark.read.parquet(path).collect()}
+    assert back == {(9, "a"), (3, "b")}, back  # a replaced, b untouched
+    # session conf untouched by the write
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    assert after == prior
