@@ -139,11 +139,14 @@ def run_medallion(
     for entity in bronze:
         result.bronze[entity] = get_table_config(entity, "bronze", environment, config).full_name
 
-    # Silver star
+    # Silver star.  clean_flights clusters its dedup shuffle on
+    # flight_date so the SAME exchange serves the date-partitioned fact
+    # write below (broadcast joins preserve the distribution) — one full
+    # shuffle of the wide fact instead of two.
     dim_airline = silver.build_dim_airline(bronze["airlines"])
     dim_airport = silver.build_dim_airport(bronze["airports"])
     dim_date = silver.build_dim_date(spark, *date_range)
-    flights_clean = silver.clean_flights(bronze["flights"])
+    flights_clean = silver.clean_flights(bronze["flights"], cluster_col="flight_date")
     fact = silver.build_fact_flight(flights_clean, dim_date, dim_airline, dim_airport)
 
     silver_tables = {
@@ -160,13 +163,18 @@ def run_medallion(
         # that EVERY downstream gold scan then re-lists and re-opens.
         # Measured at 2M rows / 20 gold tables: the small-files layout
         # alone accounted for most of a uniform ~4s/table scan tax
-        # (docs/PLANS.md round-8 gold profile).
+        # (docs/PLANS.md round-8 gold profile).  The FACT is already
+        # clustered by flight_date (the dedup shuffle above, which
+        # date_sk maps 1:1 onto), so its write needs no re-clustering —
+        # forcing one here would re-shuffle the whole fact a second time.
         save_to_table(
             df,
             cfg,
             spark,
             mode="overwrite",
-            target_files_per_partition=1 if cfg.partition_by else None,
+            target_files_per_partition=(
+                1 if (cfg.partition_by and entity != "flights") else None
+            ),
         )
         result.silver[entity] = cfg.full_name
     if timings is not None:

@@ -114,10 +114,21 @@ def build_dim_airport(airports_raw: DataFrame) -> DataFrame:
     )
 
 
-def clean_flights(flights_raw: DataFrame) -> DataFrame:
+def clean_flights(flights_raw: DataFrame, cluster_col: str | None = None) -> DataFrame:
     """Cleansing stage (``...create_fact_flights.ipynb:42-65``): null-key
     filters, origin≠destination, derived flight_date, canonical dedup on
-    the business key.  All narrow except the dedup shuffle."""
+    the business key.  All narrow except the dedup shuffle.
+
+    ``cluster_col`` (must be one of the dedup keys, typically
+    ``flight_date``) makes the dedup shuffle double as the downstream
+    WRITE clustering: the frame is repartitioned on that single column,
+    and because it is a SUBSET of the dedup key, Catalyst recognizes the
+    distribution as satisfying the window's required clustering — one
+    exchange serves both (probe-verified: a single
+    ``Exchange hashpartitioning(cluster_col)`` in the plan).  Rows of one
+    date then stay in one task through the broadcast joins, so a
+    date-partitioned fact write emits one file per date WITHOUT its own
+    repartition shuffle."""
     df = (
         flights_raw.filter(F.col("airline").isNotNull())
         .filter(F.col("origin_airport").isNotNull())
@@ -141,9 +152,18 @@ def clean_flights(flights_raw: DataFrame) -> DataFrame:
         )
         .filter(F.col("flight_date").isNotNull())
     )
+    keys = ["flight_number", "flight_date", "origin_airport", "destination_airport"]
+    if cluster_col is not None:
+        if cluster_col not in keys:
+            raise ValueError(
+                f"cluster_col {cluster_col!r} must be one of the dedup keys "
+                f"{keys} — a non-key clustering would not satisfy the dedup "
+                "window's required distribution and Spark would re-shuffle"
+            )
+        df = df.repartition(F.col(cluster_col))
     return canonical_dedup(
         df,
-        keys=["flight_number", "flight_date", "origin_airport", "destination_airport"],
+        keys=keys,
         order_by=["scheduled_departure", "tail_number"],
     )
 
