@@ -143,3 +143,14 @@ def test_null_right_timestamp_never_matches(spark):
     )
     (row,) = asof_join_backward(left, right, on=["k"], ts_col="ts").collect()
     assert row["rv"] is None, "NULL-ts right row fabricated a match"
+
+
+def test_reserved_bookkeeping_columns_rejected(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, ts long, _side string")
+    right = spark.createDataFrame([(1, 5, 9.9)], "k int, ts long, quote double")
+    with _pytest.raises(ValueError, match="_side"):
+        asof_join_backward(left, right, on=["k"], ts_col="ts")

@@ -75,3 +75,36 @@ def test_interval_join_randomized_against_reference(spark):
         if k == k2 and s <= ts <= e
     )
     assert got == want
+
+
+def test_inverted_interval_is_dropped_not_exploded(spark):
+    """A corrupt interval with swapped bounds matches nothing — and must
+    be dropped BEFORE the bin explode: sequence(a, b) auto-steps
+    descending for a > b, so a large inverted interval would otherwise
+    fan out to millions of bins."""
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    points = spark.createDataFrame([(1, 500)], "k int, ts long")
+    intervals = spark.createDataFrame(
+        [(1, 400, 600, "good"), (1, 1_000_000_000, 0, "corrupt")],
+        "k int, lo long, hi long, tag string",
+    )
+    out = interval_join_binned(
+        points, intervals, on=["k"], ts_col="ts",
+        start_col="lo", end_col="hi", bin_width=100,
+    ).collect()
+    assert [r["tag"] for r in out] == ["good"]
+
+
+def test_reserved_bin_column_rejected(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.ranges import interval_join_binned
+
+    points = spark.createDataFrame([(1, 500, 1)], "k int, ts long, _bin int")
+    intervals = spark.createDataFrame([(1, 400, 600)], "k int, lo long, hi long")
+    with _pytest.raises(ValueError, match="_bin"):
+        interval_join_binned(
+            points, intervals, on=["k"], ts_col="ts",
+            start_col="lo", end_col="hi", bin_width=100,
+        )

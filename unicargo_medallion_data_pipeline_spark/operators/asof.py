@@ -45,6 +45,16 @@ def asof_join_backward(
     collisions = set(payload) & set(left.columns)
     if collisions:
         raise ValueError(f"right payload collides with left columns: {sorted(collisions)}")
+    reserved = [
+        c
+        for c in ("_side", "_payload")
+        if c in left.columns or c in right.columns
+    ]
+    if reserved:
+        # Same posture as scd2/_prepare_updates: withColumn would
+        # silently OVERWRITE a caller column of the same name and the
+        # final drop would erase it from the result.
+        raise ValueError(f"input columns collide with join bookkeeping: {reserved}")
     left_extra = [c for c in left.columns if c not in {*on, ts_col}]
     if not payload:
         return left.select(*on, ts_col, *left_extra)

@@ -41,9 +41,18 @@ def interval_join_binned(
     collisions = (set(points.columns) & set(intervals.columns)) - set(on)
     if collisions:
         raise ValueError(f"column collision between sides: {sorted(collisions)}")
+    reserved = [c for c in ("_bin",) if c in points.columns or c in intervals.columns]
+    if reserved:
+        raise ValueError(f"input columns collide with join bookkeeping: {reserved}")
 
     p = points.withColumn("_bin", F.floor(F.col(ts_col) / bin_width).cast("long"))
-    iv = intervals.withColumn(
+    # Drop inverted intervals (end < start) BEFORE the explode: they can
+    # match nothing under BETWEEN anyway, but Spark's sequence(a, b)
+    # auto-steps DESCENDING when a > b, so one corrupt row with swapped
+    # bounds (start=1e9, end=0) would otherwise fan out to ~1e9/bin_width
+    # bins and take down an executor.  NULL bounds already drop via
+    # sequence(NULL, …) → NULL → explode skips the row.
+    iv = intervals.filter(F.col(start_col) <= F.col(end_col)).withColumn(
         "_bin",
         F.explode(
             F.sequence(
