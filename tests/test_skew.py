@@ -88,3 +88,18 @@ def test_salt_is_pure_function_of_row_values(spark):
 
     dup = spark.createDataFrame([("hot", 1)] * 400, "k string, v int").repartition(4)
     assert with_salt(dup, 8).select("_salt").distinct().count() == 1
+
+
+def test_salt_column_collision_rejected(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.skew import salted_join, with_salt
+
+    has_salt = spark.createDataFrame([(1, 0)], "k int, _salt int")
+    plain = spark.createDataFrame([(1, "x")], "k int, v string")
+    with _pytest.raises(ValueError, match="_salt"):
+        with_salt(has_salt, 4)
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(has_salt, plain, on=["k"])
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(plain, has_salt, on=["k"])

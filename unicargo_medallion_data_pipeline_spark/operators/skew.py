@@ -52,6 +52,11 @@ def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame
     event id, or file+offset captured AT THE SCAN where order is frozen)
     before salting — only the caller knows which source column is stable
     under retries."""
+    if col_name in df.columns:
+        raise ValueError(
+            f"salt column {col_name!r} already exists on the input — "
+            "withColumn would silently overwrite it"
+        )
     cols = [F.col(c) for c in df.columns]
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
@@ -75,7 +80,11 @@ def salted_join(
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salted = with_salt(skewed, buckets)
+    if "_salt" in build.columns:
+        raise ValueError(
+            "build side already has a '_salt' column — rename it first"
+        )
+    salted = with_salt(skewed, buckets)  # raises if skewed carries '_salt'
     replicated = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
