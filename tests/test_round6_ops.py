@@ -237,3 +237,15 @@ def test_global_prefix_sum_exact_for_decimals(spark):
     for k, v in sorted(rows):
         acc += v
         assert got[k] == acc, f"prefix sum diverged at k={k}: {got[k]} != {acc}"
+
+
+def test_kmv_bottom_k_guards(spark):
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.sketch import kmv_bottom_k
+
+    df = spark.createDataFrame([("a", 1)], "g string, user_id int")
+    with _pytest.raises(ValueError, match="k >= 2"):
+        kmv_bottom_k(df, ["g"], "user_id", k=1)
+    with _pytest.raises(ValueError, match="collides"):
+        kmv_bottom_k(df, ["g"], "user_id", hash_col="g")

@@ -79,6 +79,17 @@ def kmv_bottom_k(
             "saturated estimator silently.  Hash non-integral ids first "
             "(e.g. xxhash64)."
         )
+    if hash_col in (*key_cols, id_col):
+        raise ValueError(
+            f"hash_col {hash_col!r} collides with a key/id column — "
+            "withColumn would silently overwrite it"
+        )
+    if k < 2:
+        raise ValueError(
+            "kmv bottom-k needs k >= 2: at k=1 a single id hashing to 0 "
+            "makes the saturated estimator (k-1)*P/h_k divide by zero "
+            "(for k >= 2 the affine hash is injective, so h_k >= k-1 >= 1)"
+        )
     ids = (
         df.select(*key_cols, id_col)
         .filter(F.col(id_col).isNotNull())
