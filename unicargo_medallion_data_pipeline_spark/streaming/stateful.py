@@ -176,12 +176,20 @@ def sessionize_with_state(
     Works on a streaming DataFrame (file/table source); the watermark is
     mandatory for event-time timeouts.  Output mode must be ``append``.
     """
-    prepared = events.select(
-        F.col(key_col).cast("long").alias("user_id"),
-        F.col(ts_col).alias("ts"),
-        F.col("event_type"),
-        F.col("value").cast("double").alias("value"),
-    ).withWatermark("ts", watermark_delay)
+    # NULL event times never belong to any session (same rationale as the
+    # as-of join's right-side filter): unfiltered, pandas renders a NULL
+    # ts as NaT whose .value is int64-min, so the interval merge would
+    # fabricate a far-past "session" and emit it as closed immediately.
+    prepared = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).cast("long").alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col("event_type"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withWatermark("ts", watermark_delay)
+    )
     return prepared.groupBy("user_id").applyInPandasWithState(
         make_session_fn(gap_seconds),
         outputStructType=SESSION_SCHEMA,
