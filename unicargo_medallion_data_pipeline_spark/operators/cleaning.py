@@ -45,6 +45,11 @@ def canonical_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> Data
     same cost as dropDuplicates, but reproducible at any parallelism."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        raise ValueError(
+            "input already has a '__rn' column — canonical_dedup would "
+            "silently overwrite and drop it"
+        )
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
