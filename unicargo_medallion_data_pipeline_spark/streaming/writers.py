@@ -289,10 +289,17 @@ def apply_cdc_batch(
         )
     base = vs[-1]
     current = table.read(version=base)
+    # No-_seq tiebreak is a FULL-ROW HASH, not monotonically_increasing_id:
+    # the mono id depends on partition order, so a retried task could pick
+    # a DIFFERENT winner than the original attempt mid-write (the
+    # SPARK-23207 class the engine's W2 design-out and skew.py both ban).
+    # The hash pick is still arbitrary among ties — the docstring contract
+    # requires `_seq` when a key can change twice per batch — but it is
+    # the SAME arbitrary pick on every attempt at any parallelism.
     order = (
         F.col("_seq").desc()
         if "_seq" in batch_df.columns
-        else F.monotonically_increasing_id().desc()
+        else F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc()
     )
     winners = (
         batch_df.withColumn(
