@@ -67,6 +67,25 @@ def _is_green(row: dict) -> bool:
     )
 
 
+#: A CORRECTNESS artifact must look like a COMPLETE driver run before it
+#: may contribute green rows: the driver writes ~_WINDOW entries, each a
+#: dict with at least a rows_match field.  A truncated / partial /
+#: foreign working-tree file (r8 ADVICE item 3) would otherwise silently
+#: mark queries fresh and rotate them OUT of the verification window.
+_MIN_ARTIFACT_ROWS = 40
+
+
+def _plausible_artifact(data) -> bool:
+    return (
+        isinstance(data, dict)
+        and len(data) >= _MIN_ARTIFACT_ROWS
+        and all(
+            isinstance(row, dict) and "rows_match" in row
+            for row in data.values()
+        )
+    )
+
+
 def verified_rounds() -> dict[str, list[int]]:
     """name → sorted rounds with a green driver row, parsed from the
     committed CORRECTNESS_r{N}.json artifacts next to this file."""
@@ -81,10 +100,10 @@ def verified_rounds() -> dict[str, list[int]]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue  # unreadable artifact: contributes no green rows
-        if not isinstance(data, dict):
-            continue
+        if not _plausible_artifact(data):
+            continue  # partial/foreign file must not reshape the window
         for name, row in data.items():
-            if isinstance(row, dict) and _is_green(row):
+            if _is_green(row):
                 out.setdefault(name, set()).add(rnd)
     return {n: sorted(rs) for n, rs in out.items()}
 

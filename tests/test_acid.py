@@ -739,3 +739,31 @@ def test_decimal_stats_commit_and_pruning(spark, table):
     # lexicographically) — both must be pruned
     assert len(got.inputFiles()) == 1
     assert len(table.read().inputFiles()) == 3
+
+
+def test_rename_error_foreign_path_same_basename_not_a_race():
+    """r8 ADVICE item 4: an 'already exists' message about a SAME-NAMED
+    manifest under a DIFFERENT table's path is not a race on ours."""
+    from unicargo_medallion_data_pipeline_spark.sources.acid import _is_dest_exists_error
+
+    dest = "/tables/orders/_manifests/v3.json"
+    # fully-qualified foreign path → rejected
+    assert not _is_dest_exists_error(
+        Exception("destination /tables/customers/_manifests/v3.json already exists"),
+        dest,
+    )
+    # our own path, scheme-qualified → accepted (suffix match)
+    assert _is_dest_exists_error(
+        Exception("s3://bucket/tables/orders/_manifests/v3.json already exists"),
+        dest,
+    )
+    # bare-basename (FS names only the file) → still accepted
+    assert _is_dest_exists_error(
+        Exception("rename failed: v3.json already exists"), dest
+    )
+    # message naming BOTH a foreign path and our bare basename elsewhere
+    # stays accepted (any corroborating occurrence wins)
+    assert _is_dest_exists_error(
+        Exception("v3.json already exists (conflicts with /other/_manifests/v3.json)"),
+        dest,
+    )

@@ -102,3 +102,24 @@ def test_green_criterion():
     assert not e._is_green({**ok, "rows_match": False})
     assert not e._is_green({**ok, "err": "boom"})
     assert not e._is_green({})
+
+
+def test_partial_artifact_contributes_nothing(tmp_path, monkeypatch):
+    """r8 ADVICE item 3: a truncated/partial CORRECTNESS file must not
+    mark queries fresh (which would rotate them out of the window)."""
+    import json
+
+    import __spark_entry__ as E
+
+    good = {f"q{i}": {"rows_match": True, "err": None} for i in range(E._MIN_ARTIFACT_ROWS)}
+    (tmp_path / "CORRECTNESS_r90.json").write_text(json.dumps(good))
+    partial = {"q0": {"rows_match": True, "err": None}}  # truncated run
+    (tmp_path / "CORRECTNESS_r91.json").write_text(json.dumps(partial))
+    foreign = {f"q{i}": i for i in range(50)}  # rows aren't dicts
+    (tmp_path / "CORRECTNESS_r92.json").write_text(json.dumps(foreign))
+    (tmp_path / "CORRECTNESS_r93.json").write_text("{not json")
+
+    monkeypatch.setattr(E, "_REPO", str(tmp_path))
+    seen = E.verified_rounds()
+    assert seen["q0"] == [90]  # r91/r92/r93 all ignored
+    assert all(rounds == [90] for rounds in seen.values())

@@ -1,0 +1,86 @@
+"""Plan-fingerprint regression net (r8 verdict task 1).
+
+Regenerates the plan census for ALL catalog queries at sf0.001 and
+asserts equality with the committed snapshot
+(``fixtures/plan_fingerprints.json``).  A lost broadcast, a new
+Exchange, or a surprise CartesianProduct anywhere in the 203-query
+catalog fails here — no hand re-audit needed.
+
+Intentional changes: run
+``python -m unicargo_medallion_data_pipeline_spark.plans.fingerprints --update``
+after adding the changed query names to ``_FORCE_WINDOW`` in
+``__spark_entry__.py`` (the updater enforces this, so every changed
+plan is driver re-verified against the DuckDB oracle the same round).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from unicargo_medallion_data_pipeline_spark.plans import fingerprints as fp
+from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="driver testdata not present"
+)
+
+
+def test_snapshot_covers_whole_catalog():
+    snap = fp.load_snapshot()
+    assert set(snap) == set(CATALOG), (
+        "snapshot out of sync with catalog; regenerate with --update "
+        f"(missing={sorted(set(CATALOG) - set(snap))}, "
+        f"stale={sorted(set(snap) - set(CATALOG))})"
+    )
+
+
+def test_all_plan_fingerprints_match_snapshot(spark):
+    snap = fp.load_snapshot()
+    new = fp.compute_fingerprints(spark, SF_SMOKE)
+    changed = fp.diff_fingerprints(snap, new)
+    assert not changed, (
+        f"{len(changed)} plan fingerprint(s) drifted — if intentional, add the "
+        "names to _FORCE_WINDOW in __spark_entry__.py and rerun the updater "
+        "(python -m unicargo_medallion_data_pipeline_spark.plans.fingerprints "
+        f"--update): {json.dumps(changed, indent=1)}"
+    )
+
+
+def test_no_cartesian_products_anywhere():
+    """Catalog-wide scale invariant: zero CartesianProduct nodes."""
+    snap = fp.load_snapshot()
+    offenders = {n: c for n, c in snap.items() if c["cartesian_products"]}
+    assert not offenders
+
+
+def test_updater_refuses_unforced_plan_changes(monkeypatch, tmp_path):
+    """The two-key turn: an updated snapshot with changed plans must name
+    those queries in _FORCE_WINDOW, else the updater aborts."""
+    old = {"q_changed": {"keyed_exchanges": 1}, "q_same": {"keyed_exchanges": 2}}
+    new = {"q_changed": {"keyed_exchanges": 3}, "q_same": {"keyed_exchanges": 2}}
+    snap_path = tmp_path / "snap.json"
+    snap_path.write_text(json.dumps(old))
+    monkeypatch.setattr(fp, "SNAPSHOT_PATH", str(snap_path))
+    monkeypatch.setattr(fp, "compute_fingerprints", lambda spark, sf_dir: new)
+
+    monkeypatch.setattr(fp, "_force_window_names", lambda: [])
+    with pytest.raises(SystemExit, match="q_changed"):
+        fp.update_snapshot(spark=None)
+    assert json.loads(snap_path.read_text()) == old  # refused → untouched
+
+    monkeypatch.setattr(fp, "_force_window_names", lambda: ["q_changed"])
+    changed = fp.update_snapshot(spark=None)
+    assert set(changed) == {"q_changed"}
+    assert json.loads(snap_path.read_text()) == new
+
+
+def test_force_window_parser_reads_entry_file():
+    names = fp._force_window_names()
+    assert isinstance(names, list)
+    # every forced name must be a real catalog query
+    assert all(n in CATALOG for n in names)

@@ -126,3 +126,33 @@ def test_cdc_apply_empty_table_raises(spark, dirs):
     batch = spark.createDataFrame([(1, "one", "u", 0)], CDC_SCHEMA)
     with pytest.raises(FileNotFoundError, match="no committed version"):
         apply_cdc_batch(empty, batch, key_cols=["k"])
+
+
+def test_cdc_apply_no_seq_tolerates_map_columns(spark, dirs):
+    """r8 ADVICE item 2: the no-_seq full-row-hash tiebreak must not feed
+    MapType columns to xxhash64 (analysis error); winners stay
+    deterministic across repeated applies of the same batch."""
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import apply_cdc_batch
+
+    schema = "k int, v string, props map<string,string>, op string"
+    t = ManifestTable(spark, os.path.join(dirs["tbl"], "maps"))
+    t.commit(
+        spark.createDataFrame([(1, "seed", {"a": "1"}, "u")], schema).select(
+            "k", "v", "props"
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "left", {"x": "1"}, "u"),
+            (1, "right", {"y": "2"}, "u"),  # tied key, no _seq
+            (2, "new", None, "u"),
+        ],
+        schema,
+    )
+    apply_cdc_batch(t, batch, key_cols=["k"])
+    first = {r["k"]: r["v"] for r in t.read().collect()}
+    assert set(first) == {1, 2} and first[2] == "new"
+    # deterministic: re-applying the identical batch picks the same winner
+    apply_cdc_batch(t, batch, key_cols=["k"])
+    second = {r["k"]: r["v"] for r in t.read().collect()}
+    assert second == first

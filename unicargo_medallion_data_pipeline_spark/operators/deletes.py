@@ -276,21 +276,28 @@ def propagate_deletes(
                 cand.append((name, val))
             # Canonicalize the raw dir values through the column's type
             # (one tiny driver-local job over ≤ #partition-dirs rows).
+            # The dir NAME rides along in the frame and the mapping is
+            # keyed on it — never positional (r8 ADVICE item 5: a zip
+            # against collect() order would, if row order ever shifted,
+            # delete a non-emptied directory).
             ptype = existing_all.schema[partition_col].dataType
-            canon = (
-                [
-                    r[0]
+            canon_by_name: dict[str, str | None] = (
+                {
+                    r["name"]: r["cval"]
                     for r in spark.createDataFrame(
-                        [(v,) for _, v in cand], "v string"
+                        [(n, v) for n, v in cand], "name string, v string"
                     )
-                    .coalesce(1)
-                    .select(F.col("v").cast(ptype).cast("string"))
+                    .select(
+                        "name",
+                        F.col("v").cast(ptype).cast("string").alias("cval"),
+                    )
                     .collect()
-                ]
+                }
                 if cand
-                else []
+                else {}
             )
-            for (name, val), cval in zip(cand, canon):
+            for name, val in cand:
+                cval = canon_by_name.get(name)
                 if val is None:
                     key = "None"
                 elif cval is None:

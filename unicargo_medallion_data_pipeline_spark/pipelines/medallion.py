@@ -195,13 +195,31 @@ def run_medallion(
     # action that materializes the cache.
     fact_t = fact_t.persist()
 
-    # Quality gates (Q1): fail fast before building gold.
-    result.quality["fact_flight"] = validate_data_quality(
-        fact_t, "fact_flight", ["flight_sk", "date_sk", "airline_sk"]
-    )
+    # Everything from here must run under the try whose finally
+    # unpersists: if a quality gate or DDL raises, the cached fact must
+    # not leak for the rest of the session (r8 ADVICE item 1).
+    try:
+        # Quality gates (Q1): fail fast before building gold.
+        result.quality["fact_flight"] = validate_data_quality(
+            fact_t, "fact_flight", ["flight_sk", "date_sk", "airline_sk"]
+        )
 
-    # Gold suite
-    ensure_database(spark, f"{environment}_gold")
+        # Gold suite
+        ensure_database(spark, f"{environment}_gold")
+        return _build_gold_suite(
+            fact_t, da_t, dp_t, dd_t, environment, gold_names,
+            gold_parallelism, result, timings, _t0,
+        )
+    finally:
+        fact_t.unpersist()
+
+
+def _build_gold_suite(
+    fact_t, da_t, dp_t, dd_t, environment, gold_names,
+    gold_parallelism, result, timings, _t0,
+):
+    import time as _time
+
     needs = {
         "route_traffic": (fact_t, dp_t),
         "top_routes": (fact_t, dp_t),
@@ -234,19 +252,16 @@ def run_medallion(
         df.write.mode("overwrite").format("parquet").saveAsTable(full_name)
         return name, full_name, _time.perf_counter() - _tg
 
-    try:
-        if gold_parallelism > 1:
-            from concurrent.futures import ThreadPoolExecutor
+    if gold_parallelism > 1:
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=gold_parallelism) as ex:
-                outcomes = list(ex.map(_write_one, names))
-        else:
-            outcomes = [_write_one(n) for n in names]
-        for name, full_name, sec in outcomes:
-            per_table[name] = sec
-            result.gold[name] = full_name
-    finally:
-        fact_t.unpersist()
+        with ThreadPoolExecutor(max_workers=gold_parallelism) as ex:
+            outcomes = list(ex.map(_write_one, names))
+    else:
+        outcomes = [_write_one(n) for n in names]
+    for name, full_name, sec in outcomes:
+        per_table[name] = sec
+        result.gold[name] = full_name
     if timings is not None:
         timings["gold"] = _time.perf_counter() - _t0
         timings["gold_tables"] = per_table

@@ -1,0 +1,162 @@
+"""Plan-fingerprint regression net over the whole query catalog.
+
+The engine's 100×-scale argument rests on plan SHAPES (broadcasts kept,
+no surprise Exchange, no Cartesian blow-up) — but only ~40 of the 203
+catalog queries had hand-written plan-shape tests.  This module freezes
+a mechanical fingerprint for EVERY catalog query: the
+:func:`unicargo_medallion_data_pipeline_spark.plans.inspect.plan_census`
+counts (keyed exchanges, broadcast exchanges, cartesian products,
+broadcast-nested-loop joins, source scans, window execs, top-k,
+codegen spans) computed at a fixed scale factor, committed to
+``fixtures/plan_fingerprints.json``.
+
+``tests/test_plan_fingerprints.py`` regenerates the census for all
+queries each run and asserts equality with the committed snapshot, so a
+lost broadcast, an extra shuffle, or a new Cartesian product anywhere in
+the catalog trips a gate instead of surviving until someone re-audits
+plans by hand.
+
+Intentional plan changes are a two-key turn:
+
+1. ``python -m unicargo_medallion_data_pipeline_spark.plans.fingerprints --update``
+   rewrites the snapshot, and
+2. the updater REFUSES unless every changed query name is listed in
+   ``_FORCE_WINDOW`` in ``__spark_entry__.py`` — which pushes those
+   queries to the head of the driver's verification window, so any
+   query whose plan changed is re-verified against the DuckDB oracle
+   the same round.
+
+Fingerprints are computed at sf0.001 (smoke scale): plan shape there is
+a pure function of the code + the fixed testdata layout, so the
+snapshot is deterministic.  Size-dependent runtime decisions (AQE
+re-plans, stats-based broadcast demotion at larger SFs) are out of
+scope here — those are covered by the bench and ``docs/SCALE.md``.
+
+Reference parity note: the reference repo has no analogous gate (its
+notebooks re-read plans manually); this net is engine infrastructure,
+not a ported feature.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import tempfile
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SNAPSHOT_PATH = os.path.join(_REPO, "fixtures", "plan_fingerprints.json")
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def compute_fingerprints(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dict:
+    """name → plan_census dict for each catalog query (sorted by name).
+
+    Building a query's DataFrame may run its self-contained setup
+    (e.g. seeding a manifest table); the final plan itself is only
+    explained, never executed.
+    """
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.plans.inspect import plan_census
+
+    out: dict[str, dict] = {}
+    for name in sorted(names if names is not None else CATALOG):
+        df = CATALOG[name].fn(spark, sf_dir)
+        out[name] = plan_census(df)
+    return out
+
+
+def load_snapshot(path: str | None = None) -> dict:
+    # Resolve the module global at CALL time so tests can repoint it.
+    with open(path if path is not None else SNAPSHOT_PATH) as fh:
+        return json.load(fh)
+
+
+def diff_fingerprints(old: dict, new: dict) -> dict:
+    """name → {"old": ..., "new": ...} for every added/removed/changed
+    query (machine-friendly; either side is None when absent)."""
+    out = {}
+    for name in sorted(set(old) | set(new)):
+        o, n = old.get(name), new.get(name)
+        if o != n:
+            out[name] = {"old": o, "new": n}
+    return out
+
+
+def _force_window_names() -> list[str]:
+    """Parse ``_FORCE_WINDOW`` from ``__spark_entry__.py`` textually
+    (importing it would work too, but the updater must see the
+    working-tree file exactly as committed)."""
+    entry = os.path.join(_REPO, "__spark_entry__.py")
+    with open(entry) as fh:
+        src = fh.read()
+    m = re.search(r"_FORCE_WINDOW\s*:\s*list\[str\]\s*=\s*\[(.*?)\]", src, re.S)
+    if not m:
+        raise RuntimeError("_FORCE_WINDOW not found in __spark_entry__.py")
+    return re.findall(r"[\"']([^\"']+)[\"']", m.group(1))
+
+
+def update_snapshot(spark, sf_dir: str = DEFAULT_SF_DIR, force: bool = False) -> dict:
+    """Regenerate the snapshot; refuse if changed queries aren't in
+    ``_FORCE_WINDOW`` (unless ``force`` — first generation only)."""
+    new = compute_fingerprints(spark, sf_dir)
+    old = load_snapshot() if os.path.exists(SNAPSHOT_PATH) else {}
+    changed = diff_fingerprints(old, new)
+    # Newly-registered queries don't need _FORCE_WINDOW (the derived
+    # rotation already puts never-verified queries at the window head).
+    plan_changed = [n for n, d in changed.items() if d["old"] is not None and d["new"] is not None]
+    if plan_changed and not force:
+        missing = [n for n in plan_changed if n not in _force_window_names()]
+        if missing:
+            raise SystemExit(
+                "plan fingerprints changed for queries not in _FORCE_WINDOW "
+                f"(add them to __spark_entry__.py so the driver re-verifies): {missing}"
+            )
+    os.makedirs(os.path.dirname(SNAPSHOT_PATH), exist_ok=True)
+    tmp = tempfile.mktemp(dir=os.path.dirname(SNAPSHOT_PATH), suffix=".json")
+    with open(tmp, "w") as fh:
+        json.dump(new, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(tmp, SNAPSHOT_PATH)
+    return changed
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--update", action="store_true", help="rewrite the committed snapshot")
+    ap.add_argument("--force", action="store_true", help="skip the _FORCE_WINDOW check")
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args(argv)
+
+    from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    warehouse = tempfile.mkdtemp(prefix="fp_warehouse_")
+    spark = get_spark(
+        "plan-fingerprints",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.update:
+        changed = update_snapshot(spark, args.sf_dir, force=args.force)
+        print(f"snapshot written: {len(changed)} entr{'y' if len(changed) == 1 else 'ies'} changed")
+        for name, d in changed.items():
+            print(f"  {name}: {d['old']} -> {d['new']}")
+        return 0
+    new = compute_fingerprints(spark, args.sf_dir)
+    changed = diff_fingerprints(load_snapshot(), new)
+    if changed:
+        print(f"MISMATCH in {len(changed)} queries:")
+        for name, d in changed.items():
+            print(f"  {name}: {d['old']} -> {d['new']}")
+        return 1
+    print(f"all {len(new)} fingerprints match")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -174,13 +174,29 @@ def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
     # Basename match must be a standalone path component: a crashed
     # attempt's sidecar ``.v{N}.json.crc`` CONTAINS ``v{N}.json`` as a
     # substring but is a different file — the leading-dot lookbehind and
-    # the trailing extension lookahead reject it.
+    # the trailing extension lookahead reject it.  An occurrence that IS
+    # path-qualified must sit under OUR parent directory: a multi-table
+    # error naming another table's same-named ``v{N}.json`` manifest must
+    # not trigger retry loops against a commit that never raced (r8
+    # ADVICE item 4).  Unqualified occurrences stay accepted — some
+    # filesystems name only the file.
     base = posixpath.basename(dest.rstrip("/")).lower()
-    return bool(base) and bool(
-        re.search(
-            r"(?<![\w.\-])" + re.escape(base) + r"(?![\w\-])(?!\.\w)", msg
-        )
-    )
+    if not base:
+        return False
+    parent = posixpath.dirname(dest.rstrip("/")).lower()
+    for m in re.finditer(
+        r"(?<![\w.\-])" + re.escape(base) + r"(?![\w\-])(?!\.\w)", msg
+    ):
+        prefix = msg[: m.start()]
+        if prefix.endswith("/"):
+            # qualified: require the message's path to end with ours
+            # (suffix match tolerates scheme/host prefixes like s3://…)
+            qual = re.split(r"[\s'\"`,;(\[]", prefix.rstrip("/"))[-1]
+            if parent.endswith(qual) or qual.endswith(parent):
+                return True
+        else:
+            return True
+    return False
 
 
 class ManifestTable:

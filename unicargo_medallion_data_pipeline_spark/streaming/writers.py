@@ -23,6 +23,20 @@ from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_pa
 from unicargo_medallion_data_pipeline_spark.sources.writers import delta_available
 
 
+def _xxhashable(dt) -> bool:
+    """True iff ``xxhash64`` accepts the type: MapType (and anything
+    nesting one, incl. VariantType) fails analysis in the hash family."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _apply_trigger(writer, trigger: dict | None):
     """T1 — trigger config: {'availableNow': True} (default),
     {'processingTime': '10 seconds'}, or {'once': True}."""
@@ -296,14 +310,27 @@ def apply_cdc_batch(
     # The hash pick is still arbitrary among ties — the docstring contract
     # requires `_seq` when a key can change twice per batch — but it is
     # the SAME arbitrary pick on every attempt at any parallelism.
-    order = (
-        F.col("_seq").desc()
-        if "_seq" in batch_df.columns
-        else F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc()
-    )
+    # xxhash64 rejects MapType (analysis error), so only hashable columns
+    # feed the hash; an all-unhashable row falls back to its JSON
+    # rendering.  A 64-bit collision between two distinct tied rows would
+    # silently reintroduce nondeterminism, so a 128-bit md5 of the JSON
+    # row image breaks those ties second (r8 ADVICE item 2).
+    if "_seq" in batch_df.columns:
+        order = [F.col("_seq").desc()]
+    else:
+        hashable = [
+            f.name for f in batch_df.schema.fields if _xxhashable(f.dataType)
+        ]
+        row_json = F.to_json(F.struct(*[F.col(c) for c in batch_df.columns]))
+        primary = (
+            F.xxhash64(*[F.col(c) for c in hashable])
+            if hashable
+            else F.xxhash64(row_json)
+        )
+        order = [primary.desc(), F.md5(row_json).desc()]
     winners = (
         batch_df.withColumn(
-            "_rn", F.row_number().over(W.partitionBy(*key_cols).orderBy(order))
+            "_rn", F.row_number().over(W.partitionBy(*key_cols).orderBy(*order))
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
