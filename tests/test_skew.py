@@ -103,3 +103,26 @@ def test_salt_column_collision_rejected(spark):
         salted_join(has_salt, plain, on=["k"])
     with _pytest.raises(ValueError, match="_salt"):
         salted_join(plain, has_salt, on=["k"])
+
+
+def test_skew_anchor_variants_agree(spark):
+    """r8 verdict task 4: the three executions bench_skew.py times —
+    plain SMJ, AQE skew-split, salted_join — must return identical
+    results on a hot-key dataset (the bench's equality gate, pinned
+    here at test scale)."""
+    import bench_skew as B
+
+    sf = "/root/testdata/sf0.001"
+    skewed = B.skewed_lineitem(spark, sf)
+    supp = spark.read.parquet(sf + "/supplier.parquet")
+    plain = B._digest(B._join_plain(skewed, supp))
+    salted = B._digest(B._join_salted(skewed, supp))
+    assert plain == salted
+    # the hot key really is hot: ≥25% of rows on one suppkey
+    import pyspark.sql.functions as F
+
+    top = (
+        skewed.groupBy("l_suppkey").count().orderBy(F.desc("count")).first()
+    )
+    assert top["l_suppkey"] == B.HOT_KEY
+    assert top["count"] >= 0.25 * skewed.count()

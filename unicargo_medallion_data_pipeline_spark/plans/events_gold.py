@@ -133,6 +133,7 @@ _THIN_SQL = (
     GROUP BY 1, 2
     """,
     operators=("A13", "J2", "P11"),
+    bench=True,  # r8 verdict task 3: stateful/mutation/iterative bench anchors
 )
 def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by the week of their first

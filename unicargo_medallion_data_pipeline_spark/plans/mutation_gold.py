@@ -68,6 +68,7 @@ _B1, _B2 = "1994-01-01", "1996-01-01"
       AND (effective_to IS NULL OR effective_to > TIMESTAMP '{_AS_OF}')
     """,
     operators=("P10", "W1", "J7"),
+    bench=True,  # r8 verdict task 3: stateful/mutation/iterative bench anchors
 )
 def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 end-to-end under the hash gate: fold three time-ordered

@@ -516,6 +516,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id, session_seq
     """,
     operators=("T6", "W5", "A13"),
+    bench=True,  # r8 verdict task 3: stateful/mutation/iterative bench anchors
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min), batch form: lag → session-start

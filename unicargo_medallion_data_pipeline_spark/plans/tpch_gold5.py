@@ -342,6 +342,7 @@ def _pagerank_sql(iterations: int = 5, scale: int = 10**9) -> str:
     "nation_trade_pagerank",
     sql=_pagerank_sql(),
     operators=("A8", "J2", "W4"),
+    bench=True,  # r8 verdict task 3: stateful/mutation/iterative bench anchors
 )
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation trade graph (supplier-nation →

@@ -34,6 +34,7 @@ from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
     operators=("A1", "A15"),
+    bench=True,  # r8 verdict task 3: stateful/mutation/iterative bench anchors
 )
 def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two independent one-dimensional summaries (by status, by
