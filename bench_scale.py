@@ -12,11 +12,25 @@ ratio.  Linear-ish ratios (~5x on scan-bound, less on
 fixed-group aggregates) confirm no super-linear term is hiding in the
 plans.
 
-Only replication-clean queries are included: document/embedding
-queries are EXCLUDED because replicating near-identical text/vectors
-5x inflates near-dup candidate density super-linearly relative to a
-true sf0.5 corpus — their timing ratio would measure the distortion,
-not the plan.
+Document/embedding queries need more than key remapping: replicating
+IDENTICAL text/vectors 5x would inflate near-dup candidate density
+super-linearly relative to a true sf0.5 corpus, so the ratio would
+measure that distortion, not the plan.  The similarity family
+(r8 verdict task 6) therefore replicates with structure-preserving
+per-replica transforms instead:
+
+  - documents: every token in replica i>0 gets an ``r{i}x`` suffix —
+    an injective vocabulary map, so every within-replica shingle-set
+    Jaccard (the structure minhash/simhash/ngram queries consume) is
+    EXACTLY preserved, while replicas share zero shingles with each
+    other (cross-replica candidate pairs cannot form).
+  - embeddings: replica i>0 multiplies each dimension by a
+    deterministic ±1 pattern — an orthogonal transform, so every
+    within-replica cosine/dot is EXACTLY preserved, while
+    cross-replica pairs scatter pseudo-randomly.
+
+Dup/neighbor density per replica thus matches sf0.1 exactly and total
+density scales linearly, which is what a real 5x corpus does.
 
 Prints ONE JSON line:
   {"metric": "scale_curvature", "queries": {name: {"sf01": s, "sf05": s,
@@ -45,6 +59,13 @@ QUERIES = [
     "top_trade_routes",
     "rolling_7day_revenue",
     "events_tumbling_5min",
+    # similarity family (r8 verdict task 6) — see module docstring for
+    # the structure-preserving replication that makes these honest
+    "doc_minhash_near_dups",
+    "doc_simhash_clusters",
+    "doc_duplicate_ngram_rate",
+    "embedding_knn_lsh",
+    "embedding_knn_ivf",
 ]
 
 #: Per-table key columns that must be offset per replica so that joins
@@ -72,7 +93,58 @@ KEY_SPACE_OF = {
     "event_id": ("events", "event_id"),
     "user_id": ("events", "user_id"),
 }
-COPY_AS_IS = ["nation", "region", "documents", "embeddings"]
+COPY_AS_IS = ["nation", "region"]
+
+
+def build_scaled_documents(spark, src_dir: str, dst_dir: str) -> None:
+    """documents ×REPLICAS: doc_id offset per replica; replica i>0 maps
+    every whitespace token t → t·r{i}x (injective vocab map: preserves
+    every within-replica shingle Jaccard, shares no shingles across
+    replicas)."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    df = load_table(spark, src_dir, "documents")
+    max_id = int(df.agg(F.max("doc_id")).collect()[0][0]) + 1
+    rep = df.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "_r"))
+    suffixed = F.expr(
+        "array_join(transform(split(text, ' '), t -> concat(t, 'r', _r, 'x')), ' ')"
+    )
+    (
+        rep.withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(max_id))
+        .withColumn("text", F.when(F.col("_r") == 0, F.col("text")).otherwise(suffixed))
+        .withColumn("n_chars", F.length("text"))
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "documents.parquet"))
+    )
+
+
+def build_scaled_embeddings(spark, src_dir: str, dst_dir: str) -> None:
+    """embeddings ×REPLICAS: vec_id offset per replica; replica i>0
+    multiplies each dimension by a deterministic ±1 (orthogonal —
+    within-replica cosines exact, cross-replica pairs scatter)."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+
+    df = load_table(spark, src_dir, "embeddings")
+    max_id = int(df.agg(F.max("vec_id")).collect()[0][0]) + 1
+    rep = df.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "_r"))
+    flipped = F.expr(
+        "transform(embedding, (x, i) -> CAST(x * (1 - 2 * pmod(hash(i, _r), 2)) AS FLOAT))"
+    )
+    (
+        rep.withColumn("vec_id", F.col("vec_id") + F.col("_r") * F.lit(max_id))
+        .withColumn(
+            "embedding",
+            F.when(F.col("_r") == 0, F.col("embedding")).otherwise(flipped),
+        )
+        .drop("_r")
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "embeddings.parquet"))
+    )
 
 
 def build_scaled(spark, src_dir: str, dst_dir: str) -> None:
@@ -100,6 +172,8 @@ def build_scaled(spark, src_dir: str, dst_dir: str) -> None:
             .write.mode("overwrite")
             .parquet(os.path.join(dst_dir, f"{tbl}.parquet"))
         )
+    build_scaled_documents(spark, src_dir, dst_dir)
+    build_scaled_embeddings(spark, src_dir, dst_dir)
     for tbl in COPY_AS_IS:
         shutil.copy(
             os.path.join(src_dir, f"{tbl}.parquet"),
