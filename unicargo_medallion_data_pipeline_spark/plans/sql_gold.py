@@ -338,9 +338,10 @@ def events_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = t.read_pruned("value", _PRUNE_LO, _PRUNE_HI)
     n_all, n_pruned = len(t.read().inputFiles()), len(pruned.inputFiles())
-    assert n_pruned < n_all, (
-        f"file skipping regressed: read {n_pruned}/{n_all} files"
-    )
+    if not n_pruned < n_all:  # explicit raise: python -O strips asserts
+        raise AssertionError(
+            f"file skipping regressed: read {n_pruned}/{n_all} files"
+        )
     return (
         pruned.groupBy("event_type")
         .agg(
@@ -418,9 +419,10 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = ManifestTable(spark, path)
     hits = t.read_bloom_pruned("user_id", list(_BLOOM_USERS))
     n_all, n_read = len(t.read().inputFiles()), len(hits.inputFiles())
-    assert n_read < n_all, (
-        f"bloom skipping regressed: read {n_read}/{n_all} files"
-    )
+    if not n_read < n_all:  # explicit raise: python -O strips asserts
+        raise AssertionError(
+            f"bloom skipping regressed: read {n_read}/{n_all} files"
+        )
     return (
         hits.groupBy("user_id")
         .agg(
@@ -932,9 +934,10 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         more=[("user_id", _Z_USER_LO, _Z_USER_HI)],
     )
     n_all, n_read = len(t.read().inputFiles()), len(pruned.inputFiles())
-    assert n_read < n_all, (
-        f"z-order skipping regressed: read {n_read}/{n_all} files"
-    )
+    if not n_read < n_all:  # explicit raise: python -O strips asserts
+        raise AssertionError(
+            f"z-order skipping regressed: read {n_read}/{n_all} files"
+        )
     return (
         pruned.groupBy("event_type")
         .agg(
