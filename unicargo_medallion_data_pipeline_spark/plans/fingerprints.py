@@ -116,8 +116,8 @@ def update_snapshot(spark, sf_dir: str = DEFAULT_SF_DIR, force: bool = False) ->
                 f"(add them to __spark_entry__.py so the driver re-verifies): {missing}"
             )
     os.makedirs(os.path.dirname(SNAPSHOT_PATH), exist_ok=True)
-    tmp = tempfile.mktemp(dir=os.path.dirname(SNAPSHOT_PATH), suffix=".json")
-    with open(tmp, "w") as fh:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(SNAPSHOT_PATH), suffix=".json")
+    with os.fdopen(fd, "w") as fh:
         json.dump(new, fh, indent=1, sort_keys=True)
         fh.write("\n")
     os.replace(tmp, SNAPSHOT_PATH)
