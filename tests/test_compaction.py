@@ -137,3 +137,30 @@ def test_compaction_handles_escaped_null_and_numeric_partitions(spark):
         ((r.k, r.day or "", r.v) for r in spark.read.parquet(path).collect())
     )
     assert after_rows == before_rows
+
+
+def test_compaction_tolerates_map_columns(spark, tmp_path):
+    """r9 hunt: a table with a map column (e.g. bronze metadata) must
+    still compact — the bucket hash excludes unhashable columns."""
+    import pyspark.sql.functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path,
+        partition_file_census,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("meta"),
+    )
+    df.repartition(10).write.partitionBy("day").parquet(path)
+    key = lambda d: sorted((r["id"], r["day"], r["meta"]["k"]) for r in d.collect())
+    before_rows = key(spark.read.parquet(path))  # materialized pre-compaction
+    done = compact_partitioned_path(spark, path, ["day"], target_file_bytes=1 << 30)
+    assert done  # both partitions were fragmented → compacted
+    census = partition_file_census(spark, path)
+    assert all(n == 1 for _, n in census.values())
+    # content identical (map rendered to string for comparison)
+    assert key(spark.read.parquet(path)) == before_rows

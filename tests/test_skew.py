@@ -126,3 +126,17 @@ def test_skew_anchor_variants_agree(spark):
     )
     assert top["l_suppkey"] == B.HOT_KEY
     assert top["count"] >= 0.25 * skewed.count()
+
+
+def test_with_salt_tolerates_map_columns(spark):
+    """r9 hunt: a map column must not make salting fail analysis; the
+    salt stays deterministic and within range."""
+    from unicargo_medallion_data_pipeline_spark.operators.skew import with_salt
+
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}), (2, {"b": "2"}), (3, None)],
+        "k int, props map<string,string>",
+    )
+    a = {r["k"]: r["_salt"] for r in with_salt(df, 8).collect()}
+    b = {r["k"]: r["_salt"] for r in with_salt(df, 8).collect()}
+    assert a == b and all(0 <= v < 8 for v in a.values())

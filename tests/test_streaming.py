@@ -311,3 +311,40 @@ def test_merge_sink_reduces_duplicate_keys_within_batch(spark):
     rows = spark.read.parquet(target).collect()
     assert len(rows) == 1, f"duplicate key rows written: {rows}"
     assert rows[0]["v"] == "new-batch-row2" and rows[0]["seq"] == 2
+
+
+def test_stream_merge_no_seq_tolerates_map_columns(spark, tmp_path):
+    """The no-seq_col winner tiebreak must skip unorderable (map)
+    columns instead of failing analysis on the first map-carrying batch
+    (same class as the CDC tiebreak fix)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import (
+        write_stream_with_merge,
+    )
+
+    schema = "k int, day string, v string, props map<string,string>"
+    src = os.path.join(str(tmp_path), "src")
+    spark.createDataFrame(
+        [
+            (1, "d1", "a", {"x": "1"}),
+            (1, "d1", "b", {"y": "2"}),  # tied key in one batch, no seq
+            (2, "d2", "c", None),
+        ],
+        schema,
+    ).write.mode("overwrite").json(src)
+    target = os.path.join(str(tmp_path), "tgt")
+    write_stream_with_merge(
+        read_streaming_path(spark, src, schema=schema, file_format="json"),
+        target_path=target,
+        checkpoint=os.path.join(str(tmp_path), "ckpt"),
+        merge_keys=["k"],
+        partition_col="day",
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    # winner for k=1 is the greatest under orderable non-key cols (day,
+    # v) -> 'b'; the map column must not participate in the ordering
+    assert got == {1: "b", 2: "c"}

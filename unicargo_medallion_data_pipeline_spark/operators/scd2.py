@@ -57,9 +57,22 @@ def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
     payload hash so the pick is deterministic (documented contract — a
     batch carrying two DIFFERENT payloads at the identical timestamp has
     no meaningful order; the engine picks reproducibly rather than
-    randomly)."""
+    randomly).  Unhashable (map/variant) tracked columns hash via their
+    JSON rendering instead of failing analysis (r9 hunt — same class as
+    the CDC tiebreak fix)."""
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+
+    hashable = [
+        c for c in tracked_cols
+        if xxhashable(updates.schema[c].dataType)
+    ]
+    payload_hash = (
+        F.xxhash64(*hashable)
+        if hashable
+        else F.xxhash64(F.to_json(F.struct(*tracked_cols)))
+    )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts).desc(), F.xxhash64(*tracked_cols).desc()
+        F.col(ts).desc(), payload_hash.desc()
     )
     return (
         updates.withColumn("_rn", F.row_number().over(w))

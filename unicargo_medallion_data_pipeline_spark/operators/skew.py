@@ -51,15 +51,19 @@ def with_salt(df: DataFrame, buckets: int, col_name: str = "_salt") -> DataFrame
     is your data, add a genuinely distinguishing column upstream (an
     event id, or file+offset captured AT THE SCAN where order is frozen)
     before salting — only the caller knows which source column is stable
-    under retries."""
+    under retries.  Unhashable (map/variant) columns are excluded from
+    the hash (they fail analysis in Spark's hash family — r9 hunt), so
+    rows differing only in one extend the duplicate-rows limitation
+    above; the salt stays deterministic either way."""
     if col_name in df.columns:
         raise ValueError(
             f"salt column {col_name!r} already exists on the input — "
             "withColumn would silently overwrite it"
         )
-    cols = [F.col(c) for c in df.columns]
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import row_hash
+
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+        col_name, F.pmod(row_hash(df), F.lit(buckets)).cast("int")
     )
 
 

@@ -171,11 +171,14 @@ def compact_partitioned_path(
         for c in partition_cols:
             eq = F.col(c).cast("string").eqNullSafe(F.col(f"_pv_{c}"))
             join_cond = eq if join_cond is None else (join_cond & eq)
+        # row_hash, not xxhash64(*all columns): the hash family rejects
+        # map/variant columns at analysis time, so a table carrying one
+        # (e.g. a bronze metadata map) was un-compactable (r9 hunt).
+        from unicargo_medallion_data_pipeline_spark.functions.hashing import row_hash
+
         tagged = targeted.join(F.broadcast(plan_map), join_cond).withColumn(
             "_bucket",
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in targeted.columns]), F.col("_n_target")
-            ),
+            F.pmod(row_hash(targeted), F.col("_n_target")),
         )
         # (partition cols, bucket) hash-repartition: each tuple lives in
         # one task => at most n_target files per partition after the write.

@@ -23,18 +23,12 @@ from unicargo_medallion_data_pipeline_spark.sources.merge import merge_upsert_pa
 from unicargo_medallion_data_pipeline_spark.sources.writers import delta_available
 
 
-def _xxhashable(dt) -> bool:
-    """True iff ``xxhash64`` accepts the type: MapType (and anything
-    nesting one, incl. VariantType) fails analysis in the hash family."""
-    from pyspark.sql import types as T
-
-    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
-        return False
-    if isinstance(dt, T.ArrayType):
-        return _xxhashable(dt.elementType)
-    if isinstance(dt, T.StructType):
-        return all(_xxhashable(f.dataType) for f in dt.fields)
-    return True
+# Shared type guard: the hash family and sort orders reject map/variant
+# (functions/hashing.py is the single definition all full-row-hash
+# sites use; the local name survives for this module's callers).
+from unicargo_medallion_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    xxhashable as _xxhashable,
+)
 
 
 def _apply_trigger(writer, trigger: dict | None):
@@ -133,13 +127,18 @@ def write_stream_with_merge(
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # No-seq tiebreak: greatest under the ORDERABLE non-key columns.
+        # Maps (and variants) are not orderable in Spark — including them
+        # fails analysis on the first map-carrying batch (same defect
+        # class as the CDC tiebreak's r8 ADVICE fix; orderability and
+        # hashability share the map/variant restriction set).
         order = (
             [F.col(seq_col).desc()]
             if seq_col
             else [
-                F.col(c).desc()
-                for c in batch_df.columns
-                if c not in merge_keys
+                F.col(f.name).desc()
+                for f in batch_df.schema.fields
+                if f.name not in merge_keys and _xxhashable(f.dataType)
             ]
         ) or [F.lit(1)]
         w = Window.partitionBy(*merge_keys).orderBy(*order)
