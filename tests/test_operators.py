@@ -205,3 +205,19 @@ def test_orphan_fk_counts_exclude_null_fks(spark):
     dim = spark.createDataFrame([(10,)], "dk int")
     counts = orphan_fk_counts(fact, {"dim_id": (dim, "dk")})
     assert counts == {"dim_id": 1}  # only the real miss (99), not the NULL
+
+
+def test_dedup_full_row_rejects_map_columns(spark):
+    """r9 hunt: full-row dedup over a map column raises a clear error
+    (Spark's own failure is an opaque analysis error); subset dedup on
+    hashable keys still works."""
+    import pytest
+
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import dedup
+
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}), (1, {"a": "1"})], "k int, props map<string,string>"
+    )
+    with pytest.raises(ValueError, match="props"):
+        dedup(df)
+    assert dedup(df, subset=["k"]).count() == 1

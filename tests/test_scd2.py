@@ -240,3 +240,33 @@ def test_scd2_as_of_composes_with_snapshot_diff(spark):
         for r in diff_summary(v1, v2, keys=["airline_id"]).collect()
     }
     assert counts == {"changed": 1, "unchanged": 1, "added": 1}
+
+
+def test_scd2_map_attribute_end_to_end(spark, tmp_path):
+    """r9 hunt: a dim with a map attribute works through apply + as_of
+    (tracked-payload tiebreak and the crash-window dedup both exclude
+    unhashable columns instead of failing analysis)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2, as_of
+
+    path = os.path.join(str(tmp_path), "dim")
+    schema = "k int, attr string, props map<string,string>, ts string"
+    b1 = spark.createDataFrame(
+        [(1, "a", {"m": "1"}, "2024-01-01 00:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    apply_scd2(spark, path, b1, key_cols=["k"], tracked_cols=["attr", "props"],
+               effective_ts_col="ts")
+    b2 = spark.createDataFrame(
+        [(1, "b", {"m": "2"}, "2024-02-01 00:00:00")], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    apply_scd2(spark, path, b2, key_cols=["k"], tracked_cols=["attr", "props"],
+               effective_ts_col="ts")
+    dim = spark.read.parquet(path)
+    jan = as_of(dim, "2024-01-15 00:00:00")
+    feb = as_of(dim, "2024-02-15 00:00:00")
+    assert [r["attr"] for r in jan.collect()] == ["a"]
+    assert [r["attr"] for r in feb.collect()] == ["b"]
+    assert feb.collect()[0]["props"]["m"] == "2"

@@ -35,7 +35,22 @@ def dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     Note: like the reference, subset-dedup keeps an ARBITRARY survivor.
     When downstream results must be deterministic (oracle comparison,
     MERGE keys) use ``canonical_dedup`` instead.
+
+    Full-row dedup of a frame carrying an unhashable (map/variant)
+    column fails deep inside Spark's aggregation with an opaque
+    analysis error — raise early with the column names and the fix
+    (full-row dedup over a map has no defined equality anyway; pick a
+    key subset).
     """
+    if subset is None:
+        from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+
+        bad = [f.name for f in df.schema.fields if not xxhashable(f.dataType)]
+        if bad:
+            raise ValueError(
+                f"full-row dedup cannot group by unhashable column(s) {bad}; "
+                "pass an explicit subset of key columns"
+            )
     return df.dropDuplicates(subset) if subset else df.dropDuplicates()
 
 

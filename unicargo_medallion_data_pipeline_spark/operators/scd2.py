@@ -207,9 +207,21 @@ def _scd2_delta(
         eager=True
     )
 
+    # eqNullSafe rejects unorderable (map/variant) types at analysis
+    # time (r9 hunt); those columns compare via their JSON rendering —
+    # deterministic per stored value, and NULL-safe because to_json of a
+    # NULL struct field is a stable 'null' token on both sides.
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+
+    def _payload_eq(t: str):
+        if xxhashable(joined.schema[t].dataType):
+            return F.col(t).eqNullSafe(F.col(f"_cur_{t}"))
+        return F.to_json(F.struct(F.col(t))).eqNullSafe(
+            F.to_json(F.struct(F.col(f"_cur_{t}")))
+        )
+
     same_payload = reduce(
-        lambda a, b: a & b,
-        [F.col(t).eqNullSafe(F.col(f"_cur_{t}")) for t in tracked_cols],
+        lambda a, b: a & b, [_payload_eq(t) for t in tracked_cols]
     )
     # Match marker must not be a key column (a null key matches null-
     # safely but would look unmatched); _cur_from is non-null on every
@@ -382,8 +394,19 @@ def as_of(dim: DataFrame, ts, dedup: bool = True) -> DataFrame:
     full-row ``dropDuplicates`` removes precisely them.  Pass
     ``dedup=False`` to skip the shuffle once the atomic Delta MERGE path
     is active (no crash window there).
+
+    Unhashable (map/variant) attribute columns are excluded from the
+    dedup key — Spark cannot group by them (r9 hunt).  Equivalent here:
+    the crash-window duplicates are byte-identical rows, and the SCD2
+    interval invariant (disjoint validity per key) makes the hashable
+    subset (keys + interval columns) already unique per logical row.
     """
-    src = dim.dropDuplicates() if dedup else dim
+    if dedup:
+        from unicargo_medallion_data_pipeline_spark.functions.hashing import hashable_cols
+
+        src = dim.dropDuplicates(hashable_cols(dim))
+    else:
+        src = dim
     t = F.lit(ts).cast("timestamp")
     return src.filter(
         (F.col("effective_from") <= t)
