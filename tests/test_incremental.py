@@ -79,3 +79,22 @@ def test_incremental_merge_correction_wins(spark, star):
     assert merged.count() == fact_all.count(), "corrections must not add rows"
     day = merged.filter(F.col("flight_date") == "2015-01-02")
     assert day.filter(F.col("arrival_delay") != 0).count() == 0, "update-all must win"
+
+
+def test_snapshot_diff_tolerates_map_columns(spark):
+    """r9 hunt: diffing snapshots that carry a map column (e.g. bronze
+    metadata) must classify rows instead of failing analysis."""
+    from unicargo_medallion_data_pipeline_spark.operators.diff import snapshot_diff
+
+    schema = "k int, v string, props map<string,string>"
+    old = spark.createDataFrame(
+        [(1, "a", {"m": "1"}), (2, "b", None), (3, "c", {"m": "3"})], schema
+    )
+    new = spark.createDataFrame(
+        [(1, "a", {"m": "1"}), (2, "b", {"m": "2"}), (4, "d", None)], schema
+    )
+    got = {
+        r["k"]: r["change_status"]
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -264,7 +264,12 @@ def test_scd2_map_attribute_end_to_end(spark, tmp_path):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     apply_scd2(spark, path, b2, key_cols=["k"], tracked_cols=["attr", "props"],
                effective_ts_col="ts")
+    # idempotent re-delivery: identical batch => zero new versions (the
+    # JSON payload compare must see equal maps as equal)
+    apply_scd2(spark, path, b2, key_cols=["k"], tracked_cols=["attr", "props"],
+               effective_ts_col="ts")
     dim = spark.read.parquet(path)
+    assert dim.count() == 2  # one history row + one current row
     jan = as_of(dim, "2024-01-15 00:00:00")
     feb = as_of(dim, "2024-02-15 00:00:00")
     assert [r["attr"] for r in jan.collect()] == ["a"]

@@ -93,9 +93,26 @@ def snapshot_diff(
     )
 
     if compare_cols:
+        # eqNullSafe rejects unorderable (map/variant) types at analysis
+        # time (r9 hunt) — a bronze snapshot carrying a metadata map was
+        # un-diffable.  Those columns compare via their JSON rendering:
+        # deterministic per stored value and NULL-safe (a NULL field is
+        # omitted from the struct's JSON on both sides identically).
+        from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+
+        types = {f.name: f.dataType for f in new.schema.fields}
+
+        def _col_eq(c: str) -> Column:
+            if xxhashable(types[c]):
+                return F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+            # fixed inner field name: the struct's field name is part of
+            # the JSON text, and _old/_new would never compare equal
+            return F.to_json(F.struct(F.col(f"{c}_old").alias("v"))).eqNullSafe(
+                F.to_json(F.struct(F.col(f"{c}_new").alias("v")))
+            )
+
         all_equal: Column = reduce(
-            lambda a, b: a & b,
-            [F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new")) for c in compare_cols],
+            lambda a, b: a & b, [_col_eq(c) for c in compare_cols]
         )
     else:
         all_equal = F.lit(True)

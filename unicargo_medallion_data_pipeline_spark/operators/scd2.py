@@ -216,8 +216,11 @@ def _scd2_delta(
     def _payload_eq(t: str):
         if xxhashable(joined.schema[t].dataType):
             return F.col(t).eqNullSafe(F.col(f"_cur_{t}"))
-        return F.to_json(F.struct(F.col(t))).eqNullSafe(
-            F.to_json(F.struct(F.col(f"_cur_{t}")))
+        # fixed inner field name: the struct field name is part of the
+        # JSON text — t vs _cur_t would NEVER compare equal, turning
+        # every idempotent re-delivery into a spurious new version
+        return F.to_json(F.struct(F.col(t).alias("v"))).eqNullSafe(
+            F.to_json(F.struct(F.col(f"_cur_{t}").alias("v")))
         )
 
     same_payload = reduce(
