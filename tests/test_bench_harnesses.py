@@ -106,3 +106,13 @@ def test_no_session_wide_write_conf_toggles():
         f"session-wide write-conf toggle found: {offenders} — use "
         "sources.staging.write_dynamic_overwrite / an explicit read schema"
     )
+
+
+def test_twin_equivalence_at_smoke_scale(spark):
+    """verify_twins.py: the lossless-twin differential must hold at
+    smoke scale (its sf0.1 run is the evidence for the queries whose
+    DuckDB oracle is quadratic)."""
+    import verify_twins as VT
+
+    pairs = VT.run_pairs(spark, "/root/testdata/sf0.001")
+    assert pairs and all(p["equal"] for p in pairs.values()), pairs
