@@ -44,11 +44,20 @@ def load_artifacts(repo: str = _REPO) -> list[tuple[int, dict]]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]  # driver wrapper: {n, rc, tail, parsed: <bench line>}
+        data = unwrap(data)
         if isinstance(data, dict) and isinstance(data.get("queries"), dict):
             out.append((int(m.group(1)), data))
     return sorted(out)
+
+
+def unwrap(data: dict) -> dict:
+    """Strip the driver's artifact wrapper ({n, rc, tail, parsed: <bench
+    line>}) when present — shared by the committed-artifact scan AND
+    --current, so the ≤2x gate runs against exactly what the driver
+    commits, no hand-extraction (round-10 verdict task 2)."""
+    if isinstance(data, dict) and isinstance(data.get("parsed"), dict):
+        return data["parsed"]
+    return data
 
 
 def spread(artifact: dict) -> float | None:
@@ -110,7 +119,7 @@ def main(argv=None) -> int:
     artifacts = load_artifacts()
     if args.current:
         with open(args.current) as fh:
-            current = json.load(fh)
+            current = unwrap(json.load(fh))
         history = artifacts
     else:
         if not artifacts:

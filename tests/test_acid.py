@@ -767,3 +767,34 @@ def test_rename_error_foreign_path_same_basename_not_a_race():
         Exception("v3.json already exists (conflicts with /other/_manifests/v3.json)"),
         dest,
     )
+
+
+def test_rename_error_path_component_boundary():
+    """Round-10 ADVICE 3: qualified-path corroboration must match at a
+    PATH-COMPONENT boundary — a foreign table whose name merely ends
+    with ours ('xorders' vs relative dest parent 'orders') is not a race
+    on our manifest."""
+    from unicargo_medallion_data_pipeline_spark.sources.acid import _is_dest_exists_error
+
+    rel_dest = "orders/_manifests/v3.json"
+    # foreign path whose tail CONTAINS our relative parent without a
+    # component boundary → rejected
+    assert not _is_dest_exists_error(
+        Exception("s3://b/tables/xorders/_manifests/v3.json already exists"),
+        rel_dest,
+    )
+    # our own relative dest, scheme/host-qualified in the message → race
+    assert _is_dest_exists_error(
+        Exception("s3://b/tables/orders/_manifests/v3.json already exists"),
+        rel_dest,
+    )
+    # exact match of the qualified path → race
+    assert _is_dest_exists_error(
+        Exception("orders/_manifests/v3.json already exists"), rel_dest
+    )
+    # absolute dest, message names a longer foreign absolute path with
+    # no boundary → rejected
+    assert not _is_dest_exists_error(
+        Exception("/tables/xorders/_manifests/v3.json already exists"),
+        "/tables/orders/_manifests/v3.json",
+    )

@@ -49,3 +49,26 @@ def test_committed_artifacts_all_load():
     arts = bc.load_artifacts()
     assert len(arts) >= 6  # r1..r8 minus the skipped round
     assert all("queries" in a for _, a in arts)
+
+
+def test_current_flag_accepts_wrapped_driver_artifact(tmp_path, capsys):
+    """Round-10 verdict task 2: --current must consume the driver's
+    committed artifact (wrapped under 'parsed') directly — previously a
+    KeyError: 'queries'."""
+    import json
+
+    cur = tmp_path / "BENCH_rX.json"
+    cur.write_text(json.dumps({"n": 1, "rc": 0, "parsed": _art({"q": 1.0})}))
+    rc = bc.main(["--current", str(cur)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "q" in out and "probe spread: 1.1" in out
+
+
+def test_current_flag_committed_r09_artifact_loads():
+    """The real committed BENCH_r09.json (driver wrapper) must run
+    through main() end-to-end."""
+    import os
+
+    path = os.path.join(os.path.dirname(bc.__file__), "BENCH_r09.json")
+    assert bc.main(["--current", path]) == 0

@@ -43,3 +43,80 @@ def test_hashable_cols_excludes(spark):
     df = spark.createDataFrame([(1, {"a": "1"}, "x")], "k int, m map<string,string>, v string")
     assert hashable_cols(df) == ["k", "v"]
     assert hashable_cols(df, exclude=("k",)) == ["v"]
+
+
+def test_md5_row_json_distinguishes_map_only_differences(spark):
+    """Round-10 ADVICE 1: the md5 JSON tiebreak must see map columns the
+    hash family cannot — two rows identical in every hashable column but
+    differing in a map get DIFFERENT md5 values (so row_number ordered by
+    it picks deterministically instead of arbitrarily)."""
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import md5_row_json
+
+    df = spark.createDataFrame(
+        [(1, "a", {"m": "1"}), (1, "a", {"m": "2"})],
+        "k int, s string, props map<string,string>",
+    )
+    got = df.select(md5_row_json(df.columns).alias("h")).collect()
+    assert got[0]["h"] != got[1]["h"]
+
+
+def test_canonical_json_map_entry_order_insensitive(spark):
+    """Round-10 ADVICE 4: two semantically equal maps stored with
+    different entry order must render to the SAME canonical JSON; maps
+    with different contents must differ; NULL and empty stay distinct."""
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import canonical_json
+
+    dt = T.MapType(T.StringType(), T.StringType())
+    df = spark.range(1).select(
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit("1"), F.lit("2"))
+        ).alias("fwd"),
+        F.map_from_arrays(
+            F.array(F.lit("b"), F.lit("a")), F.array(F.lit("2"), F.lit("1"))
+        ).alias("rev"),
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit("1"), F.lit("9"))
+        ).alias("other"),
+        F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<string>")).alias("empty"),
+        F.lit(None).cast(dt).alias("nul"),
+    )
+    row = df.select(
+        canonical_json(F.col("fwd"), dt).alias("fwd"),
+        canonical_json(F.col("rev"), dt).alias("rev"),
+        canonical_json(F.col("other"), dt).alias("other"),
+        canonical_json(F.col("empty"), dt).alias("empty"),
+        canonical_json(F.col("nul"), dt).alias("nul"),
+    ).collect()[0]
+    assert row["fwd"] == row["rev"]
+    assert row["fwd"] != row["other"]
+    assert row["empty"] != row["nul"]  # {} vs {"v":[]}
+
+
+def test_canonical_json_unorderable_value_sorts_by_key(spark):
+    """A map whose VALUE type is itself unorderable (map-of-map) takes
+    the comparator path: entries still sort by key, so entry order still
+    canonicalizes."""
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import canonical_json
+
+    dt = T.MapType(T.StringType(), T.MapType(T.StringType(), T.StringType()))
+    df = spark.range(1).select(
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")),
+            F.array(
+                F.map_from_arrays(F.array(F.lit("x")), F.array(F.lit("1"))),
+                F.map_from_arrays(F.array(F.lit("y")), F.array(F.lit("2"))),
+            ),
+        ).alias("fwd"),
+        F.map_from_arrays(
+            F.array(F.lit("b"), F.lit("a")),
+            F.array(
+                F.map_from_arrays(F.array(F.lit("y")), F.array(F.lit("2"))),
+                F.map_from_arrays(F.array(F.lit("x")), F.array(F.lit("1"))),
+            ),
+        ).alias("rev"),
+    )
+    row = df.select(
+        canonical_json(F.col("fwd"), dt).alias("fwd"),
+        canonical_json(F.col("rev"), dt).alias("rev"),
+    ).collect()[0]
+    assert row["fwd"] == row["rev"]

@@ -228,3 +228,53 @@ def test_gold_parallelism_matches_serial(spark, medallion, flight_fixture_dir, t
             a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
         ), f"gold table {name} differs between serial and parallel"
         assert a.count() == b.count(), name
+
+
+def test_quarantine_gate_failure_preserves_previous_bronze(spark, monkeypatch):
+    """Round-10 ADVICE 2: a lossy quarantine split must abort WITHOUT
+    clobbering the previous good bronze + quarantine tables — writes go
+    to staging names and only promote after the conservation gate
+    passes."""
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.pipelines import medallion as med
+
+    d = tempfile.mkdtemp(prefix="quarantine_gate_")
+    p = os.path.join(d, "airlines.csv")
+    with open(p, "w") as f:
+        f.write("iata_code,airline\n")
+        f.write("AA,American Airlines\n")
+        f.write("DL,Delta Air Lines\n")
+        f.write("XX,Broken Line,unexpected,extra,columns\n")
+    cfg = {
+        "environments": {"qgate": {"storage_root": tempfile.mkdtemp(prefix="qwh_")}},
+        "tables": {
+            "airlines": {"bronze": {"table": "airlines_raw", "source_format": "csv"}}
+        },
+    }
+    # first run: good split, tables land
+    med.run_bronze(spark, {"airlines": p}, environment="qgate", config=cfg)
+    assert spark.read.table("qgate_bronze.airlines_raw").count() == 2
+    assert spark.read.table("qgate_bronze.airlines_raw_quarantine").count() == 1
+
+    # second run: simulate a LOSSY split (one good row silently dropped)
+    real = med.read_csv_with_quarantine
+
+    def lossy(spark_, path_, schema_):
+        good, bad = real(spark_, path_, schema_)
+        return good.limit(1), bad
+
+    monkeypatch.setattr(med, "read_csv_with_quarantine", lossy)
+    with pytest.raises(ValueError, match="lost rows"):
+        med.run_bronze(spark, {"airlines": p}, environment="qgate", config=cfg)
+    # previous good tables are INTACT (old behavior had already
+    # overwritten them before the gate fired)
+    assert spark.read.table("qgate_bronze.airlines_raw").count() == 2
+    assert spark.read.table("qgate_bronze.airlines_raw_quarantine").count() == 1
+    # staging leftovers are cleaned up
+    staged = [
+        t.name
+        for t in spark.catalog.listTables("qgate_bronze")
+        if "__staging" in t.name
+    ]
+    assert staged == []

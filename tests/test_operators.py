@@ -221,3 +221,30 @@ def test_dedup_full_row_rejects_map_columns(spark):
     with pytest.raises(ValueError, match="props"):
         dedup(df)
     assert dedup(df, subset=["k"]).count() == 1
+
+
+def test_snapshot_diff_map_entry_reorder_is_unchanged(spark):
+    """Round-10 ADVICE 4: a map rebuilt in a different entry order is the
+    same value — snapshot_diff must report 'unchanged', not 'changed'."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.range(1).select(
+        F.lit(1).alias("k"),
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b")), F.array(F.lit("1"), F.lit("2"))
+        ).alias("props"),
+    )
+    new = spark.range(1).select(
+        F.lit(1).alias("k"),
+        F.map_from_arrays(
+            F.array(F.lit("b"), F.lit("a")), F.array(F.lit("2"), F.lit("1"))
+        ).alias("props"),
+    )
+    (row,) = snapshot_diff(old, new, keys=["k"]).collect()
+    assert row["change_status"] == "unchanged"
+    # a REAL map change still reports changed
+    new2 = new.withColumn("props", F.map_from_arrays(F.array(F.lit("a")), F.array(F.lit("9"))))
+    (row2,) = snapshot_diff(old, new2, keys=["k"]).collect()
+    assert row2["change_status"] == "changed"

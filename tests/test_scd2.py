@@ -275,3 +275,64 @@ def test_scd2_map_attribute_end_to_end(spark, tmp_path):
     assert [r["attr"] for r in jan.collect()] == ["a"]
     assert [r["attr"] for r in feb.collect()] == ["b"]
     assert feb.collect()[0]["props"]["m"] == "2"
+
+
+def test_same_ts_map_only_tie_is_deterministic(spark):
+    """Round-10 ADVICE 1: two same-timestamp snapshots differing ONLY in
+    a map column tie on the hashable-columns xxhash — the md5 full-payload
+    secondary ordering must pick the SAME winner at any physical row
+    order / parallelism."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import _latest_per_key
+
+    schema = "k int, attr string, props map<string,string>, _ts string"
+    rows = [
+        (1, "a", {"m": "1"}, "2024-01-01 00:00:00"),
+        (1, "a", {"m": "2"}, "2024-01-01 00:00:00"),
+    ]
+    winners = set()
+    for order in (rows, list(reversed(rows))):
+        for nparts in (1, 4):
+            u = (
+                spark.createDataFrame(order, schema)
+                .withColumn("_ts", F.col("_ts").cast("timestamp"))
+                .repartition(nparts)
+            )
+            got = _latest_per_key(u, ["k"], "_ts", ["attr", "props"]).collect()
+            assert len(got) == 1
+            winners.add(got[0]["props"]["m"])
+    assert len(winners) == 1  # same pick every time
+
+
+def test_scd2_map_entry_reorder_is_noop(spark, tmp_path):
+    """Round-10 ADVICE 4: re-delivering an unchanged snapshot whose map
+    was rebuilt in a DIFFERENT entry order must not mint a new version
+    (change detection canonicalizes map entry order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2
+
+    path = os.path.join(str(tmp_path), "dim")
+
+    def batch(keys_vals):
+        k, v = keys_vals
+        return spark.range(1).select(
+            F.lit(1).alias("k"),
+            F.lit("a").alias("attr"),
+            F.map_from_arrays(
+                F.array(*[F.lit(x) for x in k]), F.array(*[F.lit(x) for x in v])
+            ).alias("props"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+
+    apply_scd2(spark, path, batch((["a", "b"], ["1", "2"])),
+               key_cols=["k"], tracked_cols=["attr", "props"], effective_ts_col="ts")
+    # same map, reversed entry order → pure re-delivery, zero new versions
+    apply_scd2(spark, path, batch((["b", "a"], ["2", "1"])),
+               key_cols=["k"], tracked_cols=["attr", "props"], effective_ts_col="ts")
+    dim = spark.read.parquet(path)
+    assert dim.count() == 1
+    assert dim.collect()[0]["is_current"]

@@ -348,3 +348,40 @@ def test_stream_merge_no_seq_tolerates_map_columns(spark, tmp_path):
     # winner for k=1 is the greatest under orderable non-key cols (day,
     # v) -> 'b'; the map column must not participate in the ordering
     assert got == {1: "b", 2: "c"}
+
+
+def test_stream_merge_no_seq_map_only_tie_is_deterministic(spark, tmp_path):
+    """Round-10 ADVICE 1: two batch rows tied on every ORDERABLE non-key
+    column but differing in a map must resolve to the SAME winner
+    regardless of source row order — the md5 full-payload tiebreak covers
+    the columns the sort order cannot."""
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+    from unicargo_medallion_data_pipeline_spark.streaming.writers import (
+        write_stream_with_merge,
+    )
+
+    schema = "k int, day string, v string, props map<string,string>"
+    rows = [
+        (1, "d1", "a", {"m": "1"}),
+        (1, "d1", "a", {"m": "2"}),  # tied on (day, v); differs only in map
+    ]
+    winners = set()
+    for tag, order in (("fwd", rows), ("rev", list(reversed(rows)))):
+        src = os.path.join(str(tmp_path), f"src_{tag}")
+        spark.createDataFrame(order, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(src)
+        target = os.path.join(str(tmp_path), f"tgt_{tag}")
+        write_stream_with_merge(
+            read_streaming_path(spark, src, schema=schema, file_format="json"),
+            target_path=target,
+            checkpoint=os.path.join(str(tmp_path), f"ckpt_{tag}"),
+            merge_keys=["k"],
+            partition_col="day",
+        )
+        got = spark.read.parquet(target).collect()
+        assert len(got) == 1
+        winners.add(got[0]["props"]["m"])
+    assert len(winners) == 1

@@ -39,6 +39,64 @@ def hashable_cols(df: DataFrame, exclude: tuple[str, ...] = ()) -> list[str]:
     ]
 
 
+def md5_row_json(cols: list[str]) -> Column:
+    """128-bit tiebreak over the FULL row image — including map/variant
+    columns the hash family rejects — via its JSON rendering.
+
+    Why it exists: every no-sequence "pick one winner per key" site
+    orders by ``xxhash64`` of the hashable columns first, but two rows
+    differing ONLY in an unhashable column share that hash, and a 64-bit
+    collision between distinct rows would likewise tie — in both cases
+    ``row_number`` would pick nondeterministically, violating the
+    documented picks-reproducibly contract.  An md5 of the JSON row
+    image breaks those ties second (r8 ADVICE for the CDC sink; round 10
+    extends the same secondary ordering to the SCD2 latest-per-key and
+    the streaming-merge no-seq tiebreak).
+    """
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def canonical_json(col: Column, dt) -> Column:
+    """Order-canonical JSON rendering of an UNHASHABLE column for
+    equality comparison (``snapshot_diff`` / SCD2 change detection).
+
+    A map's JSON text is entry-order-sensitive: two semantically equal
+    maps stored with different entry order render differently, so plain
+    ``to_json`` equality reports spurious "changed" rows / spurious new
+    SCD2 versions whenever an upstream rebuilds a map in a different key
+    order (round-10 ADVICE).  A top-level map with an orderable key type
+    therefore renders as its entry array sorted by key — entries sort
+    wholly (keys are unique, so key order is total) when the value type
+    is also orderable, else by key alone via an ``array_sort``
+    comparator.  Anything else (variant, map nested deeper, unorderable
+    key type) falls back to plain ``to_json``; that residual order
+    sensitivity is documented at the call sites.
+
+    Renders under a FIXED inner field name ``v`` because the struct
+    field name is part of the JSON text — comparing differently-named
+    columns (``x_old`` vs ``x_new``) through their own names would never
+    be equal.  NULL-safety: a NULL map renders as ``{}`` on both sides
+    (null struct fields are omitted), distinct from an empty map's
+    ``{"v":[]}``.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) and xxhashable(dt.keyType):
+        entries = F.map_entries(col)
+        if xxhashable(dt.valueType):
+            entries = F.sort_array(entries)
+        else:
+            # map keys are never NULL, so the comparator is total
+            entries = F.array_sort(
+                entries,
+                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+                .when(a["key"] > b["key"], F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+        return F.to_json(F.struct(entries.alias("v")))
+    return F.to_json(F.struct(col.alias("v")))
+
+
 def row_hash(df: DataFrame, exclude: tuple[str, ...] = ()) -> Column:
     """Deterministic full-row xxhash64 that tolerates unhashable columns:
     hashes the hashable columns directly (fast path, identical to the

@@ -98,17 +98,24 @@ def snapshot_diff(
         # un-diffable.  Those columns compare via their JSON rendering:
         # deterministic per stored value and NULL-safe (a NULL field is
         # omitted from the struct's JSON on both sides identically).
-        from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+        # The rendering is CANONICAL for top-level maps (entries sorted
+        # by key — round-10 ADVICE item 4): plain to_json is entry-order
+        # sensitive, so an upstream that rebuilds a map in a different
+        # key order would spuriously report every row as 'changed'.
+        # Residual sensitivity: variants and maps nested deeper than the
+        # top level still compare by stored order (canonical_json doc).
+        from unicargo_medallion_data_pipeline_spark.functions.hashing import (
+            canonical_json,
+            xxhashable,
+        )
 
         types = {f.name: f.dataType for f in new.schema.fields}
 
         def _col_eq(c: str) -> Column:
             if xxhashable(types[c]):
                 return F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
-            # fixed inner field name: the struct's field name is part of
-            # the JSON text, and _old/_new would never compare equal
-            return F.to_json(F.struct(F.col(f"{c}_old").alias("v"))).eqNullSafe(
-                F.to_json(F.struct(F.col(f"{c}_new").alias("v")))
+            return canonical_json(F.col(f"{c}_old"), types[c]).eqNullSafe(
+                canonical_json(F.col(f"{c}_new"), types[c])
             )
 
         all_equal: Column = reduce(

@@ -59,8 +59,16 @@ def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
     no meaningful order; the engine picks reproducibly rather than
     randomly).  Unhashable (map/variant) tracked columns hash via their
     JSON rendering instead of failing analysis (r9 hunt — same class as
-    the CDC tiebreak fix)."""
-    from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+    the CDC tiebreak fix).  The xxhash64 covers only the hashable
+    tracked columns, so two same-timestamp snapshots differing ONLY in
+    a map column would tie on it (and a 64-bit collision between
+    distinct payloads would too) — a 128-bit md5 of the full payload
+    JSON breaks those ties second, mirroring ``apply_cdc_batch``
+    (round-10 ADVICE item 1)."""
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import (
+        md5_row_json,
+        xxhashable,
+    )
 
     hashable = [
         c for c in tracked_cols
@@ -72,7 +80,7 @@ def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
         else F.xxhash64(F.to_json(F.struct(*tracked_cols)))
     )
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts).desc(), payload_hash.desc()
+        F.col(ts).desc(), payload_hash.desc(), md5_row_json(tracked_cols).desc()
     )
     return (
         updates.withColumn("_rn", F.row_number().over(w))
@@ -210,17 +218,24 @@ def _scd2_delta(
     # eqNullSafe rejects unorderable (map/variant) types at analysis
     # time (r9 hunt); those columns compare via their JSON rendering —
     # deterministic per stored value, and NULL-safe because to_json of a
-    # NULL struct field is a stable 'null' token on both sides.
-    from unicargo_medallion_data_pipeline_spark.functions.hashing import xxhashable
+    # NULL struct field is a stable 'null' token on both sides.  The
+    # rendering is CANONICAL for top-level maps (entries sorted by key,
+    # round-10 ADVICE item 4): plain to_json is entry-order-sensitive,
+    # so an upstream that rebuilds a map in a different key order would
+    # otherwise mint a spurious new version for an unchanged payload.
+    # Residual sensitivity: variants and maps nested deeper than the top
+    # level still compare by stored order (canonical_json docstring).
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import (
+        canonical_json,
+        xxhashable,
+    )
 
     def _payload_eq(t: str):
-        if xxhashable(joined.schema[t].dataType):
+        dt = joined.schema[t].dataType
+        if xxhashable(dt):
             return F.col(t).eqNullSafe(F.col(f"_cur_{t}"))
-        # fixed inner field name: the struct field name is part of the
-        # JSON text — t vs _cur_t would NEVER compare equal, turning
-        # every idempotent re-delivery into a spurious new version
-        return F.to_json(F.struct(F.col(t).alias("v"))).eqNullSafe(
-            F.to_json(F.struct(F.col(f"_cur_{t}").alias("v")))
+        return canonical_json(F.col(t), dt).eqNullSafe(
+            canonical_json(F.col(f"_cur_{t}"), dt)
         )
 
     same_payload = reduce(

@@ -27,7 +27,11 @@ from unicargo_medallion_data_pipeline_spark.sources.readers import (
     read_csv,
     read_csv_with_quarantine,
 )
-from unicargo_medallion_data_pipeline_spark.sources.writers import ensure_database, save_to_table
+from unicargo_medallion_data_pipeline_spark.sources.writers import (
+    ensure_database,
+    promote_table,
+    save_to_table,
+)
 
 log = logging.getLogger(__name__)
 
@@ -81,9 +85,12 @@ def run_bronze(
             # metrics (r8 verdict task 5) instead of running dedicated
             # count() jobs — so the gate costs ONE extra action (this
             # independent raw-text census; the writes run regardless).
-            # The check therefore fires AFTER the bronze writes land; a
-            # failed gate still aborts the pipeline before any
-            # downstream layer consumes them.
+            # observe() metrics only exist AFTER the write action, so
+            # both writes go to STAGING names and are promoted (DROP +
+            # RENAME, metadata-only) once the gate passes — a lossy
+            # split aborts with the previous good bronze + quarantine
+            # tables untouched, instead of having already overwritten
+            # them (round-10 ADVICE item 2).
             per_file = (
                 spark.read.text(path)
                 .filter(F.length("value") > 0)
@@ -94,11 +101,12 @@ def run_bronze(
             n_raw = sum(max(int(r["count"]) - 1, 0) for r in per_file)
             obs_bad = Observation()
             qcfg = replace(cfg, table=f"{cfg.table}_quarantine", partition_by=())
+            qcfg_stg = replace(qcfg, table=f"{qcfg.table}__staging")
             save_to_table(
                 bad.observe(obs_bad, F.count(F.lit(1)).alias("n")).withColumn(
                     "entity", F.lit(entity)
                 ),
-                qcfg,
+                qcfg_stg,
                 spark,
                 mode="overwrite",
             )
@@ -113,15 +121,21 @@ def run_bronze(
         if quarantine:
             obs_good = Observation()
             df = df.observe(obs_good, F.count(F.lit(1)).alias("n"))
-        save_to_table(df, cfg, spark, mode="overwrite")
-        if quarantine:
+            cfg_stg = replace(cfg, table=f"{cfg.table}__staging")
+            save_to_table(df, cfg_stg, spark, mode="overwrite")
             n_good = int(obs_good.get["n"])
             n_bad = int(obs_bad.get["n"])
             if n_good + n_bad != n_raw:
+                spark.sql(f"DROP TABLE IF EXISTS {cfg_stg.full_name}")
+                spark.sql(f"DROP TABLE IF EXISTS {qcfg_stg.full_name}")
                 raise ValueError(
                     f"{entity}: quarantine split lost rows — raw={n_raw}, "
                     f"good={n_good}, quarantined={n_bad}"
                 )
+            promote_table(spark, qcfg_stg.full_name, qcfg.full_name)
+            promote_table(spark, cfg_stg.full_name, cfg.full_name)
+        else:
+            save_to_table(df, cfg, spark, mode="overwrite")
         out[entity] = spark.read.table(cfg.full_name)
     return out
 

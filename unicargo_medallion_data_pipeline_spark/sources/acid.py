@@ -169,7 +169,19 @@ def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
         return False
     if dest is None:
         return True
-    if dest.lower() in msg:
+    # Full-path corroboration must start at a PATH-COMPONENT boundary:
+    # a plain substring test would let a foreign table whose name merely
+    # ENDS with ours ('…/xorders/_manifests/v3.json' vs relative dest
+    # 'orders/_manifests/v3.json') corroborate a race that never touched
+    # our manifest (round-10 ADVICE item 3 — same lookbehind/lookahead
+    # class as the basename match below).  An ABSOLUTE dest carries its
+    # own leading-slash boundary (scheme/host prefixes like
+    # 's3://bucket/tables/…' legitimately abut it), so the lookbehind
+    # applies only to relative dests.
+    lead = "" if dest.startswith("/") else r"(?<![\w.\-])"
+    if re.search(
+        lead + re.escape(dest.lower()) + r"(?![\w\-])(?!\.\w)", msg
+    ):
         return True
     # Basename match must be a standalone path component: a crashed
     # attempt's sidecar ``.v{N}.json.crc`` CONTAINS ``v{N}.json`` as a
@@ -191,8 +203,16 @@ def _is_dest_exists_error(e: Exception, dest: str | None = None) -> bool:
         if prefix.endswith("/"):
             # qualified: require the message's path to end with ours
             # (suffix match tolerates scheme/host prefixes like s3://…)
+            # — at a PATH-COMPONENT boundary.  A raw endswith would let
+            # a foreign 's3://b/tables/xorders/_manifests' satisfy a
+            # relative parent 'orders/_manifests' and misclassify a
+            # never-raced commit as a lost race (round-10 ADVICE item 3).
             qual = re.split(r"[\s'\"`,;(\[]", prefix.rstrip("/"))[-1]
-            if parent.endswith(qual) or qual.endswith(parent):
+            if (
+                qual == parent
+                or qual.endswith("/" + parent)
+                or parent.endswith("/" + qual)
+            ):
                 return True
         else:
             return True

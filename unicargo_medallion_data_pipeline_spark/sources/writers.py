@@ -88,6 +88,26 @@ def save_to_table(
     return config.full_name
 
 
+def promote_table(spark: SparkSession, staging_name: str, final_name: str) -> str:
+    """Swap a staged managed table into its final name: DROP the old
+    table, RENAME the staging one.
+
+    This is the write-then-promote half of a gate-before-publish
+    pattern (round-10 ADVICE item 2): a pipeline that must validate
+    what it wrote (e.g. via ``observe()`` metrics that only exist after
+    the write action) writes to a STAGING name, checks the gate, and
+    only then swaps — so a failed gate leaves the previous good table
+    untouched instead of having already overwritten it.  The swap is
+    two metadata operations; a reader in the gap sees a missing table
+    (transient, retryable) — never a half-validated one.  RENAME on a
+    managed table moves its directory within the warehouse (same
+    filesystem — a rename, not a copy).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {final_name}")
+    spark.sql(f"ALTER TABLE {staging_name} RENAME TO {final_name}")
+    return final_name
+
+
 def write_partitioned_path(
     df: DataFrame,
     path: str,

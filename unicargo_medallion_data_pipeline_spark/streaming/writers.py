@@ -27,6 +27,7 @@ from unicargo_medallion_data_pipeline_spark.sources.writers import delta_availab
 # (functions/hashing.py is the single definition all full-row-hash
 # sites use; the local name survives for this module's callers).
 from unicargo_medallion_data_pipeline_spark.functions.hashing import (  # noqa: E402
+    md5_row_json as _md5_row_json,
     xxhashable as _xxhashable,
 )
 
@@ -131,7 +132,13 @@ def write_stream_with_merge(
         # Maps (and variants) are not orderable in Spark — including them
         # fails analysis on the first map-carrying batch (same defect
         # class as the CDC tiebreak's r8 ADVICE fix; orderability and
-        # hashability share the map/variant restriction set).
+        # hashability share the map/variant restriction set).  Dropping
+        # them from the ordering silently made two rows differing ONLY
+        # in a map column tie — an md5 of the full payload JSON (which
+        # CAN render maps) breaks those ties last, so the pick stays
+        # deterministic over the whole row image (round-10 ADVICE item 1,
+        # mirroring apply_cdc_batch).
+        non_keys = [c for c in batch_df.columns if c not in merge_keys]
         order = (
             [F.col(seq_col).desc()]
             if seq_col
@@ -140,6 +147,7 @@ def write_stream_with_merge(
                 for f in batch_df.schema.fields
                 if f.name not in merge_keys and _xxhashable(f.dataType)
             ]
+            + ([_md5_row_json(non_keys).desc()] if non_keys else [])
         ) or [F.lit(1)]
         w = Window.partitionBy(*merge_keys).orderBy(*order)
         winners = (
