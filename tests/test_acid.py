@@ -798,3 +798,86 @@ def test_rename_error_path_component_boundary():
         Exception("/tables/xorders/_manifests/v3.json already exists"),
         "/tables/orders/_manifests/v3.json",
     )
+
+
+def test_append_rejects_retyped_column(spark, tmp_path):
+    """Round-10 sources hunt: an append whose batch RETYPES an existing
+    column must fail at COMMIT time — the old behavior committed fine
+    and poisoned every subsequent read (parquet physical-type mismatch
+    against the manifest schema)."""
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10)], "k int, v int"))
+    with _pytest.raises(ValueError, match="retype"):
+        t.commit(
+            spark.createDataFrame([(2, "x")], "k int, v string"), mode="append"
+        )
+    # table still readable at its original version
+    assert t.read().count() == 1
+    # legitimate evolution still works: ADD a column
+    t.commit(
+        spark.createDataFrame([(2, 20, "n")], "k int, v int, extra string"),
+        mode="append",
+    )
+    got = {r["k"]: r["extra"] for r in t.read().collect()}
+    assert got == {1: None, 2: "n"}
+
+
+def test_merge_upsert_null_update_key_raises(spark, tmp_path):
+    """Round-10 sources hunt: a NULL-keyed update row can never match
+    under SQL/Delta MERGE equality — it used to land as a duplicate
+    NEXT TO the existing NULL-keyed row.  The engine's convention
+    (operators/deletes.py): NULL keys in the REQUEST raise; NULL-keyed
+    TARGET rows survive untouched."""
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(None, "old"), (1, "a")], "k int, v string"))
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        t.merge_upsert(
+            spark.createDataFrame([(None, "new")], "k int, v string"), keys=["k"]
+        )
+    # target untouched, including its null-keyed row
+    rows = sorted([(r["k"], r["v"]) for r in t.read().collect()], key=str)
+    assert rows == [(1, "a"), (None, "old")]
+    # a clean batch still leaves null-keyed target rows alone
+    t.merge_upsert(spark.createDataFrame([(1, "A")], "k int, v string"), keys=["k"])
+    rows = sorted([(r["k"], r["v"]) for r in t.read().collect()], key=str)
+    assert rows == [(1, "A"), (None, "old")]
+
+
+def test_delete_keys_null_key_raises(spark, tmp_path):
+    """Round-10 sources hunt: a NULL delete key used to silently no-op
+    (anti-join never matches NULL); it now raises, same convention as
+    operators/deletes.py."""
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(None, "x"), (1, "a")], "k int, v string"))
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        t.delete_keys(spark.createDataFrame([(None,)], "k int"), keys=["k"])
+    assert t.read().count() == 2
+
+
+def test_merge_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """Round-10 sources hunt (Delta-MERGE parity): two update rows for
+    one key raise instead of silently landing as duplicate key rows."""
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with _pytest.raises(ValueError, match="more than one row"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string"),
+            keys=["k"],
+        )
+    assert [(r["k"], r["v"]) for r in t.read().collect()] == [(1, "a")]

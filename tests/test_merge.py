@@ -149,3 +149,42 @@ def test_merge_restores_conf_and_cleans_staging(spark):
     after = set(glob.glob(tempfile.gettempdir() + "/merge_staging_*"))
     assert after - before == set()  # staging dir removed
     spark.conf.unset(key)
+
+
+def test_merge_null_merge_key_raises(spark, tmp_path):
+    """Round-10 sources hunt: a NULL-keyed update row can never match
+    under MERGE equality and used to land as a compounding duplicate
+    next to the existing NULL-keyed row; it now fails fast.  NULL-keyed
+    TARGET rows keep surviving untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import (
+        merge_upsert_partitioned,
+    )
+
+    p = os.path.join(str(tmp_path), "t")
+    spark.createDataFrame(
+        [(None, "d1", "old"), (1, "d1", "a")], "k int, day string, v string"
+    ).write.partitionBy("day").parquet(p)
+    with _pytest.raises(ValueError, match="NULL merge key"):
+        merge_upsert_partitioned(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(None, "d1", "new")], "k int, day string, v string"
+            ),
+            merge_keys=["k"],
+            partition_col="day",
+        )
+    # clean batch: null-keyed target row survives the partition rewrite
+    merge_upsert_partitioned(
+        spark,
+        p,
+        spark.createDataFrame([(1, "d1", "A")], "k int, day string, v string"),
+        merge_keys=["k"],
+        partition_col="day",
+    )
+    rows = sorted([(r["k"], r["v"]) for r in spark.read.parquet(p).collect()], key=str)
+    assert rows == [(1, "A"), (None, "old")]

@@ -84,3 +84,29 @@ def test_force_window_parser_reads_entry_file():
     assert isinstance(names, list)
     # every forced name must be a real catalog query
     assert all(n in CATALOG for n in names)
+
+
+def test_executed_codegen_spans_metric_is_live(spark):
+    """Round-10 verdict task 1: the codegen census must read the
+    EXECUTED plan (formatted AQE plans carry no codegen annotations, so
+    the old compile-time field recorded 0 for all 203 queries forever).
+    A trivial aggregate has at least one whole-stage-codegen span."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.plans.inspect import (
+        executed_codegen_spans,
+        plan_census,
+    )
+
+    df = spark.range(1000).groupBy((F.col("id") % 3).alias("k")).count()
+    assert executed_codegen_spans(df) >= 1
+    # and the dead compile-time field is gone from the static census
+    assert "whole_stage_codegen_spans" not in plan_census(df)
+
+
+def test_snapshot_codegen_spans_all_live():
+    """Every committed fingerprint records ≥1 executed codegen span —
+    the catalog-wide proof the metric is measuring something real."""
+    snap = fp.load_snapshot()
+    dead = {n: c for n, c in snap.items() if c.get("executed_codegen_spans", 0) < 1}
+    assert not dead

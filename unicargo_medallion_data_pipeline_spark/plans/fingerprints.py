@@ -55,17 +55,26 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def compute_fingerprints(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dict:
     """name → plan_census dict for each catalog query (sorted by name).
 
-    Building a query's DataFrame may run its self-contained setup
-    (e.g. seeding a manifest table); the final plan itself is only
-    explained, never executed.
+    The compile-time census (exchanges/joins/scans) comes from
+    ``explain("formatted")``; ``executed_codegen_spans`` additionally
+    EXECUTES each query at the smoke SF and counts whole-stage-codegen
+    spans in the final AQE plan — the formatted plan never shows them
+    (round-10 verdict task 1), so a codegen regression (an expression
+    silently falling into interpreted eval) is only visible here.
+    Execution at sf0.001 is the same work the oracle sweep does.
     """
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
-    from unicargo_medallion_data_pipeline_spark.plans.inspect import plan_census
+    from unicargo_medallion_data_pipeline_spark.plans.inspect import (
+        executed_codegen_spans,
+        plan_census,
+    )
 
     out: dict[str, dict] = {}
     for name in sorted(names if names is not None else CATALOG):
         df = CATALOG[name].fn(spark, sf_dir)
-        out[name] = plan_census(df)
+        census = plan_census(df)
+        census["executed_codegen_spans"] = executed_codegen_spans(df)
+        out[name] = census
     return out
 
 
@@ -107,7 +116,16 @@ def update_snapshot(spark, sf_dir: str = DEFAULT_SF_DIR, force: bool = False) ->
     changed = diff_fingerprints(old, new)
     # Newly-registered queries don't need _FORCE_WINDOW (the derived
     # rotation already puts never-verified queries at the window head).
-    plan_changed = [n for n, d in changed.items() if d["old"] is not None and d["new"] is not None]
+    # Nor does a pure METRIC-SCHEMA change (a census field added or
+    # retired, values equal on every shared field): the plans themselves
+    # did not move, so there is nothing for the driver to re-verify.
+    plan_changed = [
+        n
+        for n, d in changed.items()
+        if d["old"] is not None
+        and d["new"] is not None
+        and any(d["old"][k] != d["new"][k] for k in set(d["old"]) & set(d["new"]))
+    ]
     if plan_changed and not force:
         missing = [n for n in plan_changed if n not in _force_window_names()]
         if missing:

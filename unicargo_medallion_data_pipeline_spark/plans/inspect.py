@@ -41,9 +41,16 @@ def plan_census(df: DataFrame) -> dict:
     Keys: ``keyed_exchanges`` (shuffles excluding broadcasts),
     ``broadcast_exchanges``, ``cartesian_products``,
     ``broadcast_nested_loop_joins`` (usually 1-row scalar broadcasts),
-    ``scans`` (physical source scans), ``window_execs``,
-    ``has_take_ordered`` (top-k without a global sort), and
-    ``whole_stage_codegen_spans``.
+    ``scans`` (physical source scans), ``window_execs``, and
+    ``has_take_ordered`` (top-k without a global sort).
+
+    Codegen is deliberately NOT here: under AQE, ``explain("formatted")``
+    output contains no whole-stage-codegen annotations at all (neither
+    ``WholeStageCodegen (`` headers nor ``codegen id`` tags), so a
+    compile-time census can only ever report 0 — the r9 review found the
+    old ``whole_stage_codegen_spans`` field had recorded 0 for all 203
+    catalog queries since its introduction.  Codegen spans are real only
+    in the EXECUTED plan; use :func:`executed_codegen_spans`.
     """
     p = plan_text(df)
     # Tree nodes are rendered as "Name (id)"; the detail section repeats
@@ -65,7 +72,30 @@ def plan_census(df: DataFrame) -> dict:
         ),
         "window_execs": p.count("Window ("),
         "has_take_ordered": "TakeOrderedAndProject" in p,
-        "whole_stage_codegen_spans": len(
-            set(re.findall(r"WholeStageCodegen \((\d+)\)", p))
-        ),
     }
+
+
+def executed_plan_text(df: DataFrame) -> str:
+    """Execute ``df`` and return its FINAL (post-AQE) physical plan
+    string — the only rendering where whole-stage-codegen ``*(n)``
+    markers appear under AQE.
+
+    ``collect()`` drives the DataFrame's OWN QueryExecution (a write or
+    ``count()`` would wrap the plan in a new one), after which
+    ``executedPlan().toString()`` renders ``isFinalPlan=true`` with
+    codegen stars on every codegen-participating node.  Only the Final
+    Plan section carries stars (the echoed Initial Plan does not), so
+    counting over the whole string is safe.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def executed_codegen_spans(df: DataFrame) -> int:
+    """Number of distinct whole-stage-codegen spans in the EXECUTED
+    plan (runs the query).  The regression signal: an expression falling
+    out of codegen into interpreted eval splits or removes a span, which
+    trips snapshot equality in the fingerprint net — exactly what the
+    dead compile-time metric could never do (round-10 verdict task 1).
+    """
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan_text(df))))

@@ -299,7 +299,17 @@ class ManifestTable:
         seconds) — Delta's ``TIMESTAMP AS OF`` resolution rule.  Commit
         timestamps are recorded automatically in each manifest
         (``committed_at``); versions from before that field existed are
-        treated as infinitely old (always eligible)."""
+        treated as infinitely old (always eligible).
+
+        Clock honesty (round-10 sources hunt): ``committed_at`` comes
+        from the committing writer's clock, so with skewed writers the
+        sequence need not be monotone in version order.  The rule here
+        stays VERSION-primary: the newest VERSION whose own timestamp
+        is ≤ ``ts`` wins, even if an older version carries a later
+        (skewed) timestamp — reading a version always includes its
+        predecessors' effects, which is the semantics a reader can
+        reason about (Delta solves the same problem by monotonizing
+        in-commit timestamps)."""
         best = None
         for v in self.versions():
             at = self._read_manifest(v).get("committed_at", float("-inf"))
@@ -646,6 +656,8 @@ class ManifestTable:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if mode == "append":
+            self._check_append_compatible(df)
         if expectations:
             from unicargo_medallion_data_pipeline_spark.quality.expectations import (
                 run_suite,
@@ -682,6 +694,39 @@ class ManifestTable:
             prior_versions=vs,
             parent_manifest=prev,
         )
+
+    def _check_append_compatible(self, df: DataFrame) -> None:
+        """Reject an append whose schema RETYPES a column the parent
+        version already has (round-10 sources hunt): the append would
+        COMMIT fine — the manifest just lists old + new files under the
+        new schema — but the very next read dies inside the parquet
+        scan (``PARQUET_COLUMN_DATA_TYPE_MISMATCH``) because the old
+        files' physical type no longer matches, i.e. a poisoned table
+        published atomically.  Delta rejects this at commit time
+        (schema enforcement); so do we.  Adding or dropping columns
+        stays allowed — that evolution genuinely round-trips (missing
+        columns read as NULL; dropped ones are not projected)."""
+        vs = self.versions()
+        if not vs:
+            return
+        from pyspark.sql.types import StructType
+
+        parent = StructType.fromJson(self._read_manifest(vs[-1])["schema"])
+        old = {f.name: f.dataType for f in parent.fields}
+        clashes = [
+            (f.name, old[f.name].simpleString(), f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.name in old and f.dataType != old[f.name]
+        ]
+        if clashes:
+            detail = ", ".join(f"{n}: {o} -> {new}" for n, o, new in clashes)
+            raise ValueError(
+                f"append would retype existing column(s) ({detail}) at "
+                f"{self.path} — the commit would succeed but every "
+                "subsequent read of the old files would fail. Cast the "
+                "batch to the table's types, or rewrite with "
+                "mode='overwrite' to intentionally change the schema."
+            )
 
     def read_pruned(self, col: str, lo, hi, more: list[tuple] | None = None) -> DataFrame:
         """Read only the files whose recorded [min, max] stats overlap
@@ -1015,12 +1060,70 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         return vs[-1]
 
+    def _check_batch_keys(
+        self, batch: DataFrame, keys: list[str], what: str, dups: bool
+    ) -> None:
+        """Fail-fast key-quality gate for the (small) batch side of a
+        merge/delete (round-10 sources hunt).
+
+        NULL keys: SQL/Delta MERGE equality never matches NULL, so a
+        NULL-keyed update row can never update anything — it would land
+        as a brand-new row NEXT TO the existing NULL-keyed row, forever
+        (probed live: old+new both survived), and a NULL delete key
+        would silently no-op.  The engine's established convention for
+        exactly this (``operators/deletes.py``) is: NULL-keyed TARGET
+        rows survive unmatched (never collateral damage), NULL keys in
+        the REQUEST raise — a batch keyed on NULL is a data bug to
+        surface, not semantics to guess.  The alternative (matching
+        null-safely) was rejected because the code-complete Delta MERGE
+        branch uses SQL equality, and the two branches must not
+        diverge.
+
+        ``dups``: Delta-MERGE parity — two update rows for one key have
+        no defined winner (Delta raises "multiple source rows
+        matched"); the old union path silently landed both.  Two
+        bounded jobs over the (small) batch side."""
+        from pyspark.sql import functions as F
+
+        null_cond = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_cond = c if null_cond is None else (null_cond | c)
+        row = batch.agg(F.max(null_cond.cast("int")).alias("_has_null")).collect()[0]
+        if row["_has_null"]:
+            raise ValueError(
+                f"{what} contain NULL merge key values; SQL/Delta MERGE "
+                "equality never matches NULL, so such a row can only "
+                "duplicate or no-op — clean the batch or delete by a "
+                "non-null key"
+            )
+        if dups:
+            dup = (
+                batch.groupBy(*[F.col(k) for k in keys])
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "updates carry more than one row for at least one "
+                    "merge key — reduce the batch to one winner per key "
+                    "first (e.g. streaming.writers.apply_cdc_batch's "
+                    "rule), as a multi-row upsert per key has no "
+                    "defined winner"
+                )
+
     def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """Copy-on-write MERGE: latest state anti-joined on ``keys``,
         unioned with ``updates``, committed as one new version — the
         whole upsert is visible atomically (no dynamic-overwrite swap
-        window).  Updates win on key collision.  Pinned to the version
-        read, so a concurrent commit conflicts instead of being lost."""
+        window).  Updates win on key collision.  NULL update keys and
+        multi-row-per-key batches raise (see
+        :meth:`_check_batch_keys`); NULL-keyed TARGET rows always
+        survive untouched.  Pinned to the version read, so a concurrent
+        commit conflicts instead of being lost."""
+        self._check_batch_keys(updates, keys, "updates", dups=True)
         base = self._latest_version()
         current = self.read(version=base)
         survivors = current.join(
@@ -1031,7 +1134,10 @@ class ManifestTable:
 
     def delete_keys(self, delete_keys: DataFrame, keys: list[str]) -> int:
         """Copy-on-write DELETE: survivors committed as one version
-        (base-pinned, same as merge)."""
+        (base-pinned, same as merge).  NULL delete keys raise instead
+        of silently no-opping (:meth:`_check_batch_keys`); NULL-keyed
+        target rows always survive."""
+        self._check_batch_keys(delete_keys, keys, "delete keys", dups=False)
         base = self._latest_version()
         current = self.read(version=base)
         survivors = current.join(

@@ -105,6 +105,17 @@ def compact_partitioned_path(
     Bounded: at most ``max_partitions_per_run`` partitions per invocation
     (run repeatedly for a massive backlog — each run is one job, and the
     bound keeps the driver-side plan map and staging volume predictable).
+
+    CONCURRENCY (round-10 sources hunt, stated rather than hidden):
+    plain parquet has no commit protocol, so this rewrite is
+    read-then-dynamic-overwrite with NO base pin — rows appended to a
+    targeted partition between the census read and the final overwrite
+    are REPLACED by the staged (pre-append) copy and lost.  Only run it
+    when no concurrent writer touches the targeted partitions (the
+    usual maintenance-window rule for raw-parquet lakes); for tables
+    with concurrent writers use ``ManifestTable.compact``, whose
+    base-pinned commit turns the same race into a
+    ``ConcurrentCommitError`` retry instead of silent loss.
     """
     census = partition_file_census(spark, path)
     todo: dict[str, tuple[int, int]] = {}

@@ -131,6 +131,25 @@ def merge_upsert_partitioned(
                 "old partition. Use Delta MERGE or delete the old rows first."
             )
 
+    # NULL update keys fail fast (round-10 sources hunt): SQL/Delta
+    # MERGE equality never matches NULL, so a NULL-keyed update row can
+    # only land NEXT TO the existing NULL-keyed row — a duplicate that
+    # compounds every batch (probed live).  Same convention as
+    # operators/deletes.py and ManifestTable._check_batch_keys: NULL
+    # TARGET rows survive unmatched, NULL keys in the REQUEST raise.
+    # (Null-safe matching was rejected: the Delta branch above uses SQL
+    # equality and the two branches must not diverge.)
+    null_cond = None
+    for k in merge_keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    if updates.filter(null_cond).limit(1).count():
+        raise ValueError(
+            "updates contain NULL merge key values; MERGE equality never "
+            "matches NULL, so such rows can only duplicate — clean the "
+            "batch first"
+        )
+
     existing = existing_all.filter(F.col(partition_col).isin(parts))
     # new rows win: anti-join existing on the merge keys, then union
     survivors = existing.join(
