@@ -278,3 +278,57 @@ def test_quarantine_gate_failure_preserves_previous_bronze(spark, monkeypatch):
         if "__staging" in t.name
     ]
     assert staged == []
+
+
+def test_grain_derived_gold_matches_direct(spark, medallion):
+    """Round-10 verdict task 6: every gold table the medallion driver
+    derives from the shared (date, airline) grain — and the two
+    route-traffic-derived tables — must equal the direct fact builders
+    BITWISE (exceptAll both ways, schema equality).  The grain partials
+    are exact longs, so even the double avg/rate columns must match
+    bit-for-bit (see the derivation note in gold_flights.py)."""
+    from unicargo_medallion_data_pipeline_spark.pipelines import gold_flights as g
+
+    fact = spark.read.table(medallion.silver["flights"])
+    da = spark.read.table(medallion.silver["airlines"])
+    dp = spark.read.table(medallion.silver["airports"])
+    dd = spark.read.table(medallion.silver["dates"])
+    dims = {"dd": dd, "da": da}
+    needs_direct = {
+        "airline_operational_summary": (fact, da),
+        "daily_flight_summary": (fact, dd, da),
+        "monthly_flight_trends": (fact, dd, da),
+        "airline_day_of_week": (fact, dd, da),
+        "seasonal_flight_summary": (fact, dd),
+        "weekend_weekday_split": (fact, dd, da),
+        "quarterly_flight_summary": (fact, dd, da),
+        "rolling_on_time_performance": (fact, dd, da),
+    }
+    grain = g.build_date_airline_grain(fact).persist()
+    try:
+        for name, (fn, needed) in g.GRAIN_SUITE.items():
+            direct = g.GOLD_SUITE[name](*needs_direct[name])
+            derived = fn(grain, *[dims[d] for d in needed])
+            assert derived.schema == direct.schema, name
+            assert (
+                direct.exceptAll(derived).count() == 0
+                and derived.exceptAll(direct).count() == 0
+            ), f"grain-derived {name} differs from the direct builder"
+    finally:
+        grain.unpersist()
+    traffic = g.route_traffic(fact, dp).persist()
+    try:
+        pairs = [
+            ("significant_routes", g.significant_routes(fact, dp),
+             g.significant_routes_from_traffic(traffic)),
+            ("busiest_routes", g.busiest_routes(fact, dp),
+             g.top_routes_from_traffic(traffic, 50)),
+        ]
+        for name, direct, derived in pairs:
+            assert derived.schema == direct.schema, name
+            assert (
+                direct.exceptAll(derived).count() == 0
+                and derived.exceptAll(direct).count() == 0
+            ), f"traffic-derived {name} differs from the direct builder"
+    finally:
+        traffic.unpersist()

@@ -183,3 +183,66 @@ def test_late_event_extends_session_start_backwards(spark):
     assert s["first_event_type"] == "early"
     assert s["last_event_type"] == "mid"
     assert s["total_value"] == pytest.approx(3.0)
+
+
+def test_events_behind_watermark_close_immediately():
+    """Round-10 find (hit live by the sf0.1 streaming bench): a key
+    whose merged session ends more than `gap` before the current
+    watermark cannot be extended by any future event, and
+    setTimeoutTimestamp rejects past timestamps
+    (INVALID_TIMEOUT_TIMESTAMP) — the query crashed.  The function must
+    emit such a session immediately instead of registering a timeout.
+    Unit-level pin (whether behind-watermark rows reach the UDF depends
+    on Spark's late-filter path — continuous runs differ from
+    checkpoint restarts; the bench's continuous run delivered them)."""
+    import pandas as pd
+
+    from unicargo_medallion_data_pipeline_spark.streaming.stateful import (
+        make_session_fn,
+    )
+
+    class _FakeState:
+        def __init__(self, watermark_ms):
+            self._wm = watermark_ms
+            self.exists = False
+            self.hasTimedOut = False
+            self.removed = False
+            self.updated = None
+            self.timeout_set = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, tup):
+            self.updated = tup
+
+        def setTimeoutTimestamp(self, ts_ms):
+            if ts_ms <= self._wm:
+                raise ValueError("INVALID_TIMEOUT_TIMESTAMP (would crash)")
+            self.timeout_set = ts_ms
+
+    fn = make_session_fn(gap_seconds=60)
+    rows = pd.DataFrame(
+        {
+            "ts": [T0 + dt.timedelta(seconds=10), T0 + dt.timedelta(seconds=20)],
+            "event_type": ["c", "c"],
+            "value": [1.0, 2.0],
+        }
+    )
+    # watermark three days past the session close: emit now, free state
+    wm_ms = int((T0 + dt.timedelta(days=3)).timestamp() * 1000)
+    state = _FakeState(wm_ms)
+    out = list(fn((3,), iter([rows]), state))
+    assert state.removed and state.timeout_set is None
+    assert len(out) == 1
+    emitted = out[0].iloc[0]
+    assert emitted["n_events"] == 2 and emitted["total_value"] == 3.0
+
+    # watermark BEFORE the close time: normal path — state kept, timeout set
+    state2 = _FakeState(int(T0.timestamp() * 1000) - 10_000)
+    out2 = list(fn((3,), iter([rows]), state2))
+    assert not state2.removed and state2.timeout_set is not None
+    assert out2 == []  # open session not emitted

@@ -71,9 +71,7 @@ def route_traffic(fact: DataFrame, dim_airport: DataFrame) -> DataFrame:
 def top_routes(fact: DataFrame, dim_airport: DataFrame, k: int = 10) -> DataFrame:
     """O3: top-k busiest routes, tie-broken for determinism
     (``03_gold_flight_analytics.ipynb:140-141``)."""
-    return route_traffic(fact, dim_airport).orderBy(
-        F.col("total_flights").desc(), "origin_code", "dest_code"
-    ).limit(k)
+    return top_routes_from_traffic(route_traffic(fact, dim_airport), k)
 
 
 def airline_operational_summary(fact: DataFrame, dim_airline: DataFrame) -> DataFrame:
@@ -194,7 +192,7 @@ def airline_day_of_week(fact: DataFrame, dim_date: DataFrame, dim_airline: DataF
 def significant_routes(fact: DataFrame, dim_airport: DataFrame, floor: int = 100) -> DataFrame:
     """A1+P7: routes over the significance floor
     (``03_gold_unikargo_03_route_analytics.ipynb:80-114``)."""
-    return route_traffic(fact, dim_airport).filter(F.col("total_flights") >= floor)
+    return significant_routes_from_traffic(route_traffic(fact, dim_airport), floor)
 
 
 def busiest_routes(fact: DataFrame, dim_airport: DataFrame, k: int = 50) -> DataFrame:
@@ -418,6 +416,214 @@ def distance_bucket_stats(fact: DataFrame) -> DataFrame:
             F.avg("distance").alias("avg_distance"),
         )
     )
+
+
+# --- shared-grain derivation (round-10 verdict task 6) ----------------------
+#
+# Eight gold tables aggregate the SAME cached fact at grains that are all
+# coarsenings of (date, airline): daily/monthly/quarterly/seasonal/
+# weekend/dow roll the date up, scorecard-style summaries roll it away.
+# Re-scanning 2M cached fact rows once per table made the gold fan-out
+# 44% of the medallion wall time (docs/PLANS.md round-9 profile).  The
+# medallion driver therefore builds ONE partial-aggregate at the finest
+# shared grain and derives those eight tables from ~5k grain rows each.
+#
+# Losslessness (the reason this is safe to enable by default): every
+# fact measure involved is an INTEGER column, so
+#   * counts / conditional counts re-sum exactly (long addition is
+#     associative),
+#   * Spark's avg over an int column keeps an internal DOUBLE sum whose
+#     value is EXACT while |sum| < 2^53 (2M rows x minute-scale ints is
+#     orders of magnitude below), so sum(partial long sums) equals it
+#     bit-for-bit and the final division is the identical double op,
+#   * stddev (weekly) and countDistinct (scorecard, utilization, route
+#     family) are NOT losslessly mergeable from these partials — those
+#     tables deliberately stay on the direct fact path.
+# ``tests/test_medallion.py::test_grain_derived_gold_matches_direct``
+# pins bitwise equality (exceptAll both ways) for every derived table.
+# At 100 TB the same structure holds: one wide shuffle builds the grain
+# (cardinality = |dates| x |airlines|, tiny), and every derived table
+# re-aggregates the grain, not the fact.
+
+#: grain keys: day_of_week/day_name are degenerate date attributes the
+#: fact carries (functionally dependent on date_sk), included so the
+#: dow split needs no extra join.
+GRAIN_KEYS = ("date_sk", "day_of_week", "day_name", "airline_sk")
+
+
+def build_date_airline_grain(fact: DataFrame) -> DataFrame:
+    """The shared partial-aggregate all grain-derived gold tables
+    re-aggregate.  One keyed shuffle over the fact; every partial is an
+    exact long (see the section comment for the losslessness argument)."""
+    return fact.groupBy(*GRAIN_KEYS).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("departure_delay").alias("dep_delay_sum"),
+        F.count("departure_delay").alias("dep_delay_cnt"),
+        F.sum("arrival_delay").alias("arr_delay_sum"),
+        F.count("arrival_delay").alias("arr_delay_cnt"),
+        F.sum("elapsed_time").alias("elapsed_sum"),
+        _cnt_if(F.col("cancelled") == 1).alias("cancelled_cnt"),
+        _cnt_if(F.col("diverted") == 1).alias("diverted_cnt"),
+        _cnt_if(F.col("departure_delay") > 15).alias("delayed_dep_cnt"),
+        _cnt_if(F.col("arrival_delay") <= 0).alias("on_time_cnt"),
+    )
+
+
+def _recount(col: str = "n") -> F.Column:
+    """Merged count from partial counts, pinned NON-NULLABLE to match
+    the direct builders' ``count(1)`` schema exactly (sum() alone is
+    nullable; the value over a non-empty group is identical)."""
+    return F.coalesce(F.sum(col), F.lit(0).cast("long"))
+
+
+def _reavg(sum_col: str, cnt_col: str) -> F.Column:
+    """Merged average from exact partials: NULL when the merged count is
+    zero (matching Spark's avg over an all-NULL group) — the guard also
+    keeps ANSI mode from raising on the 0-denominator division."""
+    s, c = F.sum(sum_col), F.sum(cnt_col)
+    return F.when(c > F.lit(0), s / c)
+
+
+def airline_operational_summary_from_grain(grain: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    n = _recount("n")
+    return (
+        _with_airline(grain, dim_airline)
+        .groupBy("airline_sk", "airline")
+        .agg(
+            n.alias("total_flights"),
+            F.sum("cancelled_cnt").alias("cancelled_flights"),
+            F.sum("diverted_cnt").alias("diverted_flights"),
+            F.sum("delayed_dep_cnt").alias("delayed_departures"),
+            _pct(F.sum("cancelled_cnt"), n).alias("cancellation_rate_pct"),
+            _pct(F.sum("delayed_dep_cnt"), n).alias("delay_rate_pct"),
+            _pct(F.sum("on_time_cnt"), n).alias("on_time_rate_pct"),
+        )
+    )
+
+
+def daily_flight_summary_from_grain(grain: DataFrame, dim_date: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "full_date"))
+    return (
+        _with_airline(grain.join(dd, "date_sk"), dim_airline)
+        .groupBy("full_date", "airline")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("dep_delay_sum", "dep_delay_cnt").alias("avg_departure_delay"),
+            _reavg("arr_delay_sum", "arr_delay_cnt").alias("avg_arrival_delay"),
+            F.sum("cancelled_cnt").alias("cancelled_flights"),
+            F.sum("on_time_cnt").alias("on_time_flights"),
+        )
+    )
+
+
+def monthly_flight_trends_from_grain(grain: DataFrame, dim_date: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "year", "month"))
+    return (
+        _with_airline(grain.join(dd, "date_sk"), dim_airline)
+        .groupBy("year", "month", "airline")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("arr_delay_sum", "arr_delay_cnt").alias("avg_arrival_delay"),
+            F.sum("elapsed_sum").alias("total_elapsed_time"),
+        )
+    )
+
+
+def airline_day_of_week_from_grain(grain: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    return (
+        _with_airline(grain, dim_airline)
+        .groupBy("airline", "day_of_week", "day_name")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("dep_delay_sum", "dep_delay_cnt").alias("avg_departure_delay"),
+        )
+    )
+
+
+def seasonal_flight_summary_from_grain(grain: DataFrame, dim_date: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "year", "month"))
+    return (
+        grain.join(dd, "date_sk")
+        .withColumn("season", _season())
+        .groupBy("year", "season")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("dep_delay_sum", "dep_delay_cnt").alias("avg_departure_delay"),
+            F.sum("cancelled_cnt").alias("cancelled_flights"),
+        )
+        .orderBy("year", _season_order())
+    )
+
+
+def weekend_weekday_split_from_grain(grain: DataFrame, dim_date: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "is_weekend"))
+    return (
+        _with_airline(grain.join(dd, "date_sk"), dim_airline)
+        .groupBy("airline", "is_weekend")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("dep_delay_sum", "dep_delay_cnt").alias("avg_departure_delay"),
+        )
+        .withColumn("day_type", F.when(F.col("is_weekend") == 1, "Weekend").otherwise("Weekday"))
+    )
+
+
+def quarterly_flight_summary_from_grain(grain: DataFrame, dim_date: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "year", "quarter"))
+    return (
+        _with_airline(grain.join(dd, "date_sk"), dim_airline)
+        .groupBy("year", "quarter", "airline")
+        .agg(
+            _recount("n").alias("total_flights"),
+            _reavg("arr_delay_sum", "arr_delay_cnt").alias("avg_arrival_delay"),
+        )
+    )
+
+
+def rolling_on_time_performance_from_grain(grain: DataFrame, dim_date: DataFrame, dim_airline: DataFrame) -> DataFrame:
+    dd = F.broadcast(dim_date.select("date_sk", "full_date"))
+    daily = (
+        _with_airline(grain.join(dd, "date_sk"), dim_airline)
+        .groupBy("airline", "full_date")
+        .agg(
+            _recount("n").alias("total_flights"),
+            F.sum("on_time_cnt").alias("on_time_flights"),
+        )
+        .withColumn("daily_otp", _pct(F.col("on_time_flights"), F.col("total_flights")))
+    )
+    w = Window.partitionBy("airline").orderBy("full_date").rowsBetween(-6, Window.currentRow)
+    return daily.withColumn("rolling_7d_otp", F.avg("daily_otp").over(w))
+
+
+#: name → (builder over the shared grain, which dims it needs).  The
+#: medallion driver uses these when a shared grain is available; the
+#: direct fact builders in GOLD_SUITE remain the semantic definition
+#: (and the equality oracle for the pinned test).
+GRAIN_SUITE = {
+    "airline_operational_summary": (airline_operational_summary_from_grain, ("da",)),
+    "daily_flight_summary": (daily_flight_summary_from_grain, ("dd", "da")),
+    "monthly_flight_trends": (monthly_flight_trends_from_grain, ("dd", "da")),
+    "airline_day_of_week": (airline_day_of_week_from_grain, ("da",)),
+    "seasonal_flight_summary": (seasonal_flight_summary_from_grain, ("dd",)),
+    "weekend_weekday_split": (weekend_weekday_split_from_grain, ("dd", "da")),
+    "quarterly_flight_summary": (quarterly_flight_summary_from_grain, ("dd", "da")),
+    "rolling_on_time_performance": (rolling_on_time_performance_from_grain, ("dd", "da")),
+}
+
+
+def significant_routes_from_traffic(traffic: DataFrame, floor: int = 100) -> DataFrame:
+    """``significant_routes`` derived from an already-built
+    ``route_traffic`` frame (pure filter — shares the one heavy
+    route aggregation instead of recomputing it)."""
+    return traffic.filter(F.col("total_flights") >= floor)
+
+
+def top_routes_from_traffic(traffic: DataFrame, k: int) -> DataFrame:
+    """``top_routes``/``busiest_routes`` derived from an already-built
+    ``route_traffic`` frame (sort + limit over route-level rows)."""
+    return traffic.orderBy(
+        F.col("total_flights").desc(), "origin_code", "dest_code"
+    ).limit(k)
 
 
 #: The full gold suite, name → builder; mirrors the reference's 15 gold

@@ -156,9 +156,23 @@ def make_session_fn(gap_seconds: int):
         for closed in merged[:-1]:
             yield emit(tuple(closed))
         cur = merged[-1]
-        state.update(tuple(cur))
         # Close when the watermark (not wall clock) passes last_ts + gap.
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        # If the watermark has ALREADY passed it, the session is closed
+        # by definition — no event that could extend it can still arrive
+        # (anything older than the watermark is dropped upstream) — so
+        # emit now instead of registering a timeout:
+        # setTimeoutTimestamp rejects a timestamp at or before the
+        # current watermark (INVALID_TIMEOUT_TIMESTAMP), which the
+        # round-10 sf0.1 streaming bench hit live the first time a key's
+        # whole batch arrived later than other keys had pushed the
+        # watermark.
+        close_at_ms = cur[1] // 1000 + gap_seconds * 1000
+        if close_at_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            yield emit(tuple(cur))
+            return
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(close_at_ms)
 
     return fn
 

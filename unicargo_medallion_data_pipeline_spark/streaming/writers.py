@@ -126,6 +126,20 @@ def write_stream_with_merge(
     can genuinely change twice in a batch."""
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Pin the micro-batch: the merge references batch_df from
+        # several actions (emptiness gate, winner reduction, touched-
+        # partition collect, anti-join, union-write), and a foreachBatch
+        # frame re-evaluates — re-reading the batch's source files —
+        # per action (round-10 streaming bench measured ~2.8x input
+        # re-reads on the CDC twin of this sink).  Spill-safe persist;
+        # released in the finally.
+        batch_df = batch_df.persist()
+        try:
+            _merge_batch_pinned(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    def _merge_batch_pinned(batch_df: DataFrame) -> None:
         if batch_df.isEmpty():
             return
         # No-seq tiebreak: greatest under the ORDERABLE non-key columns.
@@ -268,11 +282,22 @@ def write_stream_cdc_apply(
     ``table.reset_fence("cdc_batch_id")`` first.
     """
     def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        if table.max_meta_int("cdc_batch_id") >= batch_id:
-            return  # replay of a committed CDC batch: fenced
-        apply_cdc_batch(table, batch_df, key_cols, op_col=op_col, batch_id=batch_id)
+        # Pin the micro-batch: apply_cdc_batch references it from
+        # several actions (emptiness gate, winner window, touched-key
+        # anti-join, commit write), and an unpinned foreachBatch frame
+        # re-reads its source files per action — the round-10 sf0.1
+        # streaming bench measured ~2.8x input re-reads before this pin.
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            if table.max_meta_int("cdc_batch_id") >= batch_id:
+                return  # replay of a committed CDC batch: fenced
+            apply_cdc_batch(
+                table, batch_df, key_cols, op_col=op_col, batch_id=batch_id
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         changes.writeStream.foreachBatch(_apply_batch)
