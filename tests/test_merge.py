@@ -188,3 +188,41 @@ def test_merge_null_merge_key_raises(spark, tmp_path):
     )
     rows = sorted([(r["k"], r["v"]) for r in spark.read.parquet(p).collect()], key=str)
     assert rows == [(1, "A"), (None, "old")]
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """Round-10 Delta-parity: two update rows for one key raise (the
+    Delta branch fails with 'multiple source rows matched'; the parquet
+    fallback used to silently land both)."""
+    import os
+
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources.merge import (
+        merge_upsert_partitioned,
+    )
+
+    p = os.path.join(str(tmp_path), "t")
+    spark.createDataFrame([(1, "d1", "a")], "k int, day string, v string").write.partitionBy(
+        "day"
+    ).parquet(p)
+    with _pytest.raises(ValueError, match="more than one row"):
+        merge_upsert_partitioned(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(1, "d1", "x"), (1, "d1", "y")], "k int, day string, v string"
+            ),
+            merge_keys=["k"],
+            partition_col="day",
+        )
+    # pre-reduced batches can skip the gate (the streaming sink's path)
+    merge_upsert_partitioned(
+        spark,
+        p,
+        spark.createDataFrame([(1, "d1", "z")], "k int, day string, v string"),
+        merge_keys=["k"],
+        partition_col="day",
+        check_duplicate_keys=False,
+    )
+    assert [(r["k"], r["v"]) for r in spark.read.parquet(p).collect()] == [(1, "z")]

@@ -32,6 +32,7 @@ def merge_upsert_partitioned(
     file_format: str | None = None,
     max_touched_partitions: int = 1024,
     check_partition_immutability: bool = False,
+    check_duplicate_keys: bool = True,
 ) -> None:
     """Upsert ``updates`` into the table at ``target_path``.
 
@@ -149,6 +150,27 @@ def merge_upsert_partitioned(
             "matches NULL, so such rows can only duplicate — clean the "
             "batch first"
         )
+    # Delta-MERGE parity (same rule as ManifestTable._check_batch_keys):
+    # two update rows for one key have no defined winner — the Delta
+    # branch above raises "multiple source rows matched", so the parquet
+    # fallback must not silently land both.  Callers that already reduce
+    # the batch to one winner per key (write_stream_with_merge) pass
+    # check_duplicate_keys=False to skip the per-batch agg job.
+    if check_duplicate_keys:
+        dup = (
+            updates.groupBy(*[F.col(k) for k in merge_keys])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "updates carry more than one row for at least one merge "
+                "key — reduce the batch to one winner per key first; a "
+                "multi-row upsert per key has no defined winner (Delta "
+                "MERGE raises the same way)"
+            )
 
     existing = existing_all.filter(F.col(partition_col).isin(parts))
     # new rows win: anti-join existing on the merge keys, then union

@@ -175,6 +175,9 @@ def write_stream_with_merge(
             winners,
             merge_keys=merge_keys,
             partition_col=partition_col,
+            # winners are already one row per key (the window above) —
+            # skip the merge's per-batch duplicate-key agg job
+            check_duplicate_keys=False,
         )
 
     writer = (
