@@ -175,7 +175,7 @@ def apply_scd2(
     if delta is None:
         return  # pure re-delivery: every snapshot matches current
     new_current, closed, n_changed = delta
-    _write_scd2_delta(spark, target_path, new_current, closed, n_changed)
+    _write_scd2_delta(target_path, new_current, closed, n_changed)
 
 
 def _scd2_delta(
@@ -313,7 +313,6 @@ def _scd2_delta(
 
 
 def _write_scd2_delta(
-    spark: SparkSession,
     target_path: str,
     new_current: DataFrame,
     closed: DataFrame,
@@ -321,38 +320,36 @@ def _write_scd2_delta(
 ) -> None:
     """Partitioned-path writer: history append + current overwrite (the
     documented two-write crash window; apply_scd2_manifest is the
-    single-commit alternative)."""
-    # Stage on the target's filesystem (driver tempdirs only work in
-    # local mode — see sources/staging.py), because new_current reads the
-    # partition it will overwrite.
+    single-commit alternative).
+
+    No disk staging (round-10 bench work — the staged write+read-back
+    of both frames was the apply's single largest cost): ``closed``
+    derives SOLELY from the eagerly-checkpointed classification join
+    (its ``_cur_*`` columns are the old current rows), so appending it
+    reads nothing from the table; ``new_current`` does read the current
+    partition it will overwrite (through ``untouched``), so its blocks
+    are pinned with an eager ``localCheckpoint`` first —
+    executor-block-manager storage, cluster-valid unlike a driver
+    tempdir (the reason disk staging was used before).  Crash posture
+    unchanged: history append FIRST, current overwrite LAST — a crash
+    between the two leaves the old current partition intact (retry then
+    re-closes — duplicate history rows, dedupable on the full row — but
+    never a current partition that forgot its history); an executor
+    loss during the overwrite fails the job before the swap completes,
+    same as a failure during the old staged write."""
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
         write_dynamic_overwrite,
-        remove_path,
-        staging_path,
     )
 
-    staging = staging_path(target_path, "scd2")
-    try:
-        if n_changed:
-            closed.write.mode("overwrite").parquet(staging + "/closed")
-        new_current.write.mode("overwrite").parquet(staging + "/current")
-        # History append FIRST, current overwrite LAST: a crash between
-        # the two leaves the old current partition intact (retry then
-        # re-closes — duplicate history rows, dedupable on the full row —
-        # but never a current partition that forgot its history).
-        if n_changed:
-            (
-                spark.read.parquet(staging + "/closed")
-                .write.mode("append")
-                .format("parquet")
-                .partitionBy("scd_state")
-                .save(target_path)
-            )
-        write_dynamic_overwrite(
-            spark.read.parquet(staging + "/current"), target_path, "scd_state"
+    pinned = new_current.localCheckpoint(eager=True)
+    if n_changed:
+        (
+            closed.write.mode("append")
+            .format("parquet")
+            .partitionBy("scd_state")
+            .save(target_path)
         )
-    finally:
-        remove_path(spark, staging)
+    write_dynamic_overwrite(pinned, target_path, "scd_state")
 
 
 def apply_scd2_manifest(
