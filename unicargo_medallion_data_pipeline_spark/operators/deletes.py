@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.sources.staging import (
     write_dynamic_overwrite,
     remove_path,
-    staging_path,
 )
 from unicargo_medallion_data_pipeline_spark.sources.writers import delta_available
 
@@ -228,98 +227,98 @@ def propagate_deletes(
     }
     survivors = touched.join(keys, key_cols, "left_anti")
 
-    staging = staging_path(target_path, "erase")
-    try:
-        survivors.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        write_dynamic_overwrite(staged, target_path, partition_col)
-        # Emptied partitions are absent from the staged data, so dynamic
-        # overwrite left their old files alive: drop the directories.
-        # The on-disk names carry Hive/Spark %XX escaping (and the null
-        # sentinel), so NEVER construct them from the raw value — a
-        # value containing ':' or ' ' would target a path that does not
-        # exist, fs.delete would no-op silently, and the "erased" rows
-        # would stay readable while the audit claimed zero.  Instead
-        # list the real directories and match their UNESCAPED values —
-        # parsed back through the partition column's (read-back) type
-        # and re-rendered by cast-to-string, so both sides compare in
-        # the same canonical space even when the dir rendering differs
-        # from the column's string form (decimal 'rate=1.10' reads back
-        # as double → '1.1').
-        after_counts = {
-            "None" if r[0] is None else r[0]: r["count"]
-            for r in staged.groupBy(
-                F.col(partition_col).cast("string")
-            )
-            .count()
-            .collect()
-        }
-        emptied = {
-            ps for ps in part_strs if after_counts.get(ps, 0) == 0
-        }
-        if emptied:
-            from unicargo_medallion_data_pipeline_spark.sources.compaction import (
-                _parse_partition_dir,
-            )
+    # `survivors` reads the partitions it will overwrite: pin its blocks
+    # with an eager localCheckpoint (executor block manager —
+    # cluster-valid), then dynamic-overwrite.  Replaces a disk-staging
+    # round-trip (same round-10 change as sources/merge.py); the pinned
+    # frame also serves the after-count audit below without a re-read.
+    staged = survivors.localCheckpoint(eager=True)
+    write_dynamic_overwrite(staged, target_path, partition_col)
+    # Emptied partitions are absent from the staged data, so dynamic
+    # overwrite left their old files alive: drop the directories.
+    # The on-disk names carry Hive/Spark %XX escaping (and the null
+    # sentinel), so NEVER construct them from the raw value — a
+    # value containing ':' or ' ' would target a path that does not
+    # exist, fs.delete would no-op silently, and the "erased" rows
+    # would stay readable while the audit claimed zero.  Instead
+    # list the real directories and match their UNESCAPED values —
+    # parsed back through the partition column's (read-back) type
+    # and re-rendered by cast-to-string, so both sides compare in
+    # the same canonical space even when the dir rendering differs
+    # from the column's string form (decimal 'rate=1.10' reads back
+    # as double → '1.1').
+    after_counts = {
+        "None" if r[0] is None else r[0]: r["count"]
+        for r in staged.groupBy(
+            F.col(partition_col).cast("string")
+        )
+        .count()
+        .collect()
+    }
+    emptied = {
+        ps for ps in part_strs if after_counts.get(ps, 0) == 0
+    }
+    if emptied:
+        from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+            _parse_partition_dir,
+        )
 
-            jvm = spark._jvm
-            hroot = jvm.org.apache.hadoop.fs.Path(target_path)
-            fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
-            cand: list[tuple[str, str | None]] = []
-            for st in fs.listStatus(hroot):
-                name = st.getPath().getName()
-                if not st.isDirectory() or "=" not in name:
-                    continue
-                col, val = _parse_partition_dir(name)[0]
-                if col != partition_col:
-                    continue
-                cand.append((name, val))
-            # Canonicalize the raw dir values through the column's type
-            # (one tiny driver-local job over ≤ #partition-dirs rows).
-            # The dir NAME rides along in the frame and the mapping is
-            # keyed on it — never positional (r8 ADVICE item 5: a zip
-            # against collect() order would, if row order ever shifted,
-            # delete a non-emptied directory).
-            ptype = existing_all.schema[partition_col].dataType
-            canon_by_name: dict[str, str | None] = (
-                {
-                    r["name"]: r["cval"]
-                    for r in spark.createDataFrame(
-                        [(n, v) for n, v in cand], "name string, v string"
-                    )
-                    .select(
-                        "name",
-                        F.col("v").cast(ptype).cast("string").alias("cval"),
-                    )
-                    .collect()
-                }
-                if cand
-                else {}
-            )
-            for name, val in cand:
-                cval = canon_by_name.get(name)
-                if val is None:
-                    key = "None"
-                elif cval is None:
-                    continue  # unparseable under the column type: not ours
-                else:
-                    key = cval
-                if key in emptied:
-                    remove_path(
-                        spark, posixpath.join(target_path, name)
-                    )
-        if emptied == all_parts:
-            # Every partition of the table was erased: leave a readable
-            # zero-row table (schema footer, partition column inlined)
-            # instead of a directory with no data files.
-            (
-                spark.createDataFrame([], existing_all.schema)
-                .repartition(1)
-                .write.mode("overwrite")
-                .parquet(target_path)
-            )
-    finally:
-        remove_path(spark, staging)
+        jvm = spark._jvm
+        hroot = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = hroot.getFileSystem(spark._jsc.hadoopConfiguration())
+        cand: list[tuple[str, str | None]] = []
+        for st in fs.listStatus(hroot):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            col, val = _parse_partition_dir(name)[0]
+            if col != partition_col:
+                continue
+            cand.append((name, val))
+        # Canonicalize the raw dir values through the column's type
+        # (one tiny driver-local job over ≤ #partition-dirs rows).
+        # The dir NAME rides along in the frame and the mapping is
+        # keyed on it — never positional (r8 ADVICE item 5: a zip
+        # against collect() order would, if row order ever shifted,
+        # delete a non-emptied directory).
+        ptype = existing_all.schema[partition_col].dataType
+        canon_by_name: dict[str, str | None] = (
+            {
+                r["name"]: r["cval"]
+                for r in spark.createDataFrame(
+                    [(n, v) for n, v in cand], "name string, v string"
+                )
+                .select(
+                    "name",
+                    F.col("v").cast(ptype).cast("string").alias("cval"),
+                )
+                .collect()
+            }
+            if cand
+            else {}
+        )
+        for name, val in cand:
+            cval = canon_by_name.get(name)
+            if val is None:
+                key = "None"
+            elif cval is None:
+                continue  # unparseable under the column type: not ours
+            else:
+                key = cval
+            if key in emptied:
+                remove_path(
+                    spark, posixpath.join(target_path, name)
+                )
+    if emptied == all_parts:
+        # Every partition of the table was erased: leave a readable
+        # zero-row table (schema footer, partition column inlined)
+        # instead of a directory with no data files.
+        (
+            spark.createDataFrame([], existing_all.schema)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(target_path)
+        )
 
     rows = [
         (

@@ -199,19 +199,16 @@ def merge_additive_rollup(
         )
     )
 
-    # Staging is a sibling of the target on the same filesystem (see
-    # sources/staging.py) — a driver-local tempdir would only work in
-    # local mode, at odds with this module's scale framing.
+    # `combined` reads the target partitions it will overwrite: pin its
+    # blocks with an eager localCheckpoint (executor block manager —
+    # cluster-valid, unlike a driver tempdir), then dynamic-overwrite.
+    # Replaces a disk-staging round-trip (same change as sources/merge
+    # round 10); dynamic overwrite commits at job end, so any failure —
+    # including executor loss taking checkpoint blocks — aborts with
+    # the target intact.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
         write_dynamic_overwrite,
-        remove_path,
-        staging_path,
     )
 
-    staging = staging_path(target_path, "rollup")
-    try:
-        combined.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        write_dynamic_overwrite(staged, target_path, partition_col)
-    finally:
-        remove_path(spark, staging)
+    pinned = combined.localCheckpoint(eager=True)
+    write_dynamic_overwrite(pinned, target_path, partition_col)

@@ -178,25 +178,22 @@ def merge_upsert_partitioned(
         updates.select(*merge_keys).distinct(), merge_keys, "left_anti"
     )
     merged = survivors.unionByName(updates.select(*existing.columns))
-    # Spark cannot overwrite a path it is reading from: stage the merged
-    # partitions to a scratch dir first (they are only the touched
-    # partitions, not the table), then dynamic-overwrite the target.
-    # Staging is a SIBLING of the target on the same filesystem (see
-    # sources/staging.py — a driver-local tempdir would be invisible to
-    # executors on a real cluster).  Session hygiene: the staging dir is
-    # removed even on failure (this runs per micro-batch under
-    # write_stream_with_merge — leaks would compound), and dynamic
-    # overwrite is a per-WRITE option, never session state.
+    # Spark cannot overwrite a path it is reading from: pin the merged
+    # partitions with an eager localCheckpoint (executor block manager —
+    # cluster-valid, unlike a driver tempdir), then dynamic-overwrite
+    # the target.  This replaced a disk-staging round-trip (write the
+    # merged partitions to a sibling dir, read them back — two full
+    # filesystem passes per call, compounding per micro-batch under
+    # write_stream_with_merge).  Fault posture: dynamic overwrite
+    # commits partitions at job end, so a failure — including executor
+    # loss taking checkpoint blocks with it — aborts the job with the
+    # target intact; the staged variant could sometimes survive an
+    # executor loss by re-reading staging, a retry-resilience (not
+    # correctness) trade documented here.  Dynamic overwrite stays a
+    # per-WRITE option, never session state.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
         write_dynamic_overwrite,
-        remove_path,
-        staging_path,
     )
 
-    staging = staging_path(target_path, "merge")
-    try:
-        merged.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        write_dynamic_overwrite(staged, target_path, partition_col)
-    finally:
-        remove_path(spark, staging)
+    pinned = merged.localCheckpoint(eager=True)
+    write_dynamic_overwrite(pinned, target_path, partition_col)
