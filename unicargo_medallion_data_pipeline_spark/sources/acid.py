@@ -1081,15 +1081,25 @@ class ManifestTable:
 
         ``dups``: Delta-MERGE parity — two update rows for one key have
         no defined winner (Delta raises "multiple source rows
-        matched"); the old union path silently landed both.  Two
-        bounded jobs over the (small) batch side."""
+        matched"); the old union path silently landed both.  Both
+        checks ride ONE bounded agg job over the (small) batch side:
+        group by the keys, then fold per-group counts and key
+        nullability into a single driver row."""
         from pyspark.sql import functions as F
 
         null_cond = None
         for k in keys:
             c = F.col(k).isNull()
             null_cond = c if null_cond is None else (null_cond | c)
-        row = batch.agg(F.max(null_cond.cast("int")).alias("_has_null")).collect()[0]
+        row = (
+            batch.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.max(null_cond.cast("int")).alias("_has_null"),
+                F.max("_n").alias("_max_n"),
+            )
+            .collect()[0]
+        )
         if row["_has_null"]:
             raise ValueError(
                 f"{what} contain NULL merge key values; SQL/Delta MERGE "
@@ -1097,22 +1107,14 @@ class ManifestTable:
                 "duplicate or no-op — clean the batch or delete by a "
                 "non-null key"
             )
-        if dups:
-            dup = (
-                batch.groupBy(*[F.col(k) for k in keys])
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .count()
+        if dups and (row["_max_n"] or 0) > 1:
+            raise ValueError(
+                "updates carry more than one row for at least one "
+                "merge key — reduce the batch to one winner per key "
+                "first (e.g. streaming.writers.apply_cdc_batch's "
+                "rule), as a multi-row upsert per key has no "
+                "defined winner"
             )
-            if dup:
-                raise ValueError(
-                    "updates carry more than one row for at least one "
-                    "merge key — reduce the batch to one winner per key "
-                    "first (e.g. streaming.writers.apply_cdc_batch's "
-                    "rule), as a multi-row upsert per key has no "
-                    "defined winner"
-                )
 
     def merge_upsert(self, updates: DataFrame, keys: list[str]) -> int:
         """Copy-on-write MERGE: latest state anti-joined on ``keys``,

@@ -140,37 +140,47 @@ def merge_upsert_partitioned(
     # TARGET rows survive unmatched, NULL keys in the REQUEST raise.
     # (Null-safe matching was rejected: the Delta branch above uses SQL
     # equality and the two branches must not diverge.)
+    # Delta-MERGE parity (same rules as ManifestTable._check_batch_keys):
+    # NULL merge keys never match under MERGE equality (they could only
+    # duplicate), and two update rows for one key have no defined winner
+    # — the Delta branch above raises "multiple source rows matched", so
+    # the parquet fallback must not silently land both.  Both checks
+    # ride ONE bounded agg job when check_duplicate_keys is on; callers
+    # that already reduce the batch to one winner per key
+    # (write_stream_with_merge) pass False and pay only a limit-1 null
+    # probe.
     null_cond = None
     for k in merge_keys:
         c = F.col(k).isNull()
         null_cond = c if null_cond is None else (null_cond | c)
-    if updates.filter(null_cond).limit(1).count():
+    if check_duplicate_keys:
+        stats = (
+            updates.groupBy(*[F.col(k) for k in merge_keys])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.max(null_cond.cast("int")).alias("_has_null"),
+                F.max("_n").alias("_max_n"),
+            )
+            .collect()[0]
+        )
+        has_null = bool(stats["_has_null"])
+        has_dup = (stats["_max_n"] or 0) > 1
+    else:
+        has_null = bool(updates.filter(null_cond).limit(1).count())
+        has_dup = False
+    if has_null:
         raise ValueError(
             "updates contain NULL merge key values; MERGE equality never "
             "matches NULL, so such rows can only duplicate — clean the "
             "batch first"
         )
-    # Delta-MERGE parity (same rule as ManifestTable._check_batch_keys):
-    # two update rows for one key have no defined winner — the Delta
-    # branch above raises "multiple source rows matched", so the parquet
-    # fallback must not silently land both.  Callers that already reduce
-    # the batch to one winner per key (write_stream_with_merge) pass
-    # check_duplicate_keys=False to skip the per-batch agg job.
-    if check_duplicate_keys:
-        dup = (
-            updates.groupBy(*[F.col(k) for k in merge_keys])
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
+    if has_dup:
+        raise ValueError(
+            "updates carry more than one row for at least one merge "
+            "key — reduce the batch to one winner per key first; a "
+            "multi-row upsert per key has no defined winner (Delta "
+            "MERGE raises the same way)"
         )
-        if dup:
-            raise ValueError(
-                "updates carry more than one row for at least one merge "
-                "key — reduce the batch to one winner per key first; a "
-                "multi-row upsert per key has no defined winner (Delta "
-                "MERGE raises the same way)"
-            )
 
     existing = existing_all.filter(F.col(partition_col).isin(parts))
     # new rows win: anti-join existing on the merge keys, then union
