@@ -120,3 +120,41 @@ def test_canonical_json_unorderable_value_sorts_by_key(spark):
         canonical_json(F.col("rev"), dt).alias("rev"),
     ).collect()[0]
     assert row["fwd"] == row["rev"]
+
+
+def test_canonical_json_randomized_permutations_one_job(spark):
+    """Randomized (seeded) bulk pin for canonical_json: for 60 random
+    string maps, every random entry-order permutation renders to the
+    SAME canonical text, and DIFFERENT maps render to DIFFERENT texts —
+    checked in one Spark job over map_from_arrays-built columns."""
+    import random
+
+    from unicargo_medallion_data_pipeline_spark.functions.hashing import canonical_json
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 8)
+        keys = rng.sample([f"k{j}" for j in range(40)], n)
+        vals = [f"v{rng.randint(0, 9)}" for _ in keys]
+        perm = list(range(n))
+        rng.shuffle(perm)
+        rows.append(
+            (i, keys, vals, [keys[p] for p in perm], [vals[p] for p in perm])
+        )
+    df = spark.createDataFrame(
+        rows, "id int, k1 array<string>, v1 array<string>, k2 array<string>, v2 array<string>"
+    )
+    dt = T.MapType(T.StringType(), T.StringType())
+    out = df.select(
+        "id",
+        canonical_json(F.map_from_arrays("k1", "v1"), dt).alias("a"),
+        canonical_json(F.map_from_arrays("k2", "v2"), dt).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in out)
+    # distinct maps -> distinct canonical renderings (string maps: the
+    # sorted-entry JSON is injective)
+    texts = [r["a"] for r in out]
+    as_dicts = {i: dict(zip(rows[i][1], rows[i][2])) for i in range(60)}
+    distinct_maps = len({tuple(sorted(d.items())) for d in as_dicts.values()})
+    assert len(set(texts)) == distinct_maps
