@@ -314,3 +314,74 @@ def test_write_dynamic_overwrite_replaces_only_present_partitions(spark):
     # session conf untouched by the write
     after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     assert after == prior
+
+
+def test_read_xml_roundtrip_typed(spark, tmp_path):
+    """Round-10 S-family widening: Spark 4 native XML scan with an
+    explicit schema round-trips long/date/double/string exactly.  Also
+    pins the documented reason there is NO XML quarantine variant: the
+    XML source's corrupt-record column is DOCUMENT-granular — a single
+    bad cell yields the good rows PLUS an extra corrupt row carrying
+    the whole file, so good+quarantined == raw cannot hold."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_xml
+
+    x = os.path.join(str(tmp_path), "xml")
+    src = spark.createDataFrame(
+        [(1, "2024-01-15", "HIGH", 10.25), (2, "2024-02-20", "LOW", 99.50)],
+        "k long, dt string, pr string, tp double",
+    ).select("k", F.col("dt").cast("date").alias("dt"), "pr",
+             F.col("tp").cast("decimal(18,2)").alias("tp"))
+    src.coalesce(1).write.format("xml").option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).save(x)
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("dt", DateType()),
+            StructField("pr", StringType()),
+            StructField("tp", DoubleType()),
+        ]
+    )
+    got = sorted(
+        [tuple(r) for r in read_xml(spark, x, schema).collect()]
+    )
+    import datetime as dt
+
+    assert got == [
+        (1, dt.date(2024, 1, 15), "HIGH", 10.25),
+        (2, dt.date(2024, 2, 20), "LOW", 99.50),
+    ]
+
+    # document-granular corrupt record (the no-quarantine rationale)
+    part = glob.glob(os.path.join(x, "part-*"))[0]
+    crc = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    txt = open(part).read().replace(
+        "</rows>", "    <row>\n        <k>bad</k>\n    </row>\n</rows>"
+    )
+    open(part, "w").write(txt)
+    aug = StructType([*schema.fields, StructField("_corrupt_record", StringType())])
+    df = (
+        spark.read.schema(aug)
+        .format("xml")
+        .option("rowTag", "row")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(x)
+    ).localCheckpoint(eager=True)
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(corrupt) == 1 and "<rows>" in corrupt[0]["_corrupt_record"]

@@ -1211,3 +1211,85 @@ def order_value_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cents").cast("bigint").alias("median_cents"))
         .select("median_cents", "n_orders", "total_cents")
     )
+
+
+@register(
+    "orders_xml_roundtrip",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total,
+           CAST(MIN(o_orderdate) AS DATE) AS first_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    operators=("S3", "P5", "A4"),
+)
+def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family widening (round 10): the Spark 4 NATIVE ``xml`` source
+    under the hash gate.  `orders` is written out as XML (one ``<row>``
+    element per order) and re-ingested through ``read_xml`` with an
+    explicit schema; the oracle aggregates the original parquet
+    directly, so a green row proves the typed XML round-trip (long /
+    decimal-formatted double / ISO date / string) is value-exact.
+
+    Round-trip hazard handled like the CSV twin: o_totalprice is
+    written via DECIMAL(18,2) formatting so the XML text parses back to
+    the identical double.  No quarantine variant by design — the XML
+    source's corrupt-record column is document-granular (see
+    ``sources/readers.read_xml``)."""
+    import os
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_xml
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        # cast to DATE before writing: the XML writer renders a
+        # timestamp column as '…T00:00:00.000' text, which a DateType
+        # read rejects — and an XML permissive cell failure nulls the
+        # REST of the row's fields too (probed live), so the date must
+        # round-trip as plain ISO date text
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    d = scratch_dir("xmlq_")
+    xml_dir = os.path.join(d, "xml")
+    (
+        o.write.format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "row")
+        .mode("overwrite")
+        .save(xml_dir)
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderdate", DateType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    back = read_xml(spark, xml_dir, schema, row_tag="row")
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("priority")
+    )

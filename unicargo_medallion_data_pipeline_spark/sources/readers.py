@@ -186,6 +186,34 @@ def read_binary_files(
     return reader.load(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    row_tag: str = "row",
+    options: dict | None = None,
+) -> DataFrame:
+    """XML scan with a fixed, explicit schema (Spark 4 native ``xml``
+    source — no external package).  ``row_tag`` names the repeating
+    element that becomes one row.
+
+    Why no quarantine variant (probed live, round 10): the XML source's
+    ``columnNameOfCorruptRecord`` is DOCUMENT-granular, not
+    row-granular — a single untypeable cell yields the good rows AND an
+    extra corrupt row carrying the whole file's text, so the
+    good+quarantined == raw conservation gate the CSV/JSONL quarantine
+    paths enforce cannot hold.  Validate XML upstream, or route rows
+    through ``quality/expectations`` after the scan.
+
+    Scale note: one XML document is ONE parse unit — prefer many
+    moderate files over one giant document (same splittability logic as
+    multiline JSON)."""
+    reader = spark.read.schema(schema).format("xml").option("rowTag", row_tag)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """ORC path scan (beyond-reference) — same pushdown/pruning behavior
     as parquet via the vectorized ORC reader."""
