@@ -1293,3 +1293,143 @@ def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "orders_jsonl_quarantine_roundtrip",
+    sql="""
+    SELECT COUNT(*) AS n_good,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    """,
+    operators=("S1", "P5", "A15"),
+)
+def orders_jsonl_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL quarantine ingest under the hash gate (pytest-only
+    until round 10 — the CSV twin has been oracled since r7): write
+    `orders` as JSON-lines, inject exactly 3 malformed lines (raw
+    non-JSON, a type mismatch, truncated JSON), re-ingest through
+    `read_jsonl_with_quarantine`, and return (good count, quarantined
+    count, decimal-exact total).  Green ⇔ every original row survives
+    the JSONL round-trip typed and exactly the 3 injected lines
+    quarantine."""
+    import glob
+    import os
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_jsonl_with_quarantine,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        # decimal-formatted text round-trips exactly to the same double
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    d = scratch_dir("jsonlq_")
+    j_dir = os.path.join(d, "jsonl")
+    o.coalesce(1).write.mode("overwrite").json(j_dir)
+    part = glob.glob(os.path.join(j_dir, "part-*.json"))[0]
+    crc = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(part, "a") as fh:
+        fh.write("this is not json at all\n")
+        fh.write('{"o_orderkey": "not_a_long", "o_totalprice": 1.0}\n')
+        fh.write('{"o_orderkey": 7, "o_orderdate": "2024-0\n')  # truncated
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderdate", DateType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_with_quarantine(spark, j_dir, schema)
+    n_q = quarantine.count()
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(n_q).cast("bigint").alias("n_quarantined"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
+@register(
+    "orders_orc_roundtrip",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total,
+           CAST(MIN(o_orderdate) AS DATE) AS first_date,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    operators=("S3", "P5", "A4"),
+)
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round-trip under the hash gate (pytest-only until
+    round 10): `orders` written as ORC and re-read through `read_orc`
+    with an explicit schema, aggregated per priority; the oracle
+    aggregates the original parquet.  Green ⇔ the vectorized ORC
+    writer/reader preserves long/double/date/string bit-for-bit —
+    no text formatting involved, so no decimal staging is needed on
+    the write side (kept anyway for column-shape parity with the
+    XML/JSONL twins)."""
+    import os
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_orc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    d = scratch_dir("orcq_")
+    orc_dir = os.path.join(d, "orc")
+    o.write.mode("overwrite").orc(orc_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderdate", DateType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    back = read_orc(spark, orc_dir, schema)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("priority")
+    )
