@@ -128,3 +128,18 @@ def test_duplicate_and_equal_comparing_rules_each_get_a_slot(spark, dirty, dim):
     # the two FK rules must be evaluated against their OWN dims
     assert rep[2]["violations"] == 1   # fk=999 missing from dim
     assert rep[3]["violations"] == 1   # fk=200 missing from other_dim
+
+
+def test_null_profile_survives_reserved_alias_collision(spark):
+    """Round-10 quality hunt: a user column literally named '__rows'
+    used to shadow the internal count alias in the by-name row lookup,
+    reading back the table's ROW COUNT as its null count.  Positional
+    access is exact for any column names."""
+    from unicargo_medallion_data_pipeline_spark.quality.validation import null_profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "k int, __rows string"
+    )
+    p = null_profile(df)
+    assert p["row_count"] == 3
+    assert p["null_counts"] == {"k": 0, "__rows": 2}

@@ -31,10 +31,15 @@ def null_profile(df: DataFrame, columns: list[str] | None = None) -> dict:
     aggs = [F.count(F.lit(1)).alias("__rows")] + [
         F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols
     ]
+    # POSITIONAL access (round-10 quality hunt): by-name lookup returns
+    # the FIRST matching field, so a user column literally named
+    # '__rows' would shadow the count alias and read back as the row
+    # count instead of its null count.  Positions are exact for any
+    # column names.
     row = df.agg(*aggs).collect()[0]
     return {
-        "row_count": row["__rows"],
-        "null_counts": {c: (row[c] or 0) for c in cols},
+        "row_count": row[0],
+        "null_counts": {c: (row[i + 1] or 0) for i, c in enumerate(cols)},
     }
 
 
