@@ -123,3 +123,54 @@ def test_twin_equivalence_at_smoke_scale(spark):
 
     pairs = VT.run_pairs(spark, "/root/testdata/sf0.001")
     assert pairs and all(p["equal"] for p in pairs.values()), pairs
+
+
+def test_bench_steadiness_retry_policy():
+    """Round-11 verdict task 2: the measurement loop must (a) emit an
+    effective spread computed from the probes bracketing the WINNING
+    rounds only, (b) run bounded extra rounds while that spread breaches
+    the steady target, and (c) stop retrying the moment a quiet window
+    produces the minima."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(REPO, "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # Scenario: base rounds 0-2 are NOISY (slow probes, slow attempts;
+    # round 3 skips both queries — their attempts agree within 3x); the
+    # quiet window starts at the probe after round 3.  The first extra
+    # round wins everything -> exactly one extra round, effective spread
+    # computed from the quiet bracket.
+    probe_script = iter([1.0, 3.0, 3.0, 3.0, 1.0, 1.0])
+    attempt_script = {"q1": iter([5.0, 5.0, 5.0, 1.0]),
+                      "q2": iter([9.0, 9.0, 9.0, 2.0])}
+    runs, probes, extra = m.run_rounds(
+        ["q1", "q2"],
+        lambda n: next(attempt_script[n]),
+        lambda: next(probe_script),
+        n_rounds=4, steady=1.35, max_extra=3,
+    )
+    assert extra == 1
+    # minima relocated to the quiet extra round (index 4)
+    assert min(runs["q1"], key=lambda t: t[1]) == (4, 1.0)
+    eff = m.effective_spread(runs, probes)
+    assert eff == 1.0  # probes 4 and 5 bracket round 4: both 1.0
+
+    # Scenario: persistently noisy host -> retries are BOUNDED and the
+    # honest (breaching) spread is still reported.
+    seq = iter([1.0, 2.0, 1.0, 2.0, 1.0, 2.0, 1.0])
+    runs2, probes2, extra2 = m.run_rounds(
+        ["q"], lambda n: 1.0, lambda: next(seq), n_rounds=2, steady=1.35, max_extra=3,
+    )
+    assert extra2 == 3  # exhausted the bound
+    assert m.effective_spread(runs2, probes2) > 1.35  # honest breach
+
+    # Steady window from the start -> zero extra rounds.
+    seq3 = iter([1.0, 1.1, 1.0, 1.05, 1.0])
+    runs3, probes3, extra3 = m.run_rounds(
+        ["q"], lambda n: 1.0, lambda: next(seq3), n_rounds=3, steady=1.35, max_extra=3,
+    )
+    assert extra3 == 0

@@ -323,6 +323,9 @@ def test_grain_derived_gold_matches_direct(spark, medallion):
              g.significant_routes_from_traffic(traffic)),
             ("busiest_routes", g.busiest_routes(fact, dp),
              g.top_routes_from_traffic(traffic, 50)),
+            # round-11 pipelines hunt: top_routes joined the shared family
+            ("top_routes", g.top_routes(fact, dp, 10),
+             g.top_routes_from_traffic(traffic, 10)),
         ]
         for name, direct, derived in pairs:
             assert derived.schema == direct.schema, name

@@ -182,3 +182,47 @@ def test_run_tasks_parallel_many_entities(spark):
     assert not result.failures
     assert len(written) == 8 and all(v == 1 for v in written.values())
     assert len(result.results) == 8
+
+
+def test_run_tasks_parallel_failure_isolation(spark):
+    """Round-11 pipelines hunt probe: a failing entity among CONCURRENT
+    chains must not poison its neighbors — the failed entity is absent
+    from results, its downstream tasks are SKIPPED, and every other
+    entity completes and writes."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.orchestrator import (
+        RunLog,
+        Task,
+        create_entity_tasks,
+        run_tasks,
+    )
+
+    written = {}
+    tasks: list[Task] = []
+    for i in range(4):
+        entity = f"p{i}"
+
+        def make(entity=entity):
+            def read_fn():
+                return spark.createDataFrame([(entity, 1)], ["name", "v"])
+
+            def transform_fn(df):
+                if entity == "p2":
+                    raise RuntimeError("boom in transform")
+                return df.withColumn("v2", F.col("v") + 1)
+
+            def write_fn(df):
+                written[entity] = df.count()
+
+            return create_entity_tasks(entity, read_fn, transform_fn, write_fn)
+
+        tasks.extend(make())
+    log = RunLog("pipe", "run1", "test")
+    result = run_tasks(tasks, log, max_workers=4)
+    assert set(result.failures) == {"transform_p2"}
+    assert "p2" not in result.results and len(result.results) == 3
+    assert set(written) == {"p0", "p1", "p3"}
+    statuses = dict(result.statuses)
+    assert statuses["write_p2"] == "SKIPPED"
+    recorded = {(r[3], r[4]) for r in log.rows}
+    assert ("transform_p2", "FAILED") in recorded
+    assert ("write_p0", "SUCCESS") in recorded

@@ -56,6 +56,78 @@ def md5_row_json(cols: list[str]) -> Column:
     return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
 
 
+def _needs_canon(dt) -> bool:
+    """True iff ``dt`` contains, at any depth reachable through
+    array/struct/map-value containers, a map with an orderable key type
+    — i.e. something :func:`canonical_json` can and must reorder."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        # A map with an unorderable key type can't be canonically
+        # sorted, so its stored order leaks into the text regardless of
+        # what we do to its values — leave the whole subtree alone.
+        return xxhashable(dt.keyType)
+    if isinstance(dt, T.ArrayType):
+        return _needs_canon(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_needs_canon(f.dataType) for f in dt.fields)
+    return False
+
+
+def _canon_orderable(dt) -> bool:
+    """Would the CANONICALIZED form of ``dt`` be orderable?  Maps become
+    arrays of (key, value) structs, so orderability reduces to the key
+    and the canonicalized value; variant stays unorderable."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return xxhashable(dt.keyType) and _canon_orderable(dt.valueType)
+    if isinstance(dt, T.ArrayType):
+        return _canon_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_canon_orderable(f.dataType) for f in dt.fields)
+    return dt.typeName() != "variant"
+
+
+def _canon(col: Column, dt) -> Column:
+    """Recursively rewrite ``col`` so every reachable orderable-key map
+    is replaced by its entry array sorted by key.  Only called when
+    ``_needs_canon(dt)``; passes untouchable subtrees through as-is."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType) and xxhashable(dt.keyType):
+        entries = F.map_entries(col)
+        if _needs_canon(dt.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _canon(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+        if _canon_orderable(dt.valueType):
+            # keys are unique, so whole-entry order is total
+            return F.sort_array(entries)
+        # map keys are never NULL, so the comparator is total
+        return F.array_sort(
+            entries,
+            lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
+            .when(a["key"] > b["key"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    if isinstance(dt, T.ArrayType) and _needs_canon(dt.elementType):
+        return F.transform(col, lambda x: _canon(x, dt.elementType))
+    if isinstance(dt, T.StructType) and _needs_canon(dt):
+        rebuilt = F.struct(
+            *[_canon(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        # Rebuilding would turn a NULL struct into a struct of NULLs,
+        # which renders differently (and would spuriously equal a
+        # genuinely all-NULL-fields struct) — keep NULL as NULL.
+        return F.when(col.isNotNull(), rebuilt)
+    return col
+
+
 def canonical_json(col: Column, dt) -> Column:
     """Order-canonical JSON rendering of an UNHASHABLE column for
     equality comparison (``snapshot_diff`` / SCD2 change detection).
@@ -64,37 +136,25 @@ def canonical_json(col: Column, dt) -> Column:
     maps stored with different entry order render differently, so plain
     ``to_json`` equality reports spurious "changed" rows / spurious new
     SCD2 versions whenever an upstream rebuilds a map in a different key
-    order (round-10 ADVICE).  A top-level map with an orderable key type
-    therefore renders as its entry array sorted by key — entries sort
-    wholly (keys are unique, so key order is total) when the value type
-    is also orderable, else by key alone via an ``array_sort``
-    comparator.  Anything else (variant, map nested deeper, unorderable
-    key type) falls back to plain ``to_json``; that residual order
-    sensitivity is documented at the call sites.
+    order (round-10 ADVICE).  Every map with an orderable key type — at
+    ANY nesting depth below struct/array/map-value containers (round-11
+    verdict task 7; previously top-level only) — renders as its entry
+    array sorted by key: entries sort wholly (keys are unique, so key
+    order is total) when the canonicalized value type is also orderable,
+    else by key alone via an ``array_sort`` comparator.  The residual
+    fallbacks (variant values, maps with unorderable KEY types) still
+    compare order-sensitively; documented at the call sites.
 
     Renders under a FIXED inner field name ``v`` because the struct
     field name is part of the JSON text — comparing differently-named
     columns (``x_old`` vs ``x_new``) through their own names would never
-    be equal.  NULL-safety: a NULL map renders as ``{}`` on both sides
+    be equal.  NULL-safety: a NULL value renders as ``{}`` on both sides
     (null struct fields are omitted), distinct from an empty map's
-    ``{"v":[]}``.
+    ``{"v":[]}``; NULL structs/arrays/maps below the top level stay NULL
+    through the rewrite.
     """
-    from pyspark.sql import types as T
-
-    if isinstance(dt, T.MapType) and xxhashable(dt.keyType):
-        entries = F.map_entries(col)
-        if xxhashable(dt.valueType):
-            entries = F.sort_array(entries)
-        else:
-            # map keys are never NULL, so the comparator is total
-            entries = F.array_sort(
-                entries,
-                lambda a, b: F.when(a["key"] < b["key"], F.lit(-1))
-                .when(a["key"] > b["key"], F.lit(1))
-                .otherwise(F.lit(0)),
-            )
-        return F.to_json(F.struct(entries.alias("v")))
-    return F.to_json(F.struct(col.alias("v")))
+    out = _canon(col, dt) if _needs_canon(dt) else col
+    return F.to_json(F.struct(out.alias("v")))
 
 
 def row_hash(df: DataFrame, exclude: tuple[str, ...] = ()) -> Column:

@@ -200,15 +200,18 @@ def merge_additive_rollup(
     )
 
     # `combined` reads the target partitions it will overwrite: pin its
-    # blocks with an eager localCheckpoint (executor block manager —
-    # cluster-valid, unlike a driver tempdir), then dynamic-overwrite.
-    # Replaces a disk-staging round-trip (same change as sources/merge
-    # round 10); dynamic overwrite commits at job end, so any failure —
-    # including executor loss taking checkpoint blocks — aborts with
-    # the target intact.
+    # blocks (localCheckpoint by default; UMDP_DISK_STAGING=1 opts into
+    # sibling-dir staging — see pin_for_self_overwrite), then
+    # dynamic-overwrite.  Dynamic overwrite commits at job end, so any
+    # failure — including executor loss taking checkpoint blocks —
+    # aborts with the target intact.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        pin_for_self_overwrite,
         write_dynamic_overwrite,
     )
 
-    pinned = combined.localCheckpoint(eager=True)
-    write_dynamic_overwrite(pinned, target_path, partition_col)
+    pinned, cleanup = pin_for_self_overwrite(combined, target_path, "rollup")
+    try:
+        write_dynamic_overwrite(pinned, target_path, partition_col)
+    finally:
+        cleanup()

@@ -338,18 +338,22 @@ def _write_scd2_delta(
     loss during the overwrite fails the job before the swap completes,
     same as a failure during the old staged write."""
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        pin_for_self_overwrite,
         write_dynamic_overwrite,
     )
 
-    pinned = new_current.localCheckpoint(eager=True)
-    if n_changed:
-        (
-            closed.write.mode("append")
-            .format("parquet")
-            .partitionBy("scd_state")
-            .save(target_path)
-        )
-    write_dynamic_overwrite(pinned, target_path, "scd_state")
+    pinned, cleanup = pin_for_self_overwrite(new_current, target_path, "scd2")
+    try:
+        if n_changed:
+            (
+                closed.write.mode("append")
+                .format("parquet")
+                .partitionBy("scd_state")
+                .save(target_path)
+            )
+        write_dynamic_overwrite(pinned, target_path, "scd_state")
+    finally:
+        cleanup()
 
 
 def apply_scd2_manifest(

@@ -102,39 +102,54 @@ def run_bronze(
             obs_bad = Observation()
             qcfg = replace(cfg, table=f"{cfg.table}_quarantine", partition_by=())
             qcfg_stg = replace(qcfg, table=f"{qcfg.table}__staging")
-            save_to_table(
-                bad.observe(obs_bad, F.count(F.lit(1)).alias("n")).withColumn(
-                    "entity", F.lit(entity)
-                ),
-                qcfg_stg,
-                spark,
-                mode="overwrite",
-            )
-            df = good
-        else:
-            n_raw = None
-            df = read_csv(spark, path, schemas[entity])
-        df = with_metadata(
-            with_processed_timestamp(df),
-            {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
-        )
-        if quarantine:
-            obs_good = Observation()
-            df = df.observe(obs_good, F.count(F.lit(1)).alias("n"))
             cfg_stg = replace(cfg, table=f"{cfg.table}__staging")
-            save_to_table(df, cfg_stg, spark, mode="overwrite")
-            n_good = int(obs_good.get["n"])
-            n_bad = int(obs_bad.get["n"])
-            if n_good + n_bad != n_raw:
+            # Any exception on this path — not just the conservation
+            # gate — must not leak a __staging table (round-10 ADVICE:
+            # a failure in the GOOD-side write previously left the
+            # already-written quarantine staging behind), so the whole
+            # staged-write → gate → promote sequence cleans up in one
+            # finally (DROP IF EXISTS is a no-op for the names a
+            # successful promote has already renamed away).
+            try:
+                save_to_table(
+                    bad.observe(obs_bad, F.count(F.lit(1)).alias("n")).withColumn(
+                        "entity", F.lit(entity)
+                    ),
+                    qcfg_stg,
+                    spark,
+                    mode="overwrite",
+                )
+                df = with_metadata(
+                    with_processed_timestamp(good),
+                    {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
+                )
+                obs_good = Observation()
+                df = df.observe(obs_good, F.count(F.lit(1)).alias("n"))
+                save_to_table(df, cfg_stg, spark, mode="overwrite")
+                n_good = int(obs_good.get["n"])
+                n_bad = int(obs_bad.get["n"])
+                if n_good + n_bad != n_raw:
+                    raise ValueError(
+                        f"{entity}: quarantine split lost rows — raw={n_raw}, "
+                        f"good={n_good}, quarantined={n_bad}"
+                    )
+                # A process crash BETWEEN these two promotes leaves a
+                # newly-promoted quarantine table next to the previous
+                # bronze table — a consistent-per-table but mixed-epoch
+                # pair.  Each promote is individually crash-recoverable
+                # (rename-aside, see promote_table), and re-running the
+                # ingest realigns the pair; tolerated because the two
+                # tables are never joined, only audited side-by-side.
+                promote_table(spark, qcfg_stg.full_name, qcfg.full_name)
+                promote_table(spark, cfg_stg.full_name, cfg.full_name)
+            finally:
                 spark.sql(f"DROP TABLE IF EXISTS {cfg_stg.full_name}")
                 spark.sql(f"DROP TABLE IF EXISTS {qcfg_stg.full_name}")
-                raise ValueError(
-                    f"{entity}: quarantine split lost rows — raw={n_raw}, "
-                    f"good={n_good}, quarantined={n_bad}"
-                )
-            promote_table(spark, qcfg_stg.full_name, qcfg.full_name)
-            promote_table(spark, cfg_stg.full_name, cfg.full_name)
         else:
+            df = with_metadata(
+                with_processed_timestamp(read_csv(spark, path, schemas[entity])),
+                {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
+            )
             save_to_table(df, cfg, spark, mode="overwrite")
         out[entity] = spark.read.table(cfg.full_name)
     return out
@@ -290,7 +305,7 @@ def _build_gold_suite(
     grain_names = [n for n in names if n in gold_flights.GRAIN_SUITE]
     route_names = [
         n for n in names
-        if n in ("route_traffic", "significant_routes", "busiest_routes")
+        if n in ("route_traffic", "top_routes", "significant_routes", "busiest_routes")
     ]
     grain = (
         gold_flights.build_date_airline_grain(fact_t).persist()
@@ -319,6 +334,10 @@ def _build_gold_suite(
             return fn(grain, *[dims[d] for d in needed])
         if traffic is not None and name == "route_traffic":
             return traffic
+        if traffic is not None and name == "top_routes":
+            # round-11 pipelines hunt: top_routes was missing from the
+            # shared-traffic family, re-paying the full route aggregation
+            return gold_flights.top_routes_from_traffic(traffic, 10)
         if traffic is not None and name == "significant_routes":
             return gold_flights.significant_routes_from_traffic(traffic)
         if traffic is not None and name == "busiest_routes":

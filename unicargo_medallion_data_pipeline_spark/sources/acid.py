@@ -128,6 +128,30 @@ def _cmp_lt(a, b) -> bool:
     return a < b
 
 
+def _strip_nullability(dt):
+    """Recursively normalize every nullability flag in a type so that
+    append compatibility compares PHYSICAL types only: top-level field
+    nullability, ArrayType.containsNull, MapType.valueContainsNull and
+    nested StructField.nullable are all metadata Spark reconciles at
+    read time, not parquet encodings."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -713,10 +737,18 @@ class ManifestTable:
 
         parent = StructType.fromJson(self._read_manifest(vs[-1])["schema"])
         old = {f.name: f.dataType for f in parent.fields}
+        # Compare PHYSICAL types only: nested nullability flags
+        # (ArrayType.containsNull, MapType.valueContainsNull, inner
+        # StructField.nullable) don't change the parquet encoding, and a
+        # batch built from literals (containsNull=false) against a
+        # read-back table (containsNull=true) is a perfectly compatible
+        # append — strict equality rejected it with an error message
+        # showing two identical simpleStrings (round-10 ADVICE).
         clashes = [
             (f.name, old[f.name].simpleString(), f.dataType.simpleString())
             for f in df.schema.fields
-            if f.name in old and f.dataType != old[f.name]
+            if f.name in old
+            and _strip_nullability(f.dataType) != _strip_nullability(old[f.name])
         ]
         if clashes:
             detail = ", ".join(f"{n}: {o} -> {new}" for n, o, new in clashes)

@@ -61,7 +61,26 @@ def merge_upsert_partitioned(
       partitioned write.
     """
     fmt = file_format or ("delta" if delta_available() else "parquet")
+    # NULL update keys fail fast in BOTH branches (round-10 ADVICE: the
+    # gate originally ran only on the parquet fallback, so with Delta
+    # installed a NULL-keyed update row would still silently insert a
+    # duplicate every batch — MERGE equality never matches NULL).  The
+    # duplicate-key probe below stays parquet-only: Delta MERGE itself
+    # raises "multiple source rows matched" for that case.
+    null_cond = None
+    for k in merge_keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
     if fmt == "delta":
+        # Probe BEFORE touching any Delta machinery — also lets the
+        # env-gated test pin the gate's placement without delta-spark
+        # installed (ValueError beats ImportError).
+        if updates.filter(null_cond).limit(1).count():
+            raise ValueError(
+                "updates contain NULL merge key values; MERGE equality "
+                "never matches NULL, so such rows can only duplicate — "
+                "clean the batch first"
+            )
         from delta.tables import DeltaTable
 
         target = DeltaTable.forPath(spark, target_path)
@@ -141,18 +160,14 @@ def merge_upsert_partitioned(
     # (Null-safe matching was rejected: the Delta branch above uses SQL
     # equality and the two branches must not diverge.)
     # Delta-MERGE parity (same rules as ManifestTable._check_batch_keys):
-    # NULL merge keys never match under MERGE equality (they could only
-    # duplicate), and two update rows for one key have no defined winner
-    # — the Delta branch above raises "multiple source rows matched", so
-    # the parquet fallback must not silently land both.  Both checks
-    # ride ONE bounded agg job when check_duplicate_keys is on; callers
-    # that already reduce the batch to one winner per key
+    # two update rows for one key have no defined winner — the Delta
+    # branch raises "multiple source rows matched", so the parquet
+    # fallback must not silently land both.  Both checks ride ONE
+    # bounded agg job when check_duplicate_keys is on; callers that
+    # already reduce the batch to one winner per key
     # (write_stream_with_merge) pass False and pay only a limit-1 null
-    # probe.
-    null_cond = None
-    for k in merge_keys:
-        c = F.col(k).isNull()
-        null_cond = c if null_cond is None else (null_cond | c)
+    # probe.  ``null_cond`` is built above the branch split so the NULL
+    # gate covers Delta too.
     if check_duplicate_keys:
         stats = (
             updates.groupBy(*[F.col(k) for k in merge_keys])
@@ -197,13 +212,17 @@ def merge_upsert_partitioned(
     # write_stream_with_merge).  Fault posture: dynamic overwrite
     # commits partitions at job end, so a failure — including executor
     # loss taking checkpoint blocks with it — aborts the job with the
-    # target intact; the staged variant could sometimes survive an
-    # executor loss by re-reading staging, a retry-resilience (not
-    # correctness) trade documented here.  Dynamic overwrite stays a
-    # per-WRITE option, never session state.
+    # target intact; UMDP_DISK_STAGING=1 opts back into sibling-dir
+    # disk staging for flaky clusters / very large batches (see
+    # pin_for_self_overwrite).  Dynamic overwrite stays a per-WRITE
+    # option, never session state.
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        pin_for_self_overwrite,
         write_dynamic_overwrite,
     )
 
-    pinned = merged.localCheckpoint(eager=True)
-    write_dynamic_overwrite(pinned, target_path, partition_col)
+    pinned, cleanup = pin_for_self_overwrite(merged, target_path, "merge")
+    try:
+        write_dynamic_overwrite(pinned, target_path, partition_col)
+    finally:
+        cleanup()

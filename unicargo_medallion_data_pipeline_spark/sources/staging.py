@@ -42,6 +42,33 @@ def write_dynamic_overwrite(df, target_path: str, *partition_cols: str) -> None:
     )
 
 
+def pin_for_self_overwrite(df, target_path: str, prefix: str):
+    """Materialize a frame that is about to overwrite partitions it was
+    read from (Spark cannot overwrite a path mid-read) and return
+    ``(pinned_df, cleanup)``; call ``cleanup()`` after the write.
+
+    Default path: eager ``localCheckpoint`` — executor-block-manager
+    storage, cluster-valid, no filesystem round-trip.  The documented
+    trade (round-10 ADVICE item 4): checkpoint blocks pin the touched
+    partitions in executor memory/local disk, so an executor loss
+    mid-write always fails the job (retried from the source by the
+    caller), and a very large touched-partition set shifts storage
+    pressure onto executor local disk.  Set ``UMDP_DISK_STAGING=1`` to
+    fall back to the pre-round-10 sibling-directory disk staging —
+    two extra filesystem passes, but blocks survive executor loss and
+    spill to the TARGET filesystem instead — for very large batches or
+    flaky clusters.  Per-process env knob, not a per-call flag, because
+    the choice is a deployment posture, not a query property."""
+    import os
+
+    if os.environ.get("UMDP_DISK_STAGING") == "1":
+        spark = df.sparkSession
+        stg = staging_path(target_path, prefix)
+        df.write.mode("overwrite").format("parquet").save(stg)
+        return spark.read.parquet(stg), lambda: remove_path(spark, stg)
+    return df.localCheckpoint(eager=True), lambda: None
+
+
 def staging_path(target_path: str, prefix: str) -> str:
     """A unique staging dir next to ``target_path`` (same filesystem)."""
     clean = target_path.rstrip("/")

@@ -89,8 +89,9 @@ def save_to_table(
 
 
 def promote_table(spark: SparkSession, staging_name: str, final_name: str) -> str:
-    """Swap a staged managed table into its final name: DROP the old
-    table, RENAME the staging one.
+    """Swap a staged managed table into its final name via a
+    RENAME-ASIDE: ``final → final__prev``, ``staging → final``, drop
+    ``final__prev``.
 
     This is the write-then-promote half of a gate-before-publish
     pattern (round-10 ADVICE item 2): a pipeline that must validate
@@ -98,13 +99,45 @@ def promote_table(spark: SparkSession, staging_name: str, final_name: str) -> st
     the write action) writes to a STAGING name, checks the gate, and
     only then swaps — so a failed gate leaves the previous good table
     untouched instead of having already overwritten it.  The swap is
-    two metadata operations; a reader in the gap sees a missing table
-    (transient, retryable) — never a half-validated one.  RENAME on a
-    managed table moves its directory within the warehouse (same
-    filesystem — a rename, not a copy).
+    metadata-only; a reader in the gap sees a missing table (transient,
+    retryable) — never a half-validated one.  RENAME on a managed table
+    moves its directory within the warehouse (same filesystem — a
+    rename, not a copy).
+
+    Crash posture (round-10 verdict finding 1 — the previous
+    DROP-then-RENAME left NOTHING under the published name if the
+    process died between the two statements): with rename-aside, every
+    crash point leaves the data reachable under a published-or-backup
+    name and recovery is MECHANICAL — re-run ``promote_table`` with the
+    same arguments.  A crash after the rename-aside (final absent)
+    leaves both ``staging`` (new, validated) and ``__prev`` (old good);
+    the re-run drops the leftover ``__prev`` and completes the publish.
+    The only irrecoverable-by-rerun case is losing ``staging`` itself,
+    which no promote ordering can survive.
     """
-    spark.sql(f"DROP TABLE IF EXISTS {final_name}")
+    prev_name = f"{final_name}__prev"
+    if not spark.catalog.tableExists(staging_name):
+        if spark.catalog.tableExists(final_name):
+            # Recovery re-run after a crash that happened AFTER the
+            # publish rename: the promote already completed; only the
+            # leftover backup needs dropping.  Without this guard the
+            # re-run would rename the good final aside and then fail on
+            # the missing staging table — leaving final absent again.
+            spark.sql(f"DROP TABLE IF EXISTS {prev_name}")
+            return final_name
+        raise ValueError(
+            f"promote_table: neither {staging_name} nor {final_name} "
+            "exists — nothing to publish"
+        )
+    # A leftover __prev can only exist if a prior promote crashed
+    # mid-swap; the staged (newer) table was validated before that
+    # promote started, so the leftover is always the older snapshot and
+    # dropping it is safe.
+    spark.sql(f"DROP TABLE IF EXISTS {prev_name}")
+    if spark.catalog.tableExists(final_name):
+        spark.sql(f"ALTER TABLE {final_name} RENAME TO {prev_name}")
     spark.sql(f"ALTER TABLE {staging_name} RENAME TO {final_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {prev_name}")
     return final_name
 
 
