@@ -322,7 +322,12 @@ def top_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality (≤ shipments; every supplier×customer pair per route)
     dominates the Expand plan's per-column partials |route,supp| +
     |route,cust|, which map-side partial aggregation already dedups.
-    Expand is the right plan at this shape; kept.
+    Re-validated at the 10× (sf1.0-equivalent) point where the Expand
+    multiplier dominates fixed overhead (round-11 verdict task 3,
+    best-of-3 interleaved, probe spread 1.221): Expand 8.56s vs
+    two-phase 13.67s — the gap WIDENS with data (1.04× → 1.60×), no
+    crossover; the shuffle-volume argument above is what the
+    measurement shows.  Expand is the right plan at this shape; kept.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
