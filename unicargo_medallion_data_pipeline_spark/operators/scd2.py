@@ -117,6 +117,22 @@ def _prepare_updates(
     return _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
 
 
+def scd2_frame_like(
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    effective_ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Empty frame with the dimension's schema — what a read-back should
+    yield when every applied batch was empty (partitioned writes of zero
+    rows materialize no files, hence no schema to infer).  Pair with
+    ``sources.readers.read_parquet_or_empty``."""
+    u = updates.limit(0).select(
+        *key_cols, *tracked_cols, F.col(effective_ts_col).cast("timestamp").alias("_ts")
+    )
+    return _bootstrap_state(u, [*key_cols, *tracked_cols])
+
+
 def _bootstrap_state(u: DataFrame, cols: list[str]) -> DataFrame:
     """First-batch state: every surviving snapshot becomes current."""
     return _with_state(

@@ -107,7 +107,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training quality heuristics: length / punctuation / stopword
     ratios + composite score (north-star text analysis)."""
-    d = load_table(spark, sf_dir, "documents")
+    return quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """The quality-score computation over an arbitrary documents frame
+    (factored out so callers with a pre-filtered/deduped universe —
+    doc_neardup_representatives — score exactly the rows they keep)."""
     raw = d.select(
         "doc_id",
         ta.token_count("text").alias("n_tokens"),

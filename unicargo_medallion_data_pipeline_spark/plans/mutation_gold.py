@@ -22,9 +22,9 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC, sql_dsum
 from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
 from unicargo_medallion_data_pipeline_spark.operators.rollup import merge_additive_rollup
-from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2, as_of
+from unicargo_medallion_data_pipeline_spark.operators.scd2 import apply_scd2, as_of, scd2_frame_like
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
-from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+from unicargo_medallion_data_pipeline_spark.sources.readers import load_table, read_parquet_or_empty
 from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
 
 _AS_OF = "1995-06-15"
@@ -39,8 +39,11 @@ _B1, _B2 = "1994-01-01", "1996-01-01"
         SELECT o_custkey AS custkey, o_orderpriority AS priority,
                CAST(o_orderdate AS TIMESTAMP) AS ts,
                ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
-                                  ORDER BY o_orderkey) AS rn
-        FROM orders) WHERE rn = 1
+                                  ORDER BY o_orderkey NULLS LAST,
+                                           o_orderpriority NULLS LAST) AS rn
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+      WHERE rn = 1
     ),
     staged AS (
       SELECT *, CASE WHEN ts < TIMESTAMP '{_B1}' THEN 1
@@ -57,9 +60,14 @@ _B1, _B2 = "1994-01-01", "1996-01-01"
       SELECT custkey, priority, ts AS effective_from,
              LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS effective_to
       FROM (
-        SELECT *, LAG(priority) OVER (PARTITION BY custkey ORDER BY batch) AS prev
+        SELECT *, LAG(priority) OVER (PARTITION BY custkey ORDER BY batch) AS prev,
+               ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY batch) AS seq
         FROM surv)
-      WHERE prev IS NULL OR prev <> priority
+      -- NULL-safe change detection: LAG() is NULL both for the first row
+      -- and for a genuinely-NULL previous priority, so first-ness needs
+      -- its own marker and the comparison must be IS DISTINCT FROM
+      -- (found by the round-11 adversarial robustness sweep)
+      WHERE seq = 1 OR prev IS DISTINCT FROM priority
     )
     SELECT custkey, priority, effective_from, effective_to,
            (effective_to IS NULL) AS is_current
@@ -85,15 +93,22 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_current flags).
     """
     o = load_table(spark, sf_dir, "orders")
+    # A dimension snapshot needs an identity and an effective time; rows
+    # missing either are not snapshots (and a NULL SCD2 key / NULL batch
+    # timestamp has no cross-engine meaning).  The dedup tie-break
+    # includes the tracked column with pinned NULL order so two same-key
+    # same-ts rows that disagree on priority resolve identically in both
+    # engines (round-11 adversarial robustness sweep).
     snaps = canonical_dedup(
-        o.select(
+        o.filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
             F.col("o_custkey").alias("custkey"),
             F.col("o_orderpriority").alias("priority"),
             F.col("o_orderdate").cast("timestamp").alias("effective_ts"),
             "o_orderkey",
         ),
         keys=["custkey", "effective_ts"],
-        order_by=["o_orderkey"],
+        order_by=[F.asc_nulls_last("o_orderkey"), F.asc_nulls_last("priority")],
     ).drop("o_orderkey")
 
     path = os.path.join(scratch_dir("scd2_q_"), "dim")
@@ -111,7 +126,9 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_cols=["custkey"],
             tracked_cols=["priority"],
         )
-    dim = spark.read.parquet(path)
+    dim = read_parquet_or_empty(
+        spark, path, scd2_frame_like(snaps, ["custkey"], ["priority"])
+    )
     return as_of(dim, _AS_OF).select(
         "custkey", "priority", "effective_from", "effective_to", "is_current"
     )
@@ -125,7 +142,9 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       {sql_dsum("value")} AS value_sum,
       MIN(value) AS min_value,
       MAX(value) AS max_value
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
     """,
     operators=("A4", "A15"),
 )
@@ -141,7 +160,12 @@ def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFram
     (sums of sums stay exact), min/max are order-free — so the compare
     is bitwise, not approximate.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Rollup grain keys must be non-NULL (the merge contract rejects
+    # NULL keys — SQL MERGE equality never matches them); rows missing a
+    # key have no grain and are excluded on both sides.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     path = os.path.join(scratch_dir("rollup_q_"), "rollup")
     slice_key = F.coalesce(F.col("user_id") % 3, F.lit(0))
     for s in range(3):
@@ -168,7 +192,7 @@ def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFram
             },
             partition_col="event_type",
         )
-    return spark.read.parquet(path).select(
+    return read_parquet_or_empty(spark, path, delta).select(
         "event_date",
         "event_type",
         "n_events",
@@ -221,10 +245,17 @@ def orders_customer_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
-    o_base = o.filter(F.col("o_orderkey") % 4 != 0)
-    o_delta = o.filter(F.col("o_orderkey") % 4 == 0)
-    c_base = c.filter(F.col("c_custkey") % 5 != 0)
-    c_delta = c.filter(F.col("c_custkey") % 5 == 0)
+    # The base/delta split must be EXHAUSTIVE: a bare `key % n != 0`
+    # filter pair drops NULL-key rows from BOTH sides (NULL % n is NULL,
+    # which satisfies neither predicate), silently shrinking the
+    # maintained view relative to the from-scratch join (round-11
+    # adversarial robustness sweep).  NULL keys ride with the base.
+    o_split = F.coalesce(F.col("o_orderkey") % 4, F.lit(1))
+    c_split = F.coalesce(F.col("c_custkey") % 5, F.lit(1))
+    o_base = o.filter(o_split != 0)
+    o_delta = o.filter(o_split == 0)
+    c_base = c.filter(c_split != 0)
+    c_delta = c.filter(c_split == 0)
 
     on = F.col("o_custkey") == F.col("c_custkey")
     view = (

@@ -33,7 +33,7 @@ from unicargo_medallion_data_pipeline_spark.plans.docs_gold import (
     _NPUNCT as _Q_NPUNCT,
     _NSW as _Q_NSW,
     _NTOK as _Q_NTOK,
-    doc_quality_scores,
+    quality_frame,
 )
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
@@ -45,6 +45,93 @@ _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
 _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
 
+#: Hygiene contract of the token/shingle dedup family: documents with no
+#: extractable tokens (NULL text, empty or whitespace-only text) carry no
+#: content signal — set similarity over empty sets is 0/0, and engines
+#: legitimately disagree on how NULL text propagates through
+#: split/slice/hash pipelines (Spark's slice(NULL)+concat_ws yields [''],
+#: DuckDB's drops the row), so such documents would otherwise clique with
+#: every other empty document.  They are excluded from the near-dup
+#: universe BY CONTRACT; exact-dup fingerprinting (doc_fingerprint_dedup)
+#: still covers them.  Found by the round-11 adversarial robustness sweep.
+_SQL_HAS_TEXT = f"(text IS NOT NULL AND {_SQL_NORM} != '')"
+
+#: …and doc_id is the IDENTITY of the near-dup universe: with duplicate
+#: doc_id rows carrying different payloads, "pairs of doc ids" is
+#: ill-defined and engines diverge on where per-row vs per-id reduction
+#: happens (e.g. SimHash votes grouped by id merge the copies' tokens,
+#: while a per-row fingerprint keeps them apart).  One canonical row per
+#: id, tie-broken over the full payload so the survivor is deterministic
+#: in both engines.  No-op on identity-clean data.
+_SQL_DOCS1 = (
+    "SELECT doc_id, text, lang, source, n_chars FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY text, "
+    "lang NULLS LAST, source NULLS LAST, n_chars NULLS LAST) AS __rn "
+    f"FROM documents WHERE {_SQL_HAS_TEXT}) WHERE __rn = 1"
+)
+
+
+def _docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup universe: one canonical row per doc_id, text
+    non-empty (mirrors ``_SQL_DOCS1``)."""
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+    from unicargo_medallion_data_pipeline_spark.textops.analysis import norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.filter(F.col("text").isNotNull() & (norm_text("text") != ""))
+    return canonical_dedup(
+        d,
+        keys=["doc_id"],
+        order_by=[
+            F.asc("text"),
+            F.asc_nulls_last("lang"),
+            F.asc_nulls_last("source"),
+            F.asc_nulls_last("n_chars"),
+        ],
+    )
+
+
+#: Hygiene contract of the embedding similarity family: a vector is
+#: usable by the dim-64 cosine index iff it is present, has the index
+#: dimensionality, and has nonzero norm (cosine of a zero vector is
+#: 0/0).  The quantized-square sum mirrors sim.dot_q exactly, so both
+#: engines draw the same line.  At 100 TB this is a pushed-down scan
+#: filter — broken vectors never enter the index build.
+_SQL_VALID_EMB = (
+    "(embedding IS NOT NULL AND len(embedding) = 64 AND list_sum("
+    f"list_transform(embedding, x -> {_QI.format(v='x')} * {_QI.format(v='x')})) > 0)"
+)
+
+
+#: vec_id is likewise the identity of the vector index: duplicate ids
+#: with different payloads make per-id top-k ill-defined (the engine's
+#: max-merge candidate dedup keys on ids).  Canonical row per id,
+#: deterministic tie over the payload (arrays compare lexicographically
+#: in both engines).  No-op on identity-clean data.
+_SQL_EMB1 = (
+    "SELECT vec_id, embedding, label FROM ("
+    "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+    "ORDER BY embedding, label NULLS LAST) AS __rn "
+    f"FROM embeddings WHERE {_SQL_VALID_EMB}) WHERE __rn = 1"
+)
+
+
+def _embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-search universe: one canonical row per vec_id,
+    present / dim-64 / nonzero-norm (mirrors ``_SQL_EMB1``)."""
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantized(F.col("embedding"))
+    e = e.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (sim.dot_q(q, q) > 0)
+    )
+    return canonical_dedup(
+        e, keys=["vec_id"], order_by=[F.asc("embedding"), F.asc_nulls_last("label")]
+    )
+
 
 #: Shared all-pairs token-Jaccard oracle (threshold 0.8): ONE text for
 #: both the guarded exact anchor (doc_token_jaccard_pairs) and its
@@ -53,7 +140,7 @@ _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
 #: if their oracles cannot drift apart.
 _SQL_JACCARD_PAIRS_08 = f"""
     WITH t AS (
-      SELECT doc_id, {_SQL_TOKSET} AS tokset FROM documents
+      SELECT doc_id, {_SQL_TOKSET} AS tokset FROM ({_SQL_DOCS1})
     )
     SELECT
       a.doc_id AS a_id,
@@ -81,7 +168,7 @@ def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard, candidates from banding instead of the cross join).
     Size-guarded: refuses corpora beyond ALL_PAIRS_GUARD_ROWS."""
     d = guard_all_pairs(
-        load_table(spark, sf_dir, "documents"),
+        _docs_with_text(spark, sf_dir),
         "doc_token_jaccard_pairs", "doc_minhash_near_dups",
     )
     t = ensure_parallelism(d).select(
@@ -94,7 +181,7 @@ def doc_token_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", j.alias("jaccard")).filter(F.col("jaccard") >= 0.8)
 
 
-_SQL_SHINGLES3 = r"""
+_SQL_SHINGLES3 = rf"""
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, greatest(len(toks) - 2, 1)),
@@ -102,7 +189,7 @@ _SQL_SHINGLES3 = r"""
       FROM (
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        FROM documents
+        FROM ({_SQL_DOCS1})
       )
 """
 
@@ -123,7 +210,7 @@ _SQL_NEARDUP_COMP_PRELUDE = f"""
     ),
     sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
     reach AS (
-      SELECT doc_id AS node, doc_id AS label FROM documents
+      SELECT doc_id AS node, doc_id AS label FROM ({_SQL_DOCS1})
       UNION
       SELECT s.v AS node, r.label AS label
       FROM reach r JOIN sym s ON s.u = r.node
@@ -170,7 +257,7 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents share vocabulary heavily (mean token-set Jaccard ≈ 0.59)
     but not phrasing, so token-level 'near-dups' would be quadratic
     noise."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     return (
         dd.minhash_lsh_candidates(d, shingle_n=3, k=32, bands=16)
         .filter(F.col("jaccard") >= 0.3)
@@ -178,11 +265,11 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SIMHASH60 = r"""
+_SQL_SIMHASH60 = rf"""
       WITH tok AS (
         SELECT doc_id,
                unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS t
-        FROM documents
+        FROM ({_SQL_DOCS1})
       ),
       h AS (
         SELECT doc_id, ('0x'||substr(md5('simhash:'||t),1,15))::BIGINT AS h FROM tok
@@ -234,7 +321,7 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus keeps chunk buckets small only with wide chunks — 15 bits
     here; at larger corpora widen chunks / add rotations rather than
     raising the threshold past the pigeonhole bound."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     # Pin the fingerprints before the self-join: both join sides would
     # otherwise re-evaluate the md5+60-bit-vote fold (~0.33s/pass at
     # sf0.1, the bulk of the query).  Same localCheckpoint-over-persist
@@ -286,9 +373,10 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       vec_id,
       label,
       CAST(len(embedding) AS INTEGER) AS dim,
-      sqrt(CAST(list_sum(list_transform(embedding,
-            x -> {_QI.format(v='x')} * {_QI.format(v='x')})) AS DOUBLE))
-        / 100000000.0 AS l2_norm
+      CASE WHEN embedding IS NULL THEN NULL
+           ELSE sqrt(CAST(COALESCE(list_sum(list_transform(embedding,
+                  x -> {_QI.format(v='x')} * {_QI.format(v='x')})), 0) AS DOUBLE))
+                / 100000000.0 END AS l2_norm
     FROM embeddings
     """,
     operators=("P4", "P5"),
@@ -309,13 +397,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_knn_exact",
     sql=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    WITH emb AS (SELECT vec_id, embedding FROM ({_SQL_EMB1})),
+    q AS (SELECT vec_id, embedding FROM emb WHERE vec_id < 10),
     pair AS (
       SELECT q.vec_id AS qid, c.vec_id AS vid,
         SUM({_QI.format(v='q.embedding[i.i]')} * {_QI.format(v='c.embedding[i.i]')}) AS dot_q,
         SUM({_QI.format(v='q.embedding[i.i]')} * {_QI.format(v='q.embedding[i.i]')}) AS qq,
         SUM({_QI.format(v='c.embedding[i.i]')} * {_QI.format(v='c.embedding[i.i]')}) AS cc
-      FROM q, embeddings c, generate_series(1, 64) i(i)
+      FROM q, emb c, generate_series(1, 64) i(i)
       WHERE q.vec_id != c.vec_id
       GROUP BY 1, 2
     ),
@@ -340,7 +429,7 @@ def embedding_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for a 10-vector query set — the exact
     baseline for similarity search, quantized for cross-engine bitwise
     agreement.  Query side broadcasts; corpus side stays partitioned."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     return sim.cosine_topk_exact(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
@@ -377,7 +466,7 @@ def _lsh_oracle_sql(dim=64, k=5, n_planes=8, n_tables=4, seed=42, max_sim=None, 
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
-      FROM embeddings
+      FROM ({_SQL_EMB1})
     ),
     sig AS (
       SELECT vec_id, q,
@@ -426,7 +515,7 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set from the same plane literals and checks scores and
     ranks value-for-value — the approximation (recall < 1 vs exact KNN)
     is part of the contract being verified, not noise."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     return sim.cosine_topk_lsh(e.filter(F.col("vec_id") < 10), e, dim=64, k=5, n_planes=8)
 
 
@@ -435,7 +524,8 @@ def embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH comp AS (
       SELECT label, i.i AS i, {_QI.format(v='embedding[i.i]')} AS q
-      FROM embeddings, generate_series(1, 64) i(i)
+      FROM ({_SQL_EMB1}) embeddings,
+           generate_series(1, 64) i(i)
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -451,7 +541,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable despite crossing into Python.  Long-form output
     (label, dim_idx, component): scalar columns only, per the driver
     canonicalizer contract."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     return sim.label_centroids(e)
 
 
@@ -485,7 +575,7 @@ def _ivf_oracle_sql(dim=64, k=5, n_probe=4) -> str:
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
-      FROM embeddings
+      FROM ({_SQL_EMB1})
     ),
     assign AS (
       SELECT qv.vec_id, cent.cid,
@@ -540,7 +630,7 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic + IEEE divisions by shared literals that DuckDB
     reproduces bit-for-bit.  The iterative k-means fit itself
     (``sim.ivf_codebook``) is a separate operator covered by pytest."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     return sim.cosine_topk_ivf_frozen(e.filter(F.col("vec_id") < 10), e, k=5, n_probe=4)
 
 
@@ -575,7 +665,7 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter, which for near-dup graphs is small (dup clusters are
     dense, not chains).  The all-docs node frame keeps singletons as
     their own representative."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     edges = doc_minhash_near_dups(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(
         d.select("doc_id"), edges,
@@ -599,7 +689,7 @@ def doc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.3 * (1.0 - CAST({_Q_NPUNCT} AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
                + 0.3 * (CAST({_Q_NSW} AS DOUBLE) / CAST({_Q_NTOK} AS DOUBLE))
                AS quality_score
-      FROM documents
+      FROM ({_SQL_DOCS1})
     ),
     ranked AS (
       SELECT c.component_id, c.doc_id, q.quality_score,
@@ -632,13 +722,13 @@ def doc_neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.  Scale: the window runs per component (bounded by
     cluster size, never corpus size) after the linear components pass.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     edges = doc_minhash_near_dups(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(
         d.select("doc_id"), edges,
         node_col="doc_id", src_col="a_id", dst_col="b_id",
     )
-    quality = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    quality = quality_frame(d).select("doc_id", "quality_score")
     ranked = labels.join(quality, "doc_id").withColumn(
         "rn",
         F.row_number().over(
@@ -686,7 +776,7 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold cut before the ranking window — exact integer scores make
     the cut and the ranks bit-reproducible, so this ANN-derived sampler
     has a FULL value-level oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     return sim.cosine_topk_lsh(
         e.filter(F.col("vec_id") < 10), e, dim=64, k=3, n_planes=8,
         max_sim=_HARD_NEG_CAP,
@@ -725,7 +815,7 @@ def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at this catalog's embedding-table scale, and replaced by a plain
     shuffled bucket equi-join at lake scale (drop the broadcast hint;
     the plan shape is otherwise identical)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     top1 = sim.cosine_topk_lsh(e, e, dim=64, k=1, n_planes=8).select(
         "qid", "vid", "cosine_sim"
     )
@@ -759,8 +849,8 @@ def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END)
                 AS DOUBLE) / COUNT(*) AS knn1_accuracy
     FROM t
-    JOIN embeddings ea ON t.qid = ea.vec_id
-    JOIN embeddings eb ON t.vid = eb.vec_id
+    JOIN ({_SQL_EMB1}) ea ON t.qid = ea.vec_id
+    JOIN ({_SQL_EMB1}) eb ON t.vid = eb.vec_id
     GROUP BY ea.label
     ORDER BY ea.label
     """,
@@ -774,7 +864,7 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     helper's qid != vid; counts are exact so the per-class accuracy is
     one deterministic division; the neighbor assignment itself is the
     fully-oracled exact-integer LSH top-1."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     top1 = sim.cosine_topk_lsh(e, e, dim=64, k=1, n_planes=8).select("qid", "vid")
     labels = e.select("vec_id", "label")
     joined = (
@@ -850,7 +940,7 @@ def doc_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs quadratic blowup; versus MinHash-LSH this path is
     exact (recall 1 by theorem, not by probability).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     t = (
         ensure_parallelism(d)
         .select("doc_id", F.array_distinct(tokens("text")).alias("tokset"))
@@ -970,7 +1060,7 @@ def embedding_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query window over ≤ 2k rows — fusion cost is rank-list-sized,
     never corpus-sized.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10)
     ex = sim.cosine_topk_exact(q, e, k=5).select("qid", "vid", "sim_rank")
     ls = sim.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=8).select(
@@ -1019,7 +1109,7 @@ def doc_prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     unacceptable (decontamination, benchmark-leak scrubbing); use LSH
     when a provably-tiny miss rate buys a cheaper join.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)
     t = (
         ensure_parallelism(d)
         .select("doc_id", dd.shingles("text", 3).alias("tokset"))

@@ -228,6 +228,24 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
 
 
+def read_parquet_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Read a maintained parquet table; absent/schema-less → empty.
+
+    A partitioned write of ZERO rows materializes no files (dynamic
+    partitioning has no partition values to create), so a maintained
+    table whose every applied batch was empty cannot be read back —
+    Spark raises UNABLE_TO_INFER_SCHEMA.  At scale that is a real state
+    (a filter that matched nothing yet), not an error: return the empty
+    frame shaped like ``like`` instead.  Found by the round-11
+    degenerate-input robustness sweep."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return like.limit(0)
+
+
 def from_rows(spark: SparkSession, rows, schema: StructType) -> DataFrame:
     """S4 — local-collection source (generated dims, log rows)."""
     return spark.createDataFrame(rows, schema)
