@@ -28,7 +28,8 @@ _QUOTA_LIMIT = 40
     WITH seq AS (
       SELECT user_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS LAST, event_id NULLS LAST) AS rn
       FROM events
     )
     SELECT user_id,
@@ -56,7 +57,12 @@ def events_user_quota_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming quota (recompute a day's acceptance flags exactly).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Arrival order pins NULLS LAST explicitly: Spark defaults ASC
+    # NULLS FIRST, other engines NULLS LAST — an unpinned sequence
+    # diverges the moment a NULL timestamp appears (round-11 sweep).
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     seq = ev.select(
         "user_id",
         F.unix_timestamp("ts").alias("ts_s"),
@@ -174,10 +180,11 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              NTH_VALUE(o_orderkey, 2) OVER win AS second_cheapest_key,
              LAST_VALUE(o_orderkey) OVER win AS priciest_key,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice, o_orderkey) AS rn
+                                ORDER BY o_totalprice, o_orderkey NULLS LAST) AS rn
       FROM orders
+      WHERE o_totalprice IS NOT NULL
       WINDOW win AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice, o_orderkey
+                     ORDER BY o_totalprice, o_orderkey NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     )
     SELECT o_orderpriority, n_orders, cheapest_key, second_cheapest_key,
@@ -199,10 +206,14 @@ def priority_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cheapest_shipment_supplier) for the first/last pair; NTH_VALUE is
     the window-only capability this entry exists to verify.
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice"
+    # Cheapest/priciest are defined over PRICED orders only, and the
+    # orderkey tiebreak pins NULLS LAST (round-11 sweep).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
     )
-    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    order = [F.col("o_totalprice").asc(), F.col("o_orderkey").asc_nulls_last()]
     full = (
         Window.partitionBy("o_orderpriority")
         .orderBy(*order)
@@ -270,9 +281,10 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority, o_orderkey,
              CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
              RANK() OVER (PARTITION BY o_orderpriority
-                          ORDER BY o_orderdate DESC) AS date_rank,
+                          ORDER BY o_orderdate DESC NULLS LAST) AS date_rank,
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_orderdate DESC, o_orderkey) AS rn
+                                ORDER BY o_orderdate DESC NULLS LAST,
+                                         o_orderkey NULLS LAST) AS rn
       FROM orders
     )
     SELECT o_orderpriority, o_orderkey, order_date, date_rank, rn
@@ -294,9 +306,11 @@ def latest_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_orderkey", "o_orderdate"
     )
-    wr = Window.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").desc())
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderdate").desc_nulls_last()
+    )
     wn = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey")
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
     )
     r = o.select(
         "o_orderpriority",
@@ -382,7 +396,7 @@ def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFram
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month_start, revenue,
            LAG(revenue) OVER (ORDER BY month_start) AS prev_revenue,
@@ -401,7 +415,14 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     span), never the fact — the same bounded-window discipline as the
     drift and share queries.  One keyed aggregate + one tiny window.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    # A time series is defined over DATED rows only (round-11 sweep:
+    # a NULL month has no position in the LAG sequence and engines
+    # disagree on where it sorts).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())
+    )
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start")
     ).agg(
@@ -426,7 +447,7 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(20,0)) AS y_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     w AS (
       SELECT day, y_c,
@@ -464,7 +485,11 @@ def daily_revenue_zscore_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than 0/0 NaN.  One day-grain aggregate + one window over
     day-grain rows — bounded by the calendar, never the fact.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
+    )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("decimal(20,0)")
@@ -546,6 +571,7 @@ def corpus_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH ref AS (
       SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     ),
     base AS (
       SELECT o.o_custkey AS c_custkey,
@@ -554,7 +580,9 @@ def corpus_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n_orders,
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS monetary
-      FROM orders o CROSS JOIN ref r
+      FROM (SELECT * FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL) o
+      CROSS JOIN ref r
       GROUP BY o.o_custkey, r.ref_day
     ),
     scored AS (
@@ -589,8 +617,13 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from unicargo_medallion_data_pipeline_spark.operators.ranks import global_ntile
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
+    # An RFM profile needs dated, priced orders: undated rows have no
+    # recency and unpriced rows no monetary value, and a NULL entering
+    # an NTILE ordering diverges across engines (round-11 sweep).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull())
     )
     ref = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
     base = (
@@ -847,7 +880,7 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(20,0)) AS rev_c
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_custkey
     ),
     tiled AS (
       SELECT o_custkey, rev_c,
@@ -879,7 +912,13 @@ def revenue_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from unicargo_medallion_data_pipeline_spark.operators.ranks import global_ntile
 
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # Priced universe: an all-NULL-price customer would carry a NULL
+    # revenue into the decile ordering (round-11 sweep).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     cust = o.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("decimal(20,0)")
@@ -910,7 +949,7 @@ def revenue_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_errors,
              COUNT(*) AS n_events
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
     SELECT hour_start, n_errors, n_events,
            CAST(SUM(n_errors) OVER w AS BIGINT) AS errors_24h,
@@ -932,7 +971,11 @@ def hourly_error_rate_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding window (streaming/windows.py); this is its exact batch
     backfill.
     """
-    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "event_type")
+        .filter(F.col("ts").isNotNull())  # timed universe (r11 sweep)
+    )
     hourly = ev.groupBy(
         F.timestamp_seconds(
             (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint")
@@ -1185,7 +1228,7 @@ def daily_reactivations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(20,0)) AS rev_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     runs AS (
       SELECT day, rev_c,
@@ -1214,7 +1257,11 @@ def record_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     running MAX over a monotone frame is order-exact by definition.
     Window runs at day grain — bounded by the calendar.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
+    )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("decimal(20,0)")
@@ -1254,11 +1301,15 @@ def record_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER w AS order_seq,
              CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                            AS DECIMAL(20,0))) OVER
-               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               (PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                         o_totalprice NULLS LAST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS DECIMAL(28,0)) AS bal_c
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                            o_totalprice NULLS LAST)
     )
     SELECT o_custkey, o_orderkey, order_date, order_seq,
            CAST(amt_c AS DOUBLE) / 100.0 AS order_amount,
@@ -1284,8 +1335,13 @@ def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
     amt_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("decimal(20,0)")
+    # Statement order pins NULLS LAST and includes the amount in the
+    # tiebreak: near-duplicate rows differing only in price must
+    # sequence identically in both engines (round-11 sweep).
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").cast("date"), "o_orderkey"
+        F.asc_nulls_last(F.col("o_orderdate").cast("date")),
+        F.asc_nulls_last("o_orderkey"),
+        F.asc_nulls_last("o_totalprice"),
     )
     seq = o.select(
         "o_custkey",
@@ -1319,7 +1375,7 @@ def customer_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(20,0)) AS y_c
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ),
     pairs AS (
       SELECT y_c AS y, LAG(y_c) OVER (ORDER BY day) AS x
@@ -1353,7 +1409,11 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach ~1e21 — exact in DECIMAL(38), and the string-routed
     conversion keeps the final doubles bit-identical.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
+    )
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("decimal(20,0)")

@@ -36,7 +36,7 @@ _BIN_CENTS = 25
       SELECT event_type,
              CAST(round(value * 100) AS BIGINT) // {_BIN_CENTS} AS bin,
              COUNT(*) AS c
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     t AS (
       SELECT event_type, bin, c,
@@ -75,7 +75,10 @@ def events_value_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
     group; this needs one map-side-combined shuffle of ≤400-row
     summaries.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # A histogram is defined over VALUED rows: a NULL value has no bin,
+    # and a NULL bin entering the cumulative window diverges across
+    # engines (round-11 sweep).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = (
         ev.select(
             "event_type",
@@ -578,8 +581,11 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(value * 100) AS BIGINT) AS cents,
              CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
              LEAD(CAST(floor(epoch(ts)) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_s
-      FROM events
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id NULLS LAST,
+                              CAST(round(value * 100) AS BIGINT) NULLS LAST)
+               AS next_s
+      FROM events WHERE ts IS NOT NULL
     ),
     held AS (
       SELECT user_id, cents, next_s - ts_s AS dt
@@ -610,14 +616,24 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed window (LEAD) + one keyed aggregate — both map-side
     partial where possible, shuffled once on user_id."""
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    # Timed universe + total tie-break (event_id, then cents): a
+    # zero-length interval carries no weight, but WHICH of two same-ts
+    # rows closes the group decides whose value holds until the next
+    # observation — both engines must agree (round-11 sweep).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+        )
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", F.asc_nulls_last("event_id"), F.asc_nulls_last("cents")
+    )
     held = (
         ev.withColumn("next_s", F.lead("ts_s").over(w))
         .filter(F.col("next_s").isNotNull())
@@ -646,10 +662,12 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS TIMESTAMP) AS hour_start,
              value, ts, event_id,
              ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
-                                ORDER BY ts, event_id) AS rn_open,
+                                ORDER BY ts, event_id NULLS LAST,
+                                         value NULLS LAST) AS rn_open,
              ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
-                                ORDER BY ts DESC, event_id DESC) AS rn_close
-      FROM events
+                                ORDER BY ts DESC, event_id DESC NULLS LAST,
+                                         value DESC NULLS LAST) AS rn_close
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT hour_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -673,17 +691,28 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate (same partitioning); open/close resolve via
     rank-1-flag min/max so no second shuffle or self-join appears."""
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "value",
-        "ts",
-        "event_id",
-        (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
-        .cast("timestamp")
-        .alias("hour_start"),
+    # Timed universe + total (ts, event_id, value) tie-break: open and
+    # close must resolve identically in both engines even for
+    # same-timestamp same-id rows that disagree on value (r11 sweep).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "value",
+            "ts",
+            "event_id",
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600)
+            .cast("timestamp")
+            .alias("hour_start"),
+        )
     )
-    w_open = Window.partitionBy("hour_start").orderBy("ts", "event_id")
+    w_open = Window.partitionBy("hour_start").orderBy(
+        "ts", F.asc_nulls_last("event_id"), F.asc_nulls_last("value")
+    )
     w_close = Window.partitionBy("hour_start").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc(),
+        F.col("event_id").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
     )
     seq = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
         "rn_close", F.row_number().over(w_close)
@@ -711,7 +740,7 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH firsts AS (
       SELECT o_custkey,
              MIN(date_trunc('month', o_orderdate)) AS cohort_month
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_custkey
     ),
     flows AS (
       SELECT f.cohort_month,
@@ -720,7 +749,8 @@ def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + (MONTH(date_trunc('month', o.o_orderdate))
                      - MONTH(f.cohort_month)) AS INTEGER) AS age_months,
              CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      FROM (SELECT * FROM orders WHERE o_orderdate IS NOT NULL) o
+      JOIN firsts f ON o.o_custkey = f.o_custkey
     ),
     cohort_sizes AS (
       SELECT cohort_month, COUNT(*) AS n_customers
@@ -757,12 +787,17 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), one broadcast-ready join of the tiny firsts frame back
     to orders, one (cohort, age) aggregate, and a window over
     months-count-sized partitions — no customer-grain window anywhere."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        # cast to DATE: Spark date_trunc yields timestamp, DuckDB date —
-        # the type lattice flags the mismatch before the driver would
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    # Dated universe: cohorts and ages are month arithmetic (r11 sweep).
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_custkey",
+            # cast to DATE: Spark date_trunc yields timestamp, DuckDB date —
+            # the type lattice flags the mismatch before the driver would
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
     )
     firsts = o.groupBy("o_custkey").agg(
         F.min("order_month").alias("cohort_month")
@@ -808,7 +843,7 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderdate AS day,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders GROUP BY o_orderdate
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
     ),
     seq AS (
       SELECT day, cents,
@@ -854,6 +889,7 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = (
         load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
         .groupBy(F.col("o_orderdate").alias("day"))
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(

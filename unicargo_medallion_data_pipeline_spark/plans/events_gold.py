@@ -178,8 +178,9 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT event_type AS prev_type,
              LEAD(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-      FROM events
+               PARTITION BY user_id
+               ORDER BY ts, event_id NULLS LAST) AS next_type
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT prev_type, next_type, COUNT(*) AS n_transitions
     FROM seq
@@ -199,8 +200,15 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window partition but the state is one row (LEAD of 1), so no
     memory hazard — unlike collect_list-based sequence builds.
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Sequencing needs a time and the matrix an alphabet: NULL-ts and
+    # NULL-type events are outside the universe (r11 sweep); event_id
+    # tiebreak pins NULLS LAST.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", F.asc_nulls_last("event_id"))
     return (
         ev.select(
             F.col("event_type").alias("prev_type"),
@@ -222,9 +230,10 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
            LAST_VALUE(v IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
+             PARTITION BY user_id
+             ORDER BY ts, event_id NULLS LAST, v NULLS FIRST
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-    FROM nulled
+    FROM nulled WHERE ts IS NOT NULL
     """,
     operators=("W3", "W5", "P9"),
 )
@@ -241,11 +250,15 @@ def events_value_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     on event_id keeps equal timestamps deterministic.  Leading NULLs
     (user starts with an error) stay NULL by definition.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Timed universe; the tiebreak pins event_id NULLS LAST and orders
+    # the masked value NULLS FIRST so a null-measurement row tied with a
+    # sibling observation fills from the same prior value in both
+    # engines (r11 sweep).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"), F.asc_nulls_first(v))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -320,7 +333,7 @@ def event_halves_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_session_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts, event_id, event_type,
@@ -331,7 +344,8 @@ def event_halves_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     paths AS (
       SELECT user_id, session_seq,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             string_agg(event_type, '>'
+                        ORDER BY ts, event_id NULLS FIRST, event_type) AS path,
              COUNT(*) AS path_len
       FROM sessions GROUP BY user_id, session_seq
     )
@@ -364,8 +378,15 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path_len filter before the path-grain aggregate, which shuffles
     only (path, 1) pairs.  Top-15 is TakeOrderedAndProject.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # Timed + typed universe (a path is a sequence of symbols over
+    # time); the struct sort key adds event_type so same-(ts,id) rows
+    # with different types order identically in both engines — Spark's
+    # struct comparison and DuckDB's NULLS FIRST agree on NULL ids
+    # (r11 sweep).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp("ts")

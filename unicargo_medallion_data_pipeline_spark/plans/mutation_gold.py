@@ -144,6 +144,7 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       MAX(value) AS max_value
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      AND event_type != '' AND length(event_type) <= 128
     GROUP BY 1, 2
     """,
     operators=("A4", "A15"),
@@ -161,10 +162,20 @@ def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFram
     is bitwise, not approximate.
     """
     # Rollup grain keys must be non-NULL (the merge contract rejects
-    # NULL keys — SQL MERGE equality never matches them); rows missing a
-    # key have no grain and are excluded on both sides.
+    # NULL keys — SQL MERGE equality never matches them), and the
+    # PARTITION key must fit filesystem limits (Hive-style layout
+    # encodes the value into a directory name; an unbounded string
+    # partition column is a real lakehouse hazard — a 400-char value
+    # fails the task with ENAMETOOLONG).  Rows outside that universe
+    # are excluded on both sides (round-11 sweep).
+    # (empty string is additionally excluded: Hive-style layout encodes
+    # '' as the default partition, which reads back as NULL — a silent
+    # key rewrite)
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+        & (F.length("event_type") <= 128)
     )
     path = os.path.join(scratch_dir("rollup_q_"), "rollup")
     slice_key = F.coalesce(F.col("user_id") % 3, F.lit(0))

@@ -174,9 +174,11 @@ def nation_top_customers_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
              first_value(urgent_price IGNORE NULLS) OVER w
                AS first_urgent_price,
              cume_dist() OVER (PARTITION BY o_custkey
-                               ORDER BY o_totalprice) AS price_cume_dist
+                               ORDER BY o_totalprice NULLS LAST) AS price_cume_dist
       FROM seq
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST,
+                            o_totalprice NULLS LAST, urgent_price NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ) WHERE rn <= 3
     """,
@@ -196,12 +198,24 @@ def customer_order_window_corners(spark: SparkSession, sf_dir: str) -> DataFrame
     and the rn ≤ 3 cap bounds the output at 3 rows per customer.
     """
     o = load_table(spark, sf_dir, "orders")
+    # NULLS LAST pinned on every ordering key, and the running frame's
+    # order is TOTAL over the emitted values (date, key, price, urgent
+    # measure): near-duplicate rows must window identically in both
+    # engines (round-11 adversarial sweep).
+    urgent_order = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+    )
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(
+            F.asc_nulls_last("o_orderdate"),
+            F.asc_nulls_last("o_orderkey"),
+            F.asc_nulls_last("o_totalprice"),
+            F.asc_nulls_last(urgent_order),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wd = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    wd = Window.partitionBy("o_custkey").orderBy(F.asc_nulls_last("o_totalprice"))
     urgent = F.when(
         F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
     )
@@ -233,12 +247,13 @@ _ACID_CUTOFF = "1995-01-01"
       SELECT o_orderpriority AS priority,
              COUNT(*) AS n_orders
       FROM orders WHERE o_orderdate < DATE '{_ACID_CUTOFF}'
+        AND o_orderpriority IS NOT NULL
       GROUP BY o_orderpriority
     ),
     v1 AS (
       SELECT o_orderpriority AS priority,
              COUNT(*) AS n_orders
-      FROM orders
+      FROM orders WHERE o_orderpriority IS NOT NULL
       GROUP BY o_orderpriority
     )
     SELECT 0 AS version, priority, n_orders FROM v0
@@ -268,9 +283,12 @@ def orders_acid_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
 
+    # priority is the MERGE key: NULL keys are rejected by the merge
+    # gate (SQL MERGE equality never matches NULL), so the keyed-state
+    # universe is the non-NULL priorities on both sides (r11 sweep).
     o = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("priority"), "o_orderdate"
-    )
+    ).filter(F2.col("priority").isNotNull())
     t = ManifestTable(spark, os.path.join(scratch_dir("acid_q_"), "t"))
     v0_state = (
         o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
@@ -338,7 +356,9 @@ def events_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = t.read_pruned("value", _PRUNE_LO, _PRUNE_HI)
     n_all, n_pruned = len(t.read().inputFiles()), len(pruned.inputFiles())
-    if not n_pruned < n_all:  # explicit raise: python -O strips asserts
+    # skipping is only provable when there is more than one file to
+    # skip (an empty/one-file table reads 1/1 vacuously — r11 sweep)
+    if n_all > 1 and not n_pruned < n_all:  # explicit raise: -O strips asserts
         raise AssertionError(
             f"file skipping regressed: read {n_pruned}/{n_all} files"
         )
@@ -419,7 +439,9 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = ManifestTable(spark, path)
     hits = t.read_bloom_pruned("user_id", list(_BLOOM_USERS))
     n_all, n_read = len(t.read().inputFiles()), len(hits.inputFiles())
-    if not n_read < n_all:  # explicit raise: python -O strips asserts
+    # skipping is only provable when there is more than one file to
+    # skip (an empty/one-file table reads 1/1 vacuously — r11 sweep)
+    if n_all > 1 and not n_read < n_all:  # explicit raise: -O strips asserts
         raise AssertionError(
             f"bloom skipping regressed: read {n_read}/{n_all} files"
         )
@@ -445,11 +467,13 @@ def events_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v0 AS (
       SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
       FROM orders WHERE o_orderdate < DATE '{_ACID_CUTOFF}'
+        AND o_orderpriority IS NOT NULL
       GROUP BY o_orderpriority
     ),
     v1 AS (
       SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
-      FROM orders GROUP BY o_orderpriority
+      FROM orders WHERE o_orderpriority IS NOT NULL
+      GROUP BY o_orderpriority
     )
     SELECT priority, n_orders, change_type FROM (
       SELECT priority, n_orders, 'insert' AS change_type
@@ -479,9 +503,10 @@ def orders_manifest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
 
+    # non-NULL merge-key universe — same posture as orders_acid_timetravel
     o = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("priority"), "o_orderdate"
-    )
+    ).filter(F2.col("priority").isNotNull())
     t = ManifestTable(spark, os.path.join(scratch_dir("cdf_q_"), "t"))
     t.commit(
         o.filter(F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date"))
@@ -685,7 +710,7 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                 / 100 AS DOUBLE) AS total_value
-    FROM orders
+    FROM orders WHERE o_orderpriority IS NOT NULL
     GROUP BY o_orderpriority
     ORDER BY priority
     """,
@@ -716,11 +741,14 @@ def priority_rollup_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFram
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
 
     cents = F2.round(F2.col("o_totalprice") * 100).cast("bigint")
+    # non-NULL key universe: a NULL priority never joins its own delta
+    # in the base FULL JOIN delta maintenance (equality join), so the
+    # maintained view would double the NULL group (r11 sweep).
     o = load_table(spark, sf_dir, "orders").select(
         F2.col("o_orderpriority").alias("priority"),
         "o_orderdate",
         cents.alias("total_cents"),
-    )
+    ).filter(F2.col("priority").isNotNull())
     t = ManifestTable(spark, os.path.join(scratch_dir("ivm_q_"), "t"))
     v0_rows = o.filter(
         F2.col("o_orderdate") < F2.lit(_ACID_CUTOFF).cast("date")
@@ -789,7 +817,12 @@ def orders_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ManifestTable(spark, os.path.join(scratch_dir("hist_q_"), "t"))
     cutoff = F2.lit(_ACID_CUTOFF).cast("date")
     t.commit(o.filter(F2.col("o_orderdate") < cutoff))
-    t.commit(o.filter(F2.col("o_orderdate") >= cutoff), mode="append")
+    # exhaustive split: NULL-dated rows must land in exactly one commit
+    # (a bare >= drops them from both — r11 sweep)
+    t.commit(
+        o.filter(F2.col("o_orderdate").isNull() | (F2.col("o_orderdate") >= cutoff)),
+        mode="append",
+    )
     return (
         t.history()
         .select("version", "n_rows")
@@ -800,14 +833,23 @@ def orders_manifest_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_cdc_apply_state",
     sql="""
-    WITH final_state AS (
-      SELECT o_orderpriority AS priority,
-             CASE WHEN o_orderkey % 13 = 1
-                  THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
-                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
-             END AS total_cents
-      FROM orders
-      WHERE o_orderkey % 13 <> 0
+    WITH seed AS (
+      SELECT k, priority, total_cents FROM (
+        SELECT o_orderkey AS k, o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               ROW_NUMBER() OVER (
+                 PARTITION BY o_orderkey
+                 ORDER BY o_orderpriority NULLS LAST,
+                          CAST(round(o_totalprice * 100) AS BIGINT) NULLS LAST
+               ) AS rn
+        FROM orders WHERE o_orderkey IS NOT NULL) WHERE rn = 1
+    ),
+    final_state AS (
+      SELECT priority,
+             CASE WHEN k % 13 = 1 THEN total_cents * 2
+                  ELSE total_cents END AS total_cents
+      FROM seed
+      WHERE k % 13 <> 0
     )
     SELECT priority,
            COUNT(*) AS n_orders,
@@ -837,10 +879,22 @@ def orders_cdc_apply_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from unicargo_medallion_data_pipeline_spark.sources.acid import ManifestTable
     from unicargo_medallion_data_pipeline_spark.streaming.writers import apply_cdc_batch
 
-    o = load_table(spark, sf_dir, "orders").select(
-        F2.col("o_orderkey").alias("k"),
-        F2.col("o_orderpriority").alias("priority"),
-        F2.round(F2.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+
+    # A CDC-maintained table is KEYED state: the seed must be one
+    # canonical row per non-NULL key (duplicate/NULL-keyed seed rows
+    # make per-key apply ill-defined — r11 sweep), tie-broken over the
+    # payload identically in both engines.
+    o = canonical_dedup(
+        load_table(spark, sf_dir, "orders")
+        .filter(F2.col("o_orderkey").isNotNull())
+        .select(
+            F2.col("o_orderkey").alias("k"),
+            F2.col("o_orderpriority").alias("priority"),
+            F2.round(F2.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        ),
+        keys=["k"],
+        order_by=[F2.asc_nulls_last("priority"), F2.asc_nulls_last("total_cents")],
     )
     t = ManifestTable(spark, os.path.join(scratch_dir("cdcq_"), "t"))
     t.commit(o)
@@ -934,7 +988,9 @@ def events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         more=[("user_id", _Z_USER_LO, _Z_USER_HI)],
     )
     n_all, n_read = len(t.read().inputFiles()), len(pruned.inputFiles())
-    if not n_read < n_all:  # explicit raise: python -O strips asserts
+    # skipping is only provable when there is more than one file to
+    # skip (an empty/one-file table reads 1/1 vacuously — r11 sweep)
+    if n_all > 1 and not n_read < n_all:  # explicit raise: -O strips asserts
         raise AssertionError(
             f"z-order skipping regressed: read {n_read}/{n_all} files"
         )
@@ -1002,7 +1058,14 @@ def orders_csv_quarantine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         "o_orderdate",
         # decimal-formatted text round-trips exactly to the same double
         F2.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-        "o_orderpriority",
+        # CSV interchange contract: LINE-based (the splittable,
+        # quarantine-conserving form read_csv_with_quarantine is built
+        # around), so embedded newlines are sanitized before export — a
+        # quoted multi-line cell would otherwise truncate on re-ingest
+        # and its tail lines would quarantine (r11 adversarial sweep).
+        F2.regexp_replace("o_orderpriority", r"[\r\n]", " ").alias(
+            "o_orderpriority"
+        ),
     )
     d = scratch_dir("csvq_")
     csv_dir = os.path.join(d, "csv")
@@ -1216,13 +1279,21 @@ def order_value_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_xml_roundtrip",
     sql="""
-    SELECT o_orderpriority AS priority,
+    WITH u AS (
+      SELECT NULLIF(trim(o_orderpriority), '') AS priority,
+             o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+    )
+    SELECT priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_total,
            CAST(MIN(o_orderdate) AS DATE) AS first_date,
            CAST(MAX(o_orderdate) AS DATE) AS last_date
-    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    FROM u
+    WHERE NOT (o_orderkey IS NULL AND o_orderdate IS NULL
+               AND o_totalprice IS NULL AND priority IS NULL)
+    GROUP BY priority ORDER BY priority
     """,
     operators=("S3", "P5", "A4"),
 )
@@ -1252,16 +1323,33 @@ def orders_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from unicargo_medallion_data_pipeline_spark.sources.readers import read_xml
 
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        # cast to DATE before writing: the XML writer renders a
-        # timestamp column as '…T00:00:00.000' text, which a DateType
-        # read rejects — and an XML permissive cell failure nulls the
-        # REST of the row's fields too (probed live), so the date must
-        # round-trip as plain ISO date text
-        F.col("o_orderdate").cast("date").alias("o_orderdate"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
-        "o_orderpriority",
+    # XML text cannot represent the empty/whitespace-only vs absent
+    # distinction (ignoreSurroundingSpaces trims, an empty element reads
+    # back NULL), and a row whose every field is NULL round-trips as a
+    # contentless element.  The round-trip UNIVERSE therefore normalizes
+    # blank strings to NULL and excludes all-NULL rows on BOTH sides —
+    # a pipeline needing those distinctions should not choose XML
+    # interchange (round-11 adversarial sweep).
+    prio = F.when(F.trim("o_orderpriority") != "", F.col("o_orderpriority"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            # cast to DATE before writing: the XML writer renders a
+            # timestamp column as '…T00:00:00.000' text, which a DateType
+            # read rejects — and an XML permissive cell failure nulls the
+            # REST of the row's fields too (probed live), so the date must
+            # round-trip as plain ISO date text
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            prio.alias("o_orderpriority"),
+        )
+        .filter(
+            F.col("o_orderkey").isNotNull()
+            | F.col("o_orderdate").isNotNull()
+            | F.col("o_totalprice").isNotNull()
+            | F.col("o_orderpriority").isNotNull()
+        )
     )
     d = scratch_dir("xmlq_")
     xml_dir = os.path.join(d, "xml")

@@ -221,7 +221,8 @@ def customer_intensity_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         CAST(o_orderdate AS DATE) AS order_date,
         o_orderkey,
         LAG(CAST(o_orderdate AS DATE)) OVER
-          (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+          (PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) NULLS LAST, o_orderkey NULLS LAST)
           AS prev_order_date
       FROM orders
     )
@@ -240,7 +241,9 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §2.5 W5 'available free'), included for engine completeness.
     orderkey tiebreak makes the sequence deterministic."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("order_date"), F.asc_nulls_last("o_orderkey")
+    )  # pinned NULL order (r11 sweep)
     seq = o.select(
         "o_custkey",
         F.to_date("o_orderdate").alias("order_date"),
@@ -349,7 +352,8 @@ def customer_cohort_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
-             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity)
+             ORDER BY l_linenumber NULLS LAST, l_partkey NULLS LAST,
+                      l_suppkey NULLS LAST, l_quantity NULLS LAST)
              AS INTEGER) AS rn
       FROM lineitem
     )
@@ -370,8 +374,11 @@ def first_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — the synthetic corpus repeats l_linenumber within an order."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
-    )
+        F.asc_nulls_last("l_linenumber"),
+        F.asc_nulls_last("l_partkey"),
+        F.asc_nulls_last("l_suppkey"),
+        F.asc_nulls_last("l_quantity"),
+    )  # pinned NULL order (r11 sweep)
     return (
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
         .withColumn("rn", F.row_number().over(w))
@@ -413,7 +420,9 @@ def distinct_order_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT
       o_orderkey,
-      concat('ORD-', lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS order_code,
+      -- || not concat(): DuckDB's concat() treats NULL as '' while
+      -- Spark's returns NULL; || propagates NULL like Spark (r11 sweep)
+      'ORD-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS order_code,
       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date_str,
       upper(o_orderpriority) AS priority_upper,
       substring(o_orderpriority, 1, 1) AS priority_digit,
@@ -495,7 +504,7 @@ def events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
                (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_session_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT
@@ -524,8 +533,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch mirror of session_window streaming (reference gap T6).
 
     Scale: one shuffle on user_id; window state is per-user sequential —
-    exactly how Spark distributes it on a cluster."""
-    ev = load_table(spark, sf_dir, "events")
+    exactly how Spark distributes it on a cluster.  Universe: timed
+    events only — sessionization is undefined without an event time,
+    exactly like its streaming twin behind the watermark (r11 sweep)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp("ts")
     prev_epoch = F.lag(epoch).over(w)
