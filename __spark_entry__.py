@@ -48,7 +48,95 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: Queries whose plan changed since their last green row — forced into
 #: the window head for re-verification.  Keep EMPTY unless a catalog
 #: query's semantics/plan actually changed this round.
-_FORCE_WINDOW: list[str] = []
+_FORCE_WINDOW: list[str] = [
+    "doc_decontaminated_sample",
+    "doc_neardup_representatives",
+    "doc_shard_packing",
+    "doc_stratified_cap",
+    "doc_token_jaccard_pairs",
+    "embedding_dim_profile",
+    "embedding_hard_negatives",
+    "embedding_knn_exact",
+    "embedding_knn_ivf",
+    "embedding_knn_label_accuracy",
+    "embedding_knn_lsh",
+    "embedding_label_centroids",
+    "embedding_mutual_nn_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_rrf_fusion",
+    "doc_minhash_near_dups",
+    "doc_simhash_clusters",
+    "doc_neardup_components",
+    "doc_prefix_filter_jaccard",
+    "doc_prefix_filter_neardups",
+    "embedding_norms",
+    "scd2_as_of_snapshot",
+    "rollup_incremental_equals_full",
+    "orders_customer_join_ivm",
+    "events_user_quota_batch",
+    "priority_price_extremes",
+    "latest_orders_with_ties",
+    "monthly_revenue_mom",
+    "daily_revenue_zscore_28d",
+    "customer_rfm_scores",
+    "revenue_top_decile_share",
+    "hourly_error_rate_24h",
+    "record_revenue_days",
+    "customer_running_balance",
+    "daily_revenue_autocorr",
+    "user_value_twap",
+    "events_hourly_ohlc",
+    "events_value_binned_quantiles",
+    "cohort_ltv_matrix",
+    "daily_revenue_cusum",
+    "corpus_datasheet",
+    "events_user_erasure_audit",
+    "orders_expectation_report",
+    "customer_order_window_corners",
+    "orders_acid_timetravel",
+    "orders_manifest_cdf",
+    "priority_rollup_cdf_maintained",
+    "orders_manifest_history",
+    "orders_cdc_apply_state",
+    "orders_csv_quarantine_roundtrip",
+    "orders_xml_roundtrip",
+    "events_manifest_pruned_scan",
+    "events_bloom_pruned_lookup",
+    "events_zorder_pruned_scan",
+    "events_value_drift",
+    "orders_snapshot_diff",
+    "segment_revenue_trend",
+    "segment_revenue_trend_slope",
+    "part_pareto_frontier",
+    "rolling_7day_revenue",
+    "cheapest_shipment_supplier",
+    "events_props_json",
+    "events_props_variant",
+    "order_priority_rollup",
+    "order_status_priority_cube",
+    "errors_in_session",
+    "clicks_asof_purchase",
+    "customer_order_gaps",
+    "first_lineitem_per_order",
+    "order_id_formatting",
+    "events_sessionization",
+    "cleaned_events_pipeline",
+    "customer_revenue_decile",
+    "customer_revenue_rank",
+    "events_sketch_profile",
+    "nation_trade_pagerank",
+    "event_transition_matrix",
+    "events_value_forward_fill",
+    "top_event_paths",
+    "part_pair_cooccurrence",
+    "part_also_bought_top3",
+    "events_mergeable_hll_rollup",
+    "embedding_dim_covariance",
+    "corpus_token_df",
+    "doc_curation_pipeline",
+    "doc_weighted_sample",
+    "doc_binary_asset_features",
+]
 
 #: Driver sample-window size (the correctness harness samples this many
 #: entries from the head of ``queries()``).

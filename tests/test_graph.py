@@ -100,15 +100,16 @@ def test_pagerank_integer_matches_python_reference(spark):
     assert got == r
 
 
-def test_pagerank_rejects_empty_nodes(spark):
-    import pytest as _pytest
-
+def test_pagerank_empty_nodes_returns_empty_ranking(spark):
+    # r11: the empty graph is a real state (matched-nothing filter), not
+    # an error — PageRank over it IS the empty ranking
     from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
 
     ndf = spark.createDataFrame([], "node bigint")
     edf = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
-    with _pytest.raises(ValueError, match="non-empty"):
-        pagerank_integer(ndf, edf)
+    out = pagerank_integer(ndf, edf)
+    assert out.columns == ["node", "pagerank_scaled"]
+    assert out.count() == 0
 
 
 def test_pagerank_mass_bounded_and_positive(spark):

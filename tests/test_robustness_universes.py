@@ -1,0 +1,120 @@
+"""Pins for the round-11 adversarial-robustness fixes: canonical
+universes, NULL-tolerant multimodal features, and empty-state reads.
+
+The full gate is ``sweep_robustness.py`` (entire catalog × empty + two
+adversarial datasets); these tests pin the shared helpers' semantics so
+a regression fails fast in CI without the sweep's runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_docs_with_text_is_canonical_per_id(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unicargo_medallion_data_pipeline_spark.plans.universes import docs_with_text
+
+    rows = {
+        "doc_id": [1, 1, 2, 3, 4, None],
+        "text": ["b text", "a text", None, "   ", "real doc", "orphan"],
+        "lang": ["en", "de", "en", "en", None, "en"],
+        "source": ["s1"] * 6,
+        "n_chars": [6, 6, 0, 3, 8, 6],
+    }
+    pq.write_table(pa.table(rows), os.path.join(tmp_path, "documents.parquet"))
+    out = docs_with_text(spark, str(tmp_path)).orderBy("doc_id").collect()
+    # doc 1: duplicate id -> ONE row, survivor = min text ('a text');
+    # doc 2: NULL text out; doc 3: whitespace-only out; NULL id out.
+    assert [(r.doc_id, r.text) for r in out] == [(1, "a text"), (4, "real doc")]
+
+
+def test_embeddings_valid_filters_and_dedups(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unicargo_medallion_data_pipeline_spark.plans.universes import embeddings_valid
+
+    good = [0.5] * 64
+    better = [0.25] * 64
+    rows = {
+        "vec_id": [1, 1, 2, 3, 4, None],
+        "embedding": [good, better, [], [0.0] * 64, good[:10], good],
+        "label": [1, 2, 1, 1, 1, 1],
+    }
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table(rows, schema=schema), os.path.join(tmp_path, "embeddings.parquet")
+    )
+    out = embeddings_valid(spark, str(tmp_path)).orderBy("vec_id").collect()
+    # vec 1 deduped (array-lexicographic survivor = the 0.25 vector);
+    # empty, zero-norm, wrong-dim, NULL-id all excluded.
+    assert [r.vec_id for r in out] == [1]
+    assert abs(out[0].embedding[0] - 0.25) < 1e-6
+
+
+def test_extract_features_null_content_is_an_error_row(spark):
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import extract_features
+
+    assets = spark.createDataFrame(
+        [(1, "text/plain", b"abc"), (None, "text/plain", None)],
+        "asset_id int, media_type string, content binary",
+    )
+    # the orderBy drives the exact RangePartitioner path that crashed on
+    # a NULL id under the old non-nullable output schema
+    rows = {r.asset_id: r for r in extract_features(assets).orderBy("asset_id").collect()}
+    assert rows[1].decode_status == "ok" and rows[1].n_bytes == 3
+    null_row = rows[None]
+    assert null_row.decode_status == "error: missing content"
+    assert null_row.n_bytes is None and null_row.content_hash is None
+
+
+def test_read_parquet_or_empty_and_scd2_frame_like(spark, tmp_path):
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import (
+        apply_scd2,
+        scd2_frame_like,
+    )
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_parquet_or_empty,
+    )
+
+    updates = spark.createDataFrame(
+        [], "custkey bigint, priority string, effective_ts timestamp"
+    )
+    path = os.path.join(tmp_path, "dim")
+    # an all-empty batch sequence materializes no files...
+    apply_scd2(spark, path, updates, key_cols=["custkey"], tracked_cols=["priority"])
+    like = scd2_frame_like(updates, ["custkey"], ["priority"])
+    dim = read_parquet_or_empty(spark, path, like)
+    # ...but the read-back is still an empty frame with the dimension's schema
+    assert dim.count() == 0
+    assert set(dim.columns) >= {
+        "custkey",
+        "priority",
+        "effective_from",
+        "effective_to",
+        "is_current",
+        "scd_state",
+    }
+
+
+def test_pagerank_empty_graph_returns_empty_ranking(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    nodes = spark.createDataFrame([], "node bigint")
+    edges = spark.createDataFrame([], "src bigint, dst bigint, w bigint")
+    out = pagerank_integer(
+        nodes, edges, node_col="node", src_col="src", dst_col="dst", weight_col="w"
+    )
+    assert out.columns == ["node", "pagerank_scaled"]
+    assert out.count() == 0

@@ -125,7 +125,13 @@ def pagerank_integer(
     nodes = nodes.select(node_col).distinct()
     n_nodes = nodes.count()  # bounded metadata (node count, not rows-of-data)
     if n_nodes == 0:
-        raise ValueError("pagerank_integer requires a non-empty node frame")
+        # PageRank over the empty graph IS the empty ranking — a
+        # matched-nothing node filter is a real state at scale, not an
+        # error (r11 degenerate-input sweep)
+        return nodes.select(
+            F.col(node_col),
+            F.lit(None).cast("long").alias("pagerank_scaled"),
+        ).limit(0)
     base = (scale * (damping_den - damping_num)) // damping_den // n_nodes
     r0 = scale // n_nodes
 

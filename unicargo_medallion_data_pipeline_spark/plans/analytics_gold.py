@@ -52,8 +52,11 @@ _DRIFT_SPLIT = "2024-01-16 00:00:00"
       CASE
         WHEN o.o_orderkey IS NULL THEN 'added'
         WHEN n.o_orderkey IS NULL THEN 'removed'
-        WHEN o.o_totalprice = n.o_totalprice
-             AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+        -- null-safe compare: NULL = NULL must read 'unchanged', like
+        -- the engine's <=> column compare (r11 sweep)
+        WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+             AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+          THEN 'unchanged'
         ELSE 'changed'
       END AS change_status,
       COUNT(*) AS n_keys
@@ -100,16 +103,22 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(FLOOR(value / 50) AS INT) AS value_bin,
              CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
              CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_DRIFT_SPLIT}' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       GROUP BY 1
     )
     SELECT value_bin, n_early, n_late,
-           (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
-              - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
-           * (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
-              - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
-           / (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
-              + CAST(n_late AS DOUBLE) / SUM(n_late) OVER ()) AS drift_contrib
+           -- drift is defined only when both periods are populated and
+           -- the bin is non-empty; Spark ANSI raises on ANY zero
+           -- divisor, doubles included (r11 sweep)
+           CASE WHEN SUM(n_early) OVER () > 0 AND SUM(n_late) OVER () > 0
+                 AND n_early + n_late > 0 THEN
+             (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+                - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
+             * (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+                - CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
+             / (CAST(n_early AS DOUBLE) / SUM(n_early) OVER ()
+                + CAST(n_late AS DOUBLE) / SUM(n_late) OVER ())
+           END AS drift_contrib
     FROM b
     ORDER BY value_bin
     """,
@@ -130,7 +139,11 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the 10-row result — bounded by the BIN count, never the
     event count, so the unpartitioned window is safe at any scale.
     """
-    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value")
+        .filter(F.col("ts").isNotNull())  # timed universe (r11 sweep)
+    )
     split = F.lit(_DRIFT_SPLIT).cast("timestamp")
     b = ev.groupBy(
         F.floor(F.col("value") / 50).cast("int").alias("value_bin")
@@ -141,9 +154,15 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy()  # 10 rows — bounded by bin count, documented
     p = F.col("n_early").cast("double") / F.sum("n_early").over(w)
     q = F.col("n_late").cast("double") / F.sum("n_late").over(w)
+    defined = (
+        (F.sum("n_early").over(w) > 0)
+        & (F.sum("n_late").over(w) > 0)
+        & (F.col("n_early") + F.col("n_late") > 0)
+    )
     return (
-        b.withColumn("drift_contrib", (p - q) * (p - q) / (p + q))
-        .orderBy("value_bin")
+        b.withColumn(
+            "drift_contrib", F.when(defined, (p - q) * (p - q) / (p + q))
+        ).orderBy("value_bin")
     )
 
 
@@ -157,6 +176,7 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
                   AS DECIMAL(20,0)) AS y_c
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate IS NOT NULL
       GROUP BY 1, 2
     ),
     s AS (
@@ -170,9 +190,12 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            CAST(n AS BIGINT) AS n_days,
-           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0
-             AS slope_per_day
+           -- a one-day segment has zero x-variance: slope undefined
+           -- (Spark ANSI raises on zero divisors — r11 sweep)
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) / 100.0
+           END AS slope_per_day
     FROM s
     ORDER BY c_mktsegment
     """,
@@ -199,8 +222,10 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed aggregates — (segment, day) then segment — both map-side
     combined; 5 output rows.
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     daily = (
@@ -224,13 +249,17 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y_c")).cast("decimal(28,0)").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("decimal(28,0)").alias("sxx"),
     )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return s.select(
         "c_mktsegment",
         F.col("n").cast("bigint").alias("n_days"),
-        (
+        # one-day segments have zero x-variance: slope undefined, and
+        # Spark ANSI raises on zero divisors (r11 sweep)
+        F.when(
+            denom != 0,
             exact_double(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            / F.lit(100.0)
+            / exact_double(denom)
+            / F.lit(100.0),
         ).alias("slope_per_day"),
     ).orderBy("c_mktsegment")
 

@@ -303,11 +303,18 @@ _ERASE_MOD = 97
     sql=f"""
     SELECT event_type AS partition,
            COUNT(*) AS rows_before,
-           CAST(SUM(CASE WHEN user_id % {_ERASE_MOD} <> 0 THEN 1 ELSE 0 END)
+           -- rows_after = everything not deleted (a NULL user_id is
+           -- KEPT — the erasure anti-join can never match it), so the
+           -- audit identity before = after + deleted must hold with
+           -- NULLs present (r11 sweep)
+           CAST(COUNT(*) - SUM(CASE WHEN user_id % {_ERASE_MOD} = 0
+                                    THEN 1 ELSE 0 END)
                 AS BIGINT) AS rows_after,
            CAST(SUM(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS rows_deleted
     FROM events
+    WHERE event_type IS NOT NULL AND event_type != ''
+      AND length(event_type) <= 128
     GROUP BY event_type
     HAVING SUM(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END) > 0
     ORDER BY event_type
@@ -325,8 +332,17 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the partition-scoped rewrite deleted exactly the requested keys and
     nothing else — including the audit arithmetic.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+    # partition-key sanity universe (same contract as
+    # rollup_incremental_equals_full: Hive layout can't carry NULL-vs-''
+    # distinctly or >128-char values — r11 sweep)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .filter(
+            F.col("event_type").isNotNull()
+            & (F.col("event_type") != "")
+            & (F.length("event_type") <= 128)
+        )
     )
     path = os.path.join(scratch_dir("erase_q_"), "events")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
@@ -335,9 +351,20 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
-    audit = propagate_deletes(
-        spark, path, cohort, key_cols=["user_id"], partition_col="event_type"
-    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        audit = propagate_deletes(
+            spark, path, cohort, key_cols=["user_id"], partition_col="event_type"
+        )
+    except AnalysisException:
+        # nothing was ever materialized (empty universe writes no
+        # partition files): the audit is empty by definition
+        return spark.createDataFrame(
+            [],
+            "partition string, rows_before bigint, rows_after bigint, "
+            "rows_deleted bigint",
+        )
     return audit.select(
         "partition", "rows_before", "rows_after", "rows_deleted"
     ).orderBy("partition")
@@ -352,30 +379,38 @@ def events_user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_expectation_report",
     sql="""
     SELECT 'not_null' AS rule, 'o_custkey' AS target,
-           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS violations,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violations,
+           COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+             AS passed
     FROM orders
     UNION ALL
+    -- engine unique semantics: violations = rows beyond the FIRST per
+    -- key, with the NULL group counting like any other (one NULL row is
+    -- not a duplicate); COUNT(*) - COUNT(DISTINCT k) alone would call
+    -- every NULL row a violation (r11 sweep)
     SELECT 'unique', 'o_orderkey',
-           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
-           COUNT(*) = COUNT(DISTINCT o_orderkey)
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                - CASE WHEN COUNT(*) > COUNT(o_orderkey) THEN 1 ELSE 0 END
+                AS BIGINT),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+             - CASE WHEN COUNT(*) > COUNT(o_orderkey) THEN 1 ELSE 0 END = 0
     FROM orders
     UNION ALL
     SELECT 'in_range', 'o_totalprice',
-           CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
-                         THEN 1 ELSE 0 END) AS BIGINT),
-           SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
-                    THEN 1 ELSE 0 END) = 0
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'accepted_values', 'o_orderstatus',
-           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                           AND o_orderstatus NOT IN ('O', 'F', 'P')
-                         THEN 1 ELSE 0 END) AS BIGINT),
-           SUM(CASE WHEN o_orderstatus IS NOT NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                      AND o_orderstatus NOT IN ('O', 'F', 'P')
-                    THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END), 0) = 0
     FROM orders
     UNION ALL
     SELECT 'foreign_key', 'o_custkey',
@@ -941,10 +976,12 @@ def daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars,
            CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dups,
-           CAST(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
-                AS DOUBLE) AS exact_dup_rate,
-           CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS DOUBLE)
-             AS mean_tokens_per_doc,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*)
+                  AS DOUBLE) END AS exact_dup_rate,
+           CASE WHEN COUNT(*) > 0 THEN
+             CAST(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             END AS mean_tokens_per_doc,
            CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
            CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
     FROM base
@@ -976,13 +1013,17 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
-        (
+        # rates are undefined on an empty corpus: NULL, not 0/0 (Spark
+        # ANSI raises on zero divisors even for doubles — r11 sweep)
+        F.when(
+            F.count(F.lit(1)) > 0,
             (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.lit(1)),
         ).alias("exact_dup_rate"),
-        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias(
-            "mean_tokens_per_doc"
-        ),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)),
+        ).alias("mean_tokens_per_doc"),
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )

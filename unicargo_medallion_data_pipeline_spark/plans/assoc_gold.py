@@ -19,6 +19,10 @@ from pyspark.sql.window import Window
 from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
 from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import (
+    _SQL_EMB1,
+    _embeddings_valid,
+)
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 
 #: Knuth multiplicative constant + a small odd stride — the pure-integer
@@ -32,10 +36,14 @@ _MIX_B = 40503
     "part_pair_cooccurrence",
     sql="""
     WITH op AS (
+      -- basket universe: a NULL order key is not a basket (Spark's
+      -- groupBy would pool all such rows into one giant phantom basket)
+      -- and a NULL part is not an item (r11 sweep)
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     n AS (
-      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
     ),
     pc AS (
       SELECT l_partkey, COUNT(*) AS n_with FROM op GROUP BY l_partkey
@@ -81,6 +89,7 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         .localCheckpoint(eager=True)  # one fact scan shared by 3 consumers
@@ -197,7 +206,7 @@ def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS merge_matches_direct,
            TRUE AS estimate_within_5pct
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     operators=("A15", "Q4"),
 )
@@ -219,8 +228,10 @@ def events_mergeable_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, then a single-row union agg over them — the expensive scan
     happens once, every subsequent rollup is O(days).
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast("date").alias("day"), "user_id"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())  # a NULL day is not a day (r11 sweep)
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
     )
     daily = ev.groupBy("day").agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
     merged = daily.agg(
@@ -256,7 +267,7 @@ _COV_SCALE = 10_000
     WITH q AS (
       SELECT list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
-      FROM embeddings
+      FROM ({_SQL_EMB1})
     ),
     n AS (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n FROM q),
     dimsum AS (
@@ -304,7 +315,7 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_double (string cast) before the one division.  ABS for the
     ranking is exact on doubles.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)  # canonical universe (r11 sweep)
     q = e.select(
         F.transform(
             "embedding",
@@ -358,6 +369,7 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH op AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
     ),
     pairs AS (
       SELECT a.l_partkey AS part, b.l_partkey AS partner, COUNT(*) AS n_together
@@ -393,6 +405,7 @@ def part_also_bought_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         .localCheckpoint(eager=True)
@@ -470,7 +483,7 @@ def embedding_label_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFram
     WITH q AS (
       SELECT list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
-      FROM embeddings
+      FROM ({_SQL_EMB1})
     ),
     per_dim AS (
       SELECT i.i AS dim,
@@ -501,7 +514,7 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal sums, closed-form variance through exact_double.
     Shuffle payload is 64 dimension groups regardless of corpus size.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _embeddings_valid(spark, sf_dir)  # canonical universe (r11 sweep)
     q = e.select(
         F.transform(
             "embedding",

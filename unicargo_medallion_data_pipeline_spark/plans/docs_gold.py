@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.universes import SQL_DOCS1 as _SQL_DOCS1
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
 from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
@@ -321,7 +322,7 @@ def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST({_NSW} AS INTEGER) AS n_stopwords,
         CAST({_NPUNCT} AS INTEGER) AS n_punct,
         CAST(length(text) AS INTEGER) AS n_chars
-      FROM documents
+      FROM ({_SQL_DOCS1})
     ),
     scored AS (
       SELECT doc_id, lang,
@@ -352,7 +353,9 @@ def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     time).  Deterministic: quality_score is bit-stable cross-engine
     (same exact-int ratios as doc_quality_scores) and ties break on
     doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    from unicargo_medallion_data_pipeline_spark.plans.universes import docs_with_text
+
+    d = docs_with_text(spark, sf_dir)  # canonical universe (r11 sweep)
     raw = d.select(
         "doc_id",
         "lang",
@@ -362,7 +365,10 @@ def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
     )
     n_tok = F.col("n_tokens").cast("double")
-    n_chars = F.col("n_chars").cast("double")
+    # greatest(…, 1): an empty doc has n_chars=0 and Spark ANSI raises on
+    # ANY zero divisor (doubles included, unlike IEEE engines) — the SQL
+    # mirror was already guarded; the engine side wasn't (r11 sweep)
+    n_chars = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
     score = (
         F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
         + F.lit(0.3) * (F.lit(1.0) - F.col("n_punct").cast("double") / n_chars)

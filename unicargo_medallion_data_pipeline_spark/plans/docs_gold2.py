@@ -24,6 +24,11 @@ from unicargo_medallion_data_pipeline_spark.textops.util import ensure_paralleli
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
+from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import (  # noqa: E402
+    _SQL_DOCS1,
+    _docs_with_text,
+)
+
 #: DuckDB mirrors of textops/analysis.py's array-expression helpers.
 _BIGRAMS = (
     f"CASE WHEN len({_TOKS}) >= 2 THEN "
@@ -184,7 +189,7 @@ _SHARD_BUDGET = 4096
     sql=f"""
     WITH sized AS (
       SELECT doc_id, lang, CAST(len({_TOKS}) AS INTEGER) AS n_tokens
-      FROM documents
+      FROM ({_SQL_DOCS1})
     ),
     packed AS (
       SELECT doc_id, lang, n_tokens,
@@ -214,7 +219,9 @@ def doc_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pack within finer natural partitions (lang × source × date)
     or pre-bucket by the partition key so no single window partition
     outgrows an executor."""
-    d = load_table(spark, sf_dir, "documents")
+    # canonical text universe: packing is keyed and ORDERED by doc_id,
+    # so duplicate ids make shard offsets run-dependent (r11 sweep)
+    d = _docs_with_text(spark, sf_dir)
     sized = ensure_parallelism(d).select(
         "doc_id", "lang", ta.token_count("text").alias("n_tokens")
     )
@@ -261,7 +268,7 @@ _QUALITY_SQL = (
              length(text) AS n_chars,
              {_max_count(_TOKS)} AS top_cnt,
              md5({_NORM}) AS fp
-      FROM documents
+      FROM ({_SQL_DOCS1})
     ),
     gated AS (
       SELECT doc_id, lang, n_tokens, {_QUALITY_SQL} AS quality_score, fp
@@ -302,7 +309,7 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (fingerprint window, lang window) regardless of corpus
     size.  Values stay exact (integer counts, single IEEE divisions), so
     the DuckDB mirror hash-matches bitwise."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs_with_text(spark, sf_dir)  # canonical universe (r11 sweep)
     # Materialize the narrow gate-measure frame BEFORE filtering on it.
     # Without the pin, predicate pushdown substitutes the full
     # quality/repetition expressions into the filter and lands it BELOW
@@ -394,8 +401,11 @@ def corpus_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no global sort).  Integer counts only →
     bitwise oracle."""
     d = load_table(spark, sf_dir, "documents")
+    # explode, not explode_outer: a NULL-text doc has NO token rows
+    # (DuckDB's unnest(NULL) emits none; explode_outer would emit a
+    # NULL token and skew the vocabulary — r11 sweep)
     tok = ensure_parallelism(d).select(
-        "doc_id", F.explode_outer(ta.tokens("text")).alias("token")
+        "doc_id", F.explode(ta.tokens("text")).alias("token")
     )
     stats = tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("doc_freq"),

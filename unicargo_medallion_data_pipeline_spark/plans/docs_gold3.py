@@ -26,6 +26,8 @@ from unicargo_medallion_data_pipeline_spark.textops.util import ensure_paralleli
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
+from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import _SQL_DOCS1  # noqa: E402
+
 #: 8-token shingle set of the normalized text (mirrors textops/dedup.py
 #: ``shingles(text, 8)`` and the fragment in docs_gold.py's
 #: contamination oracle).
@@ -40,6 +42,10 @@ _SH8 = r"""
       FROM documents
     )
 """
+
+#: _SH8 over the canonical text universe (one row per doc_id, non-empty
+#: text) — the contamination family's identity contract (r11 sweep).
+_SH8_CANON = _SH8.replace("FROM documents", f"FROM ({_SQL_DOCS1})")
 
 
 @register(
@@ -224,7 +230,7 @@ doc_editdist_near_dups.__doc__ = doc_editdist_near_dups.__doc__.format(
 @register(
     "doc_decontaminated_sample",
     sql=f"""
-    WITH sh AS ({_SH8}),
+    WITH sh AS ({_SH8_CANON}),
     bg AS (
       SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10
     ),
@@ -234,7 +240,7 @@ doc_editdist_near_dups.__doc__ = doc_editdist_near_dups.__doc__.format(
       JOIN bg USING (g)
     )
     SELECT d.doc_id, d.lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
-    FROM documents d
+    FROM ({_SQL_DOCS1}) d
     WHERE d.doc_id >= 10
       AND d.doc_id NOT IN (SELECT doc_id FROM cont)
     """,
@@ -255,9 +261,14 @@ def doc_decontaminated_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two-step (semi then anti) rather than a single anti join on the
     exploded shingles is load-bearing: a doc with ANY hit must drop
     entirely, which an anti join on shingle rows would not express."""
+    from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import _docs_with_text
     from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    # canonical text universe: NULL/empty docs have no shingles to share
+    # (and Spark/DuckDB disagree on NULL-text shingle propagation), and
+    # duplicate doc_ids make the id-keyed anti join ill-defined (r11
+    # sweep) — same identity contract as the similarity family
+    d = _docs_with_text(spark, sf_dir)
     sh = ensure_parallelism(d).select("doc_id", shingles("text", 8).alias("s"))
     bench_grams = (
         sh.filter(F.col("doc_id") < 10)

@@ -200,6 +200,10 @@ def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              ln((CAST({_WS_INT} % 1073741824 AS DOUBLE) + 1.0) / 1073741824.0)
                / CAST(n_chars AS DOUBLE) AS es_key
       FROM documents
+      -- positive-weight universe: weight 0 is a zero divisor (Spark
+      -- ANSI raises even on doubles) and a <=0/NULL weight has
+      -- selection probability zero anyway (r11 sweep)
+      WHERE text IS NOT NULL AND n_chars > 0
     )
     SELECT doc_id, lang, n_chars
     FROM keyed
@@ -228,7 +232,9 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heap + driver merge of 50-row
     heads), never a global sort — the only scalable global top-k shape.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )  # positive-weight universe (r11 sweep)
     ws_int = ta.md5_int60("text", "wsample:")
     u = (F.col("ws_int") % 1073741824 + 1).cast("double") / F.lit(1073741824.0)
     return (

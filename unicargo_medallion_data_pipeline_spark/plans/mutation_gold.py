@@ -178,7 +178,10 @@ def rollup_incremental_equals_full(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.length("event_type") <= 128)
     )
     path = os.path.join(scratch_dir("rollup_q_"), "rollup")
-    slice_key = F.coalesce(F.col("user_id") % 3, F.lit(0))
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # user_id would fall outside every slice and the increment union
+    # would silently LOSE its events (r11 sweep)
+    slice_key = F.coalesce(F.pmod(F.col("user_id"), F.lit(3)), F.lit(0))
     for s in range(3):
         delta = (
             e.filter(slice_key == s)

@@ -45,92 +45,20 @@ _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
 _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
 
-#: Hygiene contract of the token/shingle dedup family: documents with no
-#: extractable tokens (NULL text, empty or whitespace-only text) carry no
-#: content signal — set similarity over empty sets is 0/0, and engines
-#: legitimately disagree on how NULL text propagates through
-#: split/slice/hash pipelines (Spark's slice(NULL)+concat_ws yields [''],
-#: DuckDB's drops the row), so such documents would otherwise clique with
-#: every other empty document.  They are excluded from the near-dup
-#: universe BY CONTRACT; exact-dup fingerprinting (doc_fingerprint_dedup)
-#: still covers them.  Found by the round-11 adversarial robustness sweep.
-_SQL_HAS_TEXT = f"(text IS NOT NULL AND {_SQL_NORM} != '')"
-
-#: …and doc_id is the IDENTITY of the near-dup universe: with duplicate
-#: doc_id rows carrying different payloads, "pairs of doc ids" is
-#: ill-defined and engines diverge on where per-row vs per-id reduction
-#: happens (e.g. SimHash votes grouped by id merge the copies' tokens,
-#: while a per-row fingerprint keeps them apart).  One canonical row per
-#: id, tie-broken over the full payload so the survivor is deterministic
-#: in both engines.  No-op on identity-clean data.
-_SQL_DOCS1 = (
-    "SELECT doc_id, text, lang, source, n_chars FROM ("
-    "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY text, "
-    "lang NULLS LAST, source NULLS LAST, n_chars NULLS LAST) AS __rn "
-    f"FROM documents WHERE {_SQL_HAS_TEXT}) WHERE __rn = 1"
+#: Hygiene + identity contracts of the dedup/similarity families —
+#: centralized in ``plans/universes.py`` (round 11): documents with no
+#: extractable tokens or no id are outside the near-dup universe;
+#: vectors must be present, dim-64, nonzero-norm, one canonical row per
+#: id.  The private aliases below keep this module's oracles and the
+#: other plan modules' imports stable.
+from unicargo_medallion_data_pipeline_spark.plans.universes import (  # noqa: E402
+    SQL_DOCS1 as _SQL_DOCS1,
+    SQL_EMB1 as _SQL_EMB1,
+    SQL_HAS_TEXT as _SQL_HAS_TEXT,
+    SQL_VALID_EMB as _SQL_VALID_EMB,
+    docs_with_text as _docs_with_text,
+    embeddings_valid as _embeddings_valid,
 )
-
-
-def _docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dup universe: one canonical row per doc_id, text
-    non-empty (mirrors ``_SQL_DOCS1``)."""
-    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
-    from unicargo_medallion_data_pipeline_spark.textops.analysis import norm_text
-
-    d = load_table(spark, sf_dir, "documents")
-    d = d.filter(F.col("text").isNotNull() & (norm_text("text") != ""))
-    return canonical_dedup(
-        d,
-        keys=["doc_id"],
-        order_by=[
-            F.asc("text"),
-            F.asc_nulls_last("lang"),
-            F.asc_nulls_last("source"),
-            F.asc_nulls_last("n_chars"),
-        ],
-    )
-
-
-#: Hygiene contract of the embedding similarity family: a vector is
-#: usable by the dim-64 cosine index iff it is present, has the index
-#: dimensionality, and has nonzero norm (cosine of a zero vector is
-#: 0/0).  The quantized-square sum mirrors sim.dot_q exactly, so both
-#: engines draw the same line.  At 100 TB this is a pushed-down scan
-#: filter — broken vectors never enter the index build.
-_SQL_VALID_EMB = (
-    "(embedding IS NOT NULL AND len(embedding) = 64 AND list_sum("
-    f"list_transform(embedding, x -> {_QI.format(v='x')} * {_QI.format(v='x')})) > 0)"
-)
-
-
-#: vec_id is likewise the identity of the vector index: duplicate ids
-#: with different payloads make per-id top-k ill-defined (the engine's
-#: max-merge candidate dedup keys on ids).  Canonical row per id,
-#: deterministic tie over the payload (arrays compare lexicographically
-#: in both engines).  No-op on identity-clean data.
-_SQL_EMB1 = (
-    "SELECT vec_id, embedding, label FROM ("
-    "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
-    "ORDER BY embedding, label NULLS LAST) AS __rn "
-    f"FROM embeddings WHERE {_SQL_VALID_EMB}) WHERE __rn = 1"
-)
-
-
-def _embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The similarity-search universe: one canonical row per vec_id,
-    present / dim-64 / nonzero-norm (mirrors ``_SQL_EMB1``)."""
-    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
-
-    e = load_table(spark, sf_dir, "embeddings")
-    q = sim.quantized(F.col("embedding"))
-    e = e.filter(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") == 64)
-        & (sim.dot_q(q, q) > 0)
-    )
-    return canonical_dedup(
-        e, keys=["vec_id"], order_by=[F.asc("embedding"), F.asc_nulls_last("label")]
-    )
 
 
 #: Shared all-pairs token-Jaccard oracle (threshold 0.8): ONE text for

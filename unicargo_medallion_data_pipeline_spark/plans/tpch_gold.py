@@ -411,6 +411,7 @@ def nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(o_orderdate AS DATE) AS order_date,
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
       FROM orders
+      WHERE o_orderdate IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT
@@ -433,7 +434,9 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pre-aggregating to one row per (priority, date) keeps the window state
     tiny and the frame deterministic; the rolling mean is a decimal frame
     sum divided by the frame count (exact)."""
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # dated universe (r11 sweep)
+    )
     daily = (
         o.groupBy("o_orderpriority", F.to_date("o_orderdate").alias("order_date"))
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))

@@ -115,6 +115,11 @@ def metadata_enriched_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       {sql_dsum('o_totalprice')} AS total_revenue
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    -- Spark's ROLLUP emits NO grand-total row over an empty relation
+    -- (the SQL standard emits one with COUNT 0); the oracle mirrors the
+    -- engine's semantics — on any non-empty input every group has
+    -- COUNT > 0 so this HAVING is a no-op (r11 sweep)
+    HAVING COUNT(*) > 0
     """,
     operators=("A1",),
 )
@@ -145,9 +150,13 @@ def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-      MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-      MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      CAST(SUM(CASE WHEN json_valid(props)
+                    THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+               END) AS BIGINT) AS sum_k,
+      MIN(CASE WHEN json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS min_k,
+      MAX(CASE WHEN json_valid(props)
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -211,7 +220,8 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH e AS (
       SELECT
-        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        CASE WHEN json_valid(props)
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k,
         event_type
       FROM events
     )
@@ -243,7 +253,9 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping keys, distinct counts — inside one codegen'd stage with a
     single shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    # try_parse_json: a malformed payload yields a NULL variant (like
+    # get_json_object) instead of a FAILFAST task abort (r11 sweep)
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
     return (
         ev.select(k.alias("k"), "event_type")
         .groupBy(F.floor(F.col("k") / 10.0).alias("k_bucket"))

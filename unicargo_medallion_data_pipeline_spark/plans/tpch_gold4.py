@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from unicargo_medallion_data_pipeline_spark.functions.exact import DEC
 from unicargo_medallion_data_pipeline_spark.operators.guards import guard_all_pairs
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import _SQL_EMB1
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
 
@@ -22,7 +23,7 @@ _QI = "CAST(floor(CAST({v} AS DOUBLE) * 100000000) AS BIGINT)"
         SUM({_QI.format(v='a.embedding[i.i]')} * {_QI.format(v='b.embedding[i.i]')}) AS dot_q,
         SUM({_QI.format(v='a.embedding[i.i]')} * {_QI.format(v='a.embedding[i.i]')}) AS aa,
         SUM({_QI.format(v='b.embedding[i.i]')} * {_QI.format(v='b.embedding[i.i]')}) AS bb
-      FROM embeddings a, embeddings b, generate_series(1, 64) i(i)
+      FROM ({_SQL_EMB1}) a, ({_SQL_EMB1}) b, generate_series(1, 64) i(i)
       WHERE a.vec_id < b.vec_id
       GROUP BY 1, 2
     )
@@ -40,8 +41,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rescoring runs on LSH-bucketed candidates instead of the
     cross join (see cosine_topk_lsh); this entry is the correctness
     anchor for that path.  Size-guarded beyond ALL_PAIRS_GUARD_ROWS."""
+    from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import _embeddings_valid
+
+    # canonical similarity universe (present / dim-64 / nonzero-norm /
+    # one row per vec_id) — same contract as the whole embedding family
+    # (r11 sweep)
     e = guard_all_pairs(
-        load_table(spark, sf_dir, "embeddings"),
+        _embeddings_valid(spark, sf_dir),
         "embedding_near_dup_pairs", "cosine_topk_lsh (embedding_knn_lsh)",
     )
     a = e.select(F.col("vec_id").alias("a_id"), sim.quantized(F.col("embedding")).alias("a_q"))

@@ -61,6 +61,10 @@ def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)::DOUBLE AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- Spark emits NO grouping-set rows over an empty relation (the SQL
+    -- standard emits the () row with COUNT 0); mirror the engine —
+    -- no-op on any non-empty input (r11 sweep)
+    HAVING COUNT(*) > 0
     """,
     operators=("A2", "A15"),
 )
@@ -126,7 +130,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS is_session_start
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     tagged AS (
       SELECT
@@ -241,11 +245,15 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH purchases AS (
       SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
              MAX(event_id) AS purchase_id
-      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
     ),
     clicks AS (
       SELECT event_id AS click_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
-      FROM events WHERE event_type = 'click'
+      FROM events
+      WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
     )
     SELECT c.click_id, c.user_id, c.s AS click_s,
            p.purchase_id, p.s AS purchase_s,
@@ -261,8 +269,14 @@ def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/asof.py — union + carry-forward window, one shuffle);
     DuckDB's native ASOF JOIN is the oracle.  Purchases are
     canonicalized per (user, second) first — as-of picks among equal
-    timestamps are arbitrary in any engine."""
-    ev = load_table(spark, sf_dir, "events")
+    timestamps are arbitrary in any engine.  Timed universe: an event
+    without a timestamp has no as-of position (r11 sweep)."""
+    # keyed + timed universe: SQL ASOF equality never matches a NULL
+    # key, while a union+carry-forward window would pool the NULL-key
+    # rows into one partition and fabricate matches (r11 sweep)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     s = F.unix_timestamp("ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", s.alias("s")

@@ -36,7 +36,11 @@ from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
       l.l_extendedprice AS min_price
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    WHERE l.l_extendedprice = (
+    -- per-PART argmin needs a part: the correlated MIN over a NULL
+    -- part key is empty while a window partition pools the NULL-key
+    -- rows into one phantom part (r11 sweep)
+    WHERE l.l_partkey IS NOT NULL
+      AND l.l_extendedprice = (
       SELECT MIN(l2.l_extendedprice)
       FROM lineitem l2
       WHERE l2.l_partkey = l.l_partkey
@@ -66,8 +70,10 @@ def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB AQE picks broadcast or a cheap shuffle join on the small side;
     no hint is hardcoded (supplier grows linearly with SF).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .filter(F.col("l_partkey").isNotNull())
     )
     w = Window.partitionBy("l_partkey")
     winners = (
@@ -77,9 +83,14 @@ def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return winners.join(
-        sup, winners["l_suppkey"] == sup["s_suppkey"]
-    ).select("l_partkey", "l_suppkey", "s_name", "min_price")
+    return (
+        winners.join(sup, winners["l_suppkey"] == sup["s_suppkey"])
+        .select("l_partkey", "l_suppkey", "s_name", "min_price")
+        # DISTINCT must cover the JOINED row like the oracle's — a
+        # duplicated supplier row would otherwise double every winner
+        # (r11 sweep); on clean data this dedup is a no-op
+        .distinct()
+    )
 
 
 @register(

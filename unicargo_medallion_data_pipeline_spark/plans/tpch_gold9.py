@@ -266,10 +266,16 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "part_pareto_frontier",
     sql="""
+    WITH u AS (
+      -- dominance needs both measures: a NULL price/size part cannot
+      -- be compared and falls outside the skyline universe (r11 sweep)
+      SELECT p_partkey, p_retailprice, p_size FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
     SELECT p.p_partkey, p.p_retailprice, p.p_size
-    FROM part p
+    FROM u p
     WHERE NOT EXISTS (
-      SELECT 1 FROM part q
+      SELECT 1 FROM u q
       WHERE q.p_retailprice <= p.p_retailprice
         AND q.p_size <= p.p_size
         AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
@@ -308,8 +314,10 @@ def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     double prices both engines read from parquet — no quantization, so
     the dominance relation is bit-identical to the oracle's.
     """
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", "p_size"
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .filter(F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull())
     )
     minima = (
         part.groupBy(F.col("p_retailprice").alias("lvl_price"))
@@ -474,6 +482,7 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                + (CAST(month(o.o_orderdate) AS BIGINT) - 1) AS x,
              CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate IS NOT NULL
       GROUP BY 1, 2
     ),
     s AS (
@@ -486,9 +495,10 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m GROUP BY segment
     )
     SELECT segment, n_months,
-           CAST(n_months * sxy - sx * sy AS DOUBLE)
-             / CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0
-             AS slope_per_month
+           CASE WHEN n_months * sxx - sx * sx <> 0 THEN
+             CAST(n_months * sxy - sx * sy AS DOUBLE)
+               / CAST(n_months * sxx - sx * sx AS DOUBLE) / 100.0
+           END AS slope_per_month
     FROM s
     ORDER BY segment
     """,
@@ -509,8 +519,10 @@ def segment_revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders exist; one broadcast dim join, two keyed exchanges, both
     map-side combined.
     """
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderdate", "o_totalprice"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .filter(F.col("o_orderdate").isNotNull())  # dated universe (r11 sweep)
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     x = (
@@ -530,10 +542,14 @@ def segment_revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
     )
-    slope = (
+    denom = F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # one-month segments have zero x-variance: slope undefined (Spark
+    # ANSI raises on zero divisors — r11 sweep)
+    slope = F.when(
+        denom != 0,
         (F.col("n_months") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n_months") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        / F.lit(100.0)
+        / denom.cast("double")
+        / F.lit(100.0),
     )
     return s.select("segment", "n_months", slope.alias("slope_per_month")).orderBy(
         "segment"

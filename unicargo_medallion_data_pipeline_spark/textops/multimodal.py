@@ -62,12 +62,17 @@ ASSET_SCHEMA = StructType(
 #: Output schema of the feature-extraction stage.
 FEATURES_SCHEMA = StructType(
     [
-        StructField("asset_id", IntegerType(), False),
-        StructField("media_type", StringType(), False),
-        StructField("n_bytes", IntegerType(), False),
-        StructField("content_hash", StringType(), False),
+        # every field nullable: a non-nullable Arrow field holding a
+        # NULL (e.g. a NULL asset id flowing through mapInPandas)
+        # crashes the downstream ColumnVector reader with an
+        # IllegalStateException instead of behaving like data
+        # (r11 robustness sweep)
+        StructField("asset_id", IntegerType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("content_hash", StringType(), True),
         StructField("mean_byte", DoubleType(), True),  # null on decode error
-        StructField("decode_status", StringType(), False),
+        StructField("decode_status", StringType(), True),
     ]
 )
 
@@ -144,13 +149,23 @@ def extract_features(assets: DataFrame) -> DataFrame:
             out = {
                 "asset_id": pdf["asset_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": pdf["content"].map(len),
+                # NULL content is a missing asset, not a task killer:
+                # NULL features + an error status, same per-row error
+                # philosophy as a corrupt asset (r11 robustness sweep —
+                # .map(len) on None aborted the whole Arrow batch)
+                "n_bytes": pdf["content"].map(
+                    lambda b: None if b is None else len(b)
+                ),
                 "content_hash": pdf["content"].map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
                 ),
             }
             means, statuses = [], []
             for content in pdf["content"]:
+                if content is None:
+                    means.append(None)
+                    statuses.append("error: missing content")
+                    continue
                 try:
                     feat = _decode_image_stub(bytes(content))
                     means.append(feat["mean_byte"])
