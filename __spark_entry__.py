@@ -49,6 +49,13 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: the window head for re-verification.  Keep EMPTY unless a catalog
 #: query's semantics/plan actually changed this round.
 _FORCE_WINDOW: list[str] = [
+    "nation_dim",
+    "nation_trade_pagerank",
+    "customer_revenue_percentiles",
+    "doc_contamination_overlap",
+    "order_value_percentiles",
+    "doc_negative_pairs",
+    "customer_order_dates",
     "doc_decontaminated_sample",
     "doc_neardup_representatives",
     "doc_shard_packing",
@@ -124,7 +131,6 @@ _FORCE_WINDOW: list[str] = [
     "customer_revenue_decile",
     "customer_revenue_rank",
     "events_sketch_profile",
-    "nation_trade_pagerank",
     "event_transition_matrix",
     "events_value_forward_fill",
     "top_event_paths",

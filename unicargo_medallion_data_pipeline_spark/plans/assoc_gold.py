@@ -20,7 +20,9 @@ from unicargo_medallion_data_pipeline_spark.functions.exact import exact_double
 from unicargo_medallion_data_pipeline_spark.operators.ranks import global_row_number
 from unicargo_medallion_data_pipeline_spark.plans.catalog import register
 from unicargo_medallion_data_pipeline_spark.plans.similarity_gold import (
+    _SQL_DOCS1,
     _SQL_EMB1,
+    _docs_with_text,
     _embeddings_valid,
 )
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
@@ -136,7 +138,7 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx,
              COUNT(*) OVER () AS n
-      FROM documents
+      FROM ({_SQL_DOCS1})
     ),
     pairs AS (
       SELECT d.doc_id, j.neg_rank,
@@ -163,7 +165,10 @@ def doc_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); the partner lookup is an equi-join on the index.  Cost at
     any scale: one range exchange + one keyed join of k·n id-only rows.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # canonical universe: the dense index is ORDER BY doc_id, so ids
+    # must be unique and non-NULL for the sampler to be well-defined
+    # (r11 sweep, seed d)
+    docs = _docs_with_text(spark, sf_dir).select("doc_id", "lang")
     d = global_row_number(docs, ["doc_id"], rank_col="_rnk").withColumn(
         "idx", F.col("_rnk") - 1
     )

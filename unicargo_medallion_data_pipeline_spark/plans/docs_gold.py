@@ -386,7 +386,7 @@ def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_contamination_overlap",
-    sql=r"""
+    sql=rf"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -395,7 +395,7 @@ def doc_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-        FROM documents
+        FROM ({_SQL_DOCS1})
       )
     ),
     bench AS (
@@ -430,7 +430,9 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual overlap, not corpus size.  No cross product anywhere."""
     from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
 
-    d = load_table(spark, sf_dir, "documents")
+    from unicargo_medallion_data_pipeline_spark.plans.universes import docs_with_text
+
+    d = docs_with_text(spark, sf_dir)  # canonical universe (r11 sweep, seed d)
     # The corpus-side shingle build is the CPU cost of this query; spread
     # the single-file local scan before it (no-op on real lake scans —
     # measured 4.85s -> see docstring note below without it at sf0.1).

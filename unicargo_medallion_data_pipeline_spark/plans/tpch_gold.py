@@ -370,7 +370,9 @@ def top_trade_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_dim",
     sql="""
     SELECT
-      CAST(ROW_NUMBER() OVER (ORDER BY n.n_name) AS INTEGER) AS nation_sk,
+      CAST(ROW_NUMBER() OVER (
+        ORDER BY n.n_name NULLS LAST, r.r_name NULLS LAST,
+                 n.n_nationkey NULLS LAST) AS INTEGER) AS nation_sk,
       n.n_name AS nation_name,
       r.r_name AS region_name
     FROM nation n
@@ -387,7 +389,14 @@ def nation_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     use xxhash64 (see silver fact build)."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    w = Window.orderBy("n_name")
+    # surrogate-key order is TOTAL over the emitted values (name, region,
+    # natural key) with pinned NULL order — duplicate names must number
+    # identically in both engines (r11 sweep, seed c)
+    w = Window.orderBy(
+        F.asc_nulls_last("n_name"),
+        F.asc_nulls_last("r_name"),
+        F.asc_nulls_last("n_nationkey"),
+    )
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(

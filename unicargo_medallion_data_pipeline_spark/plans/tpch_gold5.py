@@ -322,7 +322,13 @@ def _pagerank_sql(iterations: int = 5, scale: int = 10**9) -> str:
     distributed loop, robust in any engine (no aggregation inside a
     recursive CTE, which many engines restrict)."""
     head = f"""
-    WITH nn AS (SELECT COUNT(*) AS c FROM nation),
+    -- canonical node universe: distinct non-NULL nation keys (duplicate
+    -- or NULL dim rows must not inflate N or double contributions —
+    -- r11 sweep, seed c)
+    WITH nodes AS (
+      SELECT DISTINCT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL
+    ),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
     edges AS (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
       FROM lineitem l
@@ -334,7 +340,7 @@ def _pagerank_sql(iterations: int = 5, scale: int = 10**9) -> str:
     outw AS (SELECT src, SUM(w) AS w_out FROM edges GROUP BY src),
     pr0 AS (
       SELECT n_nationkey AS node, CAST(CAST({scale} AS BIGINT) // c AS BIGINT) AS pr
-      FROM nation CROSS JOIN nn
+      FROM nodes CROSS JOIN nn
     )"""
     stages = []
     for k in range(1, iterations + 1):
@@ -356,7 +362,13 @@ def _pagerank_sql(iterations: int = 5, scale: int = 10**9) -> str:
     tail = f"""
     SELECT n.n_name, p.pr AS pr_scaled,
            CAST(p.pr AS DOUBLE) / SUM(CAST(p.pr AS DOUBLE)) OVER () AS pr_share
-    FROM pr{iterations} p JOIN nation n ON n.n_nationkey = p.node
+    FROM pr{iterations} p
+    JOIN (SELECT n_nationkey, n_name FROM (
+            SELECT n_nationkey, n_name,
+                   ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                                      ORDER BY n_name NULLS LAST) AS rn
+            FROM nation WHERE n_nationkey IS NOT NULL) WHERE rn = 1) n
+      ON n.n_nationkey = p.node
     """
     return head + "," + ",".join(stages) + tail
 
@@ -403,17 +415,29 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # canonical node universe + name map (r11 sweep, seed c): the graph
+    # operator dedups nodes itself, but NULL keys and duplicate dim rows
+    # must not become nodes or duplicate the name join
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+
     ranks = pagerank_integer(
-        n.select(F.col("n_nationkey").alias("node")), edges, iterations=5
+        n.filter(F.col("n_nationkey").isNotNull())
+        .select(F.col("n_nationkey").alias("node")),
+        edges,
+        iterations=5,
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy()  # 25 rows — bounded by the nation dim
+    names = canonical_dedup(
+        n.filter(F.col("n_nationkey").isNotNull()).select(
+            F.col("n_nationkey").alias("node"), "n_name"
+        ),
+        keys=["node"],
+        order_by=[F.asc_nulls_last("n_name")],
+    )
     return (
-        ranks.join(
-            F.broadcast(n.select(F.col("n_nationkey").alias("node"), "n_name")),
-            "node",
-        )
+        ranks.join(F.broadcast(names), "node")
         .select(
             "n_name",
             F.col("pagerank_scaled").alias("pr_scaled"),

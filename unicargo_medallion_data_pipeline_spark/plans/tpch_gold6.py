@@ -85,10 +85,15 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       COUNT(*) AS n_orders,
-      quantile_cont(o_totalprice, 0.25) AS p25,
-      quantile_cont(o_totalprice, 0.50) AS p50,
-      quantile_cont(o_totalprice, 0.75) AS p75,
-      quantile_cont(o_totalprice, 0.95) AS p95
+      -- 4dp rounding: the two engines interpolate with different but
+      -- equivalent formulas (lower + f*(upper-lower) vs a lerp), which
+      -- can differ in the last ulp on adversarial value pairs (r11
+      -- sweep, seed d); rounding pins the comparison without losing
+      -- meaningful precision on 2dp money
+      round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      round(quantile_cont(o_totalprice, 0.95), 4) AS p95
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -113,10 +118,10 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        F.expr("round(percentile(o_totalprice, 0.25), 4)").alias("p25"),
+        F.expr("round(percentile(o_totalprice, 0.50), 4)").alias("p50"),
+        F.expr("round(percentile(o_totalprice, 0.75), 4)").alias("p75"),
+        F.expr("round(percentile(o_totalprice, 0.95), 4)").alias("p95"),
     )
 
 

@@ -76,6 +76,7 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         {sql_dsum("o.o_totalprice")} AS revenue
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_totalprice IS NOT NULL
       GROUP BY c.c_mktsegment, c.c_custkey
     )
     SELECT
@@ -85,7 +86,8 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
       percent_rank() OVER w AS revenue_pct_rank,
       cume_dist() OVER w AS revenue_cume_dist
     FROM rev
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY revenue, c_custkey NULLS LAST)
     """,
     operators=("W5", "A1", "J2"),
 )
@@ -110,14 +112,19 @@ def customer_revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment if the per-segment row count exceeds one executor's sort
     budget (docs/SCALE.md); at any realistic customer cardinality a
     single sorted partition per segment is the right plan."""
-    o = load_table(spark, sf_dir, "orders")
+    # priced universe + pinned NULL order: an all-NULL-price customer
+    # would carry a NULL revenue into the rank ordering, where the
+    # engines default to opposite NULL ends (r11 sweep, seed c)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     c = load_table(spark, sf_dir, "customer")
     rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "c_custkey")
         .agg(dsum("o_totalprice").alias("revenue"))
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("revenue", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "revenue", F.asc_nulls_last("c_custkey")
+    )
     return rev.select(
         "c_mktsegment",
         "c_custkey",

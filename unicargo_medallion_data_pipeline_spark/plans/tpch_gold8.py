@@ -102,11 +102,16 @@ def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_orders,
       MIN(o.o_orderdate) AS first_order,
       MAX(o.o_orderdate) AS last_order,
-      array_to_string(
+      -- FILTER mirrors Spark's collect_list (skips NULL inputs), and
+      -- the outer COALESCE mirrors array_join([]) = '': DuckDB returns
+      -- NULL both for an all-filtered list() aggregate and for
+      -- array_to_string([]) (r11 sweep, big-source seed)
+      COALESCE(array_to_string(
         list_transform(
-          list_slice(list(o.o_orderdate ORDER BY o.o_orderdate), 1, 100),
+          list_slice(list(o.o_orderdate ORDER BY o.o_orderdate)
+                       FILTER (WHERE o.o_orderdate IS NOT NULL), 1, 100),
           d -> strftime(d, '%Y-%m-%d %H:%M:%S')),
-        ',') AS order_dates
+        ','), '') AS order_dates
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
