@@ -49,6 +49,7 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: the window head for re-verification.  Keep EMPTY unless a catalog
 #: query's semantics/plan actually changed this round.
 _FORCE_WINDOW: list[str] = [
+    "events_winsorized_stats",
     "nation_dim",
     "nation_trade_pagerank",
     "customer_revenue_percentiles",

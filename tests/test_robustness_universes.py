@@ -118,3 +118,19 @@ def test_pagerank_empty_graph_returns_empty_ranking(spark):
     )
     assert out.columns == ["node", "pagerank_scaled"]
     assert out.count() == 0
+
+
+def test_scrub_nonfinite_nulls_nan_and_inf(spark):
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import scrub_nonfinite
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [(1, 1.5, "a"), (2, nan, "b"), (3, inf, "c"), (4, -inf, "d"), (5, None, "e")],
+        "id int, v double, s string",
+    )
+    got = {r.id: r.v for r in scrub_nonfinite(df).collect()}
+    assert got == {1: 1.5, 2: None, 3: None, 4: None, 5: None}
+    # non-float columns untouched; explicit column list respected
+    assert scrub_nonfinite(df, columns=["s"]).schema == df.schema
+    kept = {r.id: r.v for r in scrub_nonfinite(df, columns=["s"]).collect()}
+    assert kept[3] == inf  # v not in the requested column list

@@ -251,3 +251,44 @@ def test_bootstrap_rejects_null_partitions(spark, tmp_path):
             measures={"n": "sum"},
             partition_col="day",
         )
+
+
+def test_refresh_preserves_stored_measure_types(spark, tmp_path):
+    """r11 sweep (seed e): SUM widens decimals, so an uncast combine
+    rewrote only the TOUCHED partitions at the wider physical type —
+    one increment that misses a partition later and the table holds
+    mixed parquet decimal widths that no longer read as one schema.
+    The combine must cast measures back to the stored contract."""
+    import os as _os
+
+    from unicargo_medallion_data_pipeline_spark.operators.rollup import (
+        merge_additive_rollup,
+    )
+
+    target = _os.path.join(tmp_path, "rollup")
+
+    from decimal import Decimal
+
+    def delta(rows):
+        return spark.createDataFrame(
+            [(g, k, Decimal(v)) for g, k, v in rows],
+            "grain string, k string, v decimal(28,2)",
+        )
+
+    measures = {"v": "sum"}
+    # bootstrap writes partitions a and b at decimal(28,2)
+    merge_additive_rollup(
+        spark, target, delta([("a", "x", "1.00"), ("b", "x", "2.00")]),
+        keys=["grain", "k"], measures=measures, partition_col="grain",
+    )
+    # increment touches ONLY partition a — without the contract cast its
+    # rewrite lands at sum-widened decimal(38,2) while b stays (28,2)
+    merge_additive_rollup(
+        spark, target, delta([("a", "x", "3.00")]),
+        keys=["grain", "k"], measures=measures, partition_col="grain",
+    )
+    back = spark.read.parquet(target)
+    got = {r["grain"]: float(r["v"]) for r in back.collect()}  # must not raise
+    assert got == {"a": 4.0, "b": 2.0}
+    vtype = dict((f.name, f.dataType.simpleString()) for f in back.schema.fields)
+    assert vtype["v"] == "decimal(28,2)", vtype

@@ -73,6 +73,33 @@ def canonical_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> Data
     )
 
 
+def scrub_nonfinite(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Replace NaN / ±Infinity in float/double columns with NULL.
+
+    The analytic catalog's determinism contracts assume FINITE doubles:
+    NaN breaks them structurally (engines disagree on NaN ordering and
+    grouping — Spark sorts NaN largest and groups NaN==NaN; IEEE
+    comparison says neither), and ±Inf poisons every downstream sum.
+    The production posture is therefore to scrub at the BRONZE boundary:
+    non-finite measurements become NULL (unknown), which every engine
+    and every aggregate treats identically.  Pure column expressions —
+    a narrow codegen'd map, no shuffle, safe at any scale.
+
+    ``columns`` defaults to every float/double column in the schema.
+    """
+    float_cols = {
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("float", "double")
+    }
+    targets = float_cols if columns is None else set(columns) & float_cols
+    out = df
+    for c in sorted(targets):
+        col = F.col(c)
+        out = out.withColumn(
+            c, F.when(F.isnan(col) | col.isin(float("inf"), float("-inf")), None).otherwise(col)
+        )
+    return out
+
+
 def fill_nulls(
     df: DataFrame,
     per_column: dict[str, object] | None = None,
@@ -110,17 +137,26 @@ class CleaningConfig:
     fill_per_column: dict[str, object] = field(default_factory=dict)
     fill_string_default: str | None = None
     fill_numeric_default: float | None = None
+    #: r11: NULL out NaN/±Inf in float columns BEFORE dedup/fill — the
+    #: bronze-boundary posture the analytic catalog's finite-doubles
+    #: contract assumes (see scrub_nonfinite).
+    scrub_nonfinite: bool = False
 
 
 def clean(df: DataFrame, config: CleaningConfig) -> DataFrame:
-    """P13 — the composite pipeline: timestamp → drop → dedup → fill
-    (same order as ``cleaning.py:132-176``)."""
+    """P13 — the composite pipeline: timestamp → drop → [scrub] →
+    dedup → fill (same order as ``cleaning.py:132-176``; the optional
+    non-finite scrub slots first so dedup and fills already see
+    finite-or-NULL values — a NaN row and its scrubbed NULL twin must
+    collapse to one, and fillna must catch the scrubbed cells)."""
     from unicargo_medallion_data_pipeline_spark.operators.transforms import with_processed_timestamp
 
     if config.add_timestamp:
         df = with_processed_timestamp(df)
     if config.drop_columns:
         df = drop_columns_safe(df, config.drop_columns)
+    if config.scrub_nonfinite:
+        df = scrub_nonfinite(df)
     df = dedup(df, config.dedup_subset)
     return fill_nulls(
         df,

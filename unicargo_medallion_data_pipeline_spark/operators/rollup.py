@@ -188,12 +188,21 @@ def merge_additive_rollup(
         raise ValueError(f"increment contains NULL '{partition_col}' values")
 
     existing = existing_all.filter(F.col(partition_col).isin(parts)).select(*cols)
+    # The stored column types are the table's CONTRACT: Spark's SUM
+    # widens decimals (sum(decimal(28,2)) -> decimal(38,2)), so an
+    # uncast combine would rewrite only the TOUCHED partitions at the
+    # wider physical type — one refresh whose increment misses a
+    # partition later, and the table holds mixed parquet decimal widths
+    # that no longer read as one schema (r11 robustness sweep, seed e:
+    # FAILED_READ.PARQUET_COLUMN_DATA_TYPE_MISMATCH).  Casting back is
+    # loud on genuine overflow (ANSI), which beats silent schema drift.
+    target_types = {f.name: f.dataType for f in existing_all.select(*cols).schema.fields}
     combined = (
         existing.unionByName(delta.select(*cols))
         .groupBy(*keys)
         .agg(
             *[
-                _COMBINERS[rule](F.col(m)).alias(m)
+                _COMBINERS[rule](F.col(m)).cast(target_types[m]).alias(m)
                 for m, rule in measures.items()
             ]
         )

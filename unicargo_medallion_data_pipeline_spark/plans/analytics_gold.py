@@ -348,7 +348,12 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
-           c.p05, c.p95,
+           -- 4dp rounding on the EMITTED cuts only: the engines'
+           -- quantile interpolation can differ in the final ulp on
+           -- adversarial value pairs (r11 sweep, seed e); the clamp
+           -- itself uses the raw cuts, and the winsorized mean is
+           -- count x cut arithmetic that matched bit-for-bit
+           round(c.p05, 4) AS p05, round(c.p95, 4) AS p95,
            (CAST(SUM(CASE WHEN e.value >= c.p05 AND e.value <= c.p95
                           THEN CAST(e.value AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
               + CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS DOUBLE) * c.p05
@@ -397,6 +402,12 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (mid_sum + n_low * F.col("p05") + n_high * F.col("p95")) / n
             ).alias("winsorized_mean")
+        )
+        .select(
+            "event_type",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "winsorized_mean",
         )
         .orderBy("event_type")
     )
