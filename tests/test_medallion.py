@@ -335,3 +335,48 @@ def test_grain_derived_gold_matches_direct(spark, medallion):
             ), f"traffic-derived {name} differs from the direct builder"
     finally:
         traffic.unpersist()
+
+
+def test_bronze_quoted_newline_truncates_and_audit_detects(spark):
+    """r11 pin of the line-granular CSV contract's documented hazard: a
+    quoted cell containing a raw newline is two physical lines — the
+    parser accepts the head fragment as a good row with the cell
+    silently TRUNCATED (no univocity mode rejects an unterminated quote
+    at EOL), quarantines the tail, and the conservation census still
+    balances.  The engine's answer is DETECTION: audit_csv_quote_balance
+    flags exactly the fragment lines by odd quote parity."""
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_bronze
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        audit_csv_quote_balance,
+    )
+
+    d = tempfile.mkdtemp(prefix="quarantine_nl_")
+    p = os.path.join(d, "airlines.csv")
+    with open(p, "w") as f:
+        f.write("iata_code,airline\n")
+        f.write("AA,American Airlines\n")
+        f.write('QQ,"Line\nBreak Air"\n')  # one record, TWO physical lines
+        f.write("DL,Delta Air Lines\n")
+    cfg = {
+        "environments": {"qtest2": {"storage_root": tempfile.mkdtemp(prefix="qwh2_")}},
+        "tables": {
+            "airlines": {"bronze": {"table": "airlines_raw", "source_format": "csv"}}
+        },
+    }
+    out = run_bronze(spark, {"airlines": p}, environment="qtest2", config=cfg)
+    good = {r["iata_code"]: r["airline"] for r in out["airlines"].collect()}
+    q_lines = {
+        r["raw_line"]
+        for r in spark.read.table("qtest2_bronze.airlines_raw_quarantine").collect()
+    }
+    # conservation balances (4 raw data lines = 3 good + 1 quarantined)
+    # even though the QQ record arrived TRUNCATED — the hazard the
+    # docstring documents and the audit exists to catch
+    assert len(good) + len(q_lines) == 4
+    assert good["AA"] == "American Airlines" and good["DL"] == "Delta Air Lines"
+    assert good["QQ"] == "Line"  # silently truncated at the line break
+    assert q_lines == {'Break Air"'}  # the tail fragment, verbatim
+    suspects = {r["raw_line"] for r in audit_csv_quote_balance(spark, p).collect()}
+    assert suspects == {'QQ,"Line', 'Break Air"'}

@@ -99,6 +99,17 @@ def read_csv_with_quarantine(
     rationale as textops/dedup.py).  A row quarantines when ANY cell
     fails its declared type or the column count is wrong.  Note the scan
     therefore executes at call time, not lazily.
+
+    KNOWN HAZARD (r11): the split is LINE-granular by contract (the
+    splittable, conservation-countable form).  A quoted cell containing
+    a RAW NEWLINE is two physical lines; the parser accepts the first
+    fragment as a good row with the cell silently TRUNCATED at the line
+    break and quarantines only the tail fragment — conservation still
+    balances, but the truncation is invisible to it (verified against
+    every univocity unescapedQuoteHandling mode; none rejects an
+    unterminated quote at EOL).  Producers must not emit raw newlines
+    inside cells; run :func:`audit_csv_quote_balance` beside ingest to
+    DETECT violations (odd quote parity per physical line).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -118,6 +129,27 @@ def read_csv_with_quarantine(
         F.col(CORRUPT_COL).alias("raw_line")
     )
     return good, quarantine
+
+
+def audit_csv_quote_balance(spark: SparkSession, path: str) -> DataFrame:
+    """Detect the quoted-newline hazard the line-granular quarantine
+    reader cannot (see read_csv_with_quarantine): physical lines whose
+    double-quote count is ODD are record fragments — a cell opened a
+    quote the line never closed (the head fragment the parser silently
+    truncates) or closed one it never opened (the quarantined tail).
+
+    Returns (raw_line, n_quotes) for every suspect line.  One text scan,
+    pure column expressions, splittable — run it beside ingest as a
+    quality metric; a non-empty result means some upstream producer is
+    emitting raw newlines inside cells and those records are arriving
+    TRUNCATED even though the conservation census balances."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
+    n_quotes = (
+        F.length("raw_line") - F.length(F.regexp_replace("raw_line", '"', ""))
+    ).alias("n_quotes")
+    return lines.select("raw_line", n_quotes).filter(F.col("n_quotes") % 2 == 1)
 
 
 def read_jsonl_with_quarantine(
