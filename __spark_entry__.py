@@ -17,8 +17,13 @@ the window (the r7 "typo'd CLI names" false-PASS was exactly this
 defect class).  Now each query's verified rounds are parsed from the
 artifacts and the window is computed:
 
-1. ``_FORCE_WINDOW`` — queries whose PLAN changed this round (manual,
-   normally empty; a changed plan invalidates old green rows).
+1. Active ``_FORCE_WINDOW`` entries — queries whose PLAN changed in
+   round ``_FORCE_WINDOW[name]`` and have NO green driver row from a
+   round >= that change.  A green row at or after the change round
+   DRAINS the entry automatically (r11 ADVICE: a static force list
+   larger than the window re-ran the same head forever while the tail
+   backlog never entered the sample).  Ordering: ascending change
+   round, then insertion order — so the oldest backlog drains first.
 2. Never-driver-verified queries (any new registration), catalog order.
 3. Everything else, stalest first: ascending last-green round, then
    ascending number of green rounds, then name.
@@ -45,105 +50,107 @@ if _REPO not in sys.path:
 
 from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E402
 
-#: Queries whose plan changed since their last green row — forced into
-#: the window head for re-verification.  Keep EMPTY unless a catalog
-#: query's semantics/plan actually changed this round.
-_FORCE_WINDOW: list[str] = [
-    "events_winsorized_stats",
-    "nation_dim",
-    "nation_trade_pagerank",
-    "customer_revenue_percentiles",
-    "doc_contamination_overlap",
-    "order_value_percentiles",
-    "doc_negative_pairs",
-    "customer_order_dates",
-    "doc_decontaminated_sample",
-    "doc_neardup_representatives",
-    "doc_shard_packing",
-    "doc_stratified_cap",
-    "doc_token_jaccard_pairs",
-    "embedding_dim_profile",
-    "embedding_hard_negatives",
-    "embedding_knn_exact",
-    "embedding_knn_ivf",
-    "embedding_knn_label_accuracy",
-    "embedding_knn_lsh",
-    "embedding_label_centroids",
-    "embedding_mutual_nn_pairs",
-    "embedding_near_dup_pairs",
-    "embedding_rrf_fusion",
-    "doc_minhash_near_dups",
-    "doc_simhash_clusters",
-    "doc_neardup_components",
-    "doc_prefix_filter_jaccard",
-    "doc_prefix_filter_neardups",
-    "embedding_norms",
-    "scd2_as_of_snapshot",
-    "rollup_incremental_equals_full",
-    "orders_customer_join_ivm",
-    "events_user_quota_batch",
-    "priority_price_extremes",
-    "latest_orders_with_ties",
-    "monthly_revenue_mom",
-    "daily_revenue_zscore_28d",
-    "customer_rfm_scores",
-    "revenue_top_decile_share",
-    "hourly_error_rate_24h",
-    "record_revenue_days",
-    "customer_running_balance",
-    "daily_revenue_autocorr",
-    "user_value_twap",
-    "events_hourly_ohlc",
-    "events_value_binned_quantiles",
-    "cohort_ltv_matrix",
-    "daily_revenue_cusum",
-    "corpus_datasheet",
-    "events_user_erasure_audit",
-    "orders_expectation_report",
-    "customer_order_window_corners",
-    "orders_acid_timetravel",
-    "orders_manifest_cdf",
-    "priority_rollup_cdf_maintained",
-    "orders_manifest_history",
-    "orders_cdc_apply_state",
-    "orders_csv_quarantine_roundtrip",
-    "orders_xml_roundtrip",
-    "events_manifest_pruned_scan",
-    "events_bloom_pruned_lookup",
-    "events_zorder_pruned_scan",
-    "events_value_drift",
-    "orders_snapshot_diff",
-    "segment_revenue_trend",
-    "segment_revenue_trend_slope",
-    "part_pareto_frontier",
-    "rolling_7day_revenue",
-    "cheapest_shipment_supplier",
-    "events_props_json",
-    "events_props_variant",
-    "order_priority_rollup",
-    "order_status_priority_cube",
-    "errors_in_session",
-    "clicks_asof_purchase",
-    "customer_order_gaps",
-    "first_lineitem_per_order",
-    "order_id_formatting",
-    "events_sessionization",
-    "cleaned_events_pipeline",
-    "customer_revenue_decile",
-    "customer_revenue_rank",
-    "events_sketch_profile",
-    "event_transition_matrix",
-    "events_value_forward_fill",
-    "top_event_paths",
-    "part_pair_cooccurrence",
-    "part_also_bought_top3",
-    "events_mergeable_hll_rollup",
-    "embedding_dim_covariance",
-    "corpus_token_df",
-    "doc_curation_pipeline",
-    "doc_weighted_sample",
-    "doc_binary_asset_features",
-]
+#: name -> round whose changes invalidated the old green rows.  An
+#: entry is ACTIVE (forced to the window head) until a green driver
+#: row exists from a round >= that value, then it drains and may be
+#: pruned at leisure.  Add entries whenever a catalog query's
+#: semantics/plan change; never remove one that has not drained.
+_FORCE_WINDOW: dict[str, int] = {
+    "events_winsorized_stats": 11,
+    "nation_dim": 11,
+    "nation_trade_pagerank": 11,
+    "customer_revenue_percentiles": 11,
+    "doc_contamination_overlap": 11,
+    "order_value_percentiles": 11,
+    "doc_negative_pairs": 11,
+    "customer_order_dates": 11,
+    "doc_decontaminated_sample": 11,
+    "doc_neardup_representatives": 11,
+    "doc_shard_packing": 11,
+    "doc_stratified_cap": 11,
+    "doc_token_jaccard_pairs": 11,
+    "embedding_dim_profile": 11,
+    "embedding_hard_negatives": 11,
+    "embedding_knn_exact": 11,
+    "embedding_knn_ivf": 11,
+    "embedding_knn_label_accuracy": 11,
+    "embedding_knn_lsh": 11,
+    "embedding_label_centroids": 11,
+    "embedding_mutual_nn_pairs": 11,
+    "embedding_near_dup_pairs": 11,
+    "embedding_rrf_fusion": 11,
+    "doc_minhash_near_dups": 11,
+    "doc_simhash_clusters": 11,
+    "doc_neardup_components": 11,
+    "doc_prefix_filter_jaccard": 11,
+    "doc_prefix_filter_neardups": 11,
+    "embedding_norms": 11,
+    "scd2_as_of_snapshot": 11,
+    "rollup_incremental_equals_full": 11,
+    "orders_customer_join_ivm": 11,
+    "events_user_quota_batch": 11,
+    "priority_price_extremes": 11,
+    "latest_orders_with_ties": 11,
+    "monthly_revenue_mom": 11,
+    "daily_revenue_zscore_28d": 11,
+    "customer_rfm_scores": 11,
+    "revenue_top_decile_share": 11,
+    "hourly_error_rate_24h": 11,
+    "record_revenue_days": 11,
+    "customer_running_balance": 11,
+    "daily_revenue_autocorr": 11,
+    "user_value_twap": 11,
+    "events_hourly_ohlc": 11,
+    "events_value_binned_quantiles": 11,
+    "cohort_ltv_matrix": 11,
+    "daily_revenue_cusum": 11,
+    "corpus_datasheet": 11,
+    "events_user_erasure_audit": 11,
+    "orders_expectation_report": 11,
+    "customer_order_window_corners": 11,
+    "orders_acid_timetravel": 11,
+    "orders_manifest_cdf": 11,
+    "priority_rollup_cdf_maintained": 11,
+    "orders_manifest_history": 11,
+    "orders_cdc_apply_state": 11,
+    "orders_csv_quarantine_roundtrip": 11,
+    "orders_xml_roundtrip": 11,
+    "events_manifest_pruned_scan": 11,
+    "events_bloom_pruned_lookup": 11,
+    "events_zorder_pruned_scan": 11,
+    "events_value_drift": 11,
+    "orders_snapshot_diff": 11,
+    "segment_revenue_trend": 11,
+    "segment_revenue_trend_slope": 11,
+    "part_pareto_frontier": 11,
+    "rolling_7day_revenue": 11,
+    "cheapest_shipment_supplier": 11,
+    "events_props_json": 11,
+    "events_props_variant": 11,
+    "order_priority_rollup": 11,
+    "order_status_priority_cube": 11,
+    "errors_in_session": 11,
+    "clicks_asof_purchase": 11,
+    "customer_order_gaps": 11,
+    "first_lineitem_per_order": 11,
+    "order_id_formatting": 11,
+    "events_sessionization": 11,
+    "cleaned_events_pipeline": 11,
+    "customer_revenue_decile": 11,
+    "customer_revenue_rank": 11,
+    "events_sketch_profile": 11,
+    "event_transition_matrix": 11,
+    "events_value_forward_fill": 11,
+    "top_event_paths": 11,
+    "part_pair_cooccurrence": 11,
+    "part_also_bought_top3": 11,
+    "events_mergeable_hll_rollup": 11,
+    "embedding_dim_covariance": 11,
+    "corpus_token_df": 11,
+    "doc_curation_pipeline": 11,
+    "doc_weighted_sample": 11,
+    "doc_binary_asset_features": 11,
+}
 
 #: Driver sample-window size (the correctness harness samples this many
 #: entries from the head of ``queries()``).
@@ -203,9 +210,22 @@ def verified_rounds() -> dict[str, list[int]]:
     return {n: sorted(rs) for n, rs in out.items()}
 
 
+def _active_forced(seen: dict[str, list[int]]) -> list[str]:
+    """_FORCE_WINDOW entries still awaiting a green driver row from a
+    round >= their change round, oldest change first (then insertion
+    order — dicts preserve it) so the backlog drains front-to-back."""
+    order = {n: i for i, n in enumerate(_FORCE_WINDOW)}
+    active = [
+        n
+        for n, changed in _FORCE_WINDOW.items()
+        if n in CATALOG and not (seen.get(n) and seen[n][-1] >= changed)
+    ]
+    return sorted(active, key=lambda n: (_FORCE_WINDOW[n], order[n]))
+
+
 def _ordered_names() -> list[str]:
     seen = verified_rounds()
-    forced = [n for n in _FORCE_WINDOW if n in CATALOG]
+    forced = _active_forced(seen)
     placed = set(forced)
     never = [n for n in CATALOG if n not in seen and n not in placed]
     placed.update(never)

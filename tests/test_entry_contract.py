@@ -43,6 +43,40 @@ def test_force_window_names_exist_in_catalog():
     assert not missing, f"_FORCE_WINDOW names unknown queries: {missing}"
 
 
+def test_force_window_drains_on_green_row_at_or_after_change_round():
+    """r11 ADVICE item 1: a forced entry must leave the window head once
+    a green driver row from a round >= its change round exists —
+    otherwise a force list larger than the window re-samples the same
+    head forever and the tail backlog never drains."""
+    e = _entry()
+    seen = {
+        "drained": [9, 11],       # green at 11 >= changed 11 -> drains
+        "stale_green": [10],      # green only BEFORE the change -> stays
+        # "never_seen": no row at all -> stays
+    }
+    forced = {"drained": 11, "stale_green": 11, "never_seen": 12}
+    import unittest.mock as mock
+
+    catalog = dict.fromkeys(["drained", "stale_green", "never_seen"])
+    with mock.patch.object(e, "_FORCE_WINDOW", forced), \
+            mock.patch.object(e, "CATALOG", catalog):
+        active = e._active_forced(seen)
+    assert active == ["stale_green", "never_seen"]  # change-round order
+
+
+def test_force_window_active_entries_fit_and_order_by_change_round():
+    """The still-active backlog must lead the ordering: every active
+    forced name sits ahead of every non-forced name, ordered by change
+    round so the oldest debt drains first."""
+    e = _entry()
+    seen = e.verified_rounds()
+    active = e._active_forced(seen)
+    names = e._ordered_names()
+    assert names[: len(active)] == active
+    rounds = [e._FORCE_WINDOW[n] for n in active]
+    assert rounds == sorted(rounds)
+
+
 def test_verified_rounds_covers_the_catalog():
     """Every green driver row maps to a catalog query (artifact names
     and catalog names never drift apart), and — as of r7 — every catalog
@@ -76,7 +110,7 @@ def test_window_holds_the_stalest_entries():
         assert set(never) <= set(window)
 
     # staleness monotonicity across the boundary
-    forced = set(e._FORCE_WINDOW)
+    forced = set(e._active_forced(seen))
     in_last = [seen[n][-1] for n in window if n in seen and n not in forced]
     out_last = [seen[n][-1] for n in outside if n in seen]
     if in_last and out_last:
