@@ -69,22 +69,22 @@ _FORCE_WINDOW: dict[str, int] = {
     "doc_shard_packing": 11,
     "doc_stratified_cap": 11,
     "doc_token_jaccard_pairs": 11,
-    "embedding_dim_profile": 11,
-    "embedding_hard_negatives": 11,
-    "embedding_knn_exact": 11,
-    "embedding_knn_ivf": 11,
-    "embedding_knn_label_accuracy": 11,
-    "embedding_knn_lsh": 11,
-    "embedding_label_centroids": 11,
-    "embedding_mutual_nn_pairs": 11,
-    "embedding_near_dup_pairs": 11,
-    "embedding_rrf_fusion": 11,
+    "embedding_dim_profile": 12,
+    "embedding_hard_negatives": 12,
+    "embedding_knn_exact": 12,
+    "embedding_knn_ivf": 12,
+    "embedding_knn_label_accuracy": 12,
+    "embedding_knn_lsh": 12,
+    "embedding_label_centroids": 12,
+    "embedding_mutual_nn_pairs": 12,
+    "embedding_near_dup_pairs": 12,
+    "embedding_rrf_fusion": 12,
     "doc_minhash_near_dups": 11,
     "doc_simhash_clusters": 11,
     "doc_neardup_components": 11,
     "doc_prefix_filter_jaccard": 11,
     "doc_prefix_filter_neardups": 11,
-    "embedding_norms": 11,
+    "embedding_norms": 12,
     "scd2_as_of_snapshot": 11,
     "rollup_incremental_equals_full": 11,
     "orders_customer_join_ivm": 11,
@@ -135,7 +135,7 @@ _FORCE_WINDOW: dict[str, int] = {
     "first_lineitem_per_order": 11,
     "order_id_formatting": 11,
     "events_sessionization": 11,
-    "cleaned_events_pipeline": 11,
+    "cleaned_events_pipeline": 12,
     "customer_revenue_decile": 11,
     "customer_revenue_rank": 11,
     "events_sketch_profile": 11,
@@ -145,7 +145,7 @@ _FORCE_WINDOW: dict[str, int] = {
     "part_pair_cooccurrence": 11,
     "part_also_bought_top3": 11,
     "events_mergeable_hll_rollup": 11,
-    "embedding_dim_covariance": 11,
+    "embedding_dim_covariance": 12,
     "corpus_token_df": 11,
     "doc_curation_pipeline": 11,
     "doc_weighted_sample": 11,

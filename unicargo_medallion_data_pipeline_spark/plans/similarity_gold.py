@@ -302,6 +302,11 @@ def doc_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       label,
       CAST(len(embedding) AS INTEGER) AS dim,
       CASE WHEN embedding IS NULL THEN NULL
+           -- NULL-element vectors have no defined norm; DuckDB's
+           -- list_sum would silently SKIP the NULL components while
+           -- Spark's aggregate propagates NULL — mirror Spark's
+           -- (honest) answer explicitly (r12 sweep finding, seed r12a).
+           WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
            ELSE sqrt(CAST(COALESCE(list_sum(list_transform(embedding,
                   x -> {_QI.format(v='x')} * {_QI.format(v='x')})), 0) AS DOUBLE))
                 / 100000000.0 END AS l2_norm

@@ -43,8 +43,15 @@ SQL_DOCS1 = (
     f"FROM documents WHERE doc_id IS NOT NULL AND {SQL_HAS_TEXT}) WHERE __rn = 1"
 )
 
+#: Vectors containing NULL *elements* are not valid embeddings and are
+#: excluded EXPLICITLY on both engines (r11 ADVICE): DuckDB's list_sum
+#: skips NULL elements (norm > 0 → included) while Spark's F.aggregate
+#: propagates NULL (predicate NULL → excluded), so without this
+#: predicate a partially-NULL dim-64 vector lands in the oracle
+#: universe but not the engine universe.
 SQL_VALID_EMB = (
-    "(embedding IS NOT NULL AND len(embedding) = 64 AND list_sum("
+    "(embedding IS NOT NULL AND len(embedding) = 64 "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND list_sum("
     f"list_transform(embedding, x -> {_QI.format(v='x')} * {_QI.format(v='x')})) > 0)"
 )
 
@@ -56,20 +63,18 @@ SQL_EMB1 = (
 )
 
 
-def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The near-dup/curation universe: one canonical row per non-NULL
-    doc_id, text non-empty (mirrors ``SQL_DOCS1``)."""
+def docs_with_text_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-pinned plan of the near-dup/curation universe: one canonical
+    row per non-NULL doc_id, text non-empty (mirrors ``SQL_DOCS1``).
+    Exposed separately so the fingerprint census can assert the builder
+    actually SCANS the documents source — the pinned public frame below
+    renders as ``Scan ExistingRDD``, which hides the source read."""
     d = load_table(spark, sf_dir, "documents")
     d = d.filter(
         F.col("doc_id").isNotNull()
         & F.col("text").isNotNull()
         & (norm_text("text") != "")
     )
-    # Pinned for the same reasons as embeddings_valid below: consumers
-    # fan the canonical frame into several plan branches (nodes +
-    # quality in doc_neardup_representatives, shingles + rescore sides
-    # in the LSH family), and the pin keeps the executed-plan census
-    # deterministic under AQE.  Lake scale: a materialized silver table.
     return canonical_dedup(
         d,
         keys=["doc_id"],
@@ -79,26 +84,78 @@ def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_last("source"),
             F.asc_nulls_last("n_chars"),
         ],
-    ).localCheckpoint(eager=True)
+    )
 
 
-def embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The similarity-search universe: one canonical row per non-NULL
-    vec_id, present / dim-64 / nonzero-norm (mirrors ``SQL_EMB1``)."""
+def _materialized(spark: SparkSession, table: str) -> DataFrame | None:
+    """The silver form of a universe, when one is registered (see
+    ``pipelines/canonical.py``): scan the already-clean parquet —
+    zero derivation cost, no pin needed (a plain source scan is
+    plan-stable by itself)."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.canonical import canonical_path
+
+    path = canonical_path(table)
+    return spark.read.parquet(path) if path else None
+
+
+def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup/curation universe, pinned.
+
+    Pinned for the same reasons as embeddings_valid below: consumers
+    fan the canonical frame into several plan branches (nodes +
+    quality in doc_neardup_representatives, shingles + rescore sides
+    in the LSH family), and the pin keeps the executed-plan census
+    deterministic under AQE.  Lake scale: a materialized silver table
+    (``pipelines/canonical.py`` — used automatically when registered)."""
+    silver = _materialized(spark, "documents_canonical")
+    if silver is not None:
+        return silver
+    return docs_with_text_plan(spark, sf_dir).localCheckpoint(eager=True)
+
+
+def embeddings_valid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-pinned plan of the similarity-search universe: one canonical
+    row per non-NULL vec_id, present / dim-64 / no NULL elements /
+    nonzero-norm (mirrors ``SQL_EMB1``).  Separate from the pinned
+    public frame so the fingerprint census keeps asserting the
+    embeddings source scan (see ``docs_with_text_plan``)."""
     e = load_table(spark, sf_dir, "embeddings")
     q = sim.quantized(F.col("embedding"))
     e = e.filter(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == 64)
+        # Explicit, not via NULL propagation through dot_q: mirrors
+        # SQL_VALID_EMB's list_filter clause (see its comment).
+        & ~F.exists("embedding", lambda x: x.isNull())
         & (sim.dot_q(q, q) > 0)
     )
-    # Pin the canonical frame: every similarity query fans it out to 2-3
-    # plan branches (query side + corpus side + rescore), and an unpinned
-    # dedup window would re-run per branch AND let AQE's runtime stage
-    # choices vary between executions (observed: executed-codegen-span
-    # census flapping 11↔13 for knn_ivf).  At lake scale this frame is
-    # the materialized clean silver table, written once.
     return canonical_dedup(
         e, keys=["vec_id"], order_by=[F.asc("embedding"), F.asc_nulls_last("label")]
-    ).localCheckpoint(eager=True)
+    )
+
+
+def embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-search universe, pinned.
+
+    Pin the canonical frame: every similarity query fans it out to 2-3
+    plan branches (query side + corpus side + rescore), and an unpinned
+    dedup window would re-run per branch AND let AQE's runtime stage
+    choices vary between executions (observed: executed-codegen-span
+    census flapping 11↔13 for knn_ivf).  At lake scale this frame is
+    the materialized clean silver table, written once
+    (``pipelines/canonical.py`` — used automatically when registered)."""
+    silver = _materialized(spark, "embeddings_canonical")
+    if silver is not None:
+        return silver
+    return embeddings_valid_plan(spark, sf_dir).localCheckpoint(eager=True)
+
+
+#: Pseudo-queries for the fingerprint snapshot: the pinned universes
+#: hide their source scans behind ``Scan ExistingRDD``, so the census
+#: fingerprints the UN-pinned builder plans under these names to keep
+#: the source-read invariant asserted (r11 ADVICE item 3).
+UNIVERSE_PLANS = {
+    "__universe_docs_with_text": docs_with_text_plan,
+    "__universe_embeddings_valid": embeddings_valid_plan,
+}

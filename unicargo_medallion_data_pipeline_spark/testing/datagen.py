@@ -61,12 +61,25 @@ def write_empty_dataset(src_dir: str, out_dir: str) -> None:
         pq.write_table(schema.empty_table(), os.path.join(out_dir, f"{name}.parquet"))
 
 
+#: Non-finite doubles.  NOT part of the default sweep: the catalog's
+#: finite-or-NULL contract is established at the bronze ingest boundary
+#: (``scrub_nonfinite``, on by default in the medallion bronze config),
+#: while the sweep's oracle comparison reads the raw tables BELOW that
+#: boundary — Spark and DuckDB disagree on NaN ordering/grouping, so
+#: raw non-finite cells would measure engine disagreement, not engine
+#: defects.  ``tests/test_medallion.py`` covers the non-finite path by
+#: running bronze over a ``nonfinite=True`` mutated dataset instead.
+_NONFINITE_FLOATS = (float("nan"), float("inf"), float("-inf"))
+
+
 def _mutate_column(values: list, typ: pa.DataType, rng: random.Random,
-                   null_frac: float, edge_frac: float) -> list:
+                   null_frac: float, edge_frac: float,
+                   nonfinite: bool = False) -> list:
     """Overwrite a deterministic random subset of cells with NULLs and
     type-appropriate edge values."""
     n = len(values)
     out = list(values)
+    float_edges = (0.0, -0.0, 1.0) + (_NONFINITE_FLOATS if nonfinite else ())
     for i in range(n):
         roll = rng.random()
         if roll < null_frac:
@@ -75,7 +88,7 @@ def _mutate_column(values: list, typ: pa.DataType, rng: random.Random,
             if pa.types.is_integer(typ):
                 out[i] = rng.choice((0, 1, -1 if not str(typ).startswith("u") else 2))
             elif pa.types.is_floating(typ):
-                out[i] = rng.choice((0.0, -0.0, 1.0))
+                out[i] = rng.choice(float_edges)
             elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
                 out[i] = rng.choice(_EDGE_STRINGS)
             elif pa.types.is_timestamp(typ):
@@ -83,10 +96,19 @@ def _mutate_column(values: list, typ: pa.DataType, rng: random.Random,
             elif pa.types.is_date(typ):
                 out[i] = rng.choice(_EDGE_TIMESTAMPS).date()
             elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-                # empty list (zero-norm embedding) or all-zero vector of
-                # the original length
+                # empty list (zero-norm embedding), all-zero vector of
+                # the original length, or — r11 ADVICE — a vector with
+                # NULL *elements* (same length): engines disagree on
+                # NULL-element norm sums unless the universe excludes
+                # such vectors explicitly on both sides.
                 cur = out[i]
-                out[i] = rng.choice(([], [0.0] * len(cur) if cur else []))
+                choices = [[], [0.0] * len(cur) if cur else []]
+                if cur:
+                    holed = list(cur)
+                    for j in rng.sample(range(len(holed)), min(2, len(holed))):
+                        holed[j] = None
+                    choices.append(holed)
+                out[i] = rng.choice(choices)
             elif pa.types.is_boolean(typ):
                 out[i] = rng.choice((True, False))
             # other types: leave the cell alone
@@ -101,6 +123,7 @@ def write_mutated_dataset(
     null_frac: float = 0.06,
     edge_frac: float = 0.06,
     dup_frac: float = 0.05,
+    nonfinite: bool = False,
 ) -> None:
     """Write an adversarial twin of every testdata table.
 
@@ -129,6 +152,6 @@ def write_mutated_dataset(
         cols = []
         for field in schema:
             values = t.column(field.name).take(pa.array(idx, type=pa.int64())).to_pylist()
-            values = _mutate_column(values, field.type, rng, null_frac, edge_frac)
+            values = _mutate_column(values, field.type, rng, null_frac, edge_frac, nonfinite)
             cols.append(pa.array(values, type=field.type))
         pq.write_table(pa.Table.from_arrays(cols, schema=schema), os.path.join(out_dir, f"{name}.parquet"))
