@@ -337,14 +337,14 @@ def test_grain_derived_gold_matches_direct(spark, medallion):
         traffic.unpersist()
 
 
-def test_bronze_quoted_newline_truncates_and_audit_detects(spark):
-    """r11 pin of the line-granular CSV contract's documented hazard: a
-    quoted cell containing a raw newline is two physical lines — the
-    parser accepts the head fragment as a good row with the cell
-    silently TRUNCATED (no univocity mode rejects an unterminated quote
-    at EOL), quarantines the tail, and the conservation census still
-    balances.  The engine's answer is DETECTION: audit_csv_quote_balance
-    flags exactly the fragment lines by odd quote parity."""
+def test_bronze_quoted_newline_fragments_are_quarantined(spark):
+    """r12 upgrade of the r11 "detects" pin to PREVENTS: a quoted cell
+    containing a raw newline is two physical lines — the line parser
+    would accept the head fragment as a good row with the cell silently
+    TRUNCATED (no univocity mode rejects an unterminated quote at EOL).
+    The quote-balance audit is now wired INTO read_csv_with_quarantine:
+    both fragments land in quarantine verbatim, the truncated twin never
+    reaches the good frame, and conservation still balances."""
     import tempfile
 
     from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_bronze
@@ -371,12 +371,73 @@ def test_bronze_quoted_newline_truncates_and_audit_detects(spark):
         r["raw_line"]
         for r in spark.read.table("qtest2_bronze.airlines_raw_quarantine").collect()
     }
-    # conservation balances (4 raw data lines = 3 good + 1 quarantined)
-    # even though the QQ record arrived TRUNCATED — the hazard the
-    # docstring documents and the audit exists to catch
+    # conservation balances (4 raw data lines = 2 good + 2 quarantined)
+    # and the truncated head fragment is QUARANTINED, not accepted
     assert len(good) + len(q_lines) == 4
-    assert good["AA"] == "American Airlines" and good["DL"] == "Delta Air Lines"
-    assert good["QQ"] == "Line"  # silently truncated at the line break
-    assert q_lines == {'Break Air"'}  # the tail fragment, verbatim
+    assert good == {"AA": "American Airlines", "DL": "Delta Air Lines"}
+    assert q_lines == {'QQ,"Line', 'Break Air"'}  # both fragments, verbatim
     suspects = {r["raw_line"] for r in audit_csv_quote_balance(spark, p).collect()}
     assert suspects == {'QQ,"Line', 'Break Air"'}
+
+
+def test_bronze_scrubs_nonfinite_doubles_to_null(spark):
+    """r12 (r11 verdict item 3): the finite-or-NULL doubles contract is
+    made true BY the default ingest — NaN/±Inf double cells in source
+    CSVs arrive in bronze as NULL, not as contract-breaking values."""
+    import math
+    import tempfile
+
+    from unicargo_medallion_data_pipeline_spark.pipelines.medallion import run_bronze
+
+    d = tempfile.mkdtemp(prefix="nonfinite_")
+    p = os.path.join(d, "airports.csv")
+    with open(p, "w") as f:
+        f.write("iata_code,airline,city,state,country,latitude,longitude\n")
+        f.write("AAA,Any Airport,Springfield,IL,USA,39.8,-89.6\n")
+        f.write("BBB,Bad Airport,Nowhere,XX,USA,NaN,Inf\n")
+        f.write("CCC,Cold Airport,Utqiagvik,AK,USA,-Inf,156.8\n")
+    cfg = {
+        "environments": {"nfin": {"storage_root": tempfile.mkdtemp(prefix="nfwh_")}},
+        "tables": {
+            "airports": {"bronze": {"table": "airports_raw", "source_format": "csv"}}
+        },
+    }
+    out = run_bronze(spark, {"airports": p}, environment="nfin", config=cfg)
+    rows = {r["iata_code"]: r for r in out["airports"].collect()}
+    assert len(rows) == 3  # nothing quarantined — NaN/Inf parse fine
+    assert rows["AAA"]["latitude"] == 39.8
+    assert rows["BBB"]["latitude"] is None and rows["BBB"]["longitude"] is None
+    assert rows["CCC"]["latitude"] is None and rows["CCC"]["longitude"] == 156.8
+    for r in rows.values():  # nothing non-finite anywhere in bronze
+        for c in ("latitude", "longitude"):
+            assert r[c] is None or math.isfinite(r[c])
+
+
+def test_datagen_nonfinite_injection_and_scrub_roundtrip(spark, tmp_path):
+    """r11 ADVICE item 4: datagen can inject NaN/±Inf float edges
+    (nonfinite=True), and scrub_nonfinite clears every one of them —
+    the unit-level pin for the bronze-boundary contract.  The DEFAULT
+    sweep stays nonfinite-free (see datagen._NONFINITE_FLOATS: the
+    catalog's oracle comparison reads raw tables below the contract
+    boundary, where the engines legitimately disagree on NaN)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import scrub_nonfinite
+    from unicargo_medallion_data_pipeline_spark.testing.datagen import write_mutated_dataset
+
+    out_dir = str(tmp_path / "nonfinite_ds")
+    write_mutated_dataset(
+        "/root/testdata/sf0.001", out_dir, seed="nf1",
+        edge_frac=0.4, null_frac=0.0, nonfinite=True,
+    )
+    ev = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
+    n_bad = ev.filter(F.isnan("value") | F.col("value").isin(
+        float("inf"), float("-inf"))).count()
+    assert n_bad > 0, "nonfinite=True must actually inject NaN/Inf"
+    scrubbed = scrub_nonfinite(ev)
+    vals = [r["value"] for r in scrubbed.select("value").collect()]
+    assert all(v is None or math.isfinite(v) for v in vals)
+    # conservation: scrub nulls cells, never drops rows
+    assert scrubbed.count() == ev.count()

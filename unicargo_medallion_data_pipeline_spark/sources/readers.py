@@ -75,6 +75,7 @@ def read_csv_with_quarantine(
     path: str,
     schema: StructType,
     header: bool = True,
+    quote_audit: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """S1 hardened for production ingest: ``(good, quarantine)`` split.
 
@@ -100,16 +101,33 @@ def read_csv_with_quarantine(
     fails its declared type or the column count is wrong.  Note the scan
     therefore executes at call time, not lazily.
 
-    KNOWN HAZARD (r11): the split is LINE-granular by contract (the
-    splittable, conservation-countable form).  A quoted cell containing
-    a RAW NEWLINE is two physical lines; the parser accepts the first
-    fragment as a good row with the cell silently TRUNCATED at the line
-    break and quarantines only the tail fragment — conservation still
-    balances, but the truncation is invisible to it (verified against
-    every univocity unescapedQuoteHandling mode; none rejects an
-    unterminated quote at EOL).  Producers must not emit raw newlines
-    inside cells; run :func:`audit_csv_quote_balance` beside ingest to
-    DETECT violations (odd quote parity per physical line).
+    QUOTED-NEWLINE HANDLING (r11 hazard, r12 fix): the split is
+    LINE-granular by contract (the splittable, conservation-countable
+    form).  A quoted cell containing a RAW NEWLINE is two physical
+    lines; the line parser accepts the first fragment as a good row
+    with the cell silently TRUNCATED at the line break and quarantines
+    only the tail fragment (verified against every univocity
+    unescapedQuoteHandling mode; none rejects an unterminated quote at
+    EOL).  With ``quote_audit=True`` (default) the reader closes that
+    loop: physical lines whose double-quote count is ODD — exactly the
+    head/tail fragments of a quoted-newline record — are rerouted to
+    the quarantine side verbatim, and their silently-truncated parsed
+    twins are subtracted from the good frame, so a producer emitting
+    Excel-style quoted newlines loses no data silently.  Conservation
+    still balances: every physical data line lands in exactly one of
+    (good, quarantine).
+
+    Cost model: the audit is one extra text scan; the multiset
+    subtraction (``exceptAll``, which shuffles the good side) runs ONLY
+    when fragments actually exist — violation-free ingest pays the scan
+    and nothing else.  ``quote_audit=False`` restores the pure
+    one-pass r11 behavior for trusted producers.
+
+    Residual (documented) hazards: a cell containing MULTIPLE raw
+    newlines has balanced interior lines that parse as plausible rows
+    (only the head/tail fragments are detectable at line granularity),
+    and an odd-parity HEADER line (itself a producer bug) would be
+    quarantined as a phantom data line.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -128,6 +146,36 @@ def read_csv_with_quarantine(
     quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
+    if not quote_audit:
+        return good, quarantine
+
+    # Fragments the parser already quarantined (tail pieces) stay where
+    # they are; the rest — the parser-ACCEPTED head pieces — move to
+    # quarantine, and their truncated parsed rows leave the good frame.
+    odd = audit_csv_quote_balance(spark, path).select("raw_line")
+    accepted_fragments = odd.exceptAll(quarantine).localCheckpoint(eager=True)
+    if accepted_fragments.isEmpty():
+        return good, quarantine
+
+    # Parse each fragment line standalone with the SAME parser options;
+    # univocity truncates an unterminated quote at EOL identically in
+    # from_csv and the path scan, so the parsed twin matches the row the
+    # full parse accepted and exceptAll removes exactly one instance.
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in aug.fields)
+    fragment_rows = (
+        accepted_fragments.select(
+            F.from_csv(
+                "raw_line",
+                ddl,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col(CORRUPT_COL).isNull())
+        .drop(CORRUPT_COL)
+    )
+    good = good.exceptAll(fragment_rows)
+    quarantine = quarantine.unionAll(accepted_fragments)
     return good, quarantine
 
 
@@ -139,10 +187,11 @@ def audit_csv_quote_balance(spark: SparkSession, path: str) -> DataFrame:
     truncates) or closed one it never opened (the quarantined tail).
 
     Returns (raw_line, n_quotes) for every suspect line.  One text scan,
-    pure column expressions, splittable — run it beside ingest as a
-    quality metric; a non-empty result means some upstream producer is
-    emitting raw newlines inside cells and those records are arriving
-    TRUNCATED even though the conservation census balances."""
+    pure column expressions, splittable.  As of r12 this audit is wired
+    INTO ``read_csv_with_quarantine`` (``quote_audit=True``), which
+    reroutes the flagged fragments to quarantine; it remains public as a
+    standalone quality metric — a non-empty result means some upstream
+    producer is emitting raw newlines inside cells."""
     from pyspark.sql import functions as F
 
     lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
