@@ -137,10 +137,14 @@ class CleaningConfig:
     fill_per_column: dict[str, object] = field(default_factory=dict)
     fill_string_default: str | None = None
     fill_numeric_default: float | None = None
-    #: r11: NULL out NaN/±Inf in float columns BEFORE dedup/fill — the
+    #: NULL out NaN/±Inf in float columns BEFORE dedup/fill — the
     #: bronze-boundary posture the analytic catalog's finite-doubles
-    #: contract assumes (see scrub_nonfinite).
-    scrub_nonfinite: bool = False
+    #: contract assumes (see scrub_nonfinite).  Default ON as of r12:
+    #: at lake scale "the ingest makes the contract true" must be the
+    #: default, not an opt-in (r11 verdict item 3); the scrub is pure
+    #: codegen'd column expressions — no shuffle, ~zero cost — and an
+    #: identity map on already-finite data.
+    scrub_nonfinite: bool = True
 
 
 def clean(df: DataFrame, config: CleaningConfig) -> DataFrame:

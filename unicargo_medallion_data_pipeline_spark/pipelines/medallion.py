@@ -15,6 +15,7 @@ from dataclasses import dataclass, field, replace
 from pyspark.sql import DataFrame, SparkSession
 
 from unicargo_medallion_data_pipeline_spark.config.tables import get_table_config
+from unicargo_medallion_data_pipeline_spark.operators.cleaning import scrub_nonfinite
 from unicargo_medallion_data_pipeline_spark.operators.transforms import with_metadata, with_processed_timestamp
 from unicargo_medallion_data_pipeline_spark.pipelines import gold_flights, silver
 from unicargo_medallion_data_pipeline_spark.quality.validation import validate_data_quality
@@ -119,8 +120,12 @@ def run_bronze(
                     spark,
                     mode="overwrite",
                 )
+                # Bronze-boundary finite-doubles contract (r12): NaN/±Inf
+                # measurements become NULL here, so every downstream
+                # layer sees finite-or-NULL floats by construction.
+                # Pure codegen'd column expressions — no extra job.
                 df = with_metadata(
-                    with_processed_timestamp(good),
+                    with_processed_timestamp(scrub_nonfinite(good)),
                     {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
                 )
                 obs_good = Observation()
@@ -147,7 +152,9 @@ def run_bronze(
                 spark.sql(f"DROP TABLE IF EXISTS {qcfg_stg.full_name}")
         else:
             df = with_metadata(
-                with_processed_timestamp(read_csv(spark, path, schemas[entity])),
+                with_processed_timestamp(
+                    scrub_nonfinite(read_csv(spark, path, schemas[entity]))
+                ),
                 {"pipeline_id": pipeline_id, "entity": entity, "layer": "bronze"},
             )
             save_to_table(df, cfg, spark, mode="overwrite")
