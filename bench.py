@@ -125,6 +125,84 @@ def run_rounds(
     return runs, probes, extra
 
 
+def calibration_dict(
+    runs: dict[str, list[tuple[int, float]]],
+    probes: list[float],
+    n_rounds: int,
+    extra: int,
+    steady: float = STEADY_SPREAD,
+) -> dict:
+    """The calibration block every harness embeds in its JSON."""
+    probe_min = min(probes)
+    eff = effective_spread(runs, probes)
+    return {
+        "probe_sec": [round(p, 3) for p in probes],
+        # spread of the probes bracketing the rounds that produced the
+        # emitted minima — the steadiness evidence for THESE numbers
+        "probe_spread": round(eff, 3) if eff else None,
+        # whole-run spread incl. rounds whose attempts all lost
+        "probe_spread_all": round(max(probes) / probe_min, 3) if probe_min else None,
+        "rounds": n_rounds + extra,
+        "extra_rounds": extra,
+        "steady_target": steady,
+    }
+
+
+def steady_time_queries(
+    names,
+    attempt,
+    probe=_cpu_probe,
+    n_rounds: int = N_ROUNDS,
+    steady: float = STEADY_SPREAD,
+    max_extra: int = MAX_EXTRA_ROUNDS,
+) -> tuple[dict[str, float], dict]:
+    """Per-query minima + calibration under the SAME steady-by-
+    construction retry policy ``main()`` uses — the shared entry point
+    for every query-set harness (bench_scale/bench_skew/…), so no
+    committed scale table hand-reports a probe spread above the bar
+    when extra rounds could have fixed it (r11 verdict item 6)."""
+    runs, probes, extra = run_rounds(
+        list(names), attempt, probe, n_rounds=n_rounds, steady=steady, max_extra=max_extra
+    )
+    timings = {n: round(min(t for _, t in r), 3) for n, r in runs.items()}
+    return timings, calibration_dict(runs, probes, n_rounds, extra, steady)
+
+
+def steady_single(
+    measure,
+    probe=_cpu_probe,
+    steady: float = STEADY_SPREAD,
+    max_attempts: int = 3,
+) -> tuple[object, dict]:
+    """Steady policy for SINGLE-SHOT expensive measurements (an
+    end-to-end pipeline run that cannot be cheaply best-of-N'd):
+    bracket each attempt with probes; while the bracket spread breaches
+    the bar, re-run on a hopefully quieter window (bounded).  Returns
+    (payload of the steadiest attempt, calibration dict).  A
+    persistently noisy host still emits, with the honest spread."""
+    probes = [probe()]
+    attempts: list[tuple[object, float]] = []
+    for i in range(max_attempts):
+        payload = measure()
+        probes.append(probe())
+        lo, hi = sorted((probes[i], probes[i + 1]))
+        spread = hi / lo if lo else float("inf")
+        attempts.append((payload, spread))
+        if spread <= steady:
+            break
+    best_payload, best_spread = min(attempts, key=lambda a: a[1])
+    probe_min = min(probes)
+    calibration = {
+        "probe_sec": [round(p, 3) for p in probes],
+        "probe_spread": round(best_spread, 3),
+        "probe_spread_all": round(max(probes) / probe_min, 3) if probe_min else None,
+        "rounds": len(attempts),
+        "extra_rounds": len(attempts) - 1,
+        "steady_target": steady,
+    }
+    return best_payload, calibration
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
@@ -151,8 +229,7 @@ def main() -> None:
         bench_queries[name].fn(spark, sf_dir).count()
         return time.perf_counter() - t0
 
-    runs, probes, extra = run_rounds(list(bench_queries), _attempt, _cpu_probe)
-    timings = {name: round(min(t for _, t in r), 3) for name, r in runs.items()}
+    timings, calibration = steady_time_queries(list(bench_queries), _attempt)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -160,19 +237,6 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    probe_min = min(probes)
-    eff = effective_spread(runs, probes)
-    calibration = {
-        "probe_sec": [round(p, 3) for p in probes],
-        # spread of the probes bracketing the rounds that produced the
-        # emitted minima — the steadiness evidence for THESE numbers
-        "probe_spread": round(eff, 3) if eff else None,
-        # whole-run spread incl. rounds whose attempts all lost
-        "probe_spread_all": round(max(probes) / probe_min, 3) if probe_min else None,
-        "rounds": N_ROUNDS + extra,
-        "extra_rounds": extra,
-        "steady_target": STEADY_SPREAD,
-    }
     print(
         json.dumps(
             {

@@ -197,22 +197,31 @@ def main() -> None:
             "environments": {"bench": {"storage_root": os.path.join(work, "lake")}},
             "tables": DEFAULT_CONFIG["tables"],
         }
-        timings: dict[str, float] = {}
-        t0 = time.perf_counter()
-        result = run_medallion(
-            spark,
-            {
-                "flights": flights_dir,
-                "airlines": os.path.join(work, "airlines.csv"),
-                "airports": os.path.join(work, "airports.csv"),
-            },
-            environment="bench",
-            config=cfg,
-            date_range=("2015-01-01", "2015-12-31"),
-            timings=timings,
-            gold_parallelism=args.gold_parallelism,
-        )
-        total = time.perf_counter() - t0
+        from bench import steady_single
+
+        def _measure():
+            # One full pipeline run (overwrite semantics make re-runs
+            # idempotent); steady_single re-runs it on a quieter window
+            # if the bracketing probes breach the bar (r11 verdict
+            # item 6 — no more hand-reported above-bar spreads).
+            timings: dict[str, float] = {}
+            t0 = time.perf_counter()
+            result = run_medallion(
+                spark,
+                {
+                    "flights": flights_dir,
+                    "airlines": os.path.join(work, "airlines.csv"),
+                    "airports": os.path.join(work, "airports.csv"),
+                },
+                environment="bench",
+                config=cfg,
+                date_range=("2015-01-01", "2015-12-31"),
+                timings=timings,
+                gold_parallelism=args.gold_parallelism,
+            )
+            return result, timings, time.perf_counter() - t0
+
+        (result, timings, total), calibration = steady_single(_measure)
 
         rows = {
             "flights_csv": args.rows,
@@ -242,6 +251,7 @@ def main() -> None:
                     "rows_per_sec": rps,
                     "generation_sec": round(gen_s, 2),
                     "gold_per_table": per_table,
+                    "calibration": calibration,
                 }
             )
         )

@@ -196,20 +196,24 @@ def build_scaled(spark, src_dir: str, dst_dir: str) -> None:
         )
 
 
-def time_queries(spark, catalog, sf_dir: str, rounds: int = 3) -> dict[str, float]:
-    runs: dict[str, list[float]] = {n: [] for n in QUERIES}
-    for _ in range(rounds):
-        for n in QUERIES:
-            t0 = time.perf_counter()
-            catalog[n].fn(spark, sf_dir).count()
-            runs[n].append(time.perf_counter() - t0)
-    return {n: round(min(r), 3) for n, r in runs.items()}
+def time_queries(spark, catalog, sf_dir: str, rounds: int = 3) -> tuple[dict[str, float], dict]:
+    """Per-query minima + calibration via bench.steady_time_queries —
+    the shared steady-by-construction policy, so this harness can no
+    longer commit a scale table whose probe spread breached the bar
+    (r11 verdict item 6)."""
+    from bench import steady_time_queries
+
+    def _attempt(n: str) -> float:
+        t0 = time.perf_counter()
+        catalog[n].fn(spark, sf_dir).count()
+        return time.perf_counter() - t0
+
+    return steady_time_queries(QUERIES, _attempt, n_rounds=rounds)
 
 
 def main() -> None:
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from bench import _cpu_probe
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
     from unicargo_medallion_data_pipeline_spark.session import get_spark
 
@@ -221,11 +225,8 @@ def main() -> None:
         sf05 = os.path.join(work, "sf0.5eq")
         build_scaled(spark, sf01, sf05)
 
-        probes = [_cpu_probe()]
-        t01 = time_queries(spark, CATALOG, sf01)
-        probes.append(_cpu_probe())
-        t05 = time_queries(spark, CATALOG, sf05)
-        probes.append(_cpu_probe())
+        t01, cal01 = time_queries(spark, CATALOG, sf01)
+        t05, cal05 = time_queries(spark, CATALOG, sf05)
 
         out = {
             n: {
@@ -235,17 +236,13 @@ def main() -> None:
             }
             for n in QUERIES
         }
-        pm = min(probes)
         print(
             json.dumps(
                 {
                     "metric": "scale_curvature",
                     "replicas": REPLICAS,
                     "queries": out,
-                    "calibration": {
-                        "probe_sec": [round(p, 3) for p in probes],
-                        "probe_spread": round(max(probes) / pm, 3) if pm else None,
-                    },
+                    "calibration": {"sf01": cal01, "sf05": cal05},
                 }
             )
         )

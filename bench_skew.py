@@ -98,7 +98,7 @@ def _digest(df) -> tuple:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from bench import _cpu_probe
+    from bench import steady_time_queries
     from unicargo_medallion_data_pipeline_spark.session import get_spark
 
     spark = get_spark("bench-skew")
@@ -145,38 +145,36 @@ def main() -> None:
         return _digest(_join_salted(skewed, supp))
 
     variants = {"plain": run_plain, "aqe": run_aqe, "salted": run_salted}
-    probes = [_cpu_probe()]
-    times: dict[str, list[float]] = {k: [] for k in variants}
     digests: dict[str, tuple] = {}
-    for _ in range(N_ROUNDS):
-        for name, fn in variants.items():
-            t0 = time.perf_counter()
-            d = fn()
-            times[name].append(time.perf_counter() - t0)
-            if name in digests and digests[name] != d:
-                raise AssertionError(f"{name}: digest unstable across rounds")
-            digests[name] = d
-        probes.append(_cpu_probe())
+
+    def _attempt(name: str) -> float:
+        t0 = time.perf_counter()
+        d = variants[name]()
+        dt = time.perf_counter() - t0
+        if name in digests and digests[name] != d:
+            raise AssertionError(f"{name}: digest unstable across rounds")
+        digests[name] = d
+        return dt
+
+    # shared steady-by-construction policy (r11 verdict item 6)
+    times, calibration = steady_time_queries(
+        list(variants), _attempt, n_rounds=N_ROUNDS
+    )
 
     equal = len(set(digests.values())) == 1
     if not equal:
         raise AssertionError(f"variant results differ: {digests}")
-    probe_min = min(probes)
     print(
         json.dumps(
             {
                 "metric": "skew_join_wall",
                 "unit": "sec",
-                "variants": {k: round(min(v), 3) for k, v in times.items()},
+                "variants": times,
                 "rows": skewed.count(),
                 "hot_fraction": HOT_FRACTION,
                 "multiplier": MULTIPLIER,
                 "equal": equal,
-                "calibration": {
-                    "probe_sec": [round(p, 3) for p in probes],
-                    "probe_spread": round(max(probes) / probe_min, 3),
-                    "rounds": N_ROUNDS,
-                },
+                "calibration": calibration,
             }
         )
     )

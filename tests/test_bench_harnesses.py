@@ -88,7 +88,11 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
         assert s["rows_per_sec"] > 0, name
     # CDC apply collapses events to one current row per user
     assert 0 < rec["scenarios"]["cdc_apply"]["final_rows"] < rec["source_rows"]
-    assert rec["calibration"]["probe_spread"] >= 1.0
+    # r12: per-scenario calibration via bench.steady_single
+    for name in rec["scenarios"]:
+        cal = rec["calibration"][name]
+        assert cal["probe_spread"] >= 1.0
+        assert cal["steady_target"] == 1.35
 
 
 def test_no_session_wide_write_conf_toggles():
@@ -174,3 +178,43 @@ def test_bench_steadiness_retry_policy():
         ["q"], lambda n: 1.0, lambda: next(seq3), n_rounds=3, steady=1.35, max_extra=3,
     )
     assert extra3 == 0
+
+
+def test_steady_single_retry_policy():
+    """r11 verdict task 6: single-shot measurements (pipeline runs)
+    share the steady policy — retry while the bracketing probes breach
+    the bar (bounded), emit the steadiest attempt's payload."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(REPO, "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # noisy bracket around attempt 1, quiet around attempt 2 -> retried
+    # once, payload from the second attempt
+    probes = iter([1.0, 3.0, 3.1])
+    payloads = iter(["noisy", "quiet"])
+    payload, cal = m.steady_single(
+        lambda: next(payloads), probe=lambda: next(probes), max_attempts=3
+    )
+    assert payload == "quiet"
+    assert cal["rounds"] == 2 and cal["extra_rounds"] == 1
+    assert cal["probe_spread"] <= 1.35
+
+    # persistently noisy -> bounded retries, steadiest attempt, honest spread
+    probes2 = iter([1.0, 2.0, 1.0, 1.8])
+    payloads2 = iter(["a", "b", "c"])
+    payload2, cal2 = m.steady_single(
+        lambda: next(payloads2), probe=lambda: next(probes2), max_attempts=3
+    )
+    assert payload2 == "c"  # bracket (1.0, 1.8) is the narrowest
+    assert cal2["rounds"] == 3 and cal2["probe_spread"] > 1.35
+
+    # quiet from the start -> single attempt
+    probes3 = iter([1.0, 1.1])
+    payload3, cal3 = m.steady_single(
+        lambda: "only", probe=lambda: next(probes3), max_attempts=3
+    )
+    assert payload3 == "only" and cal3["rounds"] == 1
