@@ -31,12 +31,25 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_snapshot_covers_whole_catalog():
+    from unicargo_medallion_data_pipeline_spark.plans.universes import UNIVERSE_PLANS
+
     snap = fp.load_snapshot()
-    assert set(snap) == set(CATALOG), (
+    expected = set(CATALOG) | set(UNIVERSE_PLANS)
+    assert set(snap) == expected, (
         "snapshot out of sync with catalog; regenerate with --update "
-        f"(missing={sorted(set(CATALOG) - set(snap))}, "
-        f"stale={sorted(set(snap) - set(CATALOG))})"
+        f"(missing={sorted(expected - set(snap))}, "
+        f"stale={sorted(set(snap) - expected)})"
     )
+
+
+def test_universe_builders_scan_their_sources():
+    """r11 ADVICE item 3: the pinned universes render as Scan
+    ExistingRDD in every consumer plan, so the SOURCE-read invariant
+    lives in the pseudo-entries — each un-pinned builder plan must scan
+    its parquet source exactly once."""
+    snap = fp.load_snapshot()
+    assert snap["__universe_docs_with_text"]["scans"] == 1
+    assert snap["__universe_embeddings_valid"]["scans"] == 1
 
 
 def test_all_plan_fingerprints_match_snapshot(spark):

@@ -68,10 +68,22 @@ def compute_fingerprints(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dic
         executed_codegen_spans,
         plan_census,
     )
+    from unicargo_medallion_data_pipeline_spark.plans.universes import UNIVERSE_PLANS
+
+    # The pinned universes render as Scan ExistingRDD in every consumer
+    # plan, which would leave their SOURCE scans un-asserted; fingerprint
+    # the un-pinned builder plans as pseudo-queries alongside the catalog.
+    fns = dict(CATALOG.items()) if names is None else {n: CATALOG[n] for n in names}
+    builders = {n: fn for n, fn in UNIVERSE_PLANS.items() if names is None or n in names}
 
     out: dict[str, dict] = {}
-    for name in sorted(names if names is not None else CATALOG):
-        df = CATALOG[name].fn(spark, sf_dir)
+    for name in sorted(fns):
+        df = fns[name].fn(spark, sf_dir)
+        census = plan_census(df)
+        census["executed_codegen_spans"] = executed_codegen_spans(df)
+        out[name] = census
+    for name in sorted(builders):
+        df = builders[name](spark, sf_dir)
         census = plan_census(df)
         census["executed_codegen_spans"] = executed_codegen_spans(df)
         out[name] = census
@@ -102,7 +114,7 @@ def _force_window_names() -> list[str]:
     entry = os.path.join(_REPO, "__spark_entry__.py")
     with open(entry) as fh:
         src = fh.read()
-    m = re.search(r"_FORCE_WINDOW\s*:\s*list\[str\]\s*=\s*\[(.*?)\]", src, re.S)
+    m = re.search(r"_FORCE_WINDOW\s*:\s*dict\[str,\s*int\]\s*=\s*\{(.*?)\}", src, re.S)
     if not m:
         raise RuntimeError("_FORCE_WINDOW not found in __spark_entry__.py")
     return re.findall(r"[\"']([^\"']+)[\"']", m.group(1))
@@ -119,10 +131,14 @@ def update_snapshot(spark, sf_dir: str = DEFAULT_SF_DIR, force: bool = False) ->
     # Nor does a pure METRIC-SCHEMA change (a census field added or
     # retired, values equal on every shared field): the plans themselves
     # did not move, so there is nothing for the driver to re-verify.
+    # "__universe_*" pseudo-queries are not driver queries — a changed
+    # universe plan is re-verified transitively through every consumer
+    # query (which the updater DOES require in _FORCE_WINDOW).
     plan_changed = [
         n
         for n, d in changed.items()
-        if d["old"] is not None
+        if not n.startswith("__universe_")
+        and d["old"] is not None
         and d["new"] is not None
         and any(d["old"][k] != d["new"][k] for k in set(d["old"]) & set(d["new"]))
     ]

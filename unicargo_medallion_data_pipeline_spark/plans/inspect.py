@@ -70,6 +70,10 @@ def plan_census(df: DataFrame) -> dict:
                 flags=re.M,
             )
         ),
+        # Checkpoint reads — counting them pins the pin itself: a
+        # dropped localCheckpoint (universe re-derived per branch) or a
+        # substituted source both move this number (r11 ADVICE item 3).
+        "rdd_scans": len(re.findall(r"^\(\d+\) Scan ExistingRDD", p, flags=re.M)),
         "window_execs": p.count("Window ("),
         "has_take_ordered": "TakeOrderedAndProject" in p,
     }
