@@ -150,6 +150,24 @@ _FORCE_WINDOW: dict[str, int] = {
     "doc_curation_pipeline": 11,
     "doc_weighted_sample": 11,
     "doc_binary_asset_features": 11,
+    "flight_airline_scorecard": 12,
+    "flight_busiest_routes": 12,
+    "flight_rolling_otp": 12,
+    "flight_delay_distribution": 12,
+    "flight_seasonal_summary": 12,
+    "airport_neighbor_pairs": 12,
+    "flight_airline_dow": 12,
+    "flight_airport_traffic": 12,
+    "flight_weekly_summary": 12,
+    "flight_distance_buckets": 12,
+    "flight_monthly_trends": 12,
+    "flight_efficiency": 12,
+    "flight_daily_summary": 12,
+    "flight_aircraft_utilization": 12,
+    "flight_number_performance": 12,
+    "flight_operational_summary": 12,
+    "flight_weekend_split": 12,
+    "flight_quarterly_summary": 12,
 }
 
 #: Driver sample-window size (the correctness harness samples this many

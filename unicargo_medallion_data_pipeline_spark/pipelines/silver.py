@@ -104,10 +104,14 @@ def build_dim_airline(airlines_raw: DataFrame) -> DataFrame:
 
 
 def build_dim_airport(airports_raw: DataFrame) -> DataFrame:
+    # airline (the reference's sic name column) leads; the remaining
+    # columns complete a TOTAL order so duplicate codes whose rows tie
+    # on the name but diverge elsewhere (r12 hostile-fixture sweep)
+    # still have an engine-independent survivor.
     clean = canonical_dedup(
         airports_raw.filter(F.col("iata_code").isNotNull()),
         keys=["iata_code"],
-        order_by=["airline"],
+        order_by=["airline", "city", "state", "country", "latitude", "longitude"],
     )
     return dim_surrogate_key(clean, ["iata_code"], "airport_sk").select(
         "airport_sk", "iata_code", "airline", "city", "state", "country", "latitude", "longitude"
@@ -161,11 +165,25 @@ def clean_flights(flights_raw: DataFrame, cluster_col: str | None = None) -> Dat
                 "window's required distribution and Spark would re-shuffle"
             )
         df = df.repartition(F.col(cluster_col))
-    return canonical_dedup(
-        df,
-        keys=keys,
-        order_by=["scheduled_departure", "tail_number"],
-    )
+    # TOTAL tie-break order (r12 hostile-fixture sweep): the reference's
+    # (scheduled_departure, tail_number) pair leads, but key-duplicate
+    # rows that TIE on it while diverging in other measures would leave
+    # the survivor engine-dependent — append every remaining ORDERABLE
+    # column so row_number()==1 is well-defined on any input (the bronze
+    # frame also carries a metadata MAP, which sort orders reject).  All
+    # asc-nulls-first (Spark's asc default), mirrored by the oracle
+    # prelude.
+    unorderable = {
+        f.name for f in flights_raw.schema.fields
+        if f.dataType.typeName() in ("map", "variant")
+    }
+    tiebreak = ["scheduled_departure", "tail_number"] + [
+        c for c in flights_raw.columns
+        if c not in keys
+        and c not in ("scheduled_departure", "tail_number")
+        and c not in unorderable
+    ]
+    return canonical_dedup(df, keys=keys, order_by=tiebreak)
 
 
 #: Measures carried into the fact (``...create_fact_flights.ipynb:340-360``);

@@ -127,17 +127,46 @@ ap AS (
   FROM (
     SELECT iata_code, city, state,
            ROW_NUMBER() OVER (PARTITION BY iata_code
-                              ORDER BY airline ASC NULLS FIRST) AS dup_rn
+                              ORDER BY airline ASC NULLS FIRST,
+                                       city ASC NULLS FIRST,
+                                       state ASC NULLS FIRST,
+                                       country ASC NULLS FIRST,
+                                       latitude ASC NULLS FIRST,
+                                       longitude ASC NULLS FIRST) AS dup_rn
     FROM read_parquet('{FIXTURE_DIR}/airports.parquet')
     WHERE iata_code IS NOT NULL
   ) WHERE dup_rn = 1
 ),
 fl AS (
   SELECT * FROM (
+    -- Tie-break is a TOTAL order (mirrors clean_flights): the
+    -- reference pair leads, every remaining column follows, so
+    -- key-duplicates that tie on (scheduled_departure, tail_number)
+    -- with divergent measures keep an engine-independent survivor.
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY flight_number, flight_date, origin_airport, destination_airport
         ORDER BY scheduled_departure ASC NULLS FIRST,
-                 tail_number ASC NULLS FIRST) AS dedup_rn
+                 tail_number ASC NULLS FIRST,
+                 year ASC NULLS FIRST, month ASC NULLS FIRST,
+                 day ASC NULLS FIRST, day_of_week ASC NULLS FIRST,
+                 airline ASC NULLS FIRST,
+                 departure_time ASC NULLS FIRST,
+                 departure_delay ASC NULLS FIRST,
+                 taxi_out ASC NULLS FIRST, wheels_off ASC NULLS FIRST,
+                 scheduled_time ASC NULLS FIRST,
+                 elapsed_time ASC NULLS FIRST, air_time ASC NULLS FIRST,
+                 distance ASC NULLS FIRST, wheels_on ASC NULLS FIRST,
+                 taxi_in ASC NULLS FIRST,
+                 scheduled_arrival ASC NULLS FIRST,
+                 arrival_time ASC NULLS FIRST,
+                 arrival_delay ASC NULLS FIRST,
+                 diverted ASC NULLS FIRST, cancelled ASC NULLS FIRST,
+                 cancellation_reason ASC NULLS FIRST,
+                 air_system_delay ASC NULLS FIRST,
+                 security_delay ASC NULLS FIRST,
+                 airline_delay ASC NULLS FIRST,
+                 late_aircraft_delay ASC NULLS FIRST,
+                 weather_delay ASC NULLS FIRST) AS dedup_rn
     FROM (
       SELECT *, CAST(try_strptime(printf('%04d-%02d-%02d', year, month, day),
                                   '%Y-%m-%d') AS DATE) AS flight_date
@@ -155,6 +184,12 @@ fact AS (
   JOIN al ON f.airline = al.iata_code
   JOIN ap o ON f.origin_airport = o.iata_code
   JOIN ap d ON f.destination_airport = d.iata_code
+  -- Mirrors the Spark fact's INNER join against the 2015-bounded
+  -- dim_date calendar (build_dim_date in _silver): out-of-range dates
+  -- leave the universe on BOTH engines.  Invisible on the committed
+  -- all-2015 fixture; load-bearing under the r12 hostile-fixture sweep
+  -- (mutated year/month/day ints parse to non-2015 dates).
+  WHERE f.flight_date BETWEEN DATE '2015-01-01' AND DATE '2015-12-31'
 )
 """
 

@@ -66,9 +66,17 @@ AIRLINES = (
 
 _STATES = ("CA", "TX", "NY", "FL", "IL", "WA", "GA", "CO", "AZ", "NC")
 
+#: Redirects the whole flight-domain family (Spark loaders AND the
+#: DuckDB oracle SQL, which interpolates FIXTURE_DIR at import time) to
+#: an alternate fixture directory.  Must be set BEFORE the plans modules
+#: import — the robustness sweep sets it in a subprocess to run the
+#: flight queries against adversarially mutated fixtures (r11 verdict
+#: item 4).  Unset (the driver, tests, benches): the committed fixture.
+FIXTURE_DIR_ENV = "SPARK_GRAFT_FLIGHTS_FIXTURE_DIR"
+
 #: Fixture directory: ``<repo>/fixtures/flights`` (files are committed;
 #: ensure_flights_fixture regenerates them only if missing).
-FIXTURE_DIR = os.path.join(
+FIXTURE_DIR = os.environ.get(FIXTURE_DIR_ENV) or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "fixtures",
     "flights",
@@ -382,6 +390,7 @@ def ensure_flights_fixture(fixture_dir: str = FIXTURE_DIR) -> dict[str, str]:
     ``tests/test_flights_fixture.py``."""
     import pyarrow.parquet as pq
 
+    overridden = bool(os.environ.get(FIXTURE_DIR_ENV))
     os.makedirs(fixture_dir, exist_ok=True)
     paths = {}
     for name, gen in (
@@ -391,6 +400,14 @@ def ensure_flights_fixture(fixture_dir: str = FIXTURE_DIR) -> dict[str, str]:
     ):
         p = os.path.join(fixture_dir, f"{name}.parquet")
         if not os.path.exists(p):
+            if overridden:
+                # An override points at PRE-BUILT (e.g. mutated) files; a
+                # missing one means a typo'd path — regenerating CLEAN
+                # data there would silently turn a hostile-data sweep
+                # into a clean-data false pass.
+                raise FileNotFoundError(
+                    f"{FIXTURE_DIR_ENV} is set but {p} does not exist"
+                )
             pq.write_table(gen(), p)
         paths[name] = p
     return paths

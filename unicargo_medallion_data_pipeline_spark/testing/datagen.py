@@ -48,12 +48,17 @@ _EDGE_TIMESTAMPS = (
 )
 
 
-def write_empty_dataset(src_dir: str, out_dir: str) -> None:
-    """Write a zero-row twin of every testdata table: identical arrow
+#: The flight-domain fixture tables (sources/flights_fixture.py) — a
+#: second sweepable table family alongside TESTDATA_TABLES.
+FLIGHTS_FIXTURE_TABLES = ("flights", "airlines", "airports")
+
+
+def write_empty_dataset(src_dir: str, out_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Write a zero-row twin of every table: identical arrow
     schema, no rows.  Models the matched-nothing case every filter and
     every partition eventually hits at scale."""
     os.makedirs(out_dir, exist_ok=True)
-    for name in TESTDATA_TABLES:
+    for name in tables:
         path = os.path.join(src_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
@@ -124,6 +129,7 @@ def write_mutated_dataset(
     edge_frac: float = 0.06,
     dup_frac: float = 0.05,
     nonfinite: bool = False,
+    tables=TESTDATA_TABLES,
 ) -> None:
     """Write an adversarial twin of every testdata table.
 
@@ -135,7 +141,7 @@ def write_mutated_dataset(
     the hostile inputs an inner join / groupBy must survive.
     """
     os.makedirs(out_dir, exist_ok=True)
-    for name in TESTDATA_TABLES:
+    for name in tables:
         path = os.path.join(src_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
