@@ -309,6 +309,30 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
 
 
+#: The only AnalysisException conditions that legitimately mean "the
+#: maintained table has no readable state yet": nothing at the path, or
+#: a directory with no data files to infer a schema from.
+_EMPTY_READ_CONDITIONS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _is_empty_read_error(exc) -> bool:
+    """True iff ``exc`` is the absent/zero-file read condition.  Checks
+    the structured error class (getCondition on Spark 4, getErrorClass
+    on 3.x) and falls back to the message prefix for builds that attach
+    neither."""
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(exc, attr, None)
+        if get is None:
+            continue
+        try:
+            cond = get()
+        except Exception:  # pragma: no cover - defensive on exotic builds
+            continue
+        if cond is not None:
+            return cond.split(".")[0] in _EMPTY_READ_CONDITIONS
+    return any(c in str(exc) for c in _EMPTY_READ_CONDITIONS)
+
+
 def read_parquet_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a maintained parquet table; absent/schema-less → empty.
 
@@ -318,13 +342,20 @@ def read_parquet_or_empty(spark: SparkSession, path: str, like: DataFrame) -> Da
     Spark raises UNABLE_TO_INFER_SCHEMA.  At scale that is a real state
     (a filter that matched nothing yet), not an error: return the empty
     frame shaped like ``like`` instead.  Found by the round-11
-    degenerate-input robustness sweep."""
+    degenerate-input robustness sweep.
+
+    Only the absent/zero-file conditions are coerced to empty (r11
+    ADVICE item 5): any OTHER analysis failure — corrupt contents,
+    schema conflicts — re-raises, instead of masquerading as an empty
+    table."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(path)
-    except AnalysisException:
-        return like.limit(0)
+    except AnalysisException as e:
+        if _is_empty_read_error(e):
+            return like.limit(0)
+        raise
 
 
 def from_rows(spark: SparkSession, rows, schema: StructType) -> DataFrame:
