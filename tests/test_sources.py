@@ -436,3 +436,28 @@ def test_read_parquet_or_empty_narrows_to_absent_state(spark, tmp_path):
     with _pytest.raises(AnalysisException):
         read_parquet_or_empty(_FakeSpark(), "whatever", like)
     assert real_reader is spark.read or True  # no session mutation
+
+
+def test_quote_audit_respects_backslash_escapes(spark, tmp_path):
+    """r12 sweep finding: Spark's CSV writer escapes quotes as \\" —
+    such rows are valid single-line records and must NOT be flagged as
+    fragments (previously their odd raw quote count sent them to
+    quarantine).  True fragments still flag."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        audit_csv_quote_balance,
+        read_csv_with_quarantine,
+    )
+
+    p = str(tmp_path / "esc.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,lang,score\n")
+        f.write('1,"say \\"hi\\" twice",0.9\n')   # escaped quotes: valid
+        f.write('2,"plain",0.5\n')
+        f.write('3,"frag\n')                      # true head fragment
+        f.write('ment",0.1\n')                    # true tail fragment
+    suspects = {r["raw_line"] for r in audit_csv_quote_balance(spark, p).collect()}
+    assert suspects == {'3,"frag', 'ment",0.1'}
+    good, bad = read_csv_with_quarantine(spark, p, SCHEMA)
+    rows = {r.doc_id: r.lang for r in good.collect()}
+    assert rows == {1: 'say "hi" twice', 2: "plain"}
+    assert {r.raw_line for r in bad.collect()} == {'3,"frag', 'ment",0.1'}

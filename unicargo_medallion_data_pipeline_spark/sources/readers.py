@@ -191,12 +191,23 @@ def audit_csv_quote_balance(spark: SparkSession, path: str) -> DataFrame:
     INTO ``read_csv_with_quarantine`` (``quote_audit=True``), which
     reroutes the flagged fragments to quarantine; it remains public as a
     standalone quality metric — a non-empty result means some upstream
-    producer is emitting raw newlines inside cells."""
+    producer is emitting raw newlines inside cells.
+
+    The parity count mirrors the PARSER'S escape convention: Spark's
+    CSV reader (and writer) default to backslash escaping, so an
+    escape-prefixed character (``\\"`` — or an escaped escape) is
+    consumed before counting.  Without this, any legitimate quote
+    inside a cell — which the default writer emits as ``\\"`` — reads
+    as odd parity and a perfectly valid single-line record would be
+    flagged (found by the r12 full-catalog sweep on the CSV roundtrip
+    query).  RFC-4180 doubled quotes (``""``) count as two and stay
+    parity-neutral on their own."""
     from pyspark.sql import functions as F
 
     lines = spark.read.text(path).select(F.col("value").alias("raw_line"))
+    unescaped = F.regexp_replace("raw_line", r"\\.", "")
     n_quotes = (
-        F.length("raw_line") - F.length(F.regexp_replace("raw_line", '"', ""))
+        F.length(unescaped) - F.length(F.regexp_replace(unescaped, '"', ""))
     ).alias("n_quotes")
     return lines.select("raw_line", n_quotes).filter(F.col("n_quotes") % 2 == 1)
 
