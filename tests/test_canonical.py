@@ -70,3 +70,25 @@ def test_missing_table_falls_back_to_derivation(spark, tmp_path, monkeypatch):
 
     monkeypatch.setenv(CANONICAL_DIR_ENV, str(tmp_path / "empty_dir"))
     assert universes.docs_with_text(spark, SF).count() > 0
+
+
+def test_universe_pin_cache_reuses_within_session(spark, monkeypatch):
+    """The session-keyed pin cache must serve the SAME checkpointed
+    frame for repeated (session, sf_dir) requests, and a consumer run
+    twice must return identical results."""
+    from unicargo_medallion_data_pipeline_spark.pipelines.canonical import CANONICAL_DIR_ENV
+    from unicargo_medallion_data_pipeline_spark.plans import universes
+
+    monkeypatch.delenv(CANONICAL_DIR_ENV, raising=False)
+    universes._UNIVERSE_CACHE.clear()
+    a = universes.docs_with_text(spark, SF)
+    b = universes.docs_with_text(spark, SF)
+    assert a is b  # cache hit: same pinned frame object
+    e1 = universes.embeddings_valid(spark, SF)
+    e2 = universes.embeddings_valid(spark, SF)
+    assert e1 is e2
+    assert a.count() > 0 and e1.count() > 0
+    # a different sf_dir must NOT hit the same entry
+    assert ("documents_canonical",) not in universes._UNIVERSE_CACHE
+    keys = list(universes._UNIVERSE_CACHE)
+    assert all(k[1] == SF for k in keys) and len(keys) == 2

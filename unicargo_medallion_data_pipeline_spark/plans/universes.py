@@ -98,6 +98,35 @@ def _materialized(spark: SparkSession, table: str) -> DataFrame | None:
     return spark.read.parquet(path) if path else None
 
 
+# Session-keyed pin cache: every consumer query re-derives the universe
+# (one dedup shuffle + an eager localCheckpoint) even within one
+# session, where the result is identical — the same amortization the
+# flights catalog's _SILVER_CACHE applies.  Keyed on (session, sf_dir,
+# table) and revalidated against a live SparkContext (a stopped+GC'd
+# session whose id() a new one reuses must not serve dead checkpoint
+# blocks).  Values are deterministic, so reuse is semantics-neutral;
+# the served frame is the same Scan ExistingRDD shape the per-query pin
+# produced, so plan fingerprints are unchanged.
+_UNIVERSE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _pinned(spark: SparkSession, sf_dir: str, table: str, builder) -> DataFrame:
+    key = (id(spark), sf_dir, table)
+    hit = _UNIVERSE_CACHE.get(key)
+    if hit is not None:
+        cached_spark, df = hit
+        try:
+            alive = cached_spark is spark and not spark.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — dead gateway counts as stopped
+            alive = False
+        if alive:
+            return df
+        del _UNIVERSE_CACHE[key]
+    df = builder(spark, sf_dir).localCheckpoint(eager=True)
+    _UNIVERSE_CACHE[key] = (spark, df)
+    return df
+
+
 def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup/curation universe, pinned.
 
@@ -110,7 +139,7 @@ def docs_with_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = _materialized(spark, "documents_canonical")
     if silver is not None:
         return silver
-    return docs_with_text_plan(spark, sf_dir).localCheckpoint(eager=True)
+    return _pinned(spark, sf_dir, "documents_canonical", docs_with_text_plan)
 
 
 def embeddings_valid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +177,7 @@ def embeddings_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver = _materialized(spark, "embeddings_canonical")
     if silver is not None:
         return silver
-    return embeddings_valid_plan(spark, sf_dir).localCheckpoint(eager=True)
+    return _pinned(spark, sf_dir, "embeddings_canonical", embeddings_valid_plan)
 
 
 #: Pseudo-queries for the fingerprint snapshot: the pinned universes
