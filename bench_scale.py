@@ -66,6 +66,11 @@ QUERIES = [
     "doc_duplicate_ngram_rate",
     "embedding_knn_lsh",
     "embedding_knn_ivf",
+    # r12: the two canonical-universe-pin payers — their 10x points ran
+    # above the steady bar in r11; measured here under the shared
+    # steady-by-construction policy instead
+    "doc_curation_pipeline",
+    "doc_contamination_overlap",
     # r9 verdict task 3: the five heavy stateful/iterative bench anchors.
     # All five consume tables the replication already scales structure-
     # preservingly — scd2 folds per-customer order-priority snapshots
