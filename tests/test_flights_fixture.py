@@ -119,3 +119,19 @@ def test_significance_floor_split(paths):
                    SUM(CASE WHEN c < 100 THEN 1 ELSE 0 END) FROM r"""
     ).fetchone()
     assert above >= 1 and below > 100
+
+
+def test_fixture_env_override_requires_prebuilt_files(tmp_path, monkeypatch):
+    """SPARK_GRAFT_FLIGHTS_FIXTURE_DIR points at PRE-BUILT (e.g. mutated)
+    fixtures; a missing file under an override must raise instead of
+    silently regenerating clean data there — that would turn a
+    hostile-data sweep into a clean-data false pass."""
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.sources import flights_fixture as ff
+
+    monkeypatch.setenv(ff.FIXTURE_DIR_ENV, str(tmp_path))
+    with _pytest.raises(FileNotFoundError, match="does not exist"):
+        ff.ensure_flights_fixture(str(tmp_path))
+    # no file was created by the failed call
+    assert not list(tmp_path.iterdir())
