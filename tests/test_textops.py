@@ -376,3 +376,44 @@ def test_minhash_expr_matches_column_loop(spark):
         sig.select((loop_bands != dd.band_hashes("sig", B, R)).alias("ne"))
         .filter("ne").count() == 0
     )
+
+
+def test_incremental_near_dups_equals_full(spark):
+    """r12: the per-batch incremental near-dup step must compose to the
+    full recompute under ANY batch decomposition — each qualifying pair
+    surfaces exactly once, in the batch where its later member arrives."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+            (3, "completely different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (5, "completely different content about spark planes"),  # near-dup of 3
+        ],
+        "doc_id int, text string",
+    )
+    full = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in dd.minhash_lsh_candidates(docs, k=16, bands=8)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("a_id", "b_id", "jaccard")
+        .collect()
+    }
+    assert full, "fixture must contain qualifying pairs"
+
+    # three uneven batches; signatures accumulate across steps
+    incremental = set()
+    acc = None
+    for batch_filter in (F.col("doc_id") <= 1, F.col("doc_id").isin(2, 3), F.col("doc_id") >= 4):
+        newp = dd.minhash_payload(docs.filter(batch_filter), k=16).localCheckpoint(eager=True)
+        allp = newp if acc is None else acc.unionByName(newp)
+        step = dd.incremental_near_dup_pairs(newp, allp, k=16, bands=8, threshold=0.3)
+        rows = {(r.a_id, r.b_id, round(r.jaccard, 9)) for r in step.collect()}
+        assert not rows & incremental, "a pair surfaced in two batches"
+        incremental |= rows
+        acc = allp.localCheckpoint(eager=True)
+    assert incremental == full

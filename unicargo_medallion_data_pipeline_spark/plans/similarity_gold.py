@@ -193,6 +193,63 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_minhash_incremental_near_dups",
+    sql=f"""
+    WITH sh AS ({_SQL_SHINGLES3})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
+    operators=("P10", "S12"),
+)
+def doc_minhash_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-INCREMENTAL corpus near-dup maintenance under the hash
+    gate: the corpus arrives in two ingest batches (``pmod(doc_id, 2)``);
+    each batch computes MinHash(32) signatures for its NEW documents
+    only, finds near-dup pairs against the MAINTAINED signature table
+    via the band-bucket equi-join (new side × accumulated side), then
+    appends its signatures to the table.  The oracle recomputes the
+    exact all-pairs jaccard from raw — green ⇔ incremental == full
+    (same invariant pattern as rollup_incremental_equals_full).
+
+    Why this is the 100 TB shape: a daily curation job must not
+    re-shingle a petabyte corpus to dedup one day's crawl.  Here each
+    batch's shuffle is sized by the BATCH (bands of new docs × the
+    accumulated bucket table), signatures are computed exactly once per
+    document ever, and every qualifying pair surfaces exactly once —
+    in the batch where its later member arrives (band collision is
+    symmetric and batch-independent, so the union over batches equals
+    the full self-join's candidate set; recall argument as in
+    doc_minhash_near_dups).
+
+    Each batch's pair set is pinned with an eager localCheckpoint
+    BEFORE the signature append: the result must reflect the table
+    state at query time, not at execution time (in a real deployment
+    the job boundary provides this ordering)."""
+    import os as _os
+
+    from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
+
+    u = _docs_with_text(spark, sf_dir)
+    path = _os.path.join(scratch_dir("minhash_inc_"), "signatures")
+    results = []
+    for s in range(2):
+        batch = u.filter(F.pmod(F.col("doc_id"), F.lit(2)) == s)
+        newp = dd.minhash_payload(batch, k=32).localCheckpoint(eager=True)
+        allp = newp if s == 0 else spark.read.parquet(path).unionByName(newp)
+        pairs = dd.incremental_near_dup_pairs(
+            newp, allp, k=32, bands=16, threshold=0.3
+        ).localCheckpoint(eager=True)
+        results.append(pairs)
+        newp.write.mode("overwrite" if s == 0 else "append").parquet(path)
+    return results[0].unionByName(results[1])
+
+
 _SQL_SIMHASH60 = rf"""
       WITH tok AS (
         SELECT doc_id,

@@ -184,6 +184,81 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_payload(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id, sh, sig)`` signature payload — the MAINTAINED table of the
+    incremental near-dup pipeline.
+
+    At lake scale this is a silver table written once per ingest batch:
+    signatures are computed for NEW documents only, appended, and every
+    later batch joins against the accumulated table instead of
+    re-shingling the corpus (the amortization
+    ``minhash_lsh_candidates``'s docstring promises).  Narrow maps only;
+    no shuffle."""
+    sh = ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    return sh.select("id", "sh", minhash_signature("sh", k).alias("sig"))
+
+
+def incremental_near_dup_pairs(
+    new_payload: DataFrame,
+    all_payload: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOCUMENT: the per-batch
+    step of incremental corpus dedup.
+
+    ``new_payload`` holds the batch's ``(id, sh, sig)`` rows (from
+    :func:`minhash_payload`); ``all_payload`` holds the whole corpus
+    INCLUDING the batch.  Candidates come from the band-bucket equi-join
+    of the new side against the full side — new×new and new×old pairs
+    collide exactly as they would in the full self-join, so the union of
+    per-batch results over any batch decomposition equals the full
+    recompute (each qualifying pair surfaces exactly once: in the batch
+    where its LATER member arrives).  One shuffle per batch, sized by
+    the BATCH, not the corpus.
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id, exact Jaccard
+    rescored over shingles, filtered at ``threshold``."""
+    if k % bands != 0:
+        raise ValueError(f"k={k} must be divisible by bands={bands}")
+    rows_per_band = k // bands
+
+    def banded(payload, side):
+        return payload.select(
+            F.col("id").alias(side),
+            F.posexplode_outer(band_hashes("sig", bands, rows_per_band)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+
+    cand = (
+        banded(new_payload, "n_id")
+        .join(banded(all_payload, "o_id"), ["band_idx", "band_hash"])
+        .filter(F.col("n_id") != F.col("o_id"))
+        .select(
+            F.least("n_id", "o_id").alias("a_id"),
+            F.greatest("n_id", "o_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    a_payload = all_payload.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b_payload = all_payload.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"))
+    pairs = cand.join(a_payload, "a_id").join(b_payload, "b_id")
+    j = jaccard(F.col("a_sh"), F.col("b_sh"))
+    return pairs.select("a_id", "b_id", j.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 #: SimHash width: 60 bits = 15 hex digits of md5 — the widest slice that
 #: fits a signed 64-bit int on every engine (DuckDB's ``('0x'||…)::BIGINT``
 #: and Spark's ``conv(…,16,10)`` agree exactly on 15 digits).
