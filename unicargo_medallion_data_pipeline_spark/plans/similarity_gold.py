@@ -625,6 +625,45 @@ def embedding_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_knn_ivf_incremental",
+    sql=_ivf_oracle_sql(),
+    operators=("W5", "S12"),
+)
+def embedding_knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED IVF index under the hash gate: the
+    corpus arrives in two ingest epochs (``pmod(vec_id, 2)``); each
+    epoch assigns frozen-codebook cells for its NEW vectors only (pure
+    narrow maps — no shuffle, no refit) and appends the ``(vid, c_emb,
+    cell)`` rows to the index table; the standard query set then serves
+    from the ACCUMULATED index.  The oracle recomputes the same top-k
+    from raw — green ⇔ the incrementally built index answers exactly
+    like an all-at-once build (assignment is per-row against frozen
+    literals, so index union == union index; what the gate actually
+    pins is the maintenance plumbing: append semantics, schema
+    stability, no row lost or duplicated across epochs).
+
+    The 100 TB shape: a vector lake ingesting daily embeddings must not
+    re-index the corpus per batch — with a frozen coarse codebook, index
+    maintenance is a narrow map over the new batch plus a parquet
+    append, and serving reads the accumulated cell-clustered table."""
+    import os as _os
+
+    from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
+
+    e = _embeddings_valid(spark, sf_dir)
+    path = _os.path.join(scratch_dir("ivf_inc_"), "index")
+    for s in range(2):
+        batch = e.filter(F.pmod(F.col("vec_id"), F.lit(2)) == s)
+        sim.ivf_frozen_index_rows(batch).write.mode(
+            "overwrite" if s == 0 else "append"
+        ).parquet(path)
+    index = spark.read.parquet(path)
+    return sim.cosine_topk_ivf_frozen_on_index(
+        e.filter(F.col("vec_id") < 10), index, k=5, n_probe=4
+    )
+
+
+@register(
     "doc_neardup_components",
     sql=_SQL_NEARDUP_COMP_PRELUDE + f"""
     SELECT doc_id, component_id,

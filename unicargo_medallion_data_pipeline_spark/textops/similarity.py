@@ -484,11 +484,37 @@ def cosine_topk_ivf_frozen(
     query fully value-oracle-checkable: an independent engine recomputes
     cells, candidates, scores, and ranks from the frozen literals.
     """
-    corpus_cells = ensure_parallelism(corpus).select(
+    corpus_cells = ivf_frozen_index_rows(corpus, id_col, vec_col)
+    return cosine_topk_ivf_frozen_on_index(queries, corpus_cells, k, n_probe, id_col, vec_col)
+
+
+def ivf_frozen_index_rows(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(vid, c_emb, cell)`` — the MAINTAINABLE IVF index rows for a
+    corpus batch: quantized vector + top-1 frozen-codebook cell.  Pure
+    narrow maps against the frozen centroid literals (no shuffle), so a
+    daily ingest assigns only its NEW vectors and appends; the
+    accumulated table IS the serving index."""
+    return ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("c_emb")
     ).select(
         "vid", "c_emb", F.expr(ivf_assign_sql("`c_emb`", 1))[0].alias("cell")
     )
+
+
+def cosine_topk_ivf_frozen_on_index(
+    queries: DataFrame,
+    corpus_cells: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF ANN top-k from PRE-ASSIGNED index rows (see
+    ``ivf_frozen_index_rows``) — the search half of
+    ``cosine_topk_ivf_frozen``, usable against an incrementally
+    maintained index table."""
     query_cells = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
     ).select(
