@@ -206,6 +206,7 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
     """,
     operators=("P10", "S12"),
+    bench=True,
 )
 def doc_minhash_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-INCREMENTAL corpus near-dup maintenance under the hash
