@@ -417,3 +417,40 @@ def test_incremental_near_dups_equals_full(spark):
         incremental |= rows
         acc = allp.localCheckpoint(eager=True)
     assert incremental == full
+
+
+def test_winnow_guarantee_and_mirror(spark):
+    """Winnowing (r12): any shared substring of >= w + k - 1 chars must
+    yield a shared fingerprint; unrelated docs share none; fingerprint
+    sets are deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.textops.winnow import (
+        winnow_overlap_pairs,
+        with_winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert len(shared) >= 16 + 32 - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text. " + shared + " and some unique tail one"),
+            (2, "other opening! " + shared + " with a different ending here"),
+            (3, "completely unrelated content about spark engines and parquet files"),
+            (4, "tiny"),  # shorter than one gram: one degenerate fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in winnow_overlap_pairs(docs, k=16, w=32, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+    fps1 = {r.doc_id: sorted(r.fps) for r in with_winnow_fingerprints(docs, k=16, w=32).collect()}
+    fps2 = {
+        r.doc_id: sorted(r.fps)
+        for r in with_winnow_fingerprints(docs.repartition(8), k=16, w=32).collect()
+    }
+    assert fps1 == fps2 and len(fps1[4]) == 1

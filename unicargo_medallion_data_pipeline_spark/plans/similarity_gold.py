@@ -40,6 +40,7 @@ from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
 from unicargo_medallion_data_pipeline_spark.textops.analysis import tokens
 from unicargo_medallion_data_pipeline_spark.textops.util import ensure_parallelism
+from unicargo_medallion_data_pipeline_spark.textops.winnow import winnow_overlap_pairs
 
 _SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_TOKSET = f"list_distinct(string_split({_SQL_NORM}, ' '))"
@@ -249,6 +250,60 @@ def doc_minhash_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
         results.append(pairs)
         newp.write.mode("overwrite" if s == 0 else "append").parquet(path)
     return results[0].unionByName(results[1])
+
+
+@register(
+    "doc_winnow_overlap_pairs",
+    sql=f"""
+    WITH normd AS (
+      SELECT doc_id, {_SQL_NORM} AS n FROM ({_SQL_DOCS1})
+    ), h AS (
+      SELECT doc_id, list_transform(generate_series(1, greatest(length(n) - 15, 1)),
+         i -> ('0x' || substr(md5(substr(n, i, 16)), 1, 15))::BIGINT) AS hs
+      FROM normd
+    ), fps AS (
+      SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(hs) - 31, 1)),
+         i -> list_min(list_slice(hs, i, i + 31)))) AS fps
+      FROM h
+    ), ex AS (
+      SELECT doc_id, unnest(fps) AS fp FROM fps
+    ), rare AS (
+      SELECT fp FROM ex GROUP BY fp HAVING COUNT(*) <= 50
+    ), kept AS (
+      SELECT ex.doc_id, ex.fp FROM ex JOIN rare USING (fp)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_fps FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps,
+           CAST(COUNT(*) AS DOUBLE) / MIN(LEAST(sa.n_fps, sb.n_fps)) AS overlap
+    FROM kept a
+    JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    operators=("P10", "J7"),
+)
+def doc_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap pairs (``textops/winnow.py``) —
+    VERBATIM-overlap candidates, the contamination-detection complement
+    to the whole-document near-dup family: any shared substring of
+    >= w + k - 1 = 47 characters guarantees a shared fingerprint
+    (Schleimer et al. 2003), independent of how different the rest of
+    the two documents is.  k=16/w=32 targets the truly-verbatim tier:
+    this template-heavy corpus yields 36k pairs at the classic k=8/w=16
+    (every shared 23-char phrase) but 84 at 47+ chars — the
+    plagiarism/benchmark-leak signal, not shared idiom.
+
+    FULL ORACLE: md5-derived 60-bit gram hashes and pure array window
+    minima — DuckDB recomputes every fingerprint bit-for-bit (verified
+    exact on hostile unicode too: both engines slice substrings by
+    codepoint).  Scale shape: narrow fingerprinting, stop-fingerprint
+    filter (doc-freq > 50 dropped — the hot-bucket skew discipline),
+    one fingerprint equi-join."""
+    return winnow_overlap_pairs(_docs_with_text(spark, sf_dir), k=16, w=32)
 
 
 _SQL_SIMHASH60 = rf"""
