@@ -113,7 +113,9 @@ _FORCE_WINDOW: dict[str, int] = {
     "priority_rollup_cdf_maintained": 11,
     "orders_manifest_history": 11,
     "orders_cdc_apply_state": 11,
-    "orders_csv_quarantine_roundtrip": 11,
+    # r13: quote-audit reroute paired with its good-frame subtraction
+    # (only standalone-parse-successful fragments move to quarantine).
+    "orders_csv_quarantine_roundtrip": 13,
     "orders_xml_roundtrip": 11,
     "events_manifest_pruned_scan": 11,
     "events_bloom_pruned_lookup": 11,

@@ -461,3 +461,42 @@ def test_quote_audit_respects_backslash_escapes(spark, tmp_path):
     rows = {r.doc_id: r.lang for r in good.collect()}
     assert rows == {1: 'say "hi" twice', 2: "plain"}
     assert {r.raw_line for r in bad.collect()} == {'3,"frag', 'ment",0.1'}
+
+
+def test_quote_audit_reroute_pairs_with_subtraction(spark, tmp_path):
+    """r12 advice (medium): the quote-parity reroute must stay PAIRED
+    with the good-frame subtraction.  Two probes:
+
+    1. An odd-parity HEADER line (consumed by the path scan, rejected by
+       the typed standalone re-parse) must be rerouted NOWHERE — before
+       the fix its raw line was unioned into quarantine as a phantom
+       while no twin left good, double-counting the physical line.
+    2. A VALID data row with a lone unquoted literal quote (accepted
+       under STOP_AT_DELIMITER) is the documented conservative false
+       positive: it moves to quarantine exactly once AND its parsed twin
+       leaves good exactly once — conservation holds either way.
+    """
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_csv_with_quarantine,
+    )
+
+    p = str(tmp_path / "parity.csv")
+    data_lines = [
+        "1,en,0.9",         # plain valid
+        '7,ab"cd,0.5',      # valid but odd parity: conservative reroute
+        "oops,de,0.5",      # truly corrupt (doc_id not a long)
+    ]
+    with open(p, "w") as f:
+        f.write('doc_id,la"ng,score\n')  # odd-parity header (producer bug)
+        f.write("\n".join(data_lines) + "\n")
+    good, bad = read_csv_with_quarantine(spark, p, SCHEMA)
+    good_rows = [(r.doc_id, r.lang, float(r.score)) for r in good.collect()]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    # Probe 1: the header is in neither frame (it is not a data line).
+    assert all("la" not in (r[1] or "") for r in good_rows)
+    assert 'doc_id,la"ng,score' not in bad_lines
+    # Probe 2: the bare-quote row moved (once) and its twin left good.
+    assert bad_lines == ['7,ab"cd,0.5', "oops,de,0.5"]
+    assert good_rows == [(1, "en", 0.9)]
+    # Conservation over DATA lines: each lands in exactly one frame.
+    assert good.count() + bad.count() == len(data_lines)

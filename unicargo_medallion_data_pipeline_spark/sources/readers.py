@@ -125,9 +125,18 @@ def read_csv_with_quarantine(
 
     Residual (documented) hazards: a cell containing MULTIPLE raw
     newlines has balanced interior lines that parse as plausible rows
-    (only the head/tail fragments are detectable at line granularity),
-    and an odd-parity HEADER line (itself a producer bug) would be
-    quarantined as a phantom data line.
+    (only the head/tail fragments are detectable at line granularity);
+    and a VALID row containing a lone unquoted literal ``"`` (accepted
+    by univocity under STOP_AT_DELIMITER) has odd parity and is
+    indistinguishable at line granularity from a true head fragment, so
+    it is conservatively rerouted to quarantine — conservation still
+    holds (the line lands in quarantine exactly once and its parsed twin
+    leaves good exactly once), but a replayable valid row sits on the
+    quarantine side.  Producers who legitimately emit bare quotes should
+    escape them (``\\"``, which the parity count honors) or set
+    ``quote_audit=False``.  The reroute is PAIRED with the subtraction:
+    a flagged line is only moved when its standalone re-parse succeeds
+    (see inline comment), so no physical line is ever double-counted.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -161,21 +170,26 @@ def read_csv_with_quarantine(
     # univocity truncates an unterminated quote at EOL identically in
     # from_csv and the path scan, so the parsed twin matches the row the
     # full parse accepted and exceptAll removes exactly one instance.
+    # The reroute and the subtraction stay PAIRED (r12 advice): a
+    # flagged line moves to quarantine ONLY when its standalone parse
+    # succeeds — i.e. only when a parsed twin actually leaves the good
+    # frame.  A flagged line whose standalone parse comes back corrupt
+    # (e.g. an odd-parity HEADER line, which the path scan consumed and
+    # the typed re-parse rejects) is rerouted nowhere: it was never a
+    # data row, so conservation (every physical data line in exactly one
+    # of good/quarantine) holds instead of the line being double-counted.
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in aug.fields)
-    fragment_rows = (
-        accepted_fragments.select(
-            F.from_csv(
-                "raw_line",
-                ddl,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-            ).alias("r")
-        )
-        .select("r.*")
-        .filter(F.col(CORRUPT_COL).isNull())
-        .drop(CORRUPT_COL)
-    )
+    parsed = accepted_fragments.select(
+        "raw_line",
+        F.from_csv(
+            "raw_line",
+            ddl,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("r"),
+    ).filter(F.col(f"r.{CORRUPT_COL}").isNull())
+    fragment_rows = parsed.select("r.*").drop(CORRUPT_COL)
     good = good.exceptAll(fragment_rows)
-    quarantine = quarantine.unionAll(accepted_fragments)
+    quarantine = quarantine.unionAll(parsed.select("raw_line"))
     return good, quarantine
 
 
