@@ -137,7 +137,8 @@ _FORCE_WINDOW: dict[str, int] = {
     "first_lineitem_per_order": 11,
     "order_id_formatting": 11,
     "events_sessionization": 11,
-    "cleaned_events_pipeline": 12,
+    # r13: oracle SQL now mirrors the non-finite scrub (r12 advice).
+    "cleaned_events_pipeline": 13,
     "customer_revenue_decile": 11,
     "customer_revenue_rank": 11,
     "events_sketch_profile": 11,

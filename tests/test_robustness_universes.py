@@ -134,3 +134,52 @@ def test_scrub_nonfinite_nulls_nan_and_inf(spark):
     assert scrub_nonfinite(df, columns=["s"]).schema == df.schema
     kept = {r.id: r.v for r in scrub_nonfinite(df, columns=["s"]).collect()}
     assert kept[3] == inf  # v not in the requested column list
+
+
+def test_cleaned_events_oracle_mirrors_nonfinite_scrub(spark, tmp_path):
+    """r12 advice: CleaningConfig.scrub_nonfinite defaulting True changed
+    cleaned_events_pipeline semantics (NaN/±Inf → NULL → fill 0.0), but
+    the DuckDB oracle only coalesced — a latent parity divergence masked
+    because the robustness sweep never injects non-finite floats.  The
+    oracle now mirrors the scrub; this pins engine parity on EXACTLY the
+    inputs the sweep policy excludes, via the real oracle comparator."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unicargo_medallion_data_pipeline_spark.oracle import (
+        compare_query,
+        duckdb_connection,
+    )
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    nan, inf = float("nan"), float("inf")
+    ts = datetime.datetime(2024, 1, 1)
+    rows = {
+        "event_id": [1, 1, 2, 3, 4, None],
+        "ts": [ts] * 6,
+        "user_id": [10, 10, None, 30, 40, 50],
+        "event_type": ["a", "a", None, "c", "d", "e"],
+        # rows 0/1: NaN twin + NULL twin must collapse to ONE after the
+        # scrub in BOTH engines; ±Inf rows must fill to 0.0, not poison.
+        "value": [nan, None, inf, -inf, 1.25, 2.5],
+        "props": ["{}"] * 6,
+    }
+    pq.write_table(
+        pa.table(rows, schema=pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string()),
+        ])),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    q = CATALOG["cleaned_events_pipeline"]
+    con = duckdb_connection(str(tmp_path))
+    res = compare_query(spark, con, "cleaned_events_pipeline", q.fn, q.sql, str(tmp_path))
+    assert res.ok, res.detail
+    out = {(r.event_id, r.user_id): r.value
+           for r in q.fn(spark, str(tmp_path)).collect()}
+    # NaN/NULL twins collapsed, then filled: exactly one (1, 10) row.
+    assert out[(1, 10)] == 0.0 and len(out) == 5
+    assert out[(2, 0)] == 0.0 and out[(3, 30)] == 0.0  # ±Inf scrubbed+filled

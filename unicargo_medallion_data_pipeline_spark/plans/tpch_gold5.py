@@ -15,8 +15,18 @@ from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
     WITH dropped AS (
       SELECT event_id, user_id, event_type, value FROM events
     ),
+    scrubbed AS (
+      -- mirrors scrub_nonfinite (default-on since r12): NaN/±Inf in
+      -- float columns become NULL BEFORE dedup/fill, so the oracle
+      -- stays engine-parity-checkable on hostile (non-finite) inputs,
+      -- not just sweep-policy-clean data (r12 advice)
+      SELECT event_id, user_id, event_type,
+             CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                  ELSE value END AS value
+      FROM dropped
+    ),
     dedup AS (
-      SELECT DISTINCT * FROM dropped
+      SELECT DISTINCT * FROM scrubbed
     )
     SELECT
       -- fill_numeric_default applies to EVERY numeric column (ids
