@@ -36,6 +36,7 @@ def main() -> None:
 
     from bench import steady_time_queries
     from unicargo_medallion_data_pipeline_spark.pipelines import canonical
+    from unicargo_medallion_data_pipeline_spark.plans import universes
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
     from unicargo_medallion_data_pipeline_spark.session import get_spark
 
@@ -48,8 +49,16 @@ def main() -> None:
         CATALOG[n].fn(spark, sf_dir).count()
         return time.perf_counter() - t0
 
+    def attempt_pinned(n: str) -> float:
+        # Every pinned attempt must PAY the derive-and-pin cost this
+        # harness exists to compare (r12 advice): with the session-keyed
+        # cache left warm, every attempt after the first is a cache hit
+        # and min-of-rounds discards the only one that derived.
+        universes.clear_universe_cache()
+        return attempt(n)
+
     os.environ.pop(canonical.CANONICAL_DIR_ENV, None)
-    pinned, cal_p = steady_time_queries(QUERIES, attempt, n_rounds=3)
+    pinned, cal_p = steady_time_queries(QUERIES, attempt_pinned, n_rounds=3)
 
     out = tempfile.mkdtemp(prefix="canon_bench_")
     t0 = time.perf_counter()

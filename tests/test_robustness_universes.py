@@ -183,3 +183,41 @@ def test_cleaned_events_oracle_mirrors_nonfinite_scrub(spark, tmp_path):
     # NaN/NULL twins collapsed, then filled: exactly one (1, 10) row.
     assert out[(1, 10)] == 0.0 and len(out) == 5
     assert out[(2, 0)] == 0.0 and out[(3, 30)] == 0.0  # ±Inf scrubbed+filled
+
+
+def test_universe_cache_sweeps_dead_sessions(spark, tmp_path):
+    """r12 advice: one stale hit evicts EVERY dead-session entry, not
+    just the exact key — otherwise long runs spawning many sessions
+    accumulate unreachable (session, frame) pairs forever."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unicargo_medallion_data_pipeline_spark.plans import universes
+
+    pq.write_table(
+        pa.table({
+            "doc_id": [1], "text": ["t"], "lang": ["en"],
+            "source": ["s"], "n_chars": [1],
+        }),
+        os.path.join(tmp_path, "documents.parquet"),
+    )
+
+    class _DeadSession:  # sparkContext access raises → counts as stopped
+        @property
+        def sparkContext(self):
+            raise RuntimeError("stopped")
+
+    dead = _DeadSession()
+    universes.clear_universe_cache()
+    cache = universes._UNIVERSE_CACHE
+    # unrelated dead entries + a dead entry squatting on THIS lookup key
+    cache[(999991, "/x", "t1")] = (dead, None)
+    cache[(999992, "/y", "t2")] = (dead, None)
+    cache[(id(spark), str(tmp_path), "documents_canonical")] = (dead, None)
+    out = universes.docs_with_text(spark, str(tmp_path))
+    assert out.count() == 1
+    # the stale hit swept all three dead entries; only the fresh pin remains
+    assert list(cache) == [(id(spark), str(tmp_path), "documents_canonical")]
+    assert cache[(id(spark), str(tmp_path), "documents_canonical")][0] is spark
+    universes.clear_universe_cache()
+    assert not cache

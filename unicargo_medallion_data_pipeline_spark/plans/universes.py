@@ -107,7 +107,32 @@ def _materialized(spark: SparkSession, table: str) -> DataFrame | None:
 # blocks).  Values are deterministic, so reuse is semantics-neutral;
 # the served frame is the same Scan ExistingRDD shape the per-query pin
 # produced, so plan fingerprints are unchanged.
+#
+# Eviction (r12 advice): finding ONE stale key sweeps out EVERY entry
+# whose cached session is no longer alive, so long test runs spawning
+# many sessions don't accumulate dead (session, frame) pairs that an
+# exact-key re-lookup would never touch.
+#
+# Documented staleness assumption: the key is (session, sf_dir, table)
+# — REWRITING the parquet under the same sf_dir within one session
+# serves the previously pinned result.  That is the pin's contract (a
+# universe is derived once per session per source dir); tests that
+# mutate a source dir in place must use a fresh dir or call
+# ``clear_universe_cache()``.
 _UNIVERSE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _session_alive(session: SparkSession) -> bool:
+    try:
+        return not session.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — dead gateway counts as stopped
+        return False
+
+
+def clear_universe_cache() -> None:
+    """Drop every pinned universe (bench harnesses use this so pinned-
+    mode attempts each pay the real derive-and-pin cost)."""
+    _UNIVERSE_CACHE.clear()
 
 
 def _pinned(spark: SparkSession, sf_dir: str, table: str, builder) -> DataFrame:
@@ -115,13 +140,15 @@ def _pinned(spark: SparkSession, sf_dir: str, table: str, builder) -> DataFrame:
     hit = _UNIVERSE_CACHE.get(key)
     if hit is not None:
         cached_spark, df = hit
-        try:
-            alive = cached_spark is spark and not spark.sparkContext._jsc.sc().isStopped()
-        except Exception:  # noqa: BLE001 — dead gateway counts as stopped
-            alive = False
-        if alive:
+        if cached_spark is spark and _session_alive(spark):
             return df
-        del _UNIVERSE_CACHE[key]
+        # One stale hit → sweep ALL dead-session entries, not just this
+        # key (entries for stopped sessions are otherwise unreachable).
+        for k in [
+            k for k, (s, _) in _UNIVERSE_CACHE.items() if not _session_alive(s)
+        ]:
+            del _UNIVERSE_CACHE[k]
+        _UNIVERSE_CACHE.pop(key, None)
     df = builder(spark, sf_dir).localCheckpoint(eager=True)
     _UNIVERSE_CACHE[key] = (spark, df)
     return df
