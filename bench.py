@@ -39,7 +39,7 @@ N_ROUNDS = 4
 #: spread wider than this, re-run bounded extra rounds on a hopefully
 #: quieter window before emitting.
 STEADY_SPREAD = 1.35
-MAX_EXTRA_ROUNDS = 3
+MAX_EXTRA_ROUNDS = 4
 
 
 def _cpu_probe() -> float:
@@ -61,6 +61,49 @@ def _cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def bracket_spread(rounds_used, probes: list[float]) -> float | None:
+    """Spread (max/min) of the probes bracketing ``rounds_used``."""
+    used = sorted({i for r in rounds_used for i in (r, r + 1)})
+    vals = [probes[i] for i in used if i < len(probes)]
+    return max(vals) / min(vals) if vals and min(vals) else None
+
+
+def steady_selection(
+    runs: dict[str, list[tuple[int, float]]],
+    probes: list[float],
+    bar: float = STEADY_SPREAD,
+) -> dict[str, tuple[int, float]] | None:
+    """Per-query winners restricted to the steadiest AND fastest window:
+    rounds whose BOTH bracketing probes lie within ``bar`` of the global
+    minimum probe (the cleanest host state observed — CPU-steal noise
+    only ever inflates a fixed-work probe, so min(probes) is the
+    faithful throughput anchor).  Returns ``{name: (round, sec)}`` with
+    each query's fastest attempt inside that window, or ``None`` when
+    some query has no attempt there (the caller then runs another round
+    or falls back to global minima with the honest spread).  Emitted
+    numbers under a non-None selection are steady BY CONSTRUCTION: the
+    probes bracketing every winner are within ``bar`` of each other
+    (r12 verdict task 2 — the committed artifact must not ship per-query
+    ratios under a 4.8x probe spread again)."""
+    if not probes:
+        return None
+    lim = min(probes) * bar
+    rounds = {
+        r
+        for r in range(len(probes) - 1)
+        if probes[r] <= lim and probes[r + 1] <= lim
+    }
+    if not rounds:
+        return None
+    sel: dict[str, tuple[int, float]] = {}
+    for name, attempts in runs.items():
+        candidates = [(r, t) for r, t in attempts if r in rounds]
+        if not candidates:
+            return None
+        sel[name] = min(candidates, key=lambda x: x[1])
+    return sel
+
+
 def effective_spread(
     runs: dict[str, list[tuple[int, float]]], probes: list[float]
 ) -> float | None:
@@ -69,19 +112,9 @@ def effective_spread(
     steadiness evidence for the emitted numbers specifically: a noisy
     early round whose attempts all lost to a later quiet round does not
     taint the artifact."""
-    used = sorted(
-        {
-            i
-            for r in runs.values()
-            if r
-            for i in (
-                min(r, key=lambda t: t[1])[0],
-                min(r, key=lambda t: t[1])[0] + 1,
-            )
-        }
+    return bracket_spread(
+        (min(r, key=lambda t: t[1])[0] for r in runs.values() if r), probes
     )
-    vals = [probes[i] for i in used if i < len(probes)]
-    return max(vals) / min(vals) if vals and min(vals) else None
 
 
 def run_rounds(
@@ -97,12 +130,12 @@ def run_rounds(
 
     Base behavior: ``n_rounds`` interleaved rounds, the last skipping
     queries whose earlier attempts already agree within 3x.  Then, while
-    the winning-round probe spread exceeds ``steady``, run up to
-    ``max_extra`` full extra rounds — extra attempts can only lower the
-    per-query minima, and when the host quiets down the minima relocate
-    into steadily-bracketed rounds, making the committed artifact steady
-    by construction (bounded: a persistently noisy host still emits,
-    with the honest spread recorded)."""
+    no ``steady_selection`` exists (no fast-steady window yet covers
+    every query), run up to ``max_extra`` full extra rounds — when the
+    host quiets down, one full round inside the quiet window makes the
+    selection feasible and the emitted numbers steady by construction
+    (bounded: a persistently noisy host still emits global minima, with
+    the honest spread recorded)."""
     probes = [probe()]
     runs: dict[str, list[tuple[int, float]]] = {n: [] for n in names}
     for rnd in range(n_rounds):
@@ -114,8 +147,7 @@ def run_rounds(
         probes.append(probe())
     extra = 0
     while extra < max_extra:
-        s = effective_spread(runs, probes)
-        if s is None or s <= steady:
+        if steady_selection(runs, probes, steady) is not None:
             break
         rnd = n_rounds + extra
         for name in names:
@@ -131,17 +163,25 @@ def calibration_dict(
     n_rounds: int,
     extra: int,
     steady: float = STEADY_SPREAD,
+    sel: dict[str, tuple[int, float]] | None = None,
 ) -> dict:
     """The calibration block every harness embeds in its JSON."""
     probe_min = min(probes)
-    eff = effective_spread(runs, probes)
+    if sel is not None:
+        eff = bracket_spread({r for r, _ in sel.values()}, probes)
+    else:
+        eff = effective_spread(runs, probes)
     return {
         "probe_sec": [round(p, 3) for p in probes],
         # spread of the probes bracketing the rounds that produced the
-        # emitted minima — the steadiness evidence for THESE numbers
+        # emitted numbers — the steadiness evidence for THESE numbers
         "probe_spread": round(eff, 3) if eff else None,
         # whole-run spread incl. rounds whose attempts all lost
         "probe_spread_all": round(max(probes) / probe_min, 3) if probe_min else None,
+        # True = emitted numbers come from the fast-steady window
+        # (steady_selection); False = no such window materialized and
+        # the global minima ship with their honest (breaching) spread
+        "selected_window": sel is not None,
         "rounds": n_rounds + extra,
         "extra_rounds": extra,
         "steady_target": steady,
@@ -164,8 +204,16 @@ def steady_time_queries(
     runs, probes, extra = run_rounds(
         list(names), attempt, probe, n_rounds=n_rounds, steady=steady, max_extra=max_extra
     )
-    timings = {n: round(min(t for _, t in r), 3) for n, r in runs.items()}
-    return timings, calibration_dict(runs, probes, n_rounds, extra, steady)
+    sel = steady_selection(runs, probes, steady)
+    if sel is not None:
+        # Steady by construction: every emitted number is a winner from
+        # the fast-steady probe window (may be marginally above the
+        # global minimum if that minimum sat in an unsteady bracket —
+        # exactly the trade the r12 verdict asked for).
+        timings = {n: round(t, 3) for n, (_, t) in sel.items()}
+    else:
+        timings = {n: round(min(t for _, t in r), 3) for n, r in runs.items()}
+    return timings, calibration_dict(runs, probes, n_rounds, extra, steady, sel=sel)
 
 
 def steady_single(
@@ -215,15 +263,16 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
-    # Best-of-N per query: the harness VM shows intermittent CPU-steal
-    # stalls (observed 50-160s, occasionally minutes); the minimum is the
-    # faithful measure of the plan.  Attempts are INTERLEAVED round-robin
-    # (all queries once, then again); the final base round runs only for
-    # queries whose earlier attempts disagree wildly.  Calibration probes
-    # bracket every round so the JSON carries its own noise evidence; if
-    # the probes bracketing the WINNING rounds spread wider than
-    # STEADY_SPREAD, bounded extra rounds retry on a quieter window
-    # (round-10 verdict finding 2: steady artifact by construction).
+    # Best-of-N per query, emitted from the fast-steady probe window:
+    # the harness VM shows intermittent CPU-steal stalls (observed
+    # 50-160s, occasionally minutes), so attempts are INTERLEAVED
+    # round-robin and calibration probes bracket every round.  The
+    # emitted number per query is its fastest attempt among rounds whose
+    # bracketing probes sit within STEADY_SPREAD of the fastest probe
+    # observed (steady_selection); while no such window covers every
+    # query, bounded extra rounds retry on a hopefully quieter host
+    # (r12 verdict task 2: per-query ratios must never again ship under
+    # a 4.8x probe spread).
     def _attempt(name: str) -> float:
         t0 = time.perf_counter()
         bench_queries[name].fn(spark, sf_dir).count()

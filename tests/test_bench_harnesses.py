@@ -218,3 +218,44 @@ def test_steady_single_retry_policy():
         lambda: "only", probe=lambda: next(probes3), max_attempts=3
     )
     assert payload3 == "only" and cal3["rounds"] == 1
+
+
+def test_steady_selection_emits_fast_window_numbers():
+    """r12 verdict task 2: the emitted per-query numbers must come from
+    rounds bracketed by probes within STEADY_SPREAD of the fastest probe
+    — a global minimum timed inside an unsteady (slow-host) bracket is
+    NOT emitted, and the calibration says which path shipped."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(REPO, "bench.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # Round 0 is fast-steady (probes 1.0/1.0); round 1 is slow (probes
+    # 3.0/3.0) but its attempt "wins" globally (0.5 < 1.0) — a stall-
+    # then-recover artifact.  Selection must emit round 0's 1.0.
+    probe_script = iter([1.0, 1.0, 3.0])
+    attempts = {"q": iter([1.0, 0.5])}
+    timings, cal = m.steady_time_queries(
+        ["q"], lambda n: next(attempts[n]), probe=lambda: next(probe_script),
+        n_rounds=2, steady=1.35, max_extra=0,
+    )
+    assert timings == {"q": 1.0}          # NOT the 0.5 from the slow bracket
+    assert cal["selected_window"] is True
+    assert cal["probe_spread"] == 1.0     # probes 0,1 bracket round 0
+    assert cal["probe_spread"] <= cal["steady_target"]
+
+    # No fast-steady window ever materializes -> honest fallback to the
+    # global minimum with the breaching spread recorded.
+    probe_script2 = iter([1.0, 2.0, 1.0, 2.0, 1.0, 2.0])
+    attempts2 = {"q": iter([1.0, 0.5, 0.7, 0.9, 0.8])}
+    timings2, cal2 = m.steady_time_queries(
+        ["q"], lambda n: next(attempts2[n]), probe=lambda: next(probe_script2),
+        n_rounds=2, steady=1.35, max_extra=2,
+    )
+    assert timings2 == {"q": 0.5}
+    assert cal2["selected_window"] is False
+    assert cal2["probe_spread"] > cal2["steady_target"]
+    assert cal2["extra_rounds"] == 2
