@@ -500,3 +500,50 @@ def test_quote_audit_reroute_pairs_with_subtraction(spark, tmp_path):
     assert good_rows == [(1, "en", 0.9)]
     # Conservation over DATA lines: each lands in exactly one frame.
     assert good.count() + bad.count() == len(data_lines)
+
+
+def test_read_orc_and_xml_or_empty_narrow_like_parquet(spark, tmp_path):
+    """r12 verdict task 5: every maintained-table format shares the
+    narrowed absent-state discrimination — absent path / zero data files
+    coerce to an empty frame shaped like ``like``; any other analysis
+    failure propagates (via the shared _read_or_empty helper)."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        _read_or_empty,
+        read_orc_or_empty,
+        read_xml_or_empty,
+    )
+
+    like = spark.createDataFrame([(1, "a")], "k int, v string")
+
+    # ORC: absent path and zero-file dir -> empty, shaped like `like`
+    out = read_orc_or_empty(spark, str(tmp_path / "orc_never"), like)
+    assert out.count() == 0 and out.schema == like.schema
+    d = tmp_path / "orc_no_files"
+    d.mkdir()
+    assert read_orc_or_empty(spark, str(d), like).count() == 0
+    # round-trip sanity: a real ORC table reads back through the helper
+    like.write.mode("overwrite").orc(str(tmp_path / "orc_real"))
+    back = read_orc_or_empty(spark, str(tmp_path / "orc_real"), like)
+    assert [(r.k, r.v) for r in back.collect()] == [(1, "a")]
+
+    # XML: absent path -> empty (explicit schema comes from `like`)
+    out = read_xml_or_empty(spark, str(tmp_path / "xml_never"), like)
+    assert out.count() == 0 and out.schema == like.schema
+
+    # any OTHER analysis condition propagates through the shared helper
+    class _Exc(AnalysisException):
+        def __init__(self, cond):
+            self._cond = cond
+            Exception.__init__(self, cond or "boom")
+
+        def getCondition(self):
+            return self._cond
+
+    def _boom():
+        raise _Exc("DATATYPE_MISMATCH.INVALID_ORDERING_TYPE")
+
+    with _pytest.raises(AnalysisException):
+        _read_or_empty(like, _boom)

@@ -358,6 +358,24 @@ def _is_empty_read_error(exc) -> bool:
     return any(c in str(exc) for c in _EMPTY_READ_CONDITIONS)
 
 
+def _read_or_empty(like: DataFrame, thunk) -> DataFrame:
+    """Shared absent-state fallback for every maintained-table format:
+    run ``thunk`` (the actual read); coerce ONLY the absent/zero-file
+    analysis conditions to an empty frame shaped like ``like``.  Any
+    OTHER analysis failure — corrupt contents, schema conflicts —
+    re-raises instead of masquerading as an empty table (r11 ADVICE
+    item 5, extended to all formats in r13: no format path may coerce
+    genuine analysis errors to empty)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return thunk()
+    except AnalysisException as e:
+        if _is_empty_read_error(e):
+            return like.limit(0)
+        raise
+
+
 def read_parquet_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
     """Read a maintained parquet table; absent/schema-less → empty.
 
@@ -373,14 +391,34 @@ def read_parquet_or_empty(spark: SparkSession, path: str, like: DataFrame) -> Da
     ADVICE item 5): any OTHER analysis failure — corrupt contents,
     schema conflicts — re-raises, instead of masquerading as an empty
     table."""
-    from pyspark.errors import AnalysisException
+    return _read_or_empty(like, lambda: spark.read.parquet(path))
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as e:
-        if _is_empty_read_error(e):
-            return like.limit(0)
-        raise
+
+def read_orc_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """ORC twin of ``read_parquet_or_empty`` — same narrowed
+    discrimination: absent path / zero data files → empty frame shaped
+    like ``like``; every other analysis failure re-raises."""
+    return _read_or_empty(like, lambda: spark.read.orc(path))
+
+
+def read_xml_or_empty(
+    spark: SparkSession,
+    path: str,
+    like: DataFrame,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML twin of ``read_parquet_or_empty``.  The explicit schema comes
+    from ``like`` (XML is not self-describing, and inferring over a
+    maintained table would be the extra pass explicit-schema readers
+    exist to avoid); absent path / zero files → empty, anything else
+    re-raises."""
+    return _read_or_empty(
+        like,
+        lambda: spark.read.schema(like.schema)
+        .format("xml")
+        .option("rowTag", row_tag)
+        .load(path),
+    )
 
 
 def from_rows(spark: SparkSession, rows, schema: StructType) -> DataFrame:
