@@ -1,0 +1,196 @@
+"""Corpus medallion: canonical universes PLUS the incrementally-
+maintained near-dup signature and ANN index silver tables.
+
+``pipelines/canonical.py`` materializes the identity universes (one
+clean row per doc_id / vec_id).  This module is the next silver step a
+training-data lake actually runs per ingest batch: the MinHash
+signature table (``documents_minhash``) and the frozen-codebook IVF
+index (``embeddings_ivf``) — the maintained state behind the catalog's
+``doc_minhash_incremental_near_dups`` / ``embedding_knn_ivf_incremental``
+invariant queries (plans/similarity_gold.py), promoted from per-query
+scratch into pipeline-owned tables (r12 verdict task 3).
+
+Two entry points:
+
+``run_corpus_medallion``
+    The full (re)build: raw parquet → canonical silver universes →
+    signature + index silver tables, all overwritten.  One keyed
+    shuffle per universe (the canonical dedup) plus narrow signing /
+    assignment maps; the index writes are shuffle-free.
+
+``apply_corpus_batch``
+    The per-ingest-batch increment: sign/assign the NEW rows only
+    (work sized by the BATCH, not the corpus), admit only ids the
+    tables don't already hold (exactly-once under crash replay — the
+    same anti-join admission contract the streaming tier enforces in
+    ``streaming/neardup.py``; these are batch-job twins), emit the
+    batch's near-dup pairs against the ACCUMULATED signature table,
+    then append.  The union of per-batch pair sets over any batch
+    decomposition equals the full recompute (argument in
+    ``textops/dedup.incremental_near_dup_pairs``), and the accumulated
+    index serves queries identically to an all-at-once build — both
+    invariants pinned by ``tests/test_corpus_pipeline.py`` on THIS
+    pipeline path, not just the catalog queries.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.pipelines import canonical
+from unicargo_medallion_data_pipeline_spark.sources.readers import read_parquet_or_empty
+from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
+from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+#: Maintained silver tables (parquet under the corpus out_dir).
+MINHASH_TABLE = "documents_minhash"
+IVF_TABLE = "embeddings_ivf"
+
+#: Signature geometry — matches the catalog's LSH family
+#: (plans/similarity_gold.py: k=32, bands=16, threshold 0.3) so the
+#: pipeline tables answer the same questions the catalog queries do.
+MINHASH_K = 32
+MINHASH_BANDS = 16
+NEARDUP_THRESHOLD = 0.3
+
+
+def _path(out_dir: str, table: str) -> str:
+    return os.path.join(out_dir, f"{table}.parquet")
+
+
+def _clean_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Batch-local canonicalization mirroring the documents universe
+    (plans/universes.docs_with_text_plan): non-null id, non-empty
+    normalized text, DETERMINISTIC one-row-per-id (min text wins —
+    the signature depends on text only, so this matches the full
+    rebuild's canonical choice even when duplicate ids carry divergent
+    payloads; an arbitrary dropDuplicates would break incremental ==
+    full exactly on such corpora)."""
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+    from unicargo_medallion_data_pipeline_spark.textops.analysis import norm_text
+
+    d = docs.filter(
+        F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+        & (norm_text(text_col) != "")
+    )
+    return canonical_dedup(d, keys=[id_col], order_by=[F.asc(text_col)])
+
+
+def _clean_embeddings(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Batch-local validity mirroring the canonical embeddings universe
+    (plans/universes.embeddings_valid_plan): non-null id, present /
+    dim-64 / no NULL elements / nonzero-norm vector, deterministic
+    one-row-per-id (min vector wins — the index rows depend on the
+    vector only)."""
+    from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
+
+    v = F.col(vec_col)
+    q = sim.quantized(v)
+    e = embs.filter(
+        F.col(id_col).isNotNull()
+        & v.isNotNull()
+        & (F.size(v) == 64)
+        & ~F.exists(v, lambda x: x.isNull())
+        & (sim.dot_q(q, q) > 0)
+    )
+    return canonical_dedup(e, keys=[id_col], order_by=[F.asc(vec_col)])
+
+
+def run_corpus_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """Full rebuild: canonical universes + signature + IVF index silver
+    tables under ``out_dir``.  Returns table name → parquet path."""
+    paths = canonical.materialize_canonical(spark, sf_dir, out_dir)
+    docs = spark.read.parquet(paths["documents_canonical"])
+    embs = spark.read.parquet(paths["embeddings_canonical"])
+    mh_path = _path(out_dir, MINHASH_TABLE)
+    dd.minhash_payload(docs, k=MINHASH_K).write.mode("overwrite").parquet(mh_path)
+    ivf_path = _path(out_dir, IVF_TABLE)
+    sim.ivf_frozen_index_rows(embs).write.mode("overwrite").parquet(ivf_path)
+    return {**paths, MINHASH_TABLE: mh_path, IVF_TABLE: ivf_path}
+
+
+@dataclass
+class CorpusBatchResult:
+    """What one incremental batch did: admission counts plus the batch's
+    near-dup pairs (pinned — computed against the PRE-append table
+    state, exactly the catalog invariant query's ordering)."""
+
+    admitted_docs: int = 0
+    admitted_vectors: int = 0
+    near_dup_pairs: DataFrame | None = None
+
+
+def apply_corpus_batch(
+    spark: SparkSession,
+    out_dir: str,
+    new_docs: DataFrame | None = None,
+    new_embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> CorpusBatchResult:
+    """Apply one ingest batch to the maintained silver tables.
+
+    Admission is exactly-once per id: rows whose id the table already
+    holds are re-deliveries (an at-least-once upstream, or a crash
+    replay of this very batch) and are dropped by an anti-join before
+    any signing — replaying a batch is a no-op.  Near-dup pairs are
+    computed BEFORE the signature append (the lazy read must see the
+    pre-append table), pinned with an eager localCheckpoint, and
+    returned rather than double-written — the caller owns the pairs
+    sink, keeping this function idempotent per table."""
+    result = CorpusBatchResult()
+
+    if new_docs is not None:
+        payload = dd.minhash_payload(
+            _clean_docs(new_docs, id_col, text_col),
+            id_col=id_col,
+            text_col=text_col,
+            k=MINHASH_K,
+        )
+        mh_path = _path(out_dir, MINHASH_TABLE)
+        existing = read_parquet_or_empty(spark, mh_path, like=payload)
+        admitted = payload.join(
+            existing.select("id"), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        result.admitted_docs = admitted.count()
+        if result.admitted_docs:
+            all_payload = existing.unionByName(admitted)
+            result.near_dup_pairs = dd.incremental_near_dup_pairs(
+                admitted,
+                all_payload,
+                k=MINHASH_K,
+                bands=MINHASH_BANDS,
+                threshold=NEARDUP_THRESHOLD,
+            ).localCheckpoint(eager=True)
+            admitted.write.mode("append").parquet(mh_path)
+
+    if new_embeddings is not None:
+        rows = sim.ivf_frozen_index_rows(
+            _clean_embeddings(new_embeddings, vec_id_col, vec_col),
+            id_col=vec_id_col,
+            vec_col=vec_col,
+        )
+        ivf_path = _path(out_dir, IVF_TABLE)
+        existing_idx = read_parquet_or_empty(spark, ivf_path, like=rows)
+        admitted_idx = rows.join(
+            existing_idx.select("vid"), "vid", "left_anti"
+        ).localCheckpoint(eager=True)
+        result.admitted_vectors = admitted_idx.count()
+        if result.admitted_vectors:
+            admitted_idx.write.mode("append").parquet(ivf_path)
+
+    return result
+
+
+def read_corpus_table(spark: SparkSession, out_dir: str, table: str) -> DataFrame:
+    """Scan a maintained corpus silver table (absent → error: unlike
+    the maintained-state readers, a missing corpus table here means the
+    pipeline never ran, which the caller should see)."""
+    return spark.read.parquet(_path(out_dir, table))
