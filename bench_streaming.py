@@ -159,10 +159,83 @@ def run_cdc_apply(spark, src, schema, work, fpt) -> dict:
     return out
 
 
+def run_neardup(spark, src, schema, work, fpt) -> dict:
+    """Streaming near-dup end-to-end over a HOSTILE documents corpus
+    (r12 verdict task 4).  ``src``/``schema`` (the shared events
+    landing) are unused — the scenario builds its own corpus: the
+    robustness sweep's seeded mutation (NULL ids, duplicate rows,
+    unicode/multi-line/empty texts, shuffled order) over a 10x source
+    (default sf0.01 = 10x the sweep's standard sf0.001), landed as
+    parquet files and streamed in ~files/fpt micro-batches through
+    ``streaming/neardup.start_streaming_near_dup``.
+
+    What the numbers must show: the signature table grows monotonically
+    across batches while per-batch work stays sized by the BATCH — the
+    emitted ``batch_ms_series`` (per-trigger execution ms, in order) and
+    ``late_vs_early_batch_ms`` (mean of second half / mean of first
+    half) are the degradation evidence for the anti-join admission +
+    band-bucket join against the growing table."""
+    from unicargo_medallion_data_pipeline_spark.streaming.neardup import (
+        start_streaming_near_dup,
+    )
+    from unicargo_medallion_data_pipeline_spark.streaming.observe import capture_progress
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+    from unicargo_medallion_data_pipeline_spark.testing.datagen import write_mutated_dataset
+
+    # sf0.1 holds the 5000-row documents table (sf0.001/sf0.01 both ship
+    # 500 docs) — its hostile twin is 10x the sweep's standard corpus.
+    nd_src = os.environ.get("SPARK_GRAFT_NEARDUP_SRC", "/root/testdata/sf0.1")
+    seed = os.environ.get("SPARK_GRAFT_NEARDUP_SEED", "r13s")
+    hostile = os.path.join(work, "hostile")
+    write_mutated_dataset(nd_src, hostile, seed=seed, tables=("documents",))
+    docs = spark.read.parquet(os.path.join(hostile, "documents.parquet"))
+    n_corpus = docs.count()
+    landing = os.path.join(work, "docs_src")
+    docs.repartition(20).write.mode("overwrite").parquet(landing)
+    dschema = spark.read.parquet(landing).schema
+    stream = read_streaming_path(
+        spark, landing, dschema, options={"maxFilesPerTrigger": str(fpt)}
+    )
+    sig_path = os.path.join(work, "signatures")
+    pairs_path = os.path.join(work, "pairs")
+    t0 = time.perf_counter()
+    query = start_streaming_near_dup(
+        stream,
+        sig_path,
+        pairs_path,
+        os.path.join(work, "nd_ckpt"),
+        trigger={"availableNow": True},
+    )
+    out = _measure(query, t0)
+    # numInputRows multiplies by the number of ACTIONS the foreachBatch
+    # body runs on the batch frame (measured: a 2-action batch reports
+    # 2x — Spark re-counts the source per evaluation), so the honest
+    # throughput denominator is the corpus size, not the source metric.
+    out["rows_reported_by_source"] = out["rows"]
+    out["rows"] = n_corpus
+    out["rows_per_sec"] = round(n_corpus / out["value"]) if out["value"] else None
+    progress = [p for p in capture_progress(query) if p["num_input_rows"]]
+    series = [p["trigger_execution_ms"] for p in progress]
+    out["batch_ms_series"] = series
+    if len(series) >= 4:
+        half = len(series) // 2
+        early, late = series[:half], series[half:]
+        out["late_vs_early_batch_ms"] = round(
+            (sum(late) / len(late)) / (sum(early) / len(early)), 2
+        )
+    out["signature_rows"] = spark.read.parquet(sig_path).count()
+    try:
+        out["pair_rows"] = spark.read.parquet(pairs_path).count()
+    except Exception:  # noqa: BLE001 — a corpus with zero near-dups writes no pairs
+        out["pair_rows"] = 0
+    return out
+
+
 SCENARIOS = {
     "tumbling": run_tumbling,
     "sessionize": run_sessionize,
     "cdc_apply": run_cdc_apply,
+    "neardup": run_neardup,
 }
 
 
@@ -170,7 +243,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=20)
     ap.add_argument("--files-per-trigger", type=int, default=2)
-    ap.add_argument("--scenarios", default="tumbling,sessionize,cdc_apply")
+    ap.add_argument("--scenarios", default="tumbling,sessionize,cdc_apply,neardup")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
