@@ -32,9 +32,11 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
         "documents_canonical",
         "embeddings_canonical",
         corpus.MINHASH_TABLE,
+        corpus.WINNOW_TABLE,
         corpus.IVF_TABLE,
     }
     full_mh = spark.read.parquet(paths[corpus.MINHASH_TABLE])
+    full_wn = spark.read.parquet(paths[corpus.WINNOW_TABLE])
     full_ivf = spark.read.parquet(paths[corpus.IVF_TABLE])
 
     # Incremental: the same corpus arrives in two ingest batches over
@@ -59,6 +61,9 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
     # Table-state equality: incremental accumulation == full rebuild.
     sig = lambda df: sorted((r.id, tuple(r.sig)) for r in df.select("id", "sig").collect())
     assert sig(inc_mh) == sig(full_mh)
+    inc_wn = spark.read.parquet(os.path.join(inc_dir, f"{corpus.WINNOW_TABLE}.parquet"))
+    wn = lambda df: sorted((r.id, r.fp) for r in df.collect())
+    assert wn(inc_wn) == wn(full_wn)
     idx = lambda df: sorted((r.vid, r.cell, tuple(r.c_emb)) for r in df.collect())
     assert idx(inc_ivf) == idx(full_ivf)
 
@@ -94,6 +99,7 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
         new_embeddings=embs.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
     )
     assert replay.admitted_docs == 0 and replay.admitted_vectors == 0
+    assert replay.admitted_winnow_docs == 0
     assert replay.near_dup_pairs is None
     assert sig(spark.read.parquet(os.path.join(inc_dir, f"{corpus.MINHASH_TABLE}.parquet"))) == sig(full_mh)
 

@@ -454,3 +454,44 @@ def test_winnow_guarantee_and_mirror(spark):
         for r in with_winnow_fingerprints(docs.repartition(8), k=16, w=32).collect()
     }
     assert fps1 == fps2 and len(fps1[4]) == 1
+
+
+def test_winnow_row_form_matches_array_form(spark):
+    """r13: winnow_fingerprint_rows (codegen'd explode + window-min)
+    selects the bit-identical fingerprint set as with_winnow_fingerprints
+    (interpreted array lambdas) — including the degenerate floors: text
+    shorter than one gram, shorter than one full window, unicode, and a
+    single-char doc.  The row form exists because the array form's
+    per-window lambda measured ~1 ms/window (minutes corpus-wide)."""
+    from unicargo_medallion_data_pipeline_spark.textops.winnow import (
+        winnow_fingerprint_rows,
+        with_winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 6),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "tiny"),                       # shorter than k
+            (4, "barely eight+"),              # >= k, < k + w - 1
+            (5, "x"),
+            (6, "ünïcødé tæxt — mixed 𝒘𝒊𝒅𝒆 codepoints " * 3),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for k, w in ((8, 8), (8, 16), (16, 32)):
+        rows = {
+            (r.id, r.fp)
+            for r in winnow_fingerprint_rows(docs, k=k, w=w).collect()
+        }
+        arrays = {
+            (r["doc_id"], fp)
+            for r in with_winnow_fingerprints(docs, k=k, w=w).collect()
+            for fp in r["fps"]
+        }
+        assert rows == arrays, (k, w)
+    # parallelism-invariant (the window is per-doc keyed)
+    a = {(r.id, r.fp) for r in winnow_fingerprint_rows(docs.repartition(7), k=8, w=8).collect()}
+    b = {(r.id, r.fp) for r in winnow_fingerprint_rows(docs.coalesce(1), k=8, w=8).collect()}
+    assert a == b

@@ -45,10 +45,12 @@ from unicargo_medallion_data_pipeline_spark.pipelines import canonical
 from unicargo_medallion_data_pipeline_spark.sources.readers import read_parquet_or_empty
 from unicargo_medallion_data_pipeline_spark.textops import dedup as dd
 from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+from unicargo_medallion_data_pipeline_spark.textops.winnow import winnow_fingerprint_rows
 
 #: Maintained silver tables (parquet under the corpus out_dir).
 MINHASH_TABLE = "documents_minhash"
 IVF_TABLE = "embeddings_ivf"
+WINNOW_TABLE = "documents_winnow"
 
 #: Signature geometry — matches the catalog's LSH family
 #: (plans/similarity_gold.py: k=32, bands=16, threshold 0.3) so the
@@ -56,6 +58,12 @@ IVF_TABLE = "embeddings_ivf"
 MINHASH_K = 32
 MINHASH_BANDS = 16
 NEARDUP_THRESHOLD = 0.3
+
+#: Winnow geometry — k=8/w=8 is the LOSSLESS setting for 8-token
+#: shingle contamination (doc_contamination_winnowed's proof: any
+#: shared 8-token shingle is a >= 15-char = k+w-1 normalized substring).
+WINNOW_K = 8
+WINNOW_W = 8
 
 
 def _path(out_dir: str, table: str) -> str:
@@ -109,9 +117,18 @@ def run_corpus_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     embs = spark.read.parquet(paths["embeddings_canonical"])
     mh_path = _path(out_dir, MINHASH_TABLE)
     dd.minhash_payload(docs, k=MINHASH_K).write.mode("overwrite").parquet(mh_path)
+    wn_path = _path(out_dir, WINNOW_TABLE)
+    winnow_fingerprint_rows(docs, k=WINNOW_K, w=WINNOW_W).write.mode(
+        "overwrite"
+    ).parquet(wn_path)
     ivf_path = _path(out_dir, IVF_TABLE)
     sim.ivf_frozen_index_rows(embs).write.mode("overwrite").parquet(ivf_path)
-    return {**paths, MINHASH_TABLE: mh_path, IVF_TABLE: ivf_path}
+    return {
+        **paths,
+        MINHASH_TABLE: mh_path,
+        WINNOW_TABLE: wn_path,
+        IVF_TABLE: ivf_path,
+    }
 
 
 @dataclass
@@ -121,6 +138,7 @@ class CorpusBatchResult:
     state, exactly the catalog invariant query's ordering)."""
 
     admitted_docs: int = 0
+    admitted_winnow_docs: int = 0
     admitted_vectors: int = 0
     near_dup_pairs: DataFrame | None = None
 
@@ -148,8 +166,9 @@ def apply_corpus_batch(
     result = CorpusBatchResult()
 
     if new_docs is not None:
+        cleaned = _clean_docs(new_docs, id_col, text_col)
         payload = dd.minhash_payload(
-            _clean_docs(new_docs, id_col, text_col),
+            cleaned,
             id_col=id_col,
             text_col=text_col,
             k=MINHASH_K,
@@ -170,6 +189,23 @@ def apply_corpus_batch(
                 threshold=NEARDUP_THRESHOLD,
             ).localCheckpoint(eager=True)
             admitted.write.mode("append").parquet(mh_path)
+
+        # Winnow fingerprints (the contamination index): per-document
+        # computation with no cross-doc state, so the increment is exact
+        # by construction; admission is its own anti-join (a crash
+        # between the minhash and winnow appends must not let a replay
+        # double-fingerprint either table).
+        wn_path = _path(out_dir, WINNOW_TABLE)
+        fps = winnow_fingerprint_rows(
+            cleaned, id_col=id_col, text_col=text_col, k=WINNOW_K, w=WINNOW_W
+        )
+        existing_wn = read_parquet_or_empty(spark, wn_path, like=fps)
+        admitted_wn = fps.join(
+            existing_wn.select("id").distinct(), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        result.admitted_winnow_docs = admitted_wn.select("id").distinct().count()
+        if result.admitted_winnow_docs:
+            admitted_wn.write.mode("append").parquet(wn_path)
 
     if new_embeddings is not None:
         rows = sim.ivf_frozen_index_rows(

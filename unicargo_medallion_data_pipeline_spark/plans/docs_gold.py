@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.catalog import CATALOG, register
 from unicargo_medallion_data_pipeline_spark.plans.universes import SQL_DOCS1 as _SQL_DOCS1
 from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
 from unicargo_medallion_data_pipeline_spark.textops import analysis as ta
@@ -446,6 +446,108 @@ def doc_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = sh.select(F.col("doc_id").alias("d_id"), F.explode_outer("s").alias("g"))
+    return (
+        F.broadcast(bench)
+        .join(corpus, "g")
+        .filter(F.col("b_id") != F.col("d_id"))
+        .groupBy("b_id", "d_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            (F.count(F.lit(1)).cast("double") / F.max("b_n")).alias("containment"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "doc_contamination_winnowed",
+    # IDENTICAL oracle to doc_contamination_overlap: the winnow
+    # pre-filter below is provably lossless for this query's semantics,
+    # and the hash gate verifies that claim on every run.
+    sql=CATALOG["doc_contamination_overlap"].sql,
+    operators=("J4", "A13", "P10"),
+)
+def doc_contamination_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contamination scan with a winnow-fingerprint PRE-FILTER
+    (r12 verdict task 6): corpus documents enter the expensive 8-token
+    shingle explode + inverted-index join ONLY if they share at least
+    one winnowed fingerprint with some benchmark document.
+
+    Losslessness argument (why the oracle is doc_contamination_overlap's
+    verbatim): a shared 8-token shingle is a contiguous substring of
+    BOTH normalized texts (shingles are token-stream slices joined by
+    single spaces, and the normalized text is exactly the token stream
+    joined by single spaces) of length >= 8 tokens + 7 spaces = 15
+    chars = k + w - 1 at k=8, w=8.  The fingerprinter keeps EVERY
+    window's minimum (textops/winnow.with_winnow_fingerprints), so a
+    window of w gram-hashes fully inside the shared substring has
+    identical contents in both documents and selects the identical
+    minimum — every qualifying (benchmark, corpus) pair therefore
+    shares a fingerprint (Schleimer et al. 2003, strengthened by
+    all-window selection).  No stop-fingerprint filter is applied —
+    that would break the guarantee; the candidate join stays cheap
+    anyway because it is BENCHMARK-ANCHORED: the broadcast side is the
+    handful of benchmark fingerprints, so a boilerplate-hot fingerprint
+    costs |bench hits| x df, never df^2 (unlike the self-join in
+    doc_winnow_overlap_pairs, which needs the stop filter).
+
+    Why this matters at 100 TB: the full scan's cost is the corpus-side
+    shingle explode (|corpus| x |tokens| rows into the join).  The
+    pre-filter reduces that to candidate documents only — fingerprints
+    are ~1/w of the gram stream, the candidate semi-join is one
+    broadcast probe, and on a realistically-clean corpus candidates are
+    a tiny fraction (measured scan reduction in docs/PLANS.md)."""
+    from unicargo_medallion_data_pipeline_spark.plans.universes import docs_with_text
+    from unicargo_medallion_data_pipeline_spark.textops.dedup import shingles
+    from unicargo_medallion_data_pipeline_spark.textops.winnow import (
+        winnow_fingerprint_rows,
+    )
+
+    d = docs_with_text(spark, sf_dir)
+    bench_docs = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+
+    # Benchmark fingerprints: tiny (|bench| docs), broadcast.  Row-form
+    # winnowing (codegen'd scalar md5 + window-min) — the array form's
+    # interpreted per-window lambda is ~1ms/window, unusable corpus-wide
+    # (r13 finding, see winnow_fingerprint_rows).
+    bench_fp = winnow_fingerprint_rows(bench_docs, k=8, w=8).select(
+        F.col("id").alias("b_fp_id"), "fp"
+    )
+    # Candidate corpus docs: one fingerprint probe against the broadcast
+    # bench set — the only full-corpus pass besides the final scan, and
+    # it moves 60-bit ints, not shingle strings.
+    corpus_fp = winnow_fingerprint_rows(
+        ensure_parallelism(d), k=8, w=8
+    ).select(F.col("id").alias("doc_id"), "fp")
+    cand_ids = (
+        corpus_fp.join(F.broadcast(bench_fp), "fp")
+        .filter(F.col("doc_id") != F.col("b_fp_id"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    # The exact contamination scan, corpus side restricted to candidates
+    # (bench docs appear on the corpus side only when they winnow-match
+    # another bench doc — which every qualifying pair does, see above).
+    # The semi-join restricts the DOCUMENTS, not the shingle rows: a
+    # semi above the shingle projection would still compute shingles
+    # for every document before dropping them (Catalyst does not move
+    # joins below projections — measured r13, the difference between
+    # pruning 99% of the corpus and pruning nothing).
+    bench = (
+        ensure_parallelism(d.filter(F.col("doc_id") < 10))
+        .select("doc_id", shingles("text", 8).alias("s"))
+        .select(
+            F.col("doc_id").alias("b_id"),
+            F.size("s").alias("b_n"),
+            F.explode_outer("s").alias("g"),
+        )
+    )
+    corpus = (
+        ensure_parallelism(d.join(cand_ids, "doc_id", "left_semi"))
+        .select("doc_id", shingles("text", 8).alias("s"))
+        .select(F.col("doc_id").alias("d_id"), F.explode_outer("s").alias("g"))
+    )
     return (
         F.broadcast(bench)
         .join(corpus, "g")

@@ -131,3 +131,67 @@ def winnow_overlap_pairs(
         "shared_fps",
         (F.col("shared_fps").cast("double") / F.col("min_n")).alias("overlap"),
     )
+
+
+def winnow_fingerprint_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """``(id, fp)`` winnowed fingerprints in ROW form — the SAME
+    selection as :func:`with_winnow_fingerprints` (every window's
+    minimum gram hash, distinct per document; equivalence pinned by
+    ``tests/test_textops.py``) re-expressed for throughput.
+
+    Why a second form exists (r13 finding): the array form's per-window
+    ``array_min(slice(...))`` runs inside an interpreted higher-order
+    lambda — measured ~1 ms per window, i.e. MINUTES for a few hundred
+    300-char documents.  This form keeps every operator inside codegen:
+    explode the gram positions (narrow), hash each gram with a scalar
+    md5 projection (whole-stage codegen), then take the sliding-window
+    minimum with a doc-keyed ``min() OVER (ORDER BY pos ROWS BETWEEN
+    CURRENT ROW AND w-1 FOLLOWING)`` (WindowExec, codegen'd frame) and
+    keep the positions the array form keeps (1 .. max(n_grams-w+1, 1);
+    the trailing partial windows are exactly what the frame clamp
+    produces, so short documents degrade identically).
+
+    Cost shape: one doc-keyed shuffle of the gram-hash rows (the window
+    needs a document's grams co-located and ordered).  At lake scale
+    that shuffle moves ~(chars x 8B) per doc — still the right trade:
+    the interpreted array form is two orders of magnitude more CPU, and
+    CPU is the contended resource on a fingerprinting pass."""
+    from pyspark.sql import Window as W
+
+    for tmp in ("__wn_n", "__wn_len", "__wn_i", "__wn_h"):
+        if tmp in docs.columns:
+            raise ValueError(f"input already has a {tmp!r} column")
+    n = docs.select(F.col(id_col).alias("id"), norm_text(text_col).alias("__wn_n"))
+    grams = n.select(
+        "id",
+        F.expr("char_length(__wn_n)").alias("__wn_len"),
+        F.col("__wn_n"),
+        F.explode(
+            F.expr(f"sequence(1, greatest(char_length(__wn_n) - {k - 1}, 1))")
+        ).alias("__wn_i"),
+    ).select(
+        "id",
+        "__wn_len",
+        "__wn_i",
+        F.expr(
+            f"CAST(conv(substring(md5(substring(__wn_n, __wn_i, {k})), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("__wn_h"),
+    )
+    frame = W.partitionBy("id").orderBy("__wn_i").rowsBetween(W.currentRow, w - 1)
+    n_windows = F.greatest(
+        F.greatest(F.col("__wn_len") - F.lit(k - 1), F.lit(1)) - F.lit(w - 1),
+        F.lit(1),
+    )
+    return (
+        grams.withColumn("fp", F.min("__wn_h").over(frame))
+        .filter(F.col("__wn_i") <= n_windows)
+        .select("id", "fp")
+        .distinct()
+    )
