@@ -63,15 +63,23 @@ def test_bench_scale_build_scaled_preserves_join_semantics(spark, tmp_path):
 
 
 def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
-    """bench_streaming's three scenarios (tumbling agg, stateful
-    sessionizer, foreachBatch CDC apply — round-10 verdict task 7)
-    execute end-to-end and report consistent progress at sf0.001
-    (1k events, 2 micro-batches each)."""
+    """bench_streaming's four scenarios (tumbling agg, stateful
+    sessionizer, foreachBatch CDC apply — round-10 verdict task 7 —
+    plus the r13 hostile near-dup tier) execute end-to-end and report
+    consistent progress at sf0.001 (1k events / 500-doc hostile corpus,
+    >= 2 micro-batches each)."""
     import json
     import subprocess
     import sys
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_SMOKE, SPARK_GRAFT_CPUS="4")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_SMOKE,
+        SPARK_GRAFT_CPUS="4",
+        # smoke scale for the hostile near-dup corpus too
+        SPARK_GRAFT_NEARDUP_SRC=SF_SMOKE,
+        SPARK_GRAFT_NEARDUP_SEED="smoke13",
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_streaming.py"),
          "--files", "4", "--files-per-trigger", "2"],
@@ -81,11 +89,17 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["metric"] == "streaming_throughput"
-    assert set(rec["scenarios"]) == {"tumbling", "sessionize", "cdc_apply"}
+    assert set(rec["scenarios"]) == {"tumbling", "sessionize", "cdc_apply", "neardup"}
     for name, s in rec["scenarios"].items():
-        assert s["rows"] == rec["source_rows"] > 0, name
+        if name != "neardup":  # neardup streams its own hostile corpus
+            assert s["rows"] == rec["source_rows"] > 0, name
         assert s["batches"] >= 2, name
         assert s["rows_per_sec"] > 0, name
+    nd = rec["scenarios"]["neardup"]
+    # hostile corpus: admitted signatures grow, and the honest corpus
+    # count (not the per-action-inflated source metric) is reported
+    assert 0 < nd["signature_rows"] <= nd["rows"] < nd["rows_reported_by_source"]
+    assert len(nd["batch_ms_series"]) == nd["batches"]
     # CDC apply collapses events to one current row per user
     assert 0 < rec["scenarios"]["cdc_apply"]["final_rows"] < rec["source_rows"]
     # r12: per-scenario calibration via bench.steady_single
