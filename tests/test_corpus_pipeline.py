@@ -34,10 +34,12 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
         corpus.MINHASH_TABLE,
         corpus.WINNOW_TABLE,
         corpus.IVF_TABLE,
+        corpus.PQ_TABLE,
     }
     full_mh = spark.read.parquet(paths[corpus.MINHASH_TABLE])
     full_wn = spark.read.parquet(paths[corpus.WINNOW_TABLE])
     full_ivf = spark.read.parquet(paths[corpus.IVF_TABLE])
+    full_pq = spark.read.parquet(paths[corpus.PQ_TABLE])
 
     # Incremental: the same corpus arrives in two ingest batches over
     # the RAW tables (apply_corpus_batch owns the cleaning).
@@ -66,6 +68,9 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
     assert wn(inc_wn) == wn(full_wn)
     idx = lambda df: sorted((r.vid, r.cell, tuple(r.c_emb)) for r in df.collect())
     assert idx(inc_ivf) == idx(full_ivf)
+    inc_pq = spark.read.parquet(os.path.join(inc_dir, f"{corpus.PQ_TABLE}.parquet"))
+    pq = lambda df: sorted((r.vid, tuple(r.codes)) for r in df.collect())
+    assert pq(inc_pq) == pq(full_pq)
 
     # Pair-set equality: union of per-batch near-dup pairs == the full
     # recompute at the same geometry, each pair surfacing exactly once.
@@ -99,7 +104,7 @@ def test_corpus_medallion_incremental_equals_full(spark, tmp_path):
         new_embeddings=embs.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
     )
     assert replay.admitted_docs == 0 and replay.admitted_vectors == 0
-    assert replay.admitted_winnow_docs == 0
+    assert replay.admitted_winnow_docs == 0 and replay.admitted_pq_vectors == 0
     assert replay.near_dup_pairs is None
     assert sig(spark.read.parquet(os.path.join(inc_dir, f"{corpus.MINHASH_TABLE}.parquet"))) == sig(full_mh)
 

@@ -495,3 +495,50 @@ def test_winnow_row_form_matches_array_form(spark):
     a = {(r.id, r.fp) for r in winnow_fingerprint_rows(docs.repartition(7), k=8, w=8).collect()}
     b = {(r.id, r.fp) for r in winnow_fingerprint_rows(docs.coalesce(1), k=8, w=8).collect()}
     assert a == b
+
+
+def test_pq_adc_recall_and_determinism(spark):
+    """r13 PQ tier: (a) the encoder emits one code per subspace in
+    [0, 16); (b) raw ADC is a SHORTLIST signal — its own top-5 recall
+    is modest on this unit-norm random-ish corpus (quantization error
+    dominates the tiny cosine spread), but the rerank pipeline
+    (ADC shortlist-100 → exact cosine) recovers the exact top-5;
+    (c) both are deterministic under repartitioning (pure int
+    arithmetic + total-order tie-breaks)."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = sim.pq_index_rows(e).localCheckpoint(eager=True)
+    row = codes.first()
+    assert len(row.codes) == 16 and all(0 <= c < 16 for c in row.codes)
+
+    q = e.filter(F.col("vec_id") < 10)
+    exact_sets = {}
+    for r in sim.cosine_topk_exact(q, e, k=5).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vid)
+
+    adc = sim.pq_adc_topk(q, codes, k=5)
+    adc_sets = {}
+    for r in adc.collect():
+        adc_sets.setdefault(r.qid, set()).add(r.vid)
+    adc_recall = [
+        len(adc_sets[qid] & exact_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(adc_recall) / len(adc_recall) >= 0.25, adc_recall
+
+    rr_sets = {}
+    for r in sim.pq_rerank_topk(q, codes, e, k=5, shortlist=100).collect():
+        rr_sets.setdefault(r.qid, set()).add(r.vid)
+    rr_recall = [
+        len(rr_sets[qid] & exact_sets[qid]) / len(exact_sets[qid])
+        for qid in exact_sets
+    ]
+    assert sum(rr_recall) / len(rr_recall) >= 0.95, rr_recall
+
+    again = sim.pq_adc_topk(q.repartition(7), sim.pq_index_rows(e.repartition(5)), k=5)
+    key = lambda df: sorted((r.qid, r.sim_rank, r.vid, r.adc_score) for r in df.collect())
+    assert key(adc) == key(again)

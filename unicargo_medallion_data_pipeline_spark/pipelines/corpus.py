@@ -50,6 +50,7 @@ from unicargo_medallion_data_pipeline_spark.textops.winnow import winnow_fingerp
 #: Maintained silver tables (parquet under the corpus out_dir).
 MINHASH_TABLE = "documents_minhash"
 IVF_TABLE = "embeddings_ivf"
+PQ_TABLE = "embeddings_pq"
 WINNOW_TABLE = "documents_winnow"
 
 #: Signature geometry — matches the catalog's LSH family
@@ -123,11 +124,14 @@ def run_corpus_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     ).parquet(wn_path)
     ivf_path = _path(out_dir, IVF_TABLE)
     sim.ivf_frozen_index_rows(embs).write.mode("overwrite").parquet(ivf_path)
+    pq_path = _path(out_dir, PQ_TABLE)
+    sim.pq_index_rows(embs).write.mode("overwrite").parquet(pq_path)
     return {
         **paths,
         MINHASH_TABLE: mh_path,
         WINNOW_TABLE: wn_path,
         IVF_TABLE: ivf_path,
+        PQ_TABLE: pq_path,
     }
 
 
@@ -140,6 +144,7 @@ class CorpusBatchResult:
     admitted_docs: int = 0
     admitted_winnow_docs: int = 0
     admitted_vectors: int = 0
+    admitted_pq_vectors: int = 0
     near_dup_pairs: DataFrame | None = None
 
 
@@ -208,8 +213,9 @@ def apply_corpus_batch(
             admitted_wn.write.mode("append").parquet(wn_path)
 
     if new_embeddings is not None:
+        cleaned_embs = _clean_embeddings(new_embeddings, vec_id_col, vec_col)
         rows = sim.ivf_frozen_index_rows(
-            _clean_embeddings(new_embeddings, vec_id_col, vec_col),
+            cleaned_embs,
             id_col=vec_id_col,
             vec_col=vec_col,
         )
@@ -221,6 +227,20 @@ def apply_corpus_batch(
         result.admitted_vectors = admitted_idx.count()
         if result.admitted_vectors:
             admitted_idx.write.mode("append").parquet(ivf_path)
+
+        # PQ codes (the compressed ANN serving index): per-row encoding
+        # against frozen literals, so the increment is exact by
+        # construction; own admission anti-join (crash between the IVF
+        # and PQ appends must not double-encode either on replay).
+        pq_path = _path(out_dir, PQ_TABLE)
+        pq_rows = sim.pq_index_rows(cleaned_embs, id_col=vec_id_col, vec_col=vec_col)
+        existing_pq = read_parquet_or_empty(spark, pq_path, like=pq_rows)
+        admitted_pq = pq_rows.join(
+            existing_pq.select("vid"), "vid", "left_anti"
+        ).localCheckpoint(eager=True)
+        result.admitted_pq_vectors = admitted_pq.count()
+        if result.admitted_pq_vectors:
+            admitted_pq.write.mode("append").parquet(pq_path)
 
     return result
 

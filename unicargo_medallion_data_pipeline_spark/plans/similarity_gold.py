@@ -1201,3 +1201,172 @@ def doc_prefix_filter_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sz", F.size("tokset"))
     )
     return _prefix_filter_rescored(t, t_num=3, t_den=10)
+
+
+def _pq_oracle_sql(k: int = 5) -> str:
+    """DuckDB mirror of pq_index_rows + pq_adc_topk: the same frozen
+    per-subspace codebooks (``textops.pq_frozen``), int64 quantization,
+    (dist asc, cid asc) encoding argmin and (score desc, vid asc)
+    ranking — codes, ADC scores, and ranks reproduce the engine
+    bit-for-bit (the whole pipeline is integer arithmetic; there is no
+    floating point to diverge on)."""
+    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
+        FROZEN_PQ_CENTROIDS_Q,
+        FROZEN_PQ_CSQ,
+        PQ_SUBDIM,
+    )
+
+    cent_rows = ",\n      ".join(
+        f"({s}, {c}, [{', '.join(str(v) for v in cent)}], {FROZEN_PQ_CSQ[s][c]})"
+        for s, book in enumerate(FROZEN_PQ_CENTROIDS_Q)
+        for c, cent in enumerate(book)
+    )
+    sd = PQ_SUBDIM
+    dot = (
+        f"CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        f" j -> qv.q[cent.sub * {sd} + j] * cent.c[j])) AS BIGINT)"
+    )
+    return f"""
+    WITH cent(sub, cid, c, csq) AS (VALUES
+      {cent_rows}
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
+      FROM ({_SQL_EMB1})
+    ),
+    subv AS (
+      SELECT qv.vec_id, cent.sub, cent.cid,
+             CAST(cent.csq - 2 * {dot} AS BIGINT) AS dist,
+             {dot} AS dotv
+      FROM qv CROSS JOIN cent
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM subv
+      ) WHERE rn = 1
+    ),
+    luts AS (
+      SELECT vec_id AS qid, sub, cid, dotv FROM subv WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT l.qid, x.vec_id AS vid, CAST(SUM(l.dotv) AS BIGINT) AS adc_score
+      FROM codes x JOIN luts l ON l.sub = x.sub AND l.cid = x.cid
+      WHERE l.qid != x.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT qid, vid, adc_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY adc_score DESC, vid) AS INTEGER)
+               AS sim_rank
+      FROM scored
+    ) WHERE sim_rank <= {k}
+    """
+
+
+@register(
+    "embedding_pq_adc_knn",
+    sql=_pq_oracle_sql(),
+    operators=("W5", "S12"),
+)
+def embedding_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 — the MEMORY tier of the ANN
+    family (exact scan / LSH buckets / IVF cells / PQ codes): the
+    corpus is encoded once into 16 nibble codes per vector against
+    frozen per-subspace codebooks (``textops/pq_frozen.py``; 32x
+    smaller than the float vectors), each query builds a 16 x 16
+    lookup table of exact int64 sub-dot-products, and scoring is one
+    pass over the code table with 16 array lookups per candidate —
+    the corpus floats are never read at query time.
+
+    FULL ORACLE: encoding argmin and ADC scores are pure int64
+    arithmetic against the frozen literals (no division, no sqrt — the
+    only ANN tier with NO floating point at all), so DuckDB recomputes
+    codes, scores, and ranks bit-for-bit.  ``adc_score`` approximates
+    ``dot(q, x)`` and is a SHORTLIST signal, not a final ranking —
+    ``embedding_pq_rerank_knn`` below is the full serving pipeline,
+    and tests/test_textops.py pins both tiers' recall against the
+    exact scan.
+
+    The 100 TB shape: a 10^9-vector lake's PQ index is ~8 GB —
+    cacheable on every executor — while the float vectors (256 GB+)
+    stay in object storage for exact re-ranking of the tiny shortlist;
+    index maintenance is a narrow map + append per ingest batch
+    (``pipelines/corpus.py``)."""
+    e = _embeddings_valid(spark, sf_dir)
+    codes = sim.pq_index_rows(e)
+    return sim.pq_adc_topk(e.filter(F.col("vec_id") < 10), codes, k=5)
+
+
+def _pq_rerank_oracle_sql(k: int = 5, shortlist: int = 100, dim: int = 64) -> str:
+    """DuckDB mirror of pq_rerank_topk: the _pq_oracle_sql pipeline kept
+    to the ``shortlist`` best ADC candidates per query, then exact
+    quantized cosine over exactly those pairs (the _ivf_oracle_sql
+    scoring arithmetic) and the final (cosine desc, vid asc) top-k —
+    shortlist membership, cosines, and ranks all bit-for-bit."""
+    adc = _pq_oracle_sql(k=shortlist)
+    dotsum = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> a.q[j] * b.q[j])) AS BIGINT)"
+    )
+    sqsum = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}),"
+        " j -> {v}.q[j] * {v}.q[j])) AS BIGINT)"
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
+      FROM ({_SQL_EMB1})
+    ),
+    sl AS (SELECT qid, vid FROM ({adc})),
+    rescored AS (
+      SELECT sl.qid, sl.vid,
+             CAST({dotsum} AS DOUBLE)
+               / (sqrt(CAST({sqsum.format(d=dim, v='a')} AS DOUBLE))
+                  * sqrt(CAST({sqsum.format(d=dim, v='b')} AS DOUBLE))) AS cosine_sim
+      FROM sl
+      JOIN qv a ON a.vec_id = sl.qid
+      JOIN qv b ON b.vec_id = sl.vid
+    )
+    SELECT * FROM (
+      SELECT qid, vid, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine_sim DESC, vid) AS INTEGER)
+               AS sim_rank
+      FROM rescored
+    ) WHERE sim_rank <= {k}
+    """
+
+
+@register(
+    "embedding_pq_rerank_knn",
+    sql=_pq_rerank_oracle_sql(),
+    operators=("W5", "S12"),
+)
+def embedding_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving pipeline: ADC shortlist-100 over the
+    compressed code table (``embedding_pq_adc_knn``'s machinery), then
+    exact quantized-cosine re-ranking of ONLY the shortlisted pairs and
+    the final top-5.  On this corpus the 100-candidate shortlist
+    contains the entire exact top-5 for every query (pinned in
+    tests/test_textops.py), so the pipeline returns the exact answer
+    while the scan-heavy stage reads 8 bytes per corpus vector instead
+    of 256 — the two-tier memory/storage split a 10^9-vector lake
+    actually deploys (code table cached on executors, float vectors
+    fetched per-shortlist from the vid-keyed silver table).
+
+    FULL ORACLE: shortlist membership is exact int64 ADC, rescoring is
+    the same exact-int cosine the IVF/exact tiers use — DuckDB
+    reproduces every stage bit-for-bit."""
+    e = _embeddings_valid(spark, sf_dir)
+    codes = sim.pq_index_rows(e)
+    return sim.pq_rerank_topk(
+        e.filter(F.col("vec_id") < 10), codes, e, k=5, shortlist=100
+    )

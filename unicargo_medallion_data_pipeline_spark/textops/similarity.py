@@ -529,3 +529,167 @@ def cosine_topk_ivf_frozen_on_index(
         scored.withColumn("sim_rank", F.row_number().over(w))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization against the frozen codebooks (textops/pq_frozen.py):
+# the MEMORY tier of the ANN family.  Exact top-k scans float vectors
+# (256 B each), IVF prunes the candidate set, PQ compresses the corpus to
+# PQ_M nibble codes per vector (8 B at the frozen 16x4 geometry, 32x) and
+# scores candidates from a per-query lookup table without ever touching the
+# original floats — the shape that lets a vector lake keep its serving index
+# in memory at 10^9+ rows.
+# All arithmetic is int64 against frozen literals (see pq_frozen), so the
+# whole pipeline is value-oracle-checkable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _pq_literals() -> tuple[str, str, int, int, int]:
+    """(centroid_array_sql, csq_array_sql, m, ks, subdim) — built as ONE
+    expression string, constant-folded once by Catalyst (the same py4j
+    rationale as ivf_assign_sql / lsh_bucket_sql)."""
+    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
+        FROZEN_PQ_CENTROIDS_Q,
+        FROZEN_PQ_CSQ,
+        PQ_KS,
+        PQ_M,
+        PQ_SUBDIM,
+    )
+
+    cents = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join("array(" + ", ".join(f"{v}L" for v in c) + ")" for c in book)
+            + ")"
+            for book in FROZEN_PQ_CENTROIDS_Q
+        )
+        + ")"
+    )
+    csq = (
+        "array("
+        + ", ".join("array(" + ", ".join(f"{v}L" for v in b) + ")" for b in FROZEN_PQ_CSQ)
+        + ")"
+    )
+    return cents, csq, PQ_M, PQ_KS, PQ_SUBDIM
+
+
+def pq_encode_sql(qvec_sql: str) -> str:
+    """SQL text: array<int> of the PQ sub-codes of a QUANTIZED vector.
+
+    Per subspace s the code is ``argmin_c ||x_s - C[s][c]||^2``
+    evaluated as ``CSQ[s][c] - 2 * dot(x_s, C[s][c])`` (the ``||x_s||^2``
+    term is constant within the argmin) — exact int64, ties broken
+    (dist asc, cid asc) via array_sort over structs."""
+    cents, csq, m, ks, sd = _pq_literals()
+    dot = (
+        f"aggregate(zip_with(slice({qvec_sql}, s * {sd} + 1, {sd}), "
+        f"{cents}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_sort(transform(sequence(0, {ks - 1}), c -> "
+        f"named_struct('d', {csq}[s][c] - 2 * {dot}, 'cid', c)))[0].cid)"
+    )
+
+
+def pq_index_rows(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(vid, codes array<int>)`` — the MAINTAINABLE PQ index rows for
+    a corpus batch.  Pure narrow maps against frozen literals (no
+    shuffle): a daily ingest encodes only its NEW vectors and appends;
+    the accumulated table IS the serving index, at ~4 logical bytes of
+    payload per vector."""
+    return ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("__q")
+    ).select("vid", F.expr(pq_encode_sql("`__q`")).alias("codes"))
+
+
+def pq_lut_sql(qvec_sql: str) -> str:
+    """SQL text: the per-query ADC lookup table — array<array<long>>
+    of ``dot(q_s, C[s][c])`` for every (subspace, centroid), exact
+    int64.  Computed once per QUERY (m x ks tiny), then every corpus
+    code row scores with m array lookups and m-1 additions."""
+    cents, _, m, ks, sd = _pq_literals()
+    dot = (
+        f"aggregate(zip_with(slice({qvec_sql}, s * {sd} + 1, {sd}), "
+        f"{cents}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(sequence(0, {ks - 1}), c -> {dot}))"
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k from PRE-ENCODED index rows: each
+    query builds its LUT (narrow, m x ks ints), the tiny query side
+    broadcasts, and one pass over the code table computes
+    ``adc_score = sum_s lut[s][codes[s]]`` — the PQ approximation of
+    ``dot(q, x)`` that never reads the corpus floats.  Returns
+    (qid, vid, adc_score bigint, sim_rank) with (score desc, vid asc)
+    ranking; only the per-query top-k shuffles."""
+    m = _pq_literals()[2]
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("__q")
+    ).select("qid", F.expr(pq_lut_sql("`__q`")).alias("lut"))
+    pairs = corpus_codes.join(F.broadcast(q), F.col("qid") != F.col("vid"))
+    scored = pairs.select(
+        "qid",
+        "vid",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + lut[s][codes[s]])"
+        ).alias("adc_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("vid").asc())
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= k
+    )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ serving pipeline: ADC SHORTLIST → exact
+    re-rank.  Raw ADC ranking quality is bounded by the quantization
+    error (4 bits/subspace), so PQ is used as a candidate generator:
+    one pass over the compressed code table keeps the ``shortlist``
+    best candidates per query (never touching the corpus floats), then
+    ONLY those |Q| x shortlist rows join back to the float vectors for
+    exact cosine scoring and the final top-``k``.
+
+    Output (qid, vid, cosine_sim, sim_rank) — same shape as the other
+    ANN tiers.  At 10^9 corpus rows the exact stage reads ``shortlist``
+    vectors per query instead of 10^9: the float table is accessed like
+    a key-value store (a vid-bucketed layout makes it one partition-
+    pruned probe), while the scan-heavy stage runs entirely on the
+    in-memory code table."""
+    sl = pq_adc_topk(
+        queries, corpus_codes, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("qid", "vid")
+    c = corpus.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("c_emb")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
+    )
+    scored = sl.join(c, "vid").join(F.broadcast(q), "qid").select(
+        "qid", "vid", cosine_q(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vid").asc())
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= k
+    )
