@@ -1349,6 +1349,7 @@ def _pq_rerank_oracle_sql(k: int = 5, shortlist: int = 100, dim: int = 64) -> st
     "embedding_pq_rerank_knn",
     sql=_pq_rerank_oracle_sql(),
     operators=("W5", "S12"),
+    bench=True,
 )
 def embedding_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production PQ serving pipeline: ADC shortlist-100 over the
