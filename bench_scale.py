@@ -86,6 +86,15 @@ QUERIES = [
     "events_sessionization",
     "user_weekly_retention",
     "order_grouping_sets",
+    # r13: the PQ tier (code-table scan must scale with the corpus; the
+    # broadcast query/LUT side is fixed) and the winnowed contamination
+    # scan (fixed benchmark set doc_id < 10 lives in replica 0, so the
+    # candidate probe pays the growing corpus while the shingle stage
+    # pays only candidates — the honest fixed-bench/growing-corpus
+    # contamination shape).
+    "embedding_pq_adc_knn",
+    "embedding_pq_rerank_knn",
+    "doc_contamination_winnowed",
 ]
 
 #: Per-table key columns that must be offset per replica so that joins
