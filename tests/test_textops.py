@@ -542,3 +542,41 @@ def test_pq_adc_recall_and_determinism(spark):
     again = sim.pq_adc_topk(q.repartition(7), sim.pq_index_rows(e.repartition(5)), k=5)
     key = lambda df: sorted((r.qid, r.sim_rank, r.vid, r.adc_score) for r in df.collect())
     assert key(adc) == key(again)
+
+
+def test_ivfadc_recall_and_cell_consistency(spark):
+    """r13 IVFADC composition: recall@5 vs the exact scan is bounded by
+    the IVF cell pruning (its n_probe=4 recall ceiling is the pure-IVF
+    query's recall) and the PQ shortlist within probed cells must not
+    lose materially below that ceiling.  Also pins that the combined
+    index rows carry exactly the single-index assignments (cell from
+    ivf_frozen_index_rows, codes from pq_index_rows)."""
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    index = sim.ivfadc_index_rows(e).localCheckpoint(eager=True)
+
+    cells = {r.vid: r.cell for r in sim.ivf_frozen_index_rows(e).collect()}
+    codes = {r.vid: tuple(r.codes) for r in sim.pq_index_rows(e).collect()}
+    for r in index.collect():
+        assert cells[r.vid] == r.cell and codes[r.vid] == tuple(r.codes)
+
+    q = e.filter(F.col("vec_id") < 10)
+    exact_sets, ivf_sets, adc_sets = {}, {}, {}
+    for r in sim.cosine_topk_exact(q, e, k=5).collect():
+        exact_sets.setdefault(r.qid, set()).add(r.vid)
+    for r in sim.cosine_topk_ivf_frozen(q, e, k=5, n_probe=4).collect():
+        ivf_sets.setdefault(r.qid, set()).add(r.vid)
+    for r in sim.ivfadc_topk(q, index, e, k=5, n_probe=4, shortlist=50).collect():
+        adc_sets.setdefault(r.qid, set()).add(r.vid)
+    mean = lambda sets: sum(
+        len(sets[qid] & exact_sets[qid]) / len(exact_sets[qid]) for qid in exact_sets
+    ) / len(exact_sets)
+    ceiling, combined = mean(ivf_sets), mean(adc_sets)
+    # the PQ shortlist may cost a little recall inside probed cells,
+    # but not collapse it (ceiling is the n_probe=4 IVF recall)
+    assert combined >= ceiling - 0.25, (combined, ceiling)
+    assert combined >= 0.3, (combined, ceiling)

@@ -1371,3 +1371,151 @@ def embedding_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_rerank_topk(
         e.filter(F.col("vec_id") < 10), codes, e, k=5, shortlist=100
     )
+
+
+def _ivfadc_oracle_sql(k: int = 5, n_probe: int = 4, shortlist: int = 50, dim: int = 64) -> str:
+    """DuckDB mirror of ivfadc_topk: frozen IVF cells (pruning), frozen
+    PQ codes + ADC (compressed scoring), shortlist, exact quantized
+    cosine re-rank — every stage the same literals and tie-breaks as
+    the engine, so candidates, shortlist membership, cosines, and ranks
+    reproduce bit-for-bit."""
+    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
+        FROZEN_CENTROIDS_Q,
+        FROZEN_NORMS,
+    )
+    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
+        FROZEN_PQ_CENTROIDS_Q,
+        FROZEN_PQ_CSQ,
+        PQ_SUBDIM,
+    )
+
+    ivf_rows = ",\n      ".join(
+        f"({cid}, [{', '.join(str(v) for v in c)}], CAST('{n!r}' AS DOUBLE))"
+        for cid, (c, n) in enumerate(zip(FROZEN_CENTROIDS_Q, FROZEN_NORMS))
+    )
+    pq_rows = ",\n      ".join(
+        f"({s}, {c}, [{', '.join(str(v) for v in cent)}], {FROZEN_PQ_CSQ[s][c]})"
+        for s, book in enumerate(FROZEN_PQ_CENTROIDS_Q)
+        for c, cent in enumerate(book)
+    )
+    sd = PQ_SUBDIM
+    subdot = (
+        f"CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        f" j -> qv.q[pqc.sub * {sd} + j] * pqc.c[j])) AS BIGINT)"
+    )
+    dotsum = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> a.q[j] * b.q[j])) AS BIGINT)"
+    )
+    sqsum = (
+        "CAST(list_sum(list_transform(generate_series(1, {d}),"
+        " j -> {v}.q[j] * {v}.q[j])) AS BIGINT)"
+    )
+    return f"""
+    WITH ivfc(cid, c, nrm) AS (VALUES
+      {ivf_rows}
+    ),
+    pqc(sub, cid, c, csq) AS (VALUES
+      {pq_rows}
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100000000) AS BIGINT)) AS q
+      FROM ({_SQL_EMB1})
+    ),
+    assign AS (
+      SELECT qv.vec_id, ivfc.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY qv.vec_id
+               ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, {dim}),
+                          j -> qv.q[j] * ivfc.c[j])) AS BIGINT) AS DOUBLE) / ivfc.nrm
+                        DESC, ivfc.cid) AS arn
+      FROM qv CROSS JOIN ivfc
+    ),
+    cells AS (SELECT vec_id, cid FROM assign WHERE arn = 1),
+    probes AS (SELECT vec_id, cid FROM assign WHERE arn <= {n_probe} AND vec_id < 10),
+    pqsub AS (
+      SELECT qv.vec_id, pqc.sub, pqc.cid,
+             CAST(pqc.csq - 2 * {subdot} AS BIGINT) AS dist,
+             {subdot} AS dotv
+      FROM qv CROSS JOIN pqc
+    ),
+    codes AS (
+      SELECT vec_id, sub, cid FROM (
+        SELECT vec_id, sub, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cid) AS rn
+        FROM pqsub
+      ) WHERE rn = 1
+    ),
+    luts AS (SELECT vec_id AS qid, sub, cid, dotv FROM pqsub WHERE vec_id < 10),
+    cand AS (
+      SELECT p.vec_id AS qid, cl.vec_id AS vid
+      FROM probes p JOIN cells cl USING (cid)
+      WHERE p.vec_id != cl.vec_id
+    ),
+    adc AS (
+      SELECT cand.qid, cand.vid, CAST(SUM(l.dotv) AS BIGINT) AS adc_score
+      FROM cand
+      JOIN codes x ON x.vec_id = cand.vid
+      JOIN luts l ON l.qid = cand.qid AND l.sub = x.sub AND l.cid = x.cid
+      GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT qid, vid FROM (
+        SELECT qid, vid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_score DESC, vid) AS rn
+        FROM adc
+      ) WHERE rn <= {shortlist}
+    ),
+    rescored AS (
+      SELECT sl.qid, sl.vid,
+             CAST({dotsum} AS DOUBLE)
+               / (sqrt(CAST({sqsum.format(d=dim, v='a')} AS DOUBLE))
+                  * sqrt(CAST({sqsum.format(d=dim, v='b')} AS DOUBLE))) AS cosine_sim
+      FROM sl
+      JOIN qv a ON a.vec_id = sl.qid
+      JOIN qv b ON b.vec_id = sl.vid
+    )
+    SELECT * FROM (
+      SELECT qid, vid, cosine_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cosine_sim DESC, vid) AS INTEGER)
+               AS sim_rank
+      FROM rescored
+    ) WHERE sim_rank <= {k}
+    """
+
+
+@register(
+    "embedding_ivfadc_knn",
+    sql=_ivfadc_oracle_sql(),
+    operators=("W5", "S12"),
+)
+def embedding_ivfadc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-5 — the COMPOSITION a 10^9-vector lake deploys
+    (pruning x compression x exact tail): queries probe their 4 nearest
+    frozen IVF cells, candidates come from the cell equi-join against
+    the COMPRESSED (vid, cell, codes) index — the float table is never
+    scanned — ADC scores them from the per-query LUT, the 50 best per
+    query fetch their floats for exact quantized-cosine re-ranking, and
+    the top-5 ships.
+
+    Cost anatomy per query at scale: ~|corpus| x (n_probe/|cells|)
+    code rows scanned x 16 array lookups, then 50 float fetches.  At
+    10^9 vectors / 4096 cells / n_probe 16 that is ~4M compressed rows
+    (~40 MB) + 50 point reads — against 256 GB for the exact scan.
+
+    FULL ORACLE: both index halves and the ADC are frozen-literal
+    integer arithmetic and the re-rank is the shared exact-int cosine,
+    so DuckDB reproduces cells, probes, codes, shortlist, cosines, and
+    ranks bit-for-bit.  Recall vs the exact scan is pinned in
+    tests/test_textops.py (cell pruning bounds it; the PQ shortlist
+    within probed cells is near-lossless)."""
+    e = _embeddings_valid(spark, sf_dir)
+    index = sim.ivfadc_index_rows(e)
+    return sim.ivfadc_topk(
+        e.filter(F.col("vec_id") < 10), index, e, k=5, n_probe=4, shortlist=50
+    )

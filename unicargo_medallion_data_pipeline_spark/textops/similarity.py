@@ -693,3 +693,82 @@ def pq_rerank_topk(
     return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
         F.col("sim_rank") <= k
     )
+
+
+def ivfadc_index_rows(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``(vid, cell, codes)`` — the combined IVFADC index rows: frozen
+    top-1 IVF cell (the pruning key) plus frozen PQ codes (the
+    compressed payload).  One narrow map per batch, appendable like the
+    single-index tables; at 10^9 rows this is the whole serving index
+    in ~10 bytes of logical payload per vector, clustered by cell."""
+    return ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("__q")
+    ).select(
+        "vid",
+        F.expr(ivf_assign_sql("`__q`", 1))[0].alias("cell"),
+        F.expr(pq_encode_sql("`__q`")).alias("codes"),
+    )
+
+
+def ivfadc_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC serving — the composition a 10^9-vector lake actually
+    deploys (FAISS's IVFADC, re-expressed as DataFrame ops): queries
+    probe their ``n_probe`` nearest frozen cells, candidates come from
+    the cell equi-join against the COMPRESSED index (codes, not
+    floats), ADC scores them from the per-query LUT, the ``shortlist``
+    best join back to the float table for exact quantized-cosine
+    re-ranking, and the top-``k`` ships.
+
+    Cost anatomy per query: |corpus|/|cells| x n_probe code rows
+    scanned (cell pruning) x 16 array lookups each (PQ), then
+    ``shortlist`` float-vector fetches (exact stage).  Neither stage
+    ever scans the full float table.  Both pruning and compression are
+    frozen-literal arithmetic, so the whole pipeline remains
+    bit-for-bit oracle-checkable."""
+    m = _pq_literals()[2]
+    q = queries.select(
+        F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
+    ).select(
+        "qid",
+        "q_emb",
+        F.expr(pq_lut_sql("`q_emb`")).alias("lut"),
+        F.explode(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell"),
+    )
+    cand = index.join(F.broadcast(q), "cell").filter(F.col("qid") != F.col("vid"))
+    adc = cand.select(
+        "qid",
+        "vid",
+        F.expr(
+            f"aggregate(sequence(0, {m - 1}), 0L, (acc, s) -> acc + lut[s][codes[s]])"
+        ).alias("adc_score"),
+    )
+    w_sl = Window.partitionBy("qid").orderBy(F.col("adc_score").desc(), F.col("vid").asc())
+    sl = (
+        adc.withColumn("__rn", F.row_number().over(w_sl))
+        .filter(F.col("__rn") <= shortlist)
+        .select("qid", "vid")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("c_emb")
+    )
+    scored = sl.join(c, "vid").join(
+        F.broadcast(queries.select(
+            F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
+        )),
+        "qid",
+    ).select("qid", "vid", cosine_q(F.col("q_emb"), F.col("c_emb")).alias("cosine_sim"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vid").asc())
+    return scored.withColumn("sim_rank", F.row_number().over(w)).filter(
+        F.col("sim_rank") <= k
+    )
