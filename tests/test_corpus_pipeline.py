@@ -138,3 +138,26 @@ def test_corpus_batch_cleaning_is_deterministic_on_dup_ids(spark, tmp_path):
     )
     assert sig(out1) == sig(out2)
     assert [i for i, _ in sig(out1)] == [1, 2]
+
+
+def test_ivfadc_serves_from_maintained_tables(spark, tmp_path):
+    """The IVFADC composition needs no fifth silver table: joining the
+    maintained IVF and PQ tables reproduces ivfadc_index_rows exactly,
+    and serving from it matches the inline index bit-for-bit."""
+    from unicargo_medallion_data_pipeline_spark.pipelines import corpus
+    from unicargo_medallion_data_pipeline_spark.textops import similarity as sim
+
+    out = str(tmp_path / "c")
+    paths = corpus.run_corpus_medallion(spark, SF, out)
+    embs = spark.read.parquet(paths["embeddings_canonical"])
+    maintained = corpus.read_ivfadc_index(spark, out)
+    inline = sim.ivfadc_index_rows(embs)
+    key = lambda df: sorted((r.vid, r.cell, tuple(r.codes)) for r in df.collect())
+    assert key(maintained) == key(inline)
+
+    q = embs.filter(F.col("vec_id") < 10)
+    serve = lambda idx: sorted(
+        (r.qid, r.sim_rank, r.vid, round(r.cosine_sim, 12))
+        for r in sim.ivfadc_topk(q, idx, embs, k=5).collect()
+    )
+    assert serve(maintained) == serve(inline)

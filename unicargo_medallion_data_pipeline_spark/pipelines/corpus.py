@@ -250,3 +250,16 @@ def read_corpus_table(spark: SparkSession, out_dir: str, table: str) -> DataFram
     the maintained-state readers, a missing corpus table here means the
     pipeline never ran, which the caller should see)."""
     return spark.read.parquet(_path(out_dir, table))
+
+
+def read_ivfadc_index(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The combined IVFADC serving index ``(vid, cell, codes)`` from the
+    MAINTAINED tables — a vid equi-join of ``embeddings_ivf`` (cell) and
+    ``embeddings_pq`` (codes), so the composition needs NO fifth table
+    or extra incremental maintenance: both halves are already appended
+    exactly-once per batch, and their admission is keyed by the same
+    vid.  At scale, co-bucket both tables by vid to make this join
+    shuffle-free (pay-shuffle-once, sources/writers.save_bucketed_table)."""
+    ivf = read_corpus_table(spark, out_dir, IVF_TABLE).select("vid", "cell")
+    pq = read_corpus_table(spark, out_dir, PQ_TABLE).select("vid", "codes")
+    return ivf.join(pq, "vid")
