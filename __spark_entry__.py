@@ -56,6 +56,15 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: pruned at leisure.  Add entries whenever a catalog query's
 #: semantics/plan change; never remove one that has not drained.
 _FORCE_WINDOW: dict[str, int] = {
+    # r13 sweep seed r13y: ANSI divide-by-zero hazards on degenerate
+    # groups (single-sample variance, constant series, zero totals) —
+    # all undefined-statistic divisions now try_divide (NULL, matching
+    # DuckDB double x/0.0).
+    "events_value_moments": 13,
+    "events_hourly_burstiness": 13,
+    "events_ab_value_ttest": 13,
+    "nation_supplier_hhi": 13,
+    "lineitem_price_qty_corr": 13,
     "events_winsorized_stats": 11,
     "nation_dim": 11,
     "nation_trade_pagerank": 11,
@@ -92,13 +101,13 @@ _FORCE_WINDOW: dict[str, int] = {
     "priority_price_extremes": 11,
     "latest_orders_with_ties": 11,
     "monthly_revenue_mom": 11,
-    "daily_revenue_zscore_28d": 11,
+    "daily_revenue_zscore_28d": 13,
     "customer_rfm_scores": 11,
     "revenue_top_decile_share": 11,
     "hourly_error_rate_24h": 11,
     "record_revenue_days": 11,
     "customer_running_balance": 11,
-    "daily_revenue_autocorr": 11,
+    "daily_revenue_autocorr": 13,
     "user_value_twap": 11,
     "events_hourly_ohlc": 11,
     "events_value_binned_quantiles": 11,
@@ -161,7 +170,7 @@ _FORCE_WINDOW: dict[str, int] = {
     "airport_neighbor_pairs": 12,
     "flight_airline_dow": 12,
     "flight_airport_traffic": 12,
-    "flight_weekly_summary": 12,
+    "flight_weekly_summary": 13,
     "flight_distance_buckets": 12,
     "flight_monthly_trends": 12,
     "flight_efficiency": 12,

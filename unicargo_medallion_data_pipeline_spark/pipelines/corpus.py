@@ -4,11 +4,14 @@ maintained near-dup signature and ANN index silver tables.
 ``pipelines/canonical.py`` materializes the identity universes (one
 clean row per doc_id / vec_id).  This module is the next silver step a
 training-data lake actually runs per ingest batch: the MinHash
-signature table (``documents_minhash``) and the frozen-codebook IVF
-index (``embeddings_ivf``) — the maintained state behind the catalog's
-``doc_minhash_incremental_near_dups`` / ``embedding_knn_ivf_incremental``
-invariant queries (plans/similarity_gold.py), promoted from per-query
-scratch into pipeline-owned tables (r12 verdict task 3).
+signature table (``documents_minhash``), the winnow fingerprint index
+(``documents_winnow`` — the contamination pre-filter,
+plans/docs_gold.doc_contamination_winnowed), the frozen-codebook IVF
+index (``embeddings_ivf``) and the PQ code table (``embeddings_pq``;
+their vid-join serves IVFADC, see ``read_ivfadc_index``) — the
+maintained state behind the catalog's incremental invariant queries
+(plans/similarity_gold.py), promoted from per-query scratch into
+pipeline-owned tables (r12 verdict task 3, extended r13).
 
 Two entry points:
 

@@ -327,9 +327,12 @@ def lineitem_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xc") * F.col("yc")).cast("decimal(28,0)").alias("sxy"),
     )
     _d = exact_double  # see functions/exact.py for the rationale
-    corr = _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # try_divide: a constant series has zero variance — correlation is
+    # undefined and DuckDB's double x/0.0 is NULL (r13y hazard class).
+    corr = F.try_divide(
+        _d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")),
         F.sqrt(_d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
-        * F.sqrt(_d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        * F.sqrt(_d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
     )
     return s.select(
         "l_returnflag",

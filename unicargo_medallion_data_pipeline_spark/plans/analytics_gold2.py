@@ -160,12 +160,14 @@ def events_ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n_users_arm").alias("n_b"),
         F.col("a.mean_value").alias("mean_a"),
         F.col("b.mean_value").alias("mean_b"),
-        (
-            (F.col("a.mean_value") - F.col("b.mean_value"))
-            / F.sqrt(
+        # try_divide: two zero-variance arms make the pooled standard
+        # error 0 — the t statistic is undefined, NULL in both engines
+        F.try_divide(
+            F.col("a.mean_value") - F.col("b.mean_value"),
+            F.sqrt(
                 F.col("a.var_value") / F.col("a.n_users_arm")
                 + F.col("b.var_value") / F.col("b.n_users_arm")
-            )
+            ),
         ).alias("t_stat"),
     )
 
@@ -506,9 +508,17 @@ def daily_revenue_zscore_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
     y_d = F.col("y_c").cast("double")
     n_d = F.col("n").cast("double")
     sy_d = F.col("sy").cast("double")
-    z = (y_d - sy_d / n_d) / F.sqrt(
-        exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-        / (n_d * (n_d - F.lit(1.0)))
+    # try_divide twice: a 1-row window has n(n-1) = 0 (variance
+    # undefined) and a constant window has sd = 0 (z undefined) —
+    # NULL in both engines, never an ANSI abort (r13y hazard class)
+    z = F.try_divide(
+        y_d - sy_d / n_d,
+        F.sqrt(
+            F.try_divide(
+                exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                n_d * (n_d - F.lit(1.0)),
+            )
+        ),
     )
     return w.select(
         "day",
@@ -1157,8 +1167,11 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rev_c") * F.col("rev_c")).cast("decimal(38,0)").alias("sum_sq"),
         F.sum("rev_c").cast("decimal(28,0)").alias("tot"),
     )
-    hhi = exact_double(F.col("sum_sq")) / (
-        exact_double(F.col("tot")) * exact_double(F.col("tot"))
+    # try_divide: a nation whose every supplier revenue is 0 has a 0
+    # denominator — concentration is undefined, NULL in both engines
+    hhi = F.try_divide(
+        exact_double(F.col("sum_sq")),
+        exact_double(F.col("tot")) * exact_double(F.col("tot")),
     )
     return (
         agg.join(F.broadcast(n), agg.s_nationkey == n.n_nationkey)
@@ -1431,9 +1444,12 @@ def daily_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
     )
-    corr = exact_double(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+    # try_divide: a constant series has zero variance — correlation is
+    # undefined and DuckDB's double x/0.0 is NULL (r13y hazard class).
+    corr = F.try_divide(
+        exact_double(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")),
         F.sqrt(exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
-        * F.sqrt(exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+        * F.sqrt(exact_double(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_pairs"), corr.alias("lag1_autocorr")
@@ -1489,8 +1505,11 @@ def events_hourly_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("decimal(28,0)").alias("sxx"),
     )
     nd = F.col("n").cast("double")
-    var = exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
-        nd * (nd - F.lit(1.0))
+    # try_divide: a single-hour group has n(n-1) = 0 — sample variance
+    # is undefined and DuckDB's double x/0.0 is NULL (r13y sweep seed).
+    var = F.try_divide(
+        exact_double(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        nd * (nd - F.lit(1.0)),
     )
     mean = F.col("sx").cast("double") / nd
     return s.select(

@@ -635,9 +635,13 @@ def flight_weekly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxx"),
     )
     nd_d = F.col("nd").cast("double")
+    # try_divide: a single-flight week has n(n-1) = 0 — sample stddev
+    # is undefined, NULL in both engines (r13y hazard class)
     std = F.sqrt(
-        exact_double(F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        / (nd_d * (nd_d - F.lit(1.0)))
+        F.try_divide(
+            exact_double(F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            nd_d * (nd_d - F.lit(1.0)),
+        )
     )
     return s.select(
         "year",

@@ -465,11 +465,14 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m4"),
     )
     m2 = F.col("m2")
+    # try_divide: a constant group has m2 = 0 (exactly, in both engines
+    # — the moment arithmetic is bit-identical) — skewness/kurtosis are
+    # undefined and DuckDB's double x/0.0 is NULL (r13y sweep seed).
     return cm.select(
         "event_type",
         "n_events",
-        (F.col("m3") / (m2 * F.sqrt(m2))).alias("skewness"),
-        ((F.col("m4") / (m2 * m2)) - F.lit(3.0)).alias("excess_kurtosis"),
+        F.try_divide(F.col("m3"), m2 * F.sqrt(m2)).alias("skewness"),
+        (F.try_divide(F.col("m4"), m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
     ).orderBy("event_type")
 
 
