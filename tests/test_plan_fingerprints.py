@@ -92,6 +92,58 @@ def test_updater_refuses_unforced_plan_changes(monkeypatch, tmp_path):
     assert json.loads(snap_path.read_text()) == new
 
 
+def test_updater_refuses_unforced_result_changes(monkeypatch, tmp_path):
+    """r13 verdict task 1: a changed RESULT hash with an identical plan
+    shape must be refused exactly like a shape change — the twin of
+    test_updater_refuses_unforced_plan_changes for the shape-blind gap
+    (same-plan semantics edits: changed thresholds/literals)."""
+    old = {"q_sem": {"keyed_exchanges": 1, "result_hash": "aaaa"}}
+    new = {"q_sem": {"keyed_exchanges": 1, "result_hash": "bbbb"}}
+    snap_path = tmp_path / "snap.json"
+    snap_path.write_text(json.dumps(old))
+    monkeypatch.setattr(fp, "SNAPSHOT_PATH", str(snap_path))
+    monkeypatch.setattr(fp, "compute_fingerprints", lambda spark, sf_dir: new)
+
+    monkeypatch.setattr(fp, "_force_window_names", lambda: [])
+    with pytest.raises(SystemExit, match="q_sem"):
+        fp.update_snapshot(spark=None)
+    assert json.loads(snap_path.read_text()) == old  # refused → untouched
+
+    monkeypatch.setattr(fp, "_force_window_names", lambda: ["q_sem"])
+    changed = fp.update_snapshot(spark=None)
+    assert set(changed) == {"q_sem"}
+    assert json.loads(snap_path.read_text()) == new
+
+
+def test_snapshot_result_hashes_all_present():
+    """Every committed fingerprint carries a 64-hex result hash — the
+    semantics side of the net covers the whole catalog, not a sample."""
+    snap = fp.load_snapshot()
+    bad = {
+        n: c.get("result_hash")
+        for n, c in snap.items()
+        if not (isinstance(c.get("result_hash"), str) and len(c["result_hash"]) == 64)
+    }
+    assert not bad
+
+
+def test_result_hash_canonicalizes_order_and_maps(spark):
+    """The hash is a pure function of the VALUES: row order, column
+    order, and map-key iteration order must not move it."""
+    from unicargo_medallion_data_pipeline_spark.oracle import result_hash
+
+    df = spark.createDataFrame(
+        [(1, "a", {"x": 1, "y": 2}), (2, "b", {"y": 2, "x": 1})],
+        "id int, s string, m map<string,int>",
+    )
+    rows = df.collect()
+    h1 = result_hash(df.columns, rows)
+    h2 = result_hash(list(reversed(df.columns)), list(reversed(rows)))
+    assert h1 == h2
+    h3 = result_hash(df.columns, rows[:1])
+    assert h3 != h1
+
+
 def test_force_window_parser_reads_entry_file():
     names = fp._force_window_names()
     assert isinstance(names, list)

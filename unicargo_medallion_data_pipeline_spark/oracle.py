@@ -150,6 +150,48 @@ def _sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+def _hash_cell(v):
+    """Normalize a collected Spark cell for the deterministic result
+    hash.  Superset of :func:`_norm_cell`: additionally canonicalizes
+    map cells (Python dicts — Spark's map iteration order is not
+    defined) and struct cells (``Row``) so the hash is a pure function
+    of the VALUES, not of engine-internal ordering."""
+    try:
+        from pyspark.sql import Row  # noqa: PLC0415
+
+        if isinstance(v, Row):
+            return tuple(sorted((k, _hash_cell(x)) for k, x in v.asDict().items()))
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hash_cell(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_hash_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return _norm_cell(v)
+
+
+def result_hash(columns, rows) -> str:
+    """Order-insensitive sha256 over a collected result: columns sorted
+    by name, rows normalized via :func:`_hash_cell` then sorted — the
+    same canonical form the driver's value-hash compares.  Used by the
+    plan-fingerprint net to freeze each catalog query's sf0.001 RESULT
+    alongside its plan shape, so a same-shape semantics edit (changed
+    threshold/literal) trips the snapshot gate too (r13 verdict task 1).
+    """
+    import hashlib  # noqa: PLC0415
+
+    cols = sorted(columns)
+    norm = sorted(
+        (tuple(_hash_cell(r[c]) for c in cols) for r in rows), key=_sort_key
+    )
+    h = hashlib.sha256(repr(cols).encode())
+    for row in norm:
+        h.update(repr(row).encode())
+    return h.hexdigest()
+
+
 @dataclass
 class CompareResult:
     name: str

@@ -7,8 +7,13 @@ a mechanical fingerprint for EVERY catalog query: the
 :func:`unicargo_medallion_data_pipeline_spark.plans.inspect.plan_census`
 counts (keyed exchanges, broadcast exchanges, cartesian products,
 broadcast-nested-loop joins, source scans, window execs, top-k,
-codegen spans) computed at a fixed scale factor, committed to
-``fixtures/plan_fingerprints.json``.
+codegen spans) computed at a fixed scale factor, PLUS the sf0.001
+``result_hash`` (order-insensitive sha256 over the collected values —
+same canonical form as the driver's value hash), committed to
+``fixtures/plan_fingerprints.json``.  The result hash closes the
+shape-blind gap: a semantics-only edit that preserves plan shape (a
+changed literal/threshold) still moves the hash, so it cannot dodge
+the forced-reverification gate (r13 verdict task 1).
 
 ``tests/test_plan_fingerprints.py`` regenerates the census for all
 queries each run and asserts equality with the committed snapshot, so a
@@ -63,9 +68,10 @@ def compute_fingerprints(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dic
     silently falling into interpreted eval) is only visible here.
     Execution at sf0.001 is the same work the oracle sweep does.
     """
+    from unicargo_medallion_data_pipeline_spark.oracle import result_hash
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
     from unicargo_medallion_data_pipeline_spark.plans.inspect import (
-        executed_codegen_spans,
+        collect_with_codegen_spans,
         plan_census,
     )
     from unicargo_medallion_data_pipeline_spark.plans.universes import UNIVERSE_PLANS
@@ -76,17 +82,26 @@ def compute_fingerprints(spark, sf_dir: str = DEFAULT_SF_DIR, names=None) -> dic
     fns = dict(CATALOG.items()) if names is None else {n: CATALOG[n] for n in names}
     builders = {n: fn for n, fn in UNIVERSE_PLANS.items() if names is None or n in names}
 
+    def _fingerprint(df) -> dict:
+        census = plan_census(df)
+        rows, spans = collect_with_codegen_spans(df)
+        census["executed_codegen_spans"] = spans
+        # The RESULT hash closes the shape-blind gap (r13 verdict task
+        # 1): a same-shape semantics edit (changed threshold/literal)
+        # leaves every census count intact but moves this field, so the
+        # updater's _FORCE_WINDOW refusal applies to it too.  The hash
+        # is order-insensitive and deterministic across session configs
+        # because every catalog query is engineered for exact (DuckDB-
+        # bit-equal) values — partition-order-dependent float sums
+        # would already fail the oracle gate.
+        census["result_hash"] = result_hash(df.columns, rows)
+        return census
+
     out: dict[str, dict] = {}
     for name in sorted(fns):
-        df = fns[name].fn(spark, sf_dir)
-        census = plan_census(df)
-        census["executed_codegen_spans"] = executed_codegen_spans(df)
-        out[name] = census
+        out[name] = _fingerprint(fns[name].fn(spark, sf_dir))
     for name in sorted(builders):
-        df = builders[name](spark, sf_dir)
-        census = plan_census(df)
-        census["executed_codegen_spans"] = executed_codegen_spans(df)
-        out[name] = census
+        out[name] = _fingerprint(builders[name](spark, sf_dir))
     return out
 
 

@@ -95,6 +95,11 @@ def executed_plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def codegen_spans_from_text(plan: str) -> int:
+    """Distinct whole-stage-codegen span ids in an executed-plan string."""
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
 def executed_codegen_spans(df: DataFrame) -> int:
     """Number of distinct whole-stage-codegen spans in the EXECUTED
     plan (runs the query).  The regression signal: an expression falling
@@ -102,4 +107,14 @@ def executed_codegen_spans(df: DataFrame) -> int:
     trips snapshot equality in the fingerprint net — exactly what the
     dead compile-time metric could never do (round-10 verdict task 1).
     """
-    return len(set(re.findall(r"\*\((\d+)\)", executed_plan_text(df))))
+    return codegen_spans_from_text(executed_plan_text(df))
+
+
+def collect_with_codegen_spans(df: DataFrame) -> tuple[list, int]:
+    """Collect ``df`` once and return ``(rows, codegen_spans)`` from the
+    same execution — the fingerprint net needs both the result (for the
+    result hash) and the final-plan codegen census, and running the
+    query twice would double the snapshot-regeneration cost."""
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return rows, codegen_spans_from_text(plan)
