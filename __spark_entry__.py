@@ -56,6 +56,10 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: pruned at leisure.  Add entries whenever a catalog query's
 #: semantics/plan change; never remove one that has not drained.
 _FORCE_WINDOW: dict[str, int] = {
+    # r14 verdict task 4: snaps dedup pinned once (localCheckpoint)
+    # instead of re-executing per batch filter — plan shape changed
+    # (scans -> rdd_scans), values unchanged.
+    "scd2_as_of_snapshot": 14,
     # r13 sweep seed r13y: ANSI divide-by-zero hazards on degenerate
     # groups (single-sample variance, constant series, zero totals) —
     # all undefined-statistic divisions now try_divide (NULL, matching
@@ -94,7 +98,6 @@ _FORCE_WINDOW: dict[str, int] = {
     "doc_prefix_filter_jaccard": 11,
     "doc_prefix_filter_neardups": 11,
     "embedding_norms": 12,
-    "scd2_as_of_snapshot": 11,
     "rollup_incremental_equals_full": 11,
     "orders_customer_join_ivm": 11,
     "events_user_quota_batch": 11,

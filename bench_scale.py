@@ -52,6 +52,13 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 REPLICAS = 5
+
+#: Flight-domain headline queries read the committed FIXTURE, not
+#: sf_dir — they are timed in a subprocess against a generator-scaled
+#: fixture (gen_flights(n x replicas), dims fixed like TPC-H) with
+#: SPARK_GRAFT_FLIGHTS_FIXTURE_DIR redirecting the loaders.
+FLIGHT_QUERIES = {"flight_airline_scorecard"}
+
 QUERIES = [
     "pricing_summary",
     "daily_order_summary",
@@ -225,38 +232,148 @@ def time_queries(spark, catalog, sf_dir: str, rounds: int = 3) -> tuple[dict[str
     return steady_time_queries(QUERIES, _attempt, n_rounds=rounds)
 
 
+def headline_query_names() -> list[str]:
+    """The full bench.py headline set (CATALOG entries with q.bench),
+    sf-scaled ones only — flight queries are fixture-bound and measured
+    separately (FLIGHT_QUERIES)."""
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+
+    return [n for n, q in CATALOG.items() if q.bench and n not in FLIGHT_QUERIES]
+
+
+def build_scaled_flights_fixture(dst_dir: str, replicas: int) -> None:
+    """Generator-scaled flights fixture: the fact table is
+    ``gen_flights(N_FLIGHTS x replicas)`` (the generator is a pure
+    function of row index, so a bigger n IS the honest bigger corpus —
+    same distributions, no replica artifacts), dims stay fixed exactly
+    as TPC-H fixes nation/region."""
+    import pyarrow.parquet as pq
+
+    from unicargo_medallion_data_pipeline_spark.sources import flights_fixture as ff
+
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(
+        ff.gen_flights(ff.N_FLIGHTS * replicas), os.path.join(dst_dir, "flights.parquet")
+    )
+    pq.write_table(ff.gen_airlines(), os.path.join(dst_dir, "airlines.parquet"))
+    pq.write_table(ff.gen_airports(), os.path.join(dst_dir, "airports.parquet"))
+
+
+def _flight_single(name: str, rounds: int) -> None:
+    """Subprocess mode: time ONE flight query against whatever fixture
+    SPARK_GRAFT_FLIGHTS_FIXTURE_DIR points at (must be set before the
+    plans modules import — which is why this runs in a subprocess)."""
+    from bench import steady_time_queries
+    from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
+    from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench-scale-flight")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def _attempt(n: str) -> float:
+        t0 = time.perf_counter()
+        CATALOG[n].fn(spark, sf01).count()
+        return time.perf_counter() - t0
+
+    timings, cal = steady_time_queries([name], _attempt, n_rounds=rounds)
+    print(json.dumps({"sec": timings[name], "calibration": cal}))
+
+
+def _time_flight_subprocess(name: str, fixture_dir: str | None, rounds: int) -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    if fixture_dir:
+        env["SPARK_GRAFT_FLIGHTS_FIXTURE_DIR"] = fixture_dir
+    out = subprocess.run(
+        [sys.executable, __file__, "--flight-single", name, "--rounds", str(rounds)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
+    import argparse
+    import math
+
+    ap = argparse.ArgumentParser(description="scaling-curvature harness")
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="measure the FULL bench.py headline set (plus fixture-"
+        "scaled flight queries) instead of the curated QUERIES list",
+    )
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--flight-single", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.flight_single:
+        _flight_single(args.flight_single, args.rounds)
+        return
+
+    globals()["REPLICAS"] = args.replicas
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG
     from unicargo_medallion_data_pipeline_spark.session import get_spark
+
+    names = sorted(set(QUERIES) | set(headline_query_names())) if args.headline else QUERIES
+    globals()["QUERIES"] = names
 
     spark = get_spark("bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="scale_bench_")
     try:
-        sf05 = os.path.join(work, "sf0.5eq")
-        build_scaled(spark, sf01, sf05)
+        sfr = os.path.join(work, f"sf{args.replicas}x")
+        build_scaled(spark, sf01, sfr)
 
-        t01, cal01 = time_queries(spark, CATALOG, sf01)
-        t05, cal05 = time_queries(spark, CATALOG, sf05)
+        t01, cal01 = time_queries(spark, CATALOG, sf01, rounds=args.rounds)
+        tr, calr = time_queries(spark, CATALOG, sfr, rounds=args.rounds)
 
-        out = {
-            n: {
-                "sf01": t01[n],
-                "sf05": t05[n],
-                "ratio": round(t05[n] / t01[n], 2) if t01[n] else None,
-            }
-            for n in QUERIES
-        }
+        def _entry(base: float, scaled: float) -> dict:
+            ratio = round(scaled / base, 2) if base else None
+            exponent = (
+                round(math.log(scaled / base) / math.log(args.replicas), 3)
+                if base and scaled and args.replicas > 1
+                else None
+            )
+            return {"sf01": base, f"sf{args.replicas}x": scaled, "ratio": ratio,
+                    "exponent": exponent}
+
+        out = {n: _entry(t01[n], tr[n]) for n in names}
+
+        flights = sorted(FLIGHT_QUERIES & {n for n, q in CATALOG.items() if q.bench})
+        if args.headline:
+            fdir = os.path.join(work, "flights_scaled")
+            build_scaled_flights_fixture(fdir, args.replicas)
+            for fq in flights:
+                base = _time_flight_subprocess(fq, None, args.rounds)
+                scaled = _time_flight_subprocess(fq, fdir, args.rounds)
+                out[fq] = _entry(base["sec"], scaled["sec"])
+                out[fq]["fixture_scaled"] = True
+
+        #: super-linear beyond noise: exponent > 1.15 gets flagged for
+        #: plan follow-up (sub-linear is expected for fixed-output /
+        #: fixed-group queries — broadcast sides and result sizes that
+        #: do not grow with the corpus).
+        flagged = [
+            n for n, e in out.items() if e["exponent"] is not None and e["exponent"] > 1.15
+        ]
         print(
             json.dumps(
                 {
                     "metric": "scale_curvature",
-                    "replicas": REPLICAS,
+                    "replicas": args.replicas,
                     "queries": out,
-                    "calibration": {"sf01": cal01, "sf05": cal05},
+                    "flagged_superlinear": flagged,
+                    "calibration": {"sf01": cal01, f"sf{args.replicas}x": calr},
                 }
             )
         )

@@ -215,7 +215,10 @@ def run_neardup(spark, src, schema, work, fpt) -> dict:
     out["rows"] = n_corpus
     out["rows_per_sec"] = round(n_corpus / out["value"]) if out["value"] else None
     progress = [p for p in capture_progress(query) if p["num_input_rows"]]
-    series = [p["trigger_execution_ms"] for p in progress]
+    # filter missing durationMs like _measure's lat list (r13 advice): a
+    # progress row with input rows but no triggerExecution duration would
+    # null the series and TypeError the late/early ratio below
+    series = [p["trigger_execution_ms"] for p in progress if p["trigger_execution_ms"]]
     out["batch_ms_series"] = series
     if len(series) >= 4:
         half = len(series) // 2

@@ -160,3 +160,48 @@ def test_env_config():
             "dates": {"silver": {"table": "dim_date"}},
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# Deterministic binary-asset fixture (multimodal family, r14): real
+# container layouts — PNG signature+IHDR, RIFF/WAVE, ftyp box, %PDF- —
+# shared by test_multimodal.py and test_corpus_pipeline.py.
+# ---------------------------------------------------------------------------
+
+
+def real_png(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x06\x00\x00\x00"  # bit depth / color type / filler
+        + b"fake-idat-payload"
+    )
+
+
+def real_wav() -> bytes:
+    return b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"fmt \x10\x00\x00\x00tail"
+
+
+def real_mp4() -> bytes:
+    import struct
+
+    return struct.pack(">I", 24) + b"ftypisom" + b"\x00" * 16
+
+
+@pytest.fixture(scope="session")
+def binary_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bin_assets")
+    (d / "batch0").mkdir()
+    (d / "batch1").mkdir()
+    (d / "batch0" / "a.png").write_bytes(real_png(7, 9))
+    (d / "batch0" / "b.wav").write_bytes(real_wav())
+    (d / "batch1" / "c.mp4").write_bytes(real_mp4())
+    (d / "batch1" / "d.pdf").write_bytes(b"%PDF-1.4 fake doc")
+    (d / "batch1" / "junk.bin").write_bytes(b"\x00\x01\x02no-container-here")
+    # duplicate CONTENT at a second path: exact dedup by hash must see it
+    (d / "batch1" / "a_copy.png").write_bytes(real_png(7, 9))
+    return str(d)

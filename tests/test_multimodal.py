@@ -128,3 +128,71 @@ def test_frame_grab_pipeline(spark, assets):
     again = sample_frames(small, every_ms=1000, grab=True).collect()
     assert sorted((f["asset_id"], f["frame_idx"], f["frame_hash"]) for f in frames) == \
            sorted((f["asset_id"], f["frame_idx"], f["frame_hash"]) for f in again)
+
+
+# ---------------------------------------------------------------------------
+# Binary-column metadata extraction (r13 verdict task 2): sniff / dims /
+# hash over REAL files through the binaryFile source.
+# ---------------------------------------------------------------------------
+
+
+def test_asset_metadata_rows_on_real_binary_files(spark, binary_dir):
+    """read_binary_files → asset_metadata_rows: sniffed container types,
+    header-parsed PNG dims, and md5 content hashes are value-exact
+    against independent (hashlib/struct) recomputation."""
+    import hashlib
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_binary_files
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        asset_metadata_rows,
+    )
+
+    meta = {
+        os.path.basename(r.path): r
+        for r in asset_metadata_rows(read_binary_files(spark, binary_dir)).collect()
+    }
+    assert set(meta) == {"a.png", "b.wav", "c.mp4", "d.pdf", "junk.bin", "a_copy.png"}
+    assert meta["a.png"].media_type == "image/png"
+    assert (meta["a.png"].width, meta["a.png"].height) == (7, 9)
+    assert meta["b.wav"].media_type == "audio/wav"
+    assert meta["c.mp4"].media_type == "video/mp4"
+    assert meta["d.pdf"].media_type == "application/pdf"
+    assert meta["junk.bin"].media_type == "application/octet-stream"
+    # non-PNG assets parse no dims
+    assert meta["b.wav"].width is None and meta["c.mp4"].height is None
+    # hash + byte count match an independent recomputation
+    from conftest import real_png
+
+    expected = hashlib.md5(real_png(7, 9)).hexdigest()
+    assert meta["a.png"].content_hash == expected
+    assert meta["a.png"].n_bytes == len(real_png(7, 9))
+    # exact dedup: duplicate content at a second path shares the hash
+    assert meta["a_copy.png"].content_hash == expected
+
+
+def test_sniff_does_not_misread_short_or_empty_content(spark):
+    """Content shorter than any magic number (or empty) classifies as
+    octet-stream; NULL content stays NULL — no slice-out-of-range
+    failures at the byte boundaries."""
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        png_width,
+        sniff_media_type,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"\x89PN"), (3, b"RIFF"), (4, None)],
+        "id int, content binary",
+    )
+    rows = {
+        r.id: (r.t, r.w)
+        for r in df.select(
+            "id",
+            sniff_media_type(F.col("content")).alias("t"),
+            png_width(F.col("content")).alias("w"),
+        ).collect()
+    }
+    assert rows[1] == ("application/octet-stream", None)
+    assert rows[2] == ("application/octet-stream", None)
+    assert rows[3] == ("application/octet-stream", None)
+    assert rows[4] == (None, None)

@@ -11,7 +11,10 @@ index (``embeddings_ivf``) and the PQ code table (``embeddings_pq``;
 their vid-join serves IVFADC, see ``read_ivfadc_index``) — the
 maintained state behind the catalog's incremental invariant queries
 (plans/similarity_gold.py), promoted from per-query scratch into
-pipeline-owned tables (r12 verdict task 3, extended r13).
+pipeline-owned tables (r12 verdict task 3, extended r13).  Round 14
+adds the multimodal silver table ``corpus_assets`` (binary-file
+ingest → path/bytes/hash/sniffed-type/header-dims metadata, blobs
+stay in object storage — textops/multimodal.asset_metadata_rows).
 
 Two entry points:
 
@@ -55,6 +58,7 @@ MINHASH_TABLE = "documents_minhash"
 IVF_TABLE = "embeddings_ivf"
 PQ_TABLE = "embeddings_pq"
 WINNOW_TABLE = "documents_winnow"
+ASSETS_TABLE = "corpus_assets"
 
 #: Signature geometry — matches the catalog's LSH family
 #: (plans/similarity_gold.py: k=32, bands=16, threshold 0.3) so the
@@ -77,11 +81,19 @@ def _path(out_dir: str, table: str) -> str:
 def _clean_docs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Batch-local canonicalization mirroring the documents universe
     (plans/universes.docs_with_text_plan): non-null id, non-empty
-    normalized text, DETERMINISTIC one-row-per-id (min text wins —
-    the signature depends on text only, so this matches the full
-    rebuild's canonical choice even when duplicate ids carry divergent
-    payloads; an arbitrary dropDuplicates would break incremental ==
-    full exactly on such corpora)."""
+    normalized text, DETERMINISTIC one-row-per-id (min text wins).
+
+    Scope of the incremental == full guarantee (r13 advice): the
+    min-text choice matches the full rebuild's canonical row for
+    duplicate ids WITHIN one batch.  ACROSS batches admission is
+    id-keyed first-writer-wins — if a duplicate id's canonical
+    (min-text) payload arrives in a LATER batch than a non-canonical
+    twin, the accumulated signature/winnow rows keep the first-seen
+    payload and diverge from a from-scratch rebuild on exactly those
+    ids.  That is the standard ingest contract (an id is immutable
+    once admitted; divergent re-deliveries are upstream bugs) — a lake
+    that instead wants last/canonical-writer-wins must route such ids
+    through a MERGE (sources/merge.py), not append admission."""
     from unicargo_medallion_data_pipeline_spark.operators.cleaning import canonical_dedup
     from unicargo_medallion_data_pipeline_spark.textops.analysis import norm_text
 
@@ -113,9 +125,26 @@ def _clean_embeddings(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return canonical_dedup(e, keys=[id_col], order_by=[F.asc(vec_col)])
 
 
-def run_corpus_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+def run_corpus_medallion(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    assets_dir: str | None = None,
+) -> dict[str, str]:
     """Full rebuild: canonical universes + signature + IVF index silver
-    tables under ``out_dir``.  Returns table name → parquet path."""
+    tables under ``out_dir``.  Returns table name → parquet path.
+
+    ``assets_dir``, when given, additionally ingests every binary file
+    under it (``sources.readers.read_binary_files``) into the
+    ``corpus_assets`` metadata table — path, byte count, content hash,
+    sniffed container type, header-parsed image dims (r13 verdict task
+    2: the multimodal pillar's maintained silver state).  Metadata
+    only: blobs stay in object storage, addressed by path."""
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_binary_files
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        asset_metadata_rows,
+    )
+
     paths = canonical.materialize_canonical(spark, sf_dir, out_dir)
     docs = spark.read.parquet(paths["documents_canonical"])
     embs = spark.read.parquet(paths["embeddings_canonical"])
@@ -129,13 +158,20 @@ def run_corpus_medallion(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     sim.ivf_frozen_index_rows(embs).write.mode("overwrite").parquet(ivf_path)
     pq_path = _path(out_dir, PQ_TABLE)
     sim.pq_index_rows(embs).write.mode("overwrite").parquet(pq_path)
-    return {
+    out = {
         **paths,
         MINHASH_TABLE: mh_path,
         WINNOW_TABLE: wn_path,
         IVF_TABLE: ivf_path,
         PQ_TABLE: pq_path,
     }
+    if assets_dir is not None:
+        as_path = _path(out_dir, ASSETS_TABLE)
+        asset_metadata_rows(read_binary_files(spark, assets_dir)).write.mode(
+            "overwrite"
+        ).parquet(as_path)
+        out[ASSETS_TABLE] = as_path
+    return out
 
 
 @dataclass
@@ -148,6 +184,7 @@ class CorpusBatchResult:
     admitted_winnow_docs: int = 0
     admitted_vectors: int = 0
     admitted_pq_vectors: int = 0
+    admitted_assets: int = 0
     near_dup_pairs: DataFrame | None = None
 
 
@@ -156,6 +193,7 @@ def apply_corpus_batch(
     out_dir: str,
     new_docs: DataFrame | None = None,
     new_embeddings: DataFrame | None = None,
+    new_assets: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_id_col: str = "vec_id",
@@ -244,6 +282,26 @@ def apply_corpus_batch(
         result.admitted_pq_vectors = admitted_pq.count()
         if result.admitted_pq_vectors:
             admitted_pq.write.mode("append").parquet(pq_path)
+
+    if new_assets is not None:
+        # Asset metadata (the multimodal silver table): per-object
+        # computation with no cross-asset state, so the increment is
+        # exact by construction; admission is keyed by PATH (the lake's
+        # object identity — a re-crawled path is a re-delivery, same
+        # exactly-once contract as the id-keyed tables above).
+        from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+            asset_metadata_rows,
+        )
+
+        meta = asset_metadata_rows(new_assets)
+        as_path = _path(out_dir, ASSETS_TABLE)
+        existing_as = read_parquet_or_empty(spark, as_path, like=meta)
+        admitted_as = meta.join(
+            existing_as.select("path"), "path", "left_anti"
+        ).localCheckpoint(eager=True)
+        result.admitted_assets = admitted_as.count()
+        if result.admitted_assets:
+            admitted_as.write.mode("append").parquet(as_path)
 
     return result
 

@@ -28,3 +28,4 @@ import unicargo_medallion_data_pipeline_spark.plans.analytics_gold2  # noqa: F40
 import unicargo_medallion_data_pipeline_spark.plans.analytics_gold3  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.sql_gold  # noqa: F401
 import unicargo_medallion_data_pipeline_spark.plans.multimodal_gold  # noqa: F401
+import unicargo_medallion_data_pipeline_spark.plans.assets_gold  # noqa: F401

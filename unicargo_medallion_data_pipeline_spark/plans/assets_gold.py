@@ -1,0 +1,250 @@
+"""Multimodal asset-lake analytics under the hash gate (r13 verdict
+task 2: "give multimodal a real family").
+
+The multimodal pillar's metadata half — exact dedup by content hash,
+magic-number container sniffing, image-dims-from-header parsing — is
+pure byte arithmetic over opaque ``binary`` columns and therefore
+DuckDB-mirrorable, unlike the codec-backed decode stages (which stay
+pytest-verified behind ``textops/multimodal.py``'s pluggable codec).
+Documents' UTF-8 bytes stand in as deterministic blob payloads, wrapped
+in REAL container headers (PNG signature + IHDR, RIFF/WAVE, ISO-BMFF
+ftyp, %PDF-) so the sniffer and the dims parser run against genuine
+byte layouts; a production asset lake swaps the synthesized content
+column for ``read_binary_files(...)["content"]`` and every expression
+here — all JVM-side codegen, no Python — applies unchanged.  The
+maintained silver form of the same metadata is the corpus pipeline's
+``corpus_assets`` table (pipelines/corpus.py).
+
+Scale shape: each query is one narrow codegen map over the scan
+followed by a single keyed aggregation — content bytes never shuffle
+(hashes and parsed metadata do), which is the only workable plan when
+the binary column is the petabyte."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unicargo_medallion_data_pipeline_spark.plans.catalog import register
+from unicargo_medallion_data_pipeline_spark.plans.universes import SQL_DOCS1, docs_with_text
+from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+    FTYP_BOX,
+    PDF_MAGIC,
+    RIFF_MAGIC,
+    WAVE_FORM,
+    be32,
+    pack_png_header,
+    png_height,
+    png_width,
+    sniff_media_type,
+)
+
+#: DuckDB mirror of Spark's pmod for possibly-negative ids.
+_PMOD = "(((doc_id % {m}) + {m}) % {m})"
+
+
+@register(
+    "asset_content_dedup",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    assets AS (
+        SELECT 'assets/orig/' || doc_id AS path, text FROM docs1
+        UNION ALL
+        SELECT 'assets/mirror/' || doc_id AS path, text FROM docs1
+        WHERE {_PMOD.format(m=3)} = 0
+    )
+    SELECT md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           count(*) AS n_copies,
+           min(path) AS canonical_path,
+           CAST((count(*) - 1) * octet_length(encode(text)) AS BIGINT)
+               AS redundant_bytes
+    FROM assets
+    GROUP BY md5(text), octet_length(encode(text))
+    ORDER BY content_hash
+    """,
+    operators=("P10", "A13"),
+)
+def asset_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of an asset lake by content hash: every canonical
+    document's bytes are stored at an original path, and one in three
+    also at a mirrored path (the classic same-blob-many-paths shape a
+    crawler produces); group by md5(content) to find the copy count,
+    the canonical (min) path, and the bytes reclaimable by keeping one
+    copy.  At sf0.1 the corpus additionally carries cross-doc duplicate
+    texts, so groups of size 2 AND 4 occur — the gate covers both the
+    path-level and the content-level collapse.
+
+    Plan: narrow map (hash per asset, bytes never shuffle) → one keyed
+    aggregation on the 16-byte hash → order.  At 10^9 assets the hash
+    groupBy is the textbook balanced shuffle (md5 keys are uniform —
+    no salting needed), identical to the reference's exact-dedup shape
+    but with the blob column pruned out before the exchange."""
+    docs = docs_with_text(spark, sf_dir)
+    content = F.encode(F.col("text"), "UTF-8")
+    base = docs.select(
+        F.concat(F.lit("assets/orig/"), F.col("doc_id")).alias("path"),
+        content.alias("content"),
+    )
+    mirror = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        F.concat(F.lit("assets/mirror/"), F.col("doc_id")).alias("path"),
+        content.alias("content"),
+    )
+    assets = base.unionByName(mirror)
+    n_bytes = F.length("content").cast("long")
+    return (
+        assets.groupBy(
+            F.md5("content").alias("content_hash"), n_bytes.alias("n_bytes")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("path").alias("canonical_path"),
+        )
+        .withColumn(
+            "redundant_bytes", (F.col("n_copies") - F.lit(1)) * F.col("n_bytes")
+        )
+        .orderBy("content_hash")
+    )
+
+
+#: Container header lengths (bytes) for the synthesized assets below.
+_HDR_LEN = {"image/png": 24, "audio/wav": 12, "video/mp4": 8, "application/pdf": 5}
+
+
+def _typed_content(fixed_png_dims: bool = True) -> F.Column:
+    """Deterministic typed blob per document: a REAL container header
+    chosen by pmod(doc_id, 4) — PNG signature+IHDR, RIFF/WAVE, ftyp
+    box, %PDF- — followed by the document's UTF-8 bytes."""
+    t = F.pmod(F.col("doc_id"), F.lit(4))
+    if fixed_png_dims:
+        png_w, png_h = F.lit(64), F.lit(48)
+    else:
+        png_w = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(1024))).cast("int")
+        png_h = (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(977))).cast("int")
+    header = (
+        F.when(t == 0, pack_png_header(png_w, png_h))
+        .when(t == 1, F.concat(F.lit(RIFF_MAGIC), be32(F.lit(0)), F.lit(WAVE_FORM)))
+        .when(t == 2, F.concat(be32(F.lit(0)), F.lit(FTYP_BOX)))
+        .otherwise(F.lit(PDF_MAGIC))
+    )
+    return F.concat(header, F.encode(F.col("text"), "UTF-8"))
+
+
+@register(
+    "asset_type_profile",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    typed AS (
+        SELECT CASE {_PMOD.format(m=4)}
+                 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'audio/wav'
+                 WHEN 2 THEN 'video/mp4'
+                 ELSE 'application/pdf'
+               END AS media_type,
+               CASE {_PMOD.format(m=4)}
+                 WHEN 0 THEN 24 WHEN 1 THEN 12 WHEN 2 THEN 8 ELSE 5
+               END + octet_length(encode(text)) AS n_bytes,
+               text
+        FROM docs1
+    )
+    SELECT media_type,
+           count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(n_bytes) AS DOUBLE) / count(*) AS avg_bytes,
+           count(DISTINCT text) AS n_distinct_contents
+    FROM typed
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    operators=("A13", "A14", "P4"),
+    bench=True,
+)
+def asset_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-container-type size/dedup profile of an asset lake, with the
+    type taken from the BYTES (magic-number sniff), not from metadata:
+    synthesize one typed blob per canonical document (header chosen by
+    pmod(doc_id,4), real PNG/RIFF/ftyp/%PDF- layouts), then sniff each
+    asset's container from its leading bytes and aggregate per sniffed
+    type.  The oracle derives the type from the assignment arithmetic,
+    so the hash gate proves sniff ∘ construct ≡ assignment — a wrong
+    prefix compare or offset misclassifies a whole family and fails.
+
+    ``n_distinct_contents`` is computed Spark-side over md5(content)
+    (hash-distinct — blobs never shuffle); within a type group the
+    header is constant, so it equals the oracle's count(DISTINCT text).
+    ``avg_bytes`` is one IEEE division of exact integer sums.  Plan:
+    narrow codegen map → single keyed agg on the 4-value type key."""
+    docs = docs_with_text(spark, sf_dir)
+    assets = docs.select(_typed_content(fixed_png_dims=True).alias("content"))
+    n_bytes = F.length("content").cast("long")
+    return (
+        assets.groupBy(sniff_media_type(F.col("content")).alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(n_bytes).alias("total_bytes"),
+            F.countDistinct(F.md5("content")).alias("n_distinct_contents"),
+        )
+        .withColumn(
+            "avg_bytes",
+            F.col("total_bytes").cast("double") / F.col("n_assets").cast("double"),
+        )
+        .select(
+            "media_type", "n_assets", "total_bytes", "avg_bytes", "n_distinct_contents"
+        )
+        .orderBy("media_type")
+    )
+
+
+@register(
+    "asset_image_dims",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    dims AS (
+        SELECT doc_id,
+               CAST(16 + {_PMOD.format(m=1024)} AS INTEGER) AS width,
+               CAST(16 + {_PMOD.format(m=977)} AS INTEGER) AS height
+        FROM docs1
+        WHERE {_PMOD.format(m=4)} = 0
+    )
+    SELECT doc_id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CASE WHEN width > height THEN 'landscape'
+                WHEN width < height THEN 'portrait'
+                ELSE 'square' END AS orientation
+    FROM dims
+    ORDER BY doc_id
+    """,
+    operators=("P4", "P5", "P7"),
+)
+def asset_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dims extracted FROM THE HEADER BYTES: the PNG quarter of
+    the synthesized asset lake packs doc_id-derived width/height into a
+    spec-layout IHDR (big-endian 32-bit at byte offsets 17-24), and the
+    query recovers them by byte arithmetic alone (binary slice → hex →
+    base-16 conv — ``textops.multimodal.png_width/png_height``).  The
+    oracle computes the dims from the id arithmetic directly, so the
+    hash gate proves parse ∘ pack ≡ identity: any offset, endianness,
+    or slice-length defect in the parser shifts every value and fails.
+
+    This is the no-decode path a 100 TB image lake uses for dims
+    profiling: scan reads leading bytes, parser is codegen, the blob
+    column never reaches an exchange."""
+    docs = docs_with_text(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    )
+    content = _typed_content(fixed_png_dims=False)
+    parsed = docs.select(
+        F.col("doc_id"),
+        png_width(content).alias("width"),
+        png_height(content).alias("height"),
+    )
+    return parsed.select(
+        "doc_id",
+        "width",
+        "height",
+        (F.col("width").cast("long") * F.col("height")).alias("n_pixels"),
+        F.when(F.col("width") > F.col("height"), F.lit("landscape"))
+        .when(F.col("width") < F.col("height"), F.lit("portrait"))
+        .otherwise(F.lit("square"))
+        .alias("orientation"),
+    ).orderBy("doc_id")

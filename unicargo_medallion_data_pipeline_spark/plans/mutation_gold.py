@@ -110,6 +110,12 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["custkey", "effective_ts"],
         order_by=[F.asc_nulls_last("o_orderkey"), F.asc_nulls_last("priority")],
     ).drop("o_orderkey")
+    # Pin the dedup once (r13 verdict task 4): the three batch filters
+    # below each re-executed the window-dedup over orders — one eager
+    # localCheckpoint cuts two of the three dedup shuffles; per-batch
+    # work is then a filter over the pinned snapshot.  At lake scale the
+    # equivalent is materializing the snapshot table once per load.
+    snaps = snaps.localCheckpoint(eager=True)
 
     path = os.path.join(scratch_dir("scd2_q_"), "dim")
     ts = F.col("effective_ts")

@@ -135,6 +135,13 @@ def clear_universe_cache() -> None:
     _UNIVERSE_CACHE.clear()
 
 
+def _sweep_dead_sessions() -> None:
+    for k in [
+        k for k, (s, _) in _UNIVERSE_CACHE.items() if not _session_alive(s)
+    ]:
+        del _UNIVERSE_CACHE[k]
+
+
 def _pinned(spark: SparkSession, sf_dir: str, table: str, builder) -> DataFrame:
     key = (id(spark), sf_dir, table)
     hit = _UNIVERSE_CACHE.get(key)
@@ -142,13 +149,12 @@ def _pinned(spark: SparkSession, sf_dir: str, table: str, builder) -> DataFrame:
         cached_spark, df = hit
         if cached_spark is spark and _session_alive(spark):
             return df
-        # One stale hit → sweep ALL dead-session entries, not just this
-        # key (entries for stopped sessions are otherwise unreachable).
-        for k in [
-            k for k, (s, _) in _UNIVERSE_CACHE.items() if not _session_alive(s)
-        ]:
-            del _UNIVERSE_CACHE[k]
         _UNIVERSE_CACHE.pop(key, None)
+    # Sweep dead-session entries on every non-hit path (r13 advice: a
+    # stale-hit-only sweep let entries whose exact keys were never
+    # re-looked-up accumulate for the process lifetime).  Cost: one
+    # isStopped round trip per cached entry, only when deriving anyway.
+    _sweep_dead_sessions()
     df = builder(spark, sf_dir).localCheckpoint(eager=True)
     _UNIVERSE_CACHE[key] = (spark, df)
     return df

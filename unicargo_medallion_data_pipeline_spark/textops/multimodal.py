@@ -291,6 +291,98 @@ def sample_frames(
     return assets.select(*cols).mapInPandas(_batches, schema=frames_schema)
 
 
+# ---------------------------------------------------------------------------
+# Binary-column expressions (r13 verdict task 2): JVM-side, whole-stage-
+# codegen byte arithmetic over opaque `binary` content — magic-number
+# container sniffing and image-dims-from-header parsing.  These are the
+# metadata-extraction half of the multimodal pillar that needs NO codec
+# at all: at 100 TB the type/dims/hash profile of an asset lake is
+# computed from the first bytes of each object, never a full decode, so
+# it must stay out of Python entirely (pyspark.sql.functions only).
+# ---------------------------------------------------------------------------
+
+#: Container magic numbers (public file-format specs).
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"  # PNG spec §5.2, 8 bytes
+RIFF_MAGIC = b"RIFF"  # WAV: RIFF container, bytes 1-4
+WAVE_FORM = b"WAVE"  # WAV form type, bytes 9-12
+FTYP_BOX = b"ftyp"  # MP4/ISO-BMFF: first box type, bytes 5-8
+PDF_MAGIC = b"%PDF-"  # PDF header, bytes 1-5
+
+
+def be32(col) -> "F.Column":
+    """Pack an int column into 4 big-endian bytes (binary), codegen-side:
+    hex → zero-pad to 8 nibbles → unhex."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+
+
+def read_be32(content, pos: int) -> "F.Column":
+    """Parse the 4 bytes at 1-indexed ``pos`` as a big-endian unsigned
+    int (codegen: binary slice → hex → base-16 conv)."""
+    return F.conv(F.hex(F.substring(content, pos, 4)), 16, 10).cast("int")
+
+
+def pack_png_header(width, height) -> "F.Column":
+    """A well-formed PNG signature + IHDR prefix with the given dims:
+    signature (8B) · IHDR length 13 (4B) · 'IHDR' (4B) · width BE32 ·
+    height BE32 — dims land at byte offsets 17-24 exactly as in a real
+    PNG, so :func:`png_width`/``png_height`` parse genuine files too."""
+    return F.concat(
+        F.lit(PNG_SIGNATURE), be32(F.lit(13)), F.lit(b"IHDR"), be32(width), be32(height)
+    )
+
+
+def is_png(content) -> "F.Column":
+    return F.substring(content, 1, 8) == F.lit(PNG_SIGNATURE)
+
+
+def png_width(content) -> "F.Column":
+    """IHDR width (bytes 17-20, big-endian); NULL for non-PNG content."""
+    return F.when(is_png(content), read_be32(content, 17))
+
+
+def png_height(content) -> "F.Column":
+    """IHDR height (bytes 21-24, big-endian); NULL for non-PNG content."""
+    return F.when(is_png(content), read_be32(content, 21))
+
+
+def sniff_media_type(content) -> "F.Column":
+    """Magic-number container sniff over the first bytes: PNG, WAV
+    (RIFF····WAVE), MP4 (····ftyp), PDF, else application/octet-stream
+    (NULL content → NULL).  Pure codegen byte compares — the scan reads
+    only the leading bytes' worth of work per asset, no Python."""
+    return (
+        F.when(content.isNull(), F.lit(None).cast("string"))
+        .when(is_png(content), F.lit("image/png"))
+        .when(
+            (F.substring(content, 1, 4) == F.lit(RIFF_MAGIC))
+            & (F.substring(content, 9, 4) == F.lit(WAVE_FORM)),
+            F.lit("audio/wav"),
+        )
+        .when(F.substring(content, 5, 4) == F.lit(FTYP_BOX), F.lit("video/mp4"))
+        .when(F.substring(content, 1, 5) == F.lit(PDF_MAGIC), F.lit("application/pdf"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def asset_metadata_rows(binfiles: DataFrame) -> DataFrame:
+    """Silver metadata rows for a ``read_binary_files`` frame: one row
+    per object with ``(path, n_bytes, content_hash, media_type, width,
+    height)`` — hash for exact dedup, sniffed container type, and
+    header-parsed image dims.  The bytes themselves are NOT stored:
+    at lake scale the silver table is metadata-only (a few hundred
+    bytes/asset), the blobs stay in object storage addressed by path.
+    Narrow codegen map over the binary scan; no shuffle, no Python."""
+    c = F.col("content")
+    return binfiles.select(
+        F.col("path"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(c).alias("content_hash"),
+        sniff_media_type(c).alias("media_type"),
+        png_width(c).alias("width"),
+        png_height(c).alias("height"),
+    )
+
+
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
     """Deterministic fake asset table for tests/demos (no external data)."""
     rows = []
