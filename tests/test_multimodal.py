@@ -196,3 +196,97 @@ def test_sniff_does_not_misread_short_or_empty_content(spark):
     assert rows[2] == ("application/octet-stream", None)
     assert rows[3] == ("application/octet-stream", None)
     assert rows[4] == (None, None)
+
+
+def test_wav_le_parsers_roundtrip_against_struct_pack(spark):
+    """The little-endian pack/parse pair is verified against an
+    INDEPENDENT construction (struct.pack '<'): a genuine PCM WAV
+    header built in Python parses to the same channels/rates the
+    engine's pack_wav_header-built content does."""
+    import struct
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        WAV_HEADER_LEN,
+        pack_wav_header,
+        wav_byte_rate,
+        wav_channels,
+        wav_sample_rate,
+    )
+
+    def py_wav(ch: int, rate: int) -> bytes:
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        )
+
+    rows = [(1, 2, 44100), (2, 1, 8000), (3, 6, 192000)]
+    df = spark.createDataFrame(rows, "id int, ch int, rate long")
+    packed = df.select(
+        "id", "ch", "rate",
+        pack_wav_header(F.col("ch"), F.col("rate")).alias("content"),
+    )
+    got = {
+        r.id: (bytes(r.content), r.pch, r.prate, r.pbr)
+        for r in packed.select(
+            "id", "content",
+            wav_channels(F.col("content")).alias("pch"),
+            wav_sample_rate(F.col("content")).alias("prate"),
+            wav_byte_rate(F.col("content")).alias("pbr"),
+        ).collect()
+    }
+    for i, ch, rate in rows:
+        content, pch, prate, pbr = got[i]
+        assert content == py_wav(ch, rate)  # byte-identical to struct.pack
+        assert len(content) == WAV_HEADER_LEN
+        assert (pch, prate, pbr) == (ch, rate, rate * ch * 2)
+
+
+def test_streaming_binary_ingestion_into_assets_table(spark, binary_dir, tmp_path):
+    """Multimodal streaming ingest: a binaryFile readStream feeds
+    apply_corpus_batch per micro-batch (foreachBatch) — the assets
+    silver table accumulates exactly-once even when the stream replays
+    paths across batches."""
+    import os
+
+    from unicargo_medallion_data_pipeline_spark.pipelines import corpus
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_binary_files
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import (
+        read_streaming_path,
+    )
+
+    out_dir = str(tmp_path / "stream_assets")
+    schema = read_binary_files(spark, binary_dir).schema
+    stream = read_streaming_path(
+        spark,
+        binary_dir,
+        schema,
+        file_format="binaryFile",
+        options={"maxFilesPerTrigger": "2", "recursiveFileLookup": "true"},
+    )
+    admitted = []
+
+    def _apply(batch_df, batch_id):
+        res = corpus.apply_corpus_batch(
+            batch_df.sparkSession, out_dir, new_assets=batch_df
+        )
+        admitted.append(res.admitted_assets)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sum(admitted) == 6 and len(admitted) >= 3  # 6 files, ≤2 per batch
+    table = spark.read.parquet(os.path.join(out_dir, f"{corpus.ASSETS_TABLE}.parquet"))
+    assert table.count() == 6
+    # batch-path result equals the one-shot ingest, row for row
+    batch_dir = str(tmp_path / "batch_assets")
+    corpus.apply_corpus_batch(
+        spark, batch_dir, new_assets=read_binary_files(spark, binary_dir)
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(table) == key(
+        spark.read.parquet(os.path.join(batch_dir, f"{corpus.ASSETS_TABLE}.parquet"))
+    )

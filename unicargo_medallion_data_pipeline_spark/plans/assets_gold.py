@@ -31,12 +31,18 @@ from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
     FTYP_BOX,
     PDF_MAGIC,
     RIFF_MAGIC,
+    WAV_HEADER_LEN,
     WAVE_FORM,
     be32,
+    is_png,
     pack_png_header,
+    pack_wav_header,
     png_height,
     png_width,
     sniff_media_type,
+    wav_byte_rate,
+    wav_channels,
+    wav_sample_rate,
 )
 
 #: DuckDB mirror of Spark's pmod for possibly-negative ids.
@@ -248,3 +254,122 @@ def asset_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("square"))
         .alias("orientation"),
     ).orderBy("doc_id")
+
+
+@register(
+    "asset_audio_profile",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    wav AS (
+        SELECT doc_id,
+               CAST(1 + {_PMOD.format(m=2)} AS INTEGER) AS n_channels,
+               CAST(8000 + 100 * {_PMOD.format(m=80)} AS BIGINT) AS sample_rate,
+               CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes
+        FROM docs1
+        WHERE {_PMOD.format(m=4)} = 1
+    )
+    SELECT doc_id, n_channels, sample_rate,
+           CAST(sample_rate * n_channels * 2 AS BIGINT) AS byte_rate,
+           CAST(data_bytes * 1000 AS DOUBLE) / (sample_rate * n_channels * 2)
+               AS duration_ms
+    FROM wav
+    ORDER BY doc_id
+    """,
+    operators=("P4", "P5"),
+)
+def asset_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata FROM THE HEADER BYTES, little-endian: the WAV
+    quarter of the asset lake packs doc_id-derived channel count and
+    sample rate into a spec-layout fmt chunk (LE16 @23, LE32 @25/29 —
+    ``pack_wav_header``), and the query recovers them with the LE
+    parsers (byte slices recombined by shifts) plus the PCM duration
+    from data size / byte rate.  RIFF is little-endian where PNG is
+    network order, so this gates the OTHER byte order end-to-end:
+    a swapped shift or off-by-one offset moves every value.
+
+    The oracle derives the same numbers from the id arithmetic —
+    parse ∘ pack ≡ identity for the LE path.  ``duration_ms`` is one
+    IEEE division of exact integers.  All codegen; no Python."""
+    docs = docs_with_text(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 1
+    )
+    ch = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(2))).cast("int")
+    rate = (F.lit(8000) + F.lit(100) * F.pmod(F.col("doc_id"), F.lit(80))).cast("long")
+    content = F.concat(pack_wav_header(ch, rate), F.encode(F.col("text"), "UTF-8"))
+    parsed = docs.select(
+        F.col("doc_id"),
+        wav_channels(content).alias("n_channels"),
+        wav_sample_rate(content).alias("sample_rate"),
+        wav_byte_rate(content).alias("byte_rate"),
+        (F.length(content) - F.lit(WAV_HEADER_LEN)).cast("long").alias("data_bytes"),
+    )
+    return parsed.select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "byte_rate",
+        (
+            (F.col("data_bytes") * F.lit(1000)).cast("double") / F.col("byte_rate")
+        ).alias("duration_ms"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "asset_integrity_audit",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    audit AS (
+        SELECT doc_id,
+               CASE WHEN {_PMOD.format(m=7)} = 0 THEN 'truncated_header'
+                    WHEN {_PMOD.format(m=11)} = 0 THEN 'bad_magic'
+                    ELSE 'ok' END AS status,
+               CASE WHEN {_PMOD.format(m=7)} = 0 THEN 19
+                    ELSE 24 + octet_length(encode(text)) END AS n_bytes
+        FROM docs1
+        WHERE {_PMOD.format(m=4)} = 0
+    )
+    SELECT doc_id, status, CAST(n_bytes AS INTEGER) AS n_bytes,
+           CASE WHEN status = 'ok' THEN 64 END AS width
+    FROM audit
+    ORDER BY doc_id
+    """,
+    operators=("P4", "P6", "Q1"),
+)
+def asset_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption audit over the PNG quarter of the asset lake, decided
+    from the bytes: one in seven assets arrives truncated mid-IHDR (19
+    bytes — signature intact, dims cut off), one in eleven with a
+    clobbered magic byte.  The audit classifies each asset from its
+    content alone (signature compare + declared-header-length check)
+    and parses dims only for intact files — the per-row error-channel
+    philosophy of ``extract_features``, but fully declarative.
+
+    The oracle re-derives the statuses from the corruption assignment
+    arithmetic, so the gate proves classify ∘ corrupt ≡ assignment:
+    a lax length floor or a sloppy prefix compare misclassifies every
+    truncated or clobbered asset.  Scale shape: narrow codegen map,
+    no shuffle before the presentation sort — integrity audits must
+    not cost more than the scan that feeds them."""
+    docs = docs_with_text(spark, sf_dir).filter(
+        F.pmod(F.col("doc_id"), F.lit(4)) == 0
+    )
+    full = _typed_content(fixed_png_dims=True)
+    trunc = F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    badmagic = (~trunc) & (F.pmod(F.col("doc_id"), F.lit(11)) == 0)
+    content = (
+        F.when(trunc, F.substring(full, 1, 19))
+        .when(badmagic, F.concat(F.lit(b"\x00"), F.substring(full, 2, 2147483640)))
+        .otherwise(full)
+    )
+    status = (
+        F.when(is_png(content) & (F.length(content) >= 24), F.lit("ok"))
+        .when(is_png(content), F.lit("truncated_header"))
+        .otherwise(F.lit("bad_magic"))
+    )
+    audited = docs.select(
+        F.col("doc_id"),
+        status.alias("status"),
+        F.length(content).alias("n_bytes"),
+        F.when(status == "ok", png_width(content)).alias("width"),
+    )
+    return audited.orderBy("doc_id")

@@ -364,6 +364,94 @@ def sniff_media_type(content) -> "F.Column":
     )
 
 
+def read_u8(content, pos: int) -> "F.Column":
+    """The byte at 1-indexed ``pos`` as an int (codegen slice → hex →
+    conv); NULL-safe (slice past the end yields empty → NULL conv)."""
+    return F.conv(F.hex(F.substring(content, pos, 1)), 16, 10).cast("long")
+
+
+def read_le32(content, pos: int) -> "F.Column":
+    """Parse the 4 bytes at 1-indexed ``pos`` as a little-endian
+    unsigned int — RIFF/WAV (and most audio/video containers) store
+    sizes and rates little-endian, the opposite of PNG's network
+    order.  Four byte slices recombined with shifts, all codegen."""
+    return (
+        read_u8(content, pos)
+        + read_u8(content, pos + 1) * F.lit(1 << 8)
+        + read_u8(content, pos + 2) * F.lit(1 << 16)
+        + read_u8(content, pos + 3) * F.lit(1 << 24)
+    ).cast("long")
+
+
+def read_le16(content, pos: int) -> "F.Column":
+    return (read_u8(content, pos) + read_u8(content, pos + 1) * F.lit(1 << 8)).cast(
+        "int"
+    )
+
+
+def le16(col) -> "F.Column":
+    """Pack an int column into 2 little-endian bytes (binary)."""
+    padded = F.lpad(F.hex(col.cast("long")), 4, "0")
+    return F.unhex(F.concat(F.substring(padded, 3, 2), F.substring(padded, 1, 2)))
+
+
+def le32(col) -> "F.Column":
+    """Pack an int column into 4 little-endian bytes (binary)."""
+    padded = F.lpad(F.hex(col.cast("long")), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(padded, 7, 2),
+            F.substring(padded, 5, 2),
+            F.substring(padded, 3, 2),
+            F.substring(padded, 1, 2),
+        )
+    )
+
+
+def pack_wav_header(n_channels, sample_rate) -> "F.Column":
+    """A spec-layout WAV prefix: RIFF size placeholder · WAVE · fmt
+    chunk (PCM) with channels/rates at their real offsets — channels
+    LE16 @23, sample rate LE32 @25, byte rate LE32 @29, block align
+    LE16 @33, bits-per-sample LE16 @35 — so the ``wav_*`` parsers below
+    read genuine files identically."""
+    byte_rate = (sample_rate * n_channels * F.lit(2)).cast("long")
+    return F.concat(
+        F.lit(RIFF_MAGIC),
+        le32(F.lit(0)),  # riff size: unused by the parsers
+        F.lit(WAVE_FORM),
+        F.lit(b"fmt "),
+        le32(F.lit(16)),  # PCM fmt chunk length
+        le16(F.lit(1)),  # audio format: PCM
+        le16(n_channels),
+        le32(sample_rate),
+        le32(byte_rate),
+        le16((n_channels * F.lit(2)).cast("int")),  # block align
+        le16(F.lit(16)),  # bits per sample
+    )
+
+
+#: Total bytes of the pack_wav_header prefix (RIFF..bits-per-sample).
+WAV_HEADER_LEN = 36
+
+
+def is_wav(content) -> "F.Column":
+    return (F.substring(content, 1, 4) == F.lit(RIFF_MAGIC)) & (
+        F.substring(content, 9, 4) == F.lit(WAVE_FORM)
+    )
+
+
+def wav_channels(content) -> "F.Column":
+    return F.when(is_wav(content), read_le16(content, 23))
+
+
+def wav_sample_rate(content) -> "F.Column":
+    return F.when(is_wav(content), read_le32(content, 25))
+
+
+def wav_byte_rate(content) -> "F.Column":
+    return F.when(is_wav(content), read_le32(content, 29))
+
+
 def asset_metadata_rows(binfiles: DataFrame) -> DataFrame:
     """Silver metadata rows for a ``read_binary_files`` frame: one row
     per object with ``(path, n_bytes, content_hash, media_type, width,
