@@ -60,6 +60,10 @@ _FORCE_WINDOW: dict[str, int] = {
     # instead of re-executing per batch filter — plan shape changed
     # (scans -> rdd_scans), values unchanged.
     "scd2_as_of_snapshot": 14,
+    # r14 10x scale sweep: one-file-per-bucket write + size-scaled
+    # bucket count — the warm join now skips its per-query sorts
+    # (census/hash unchanged at sf0.001; execution path changed).
+    "orders_lineitem_bucketed_join": 14,
     # r13 sweep seed r13y: ANSI divide-by-zero hazards on degenerate
     # groups (single-sample variance, constant series, zero totals) —
     # all undefined-statistic divisions now try_divide (NULL, matching

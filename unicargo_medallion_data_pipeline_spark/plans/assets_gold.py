@@ -113,10 +113,6 @@ def asset_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Container header lengths (bytes) for the synthesized assets below.
-_HDR_LEN = {"image/png": 24, "audio/wav": 12, "video/mp4": 8, "application/pdf": 5}
-
-
 def _typed_content(fixed_png_dims: bool = True) -> F.Column:
     """Deterministic typed blob per document: a REAL container header
     chosen by pmod(doc_id, 4) — PNG signature+IHDR, RIFF/WAVE, ftyp

@@ -345,9 +345,22 @@ def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity", "l_extendedprice"
         )
-        save_bucketed_table(o, spark, "bucketed_gold", "orders_b", ["l_orderkey"], 8)
+        # Bucket count scales with the BIG side (r14, from the 10x
+        # scale sweep: a fixed 8 capped join parallelism at 8 tasks
+        # forever — exponent 1.59 at 10x data).  Write-time control-
+        # plane decision, exactly like a real lake's layout job: target
+        # ~250k rows/bucket, power-of-two, floor 8 (parquet count() is
+        # metadata-only).  Both tables MUST share the count — the
+        # co-located join requires equal bucketing.
+        import math  # noqa: PLC0415
+
+        n_li = li.count()
+        n_buckets = max(8, 2 ** math.ceil(math.log2(max(1.0, n_li / 250_000))))
         save_bucketed_table(
-            li, spark, "bucketed_gold", "lineitem_b", ["l_orderkey"], 8
+            o, spark, "bucketed_gold", "orders_b", ["l_orderkey"], n_buckets
+        )
+        save_bucketed_table(
+            li, spark, "bucketed_gold", "lineitem_b", ["l_orderkey"], n_buckets
         )
         _BUCKETED_STATE[id(spark)] = sf_dir
 

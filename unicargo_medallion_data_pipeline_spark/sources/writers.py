@@ -22,6 +22,7 @@ not produce 1000 tiny files per partition.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unicargo_medallion_data_pipeline_spark.config.tables import TableConfig
 
@@ -196,7 +197,16 @@ def save_bucketed_table(
             loc = f"{wh.path}/{database}.db/{table}"
             shutil.rmtree(loc, ignore_errors=True)
     (
-        df.write.mode(mode)
+        # Repartition onto the bucket hash first so each bucket is ONE
+        # file (r14, from the 10x scale sweep): without it every write
+        # task emits its own file per bucket, and a multi-file bucket
+        # loses its sort order at scan time — downstream sort-merge
+        # joins then re-sort per query, which is exactly the cost
+        # bucketing exists to pay once.  repartition's Murmur3 hash is
+        # the same function bucket assignment uses, so task i holds
+        # precisely bucket i's rows.
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode(mode)
         .format("parquet")
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
