@@ -547,3 +547,61 @@ def test_read_orc_and_xml_or_empty_narrow_like_parquet(spark, tmp_path):
 
     with _pytest.raises(AnalysisException):
         _read_or_empty(like, _boom)
+
+
+def test_bucketed_table_one_file_per_bucket_and_sorted_scan(spark):
+    """r14 (from the 10x scale sweep): save_bucketed_table must leave
+    exactly ONE file per bucket — a bucket split across write-task
+    files loses its within-bucket sort at scan time, and every
+    downstream sort-merge join silently re-sorts per query (the cost
+    bucketing exists to pay once).  Pin both halves: the file layout
+    and the Sort-free SMJ plan."""
+    import contextlib
+    import io
+    import os
+    from urllib.parse import urlparse
+
+    from unicargo_medallion_data_pipeline_spark.sources.readers import load_table
+    from unicargo_medallion_data_pipeline_spark.sources.writers import save_bucketed_table
+
+    sf = "/root/testdata/sf0.001"
+    # Many input partitions: the pre-fix writer emitted up to
+    # partitions x buckets files; the fix collapses that to n_buckets.
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).repartition(16)
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    ).repartition(16)
+    save_bucketed_table(li, spark, "bucket_sorted", "li_b", ["l_orderkey"], 4)
+    save_bucketed_table(o, spark, "bucket_sorted", "o_b", ["l_orderkey"], 4)
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_b", "o_b"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(wh, "bucket_sorted.db", t))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 4, f"{t}: expected one file per bucket, got {files}"
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bucket_sorted.li_b").join(
+            spark.table("bucket_sorted.o_b"), "l_orderkey"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange (" not in plan
+        # the point of one-file-per-bucket: the scan reports the sort,
+        # so the SMJ needs no Sort node at all
+        assert "Sort (" not in plan, "bucketed+sorted scan must not re-sort"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -34,6 +34,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Don't let a tiny dim table fall back to sort-merge.
     "spark.sql.autoBroadcastJoinThreshold": "32m",
+    # Trust within-bucket sort order at scan time (Spark only honors it
+    # when a bucket is exactly ONE file — which save_bucketed_table now
+    # guarantees by repartitioning onto the bucket hash before writing).
+    # Off by default since Spark 3 because multi-file buckets made it
+    # unsafe; with the one-file contract it removes the per-query Sort
+    # under every sort-merge join on bucketed facts — at 100 TB that is
+    # re-sorting the lake once per query versus never.  Cost: a file
+    # listing at planning, already paid by the scan.
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # Parquet scans: stable 128 MB split targets.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
