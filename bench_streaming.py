@@ -234,11 +234,88 @@ def run_neardup(spark, src, schema, work, fpt) -> dict:
     return out
 
 
+def run_assets(spark, src, schema, work, fpt) -> dict:
+    """Multimodal ingest tier (r14): a ``binaryFile`` stream of real
+    container files → foreachBatch exactly-once path-keyed admission
+    into the ``corpus_assets`` metadata silver table
+    (``pipelines/corpus.apply_corpus_batch``).  Measures the asset-lake
+    landing path end-to-end: listing, bytes → hash/sniff/dims codegen
+    metadata, anti-join admission, append.  File count via
+    ``SPARK_GRAFT_ASSETS_FILES`` (default 400); trigger sized to ~8
+    micro-batches so checkpointed multi-batch progress is exercised."""
+    import struct
+
+    from unicargo_medallion_data_pipeline_spark.pipelines import corpus
+    from unicargo_medallion_data_pipeline_spark.sources.readers import read_binary_files
+    from unicargo_medallion_data_pipeline_spark.streaming.readers import read_streaming_path
+
+    n = int(os.environ.get("SPARK_GRAFT_ASSETS_FILES", "400"))
+    landing = os.path.join(work, "assets_landing")
+    os.makedirs(landing)
+    for i in range(n):
+        payload = bytes((i * 31 + j) % 256 for j in range(512 + (i % 7) * 128))
+        kind = i % 4
+        if kind == 0:
+            head = (
+                b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", 16 + i % 640, 16 + i % 480) + b"\x08\x06\x00"
+            )
+            ext = "png"
+        elif kind == 1:
+            head, ext = b"RIFF" + struct.pack("<I", 0) + b"WAVE", "wav"
+        elif kind == 2:
+            head, ext = struct.pack(">I", 24) + b"ftypisom", "mp4"
+        else:
+            head, ext = b"", "bin"
+        with open(os.path.join(landing, f"a{i:05d}.{ext}"), "wb") as fh:
+            fh.write(head + payload)
+
+    bschema = read_binary_files(spark, landing).schema
+    stream = read_streaming_path(
+        spark,
+        landing,
+        bschema,
+        file_format="binaryFile",
+        options={"maxFilesPerTrigger": str(max(1, n // 8))},
+    )
+    table_dir = os.path.join(work, "assets_out")
+    admitted = {"n": 0}
+
+    def _apply(batch_df, _batch_id):
+        res = corpus.apply_corpus_batch(
+            batch_df.sparkSession, table_dir, new_assets=batch_df
+        )
+        admitted["n"] += res.admitted_assets
+
+    t0 = time.perf_counter()
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(work, "assets_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the other scenarios' writer helpers block internally; a raw
+    # start() must await the availableNow drain itself or _measure sees
+    # an empty progress list and the cleanup races the live stream
+    query.awaitTermination()
+    out = _measure(query, t0)
+    # same honesty rule as run_neardup: foreachBatch re-counts the
+    # source per action, so report admission-based throughput
+    out["rows_reported_by_source"] = out["rows"]
+    out["rows"] = admitted["n"]
+    out["rows_per_sec"] = round(admitted["n"] / out["value"]) if out["value"] else None
+    out["table_rows"] = spark.read.parquet(
+        os.path.join(table_dir, f"{corpus.ASSETS_TABLE}.parquet")
+    ).count()
+    return out
+
+
 SCENARIOS = {
     "tumbling": run_tumbling,
     "sessionize": run_sessionize,
     "cdc_apply": run_cdc_apply,
     "neardup": run_neardup,
+    "assets": run_assets,
 }
 
 
@@ -246,7 +323,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=20)
     ap.add_argument("--files-per-trigger", type=int, default=2)
-    ap.add_argument("--scenarios", default="tumbling,sessionize,cdc_apply,neardup")
+    ap.add_argument("--scenarios", default="tumbling,sessionize,cdc_apply,neardup,assets")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

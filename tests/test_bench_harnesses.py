@@ -79,6 +79,7 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
         # smoke scale for the hostile near-dup corpus too
         SPARK_GRAFT_NEARDUP_SRC=SF_SMOKE,
         SPARK_GRAFT_NEARDUP_SEED="smoke13",
+        SPARK_GRAFT_ASSETS_FILES="24",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench_streaming.py"),
@@ -89,9 +90,9 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["metric"] == "streaming_throughput"
-    assert set(rec["scenarios"]) == {"tumbling", "sessionize", "cdc_apply", "neardup"}
+    assert set(rec["scenarios"]) == {"tumbling", "sessionize", "cdc_apply", "neardup", "assets"}
     for name, s in rec["scenarios"].items():
-        if name != "neardup":  # neardup streams its own hostile corpus
+        if name not in ("neardup", "assets"):  # these stream their own corpora
             assert s["rows"] == rec["source_rows"] > 0, name
         assert s["batches"] >= 2, name
         assert s["rows_per_sec"] > 0, name
@@ -100,6 +101,9 @@ def test_bench_streaming_runs_at_smoke_scale(tmp_path, monkeypatch):
     # count (not the per-action-inflated source metric) is reported
     assert 0 < nd["signature_rows"] <= nd["rows"] < nd["rows_reported_by_source"]
     assert len(nd["batch_ms_series"]) == nd["batches"]
+    # assets: every generated file admitted exactly once into the table
+    aa = rec["scenarios"]["assets"]
+    assert aa["rows"] == aa["table_rows"] == 24
     # CDC apply collapses events to one current row per user
     assert 0 < rec["scenarios"]["cdc_apply"]["final_rows"] < rec["source_rows"]
     # r12: per-scenario calibration via bench.steady_single
