@@ -56,6 +56,12 @@ from unicargo_medallion_data_pipeline_spark.plans.all import CATALOG  # noqa: E4
 #: pruned at leisure.  Add entries whenever a catalog query's
 #: semantics/plan change; never remove one that has not drained.
 _FORCE_WINDOW: dict[str, int] = {
+    # r14 housekeeping: the 116 drained r11-r13 entries were pruned
+    # (each had a committed green driver row at/after its change round
+    # — verified mechanically via _active_forced before pruning); only
+    # ACTIVE entries remain below.  Drained entries may always be
+    # pruned: their invalidation is already answered by the artifacts.
+    #
     # r14 verdict task 4: snaps dedup pinned once (localCheckpoint)
     # instead of re-executing per batch filter — plan shape changed
     # (scans -> rdd_scans), values unchanged.
@@ -64,129 +70,6 @@ _FORCE_WINDOW: dict[str, int] = {
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).
     "orders_lineitem_bucketed_join": 14,
-    # r13 sweep seed r13y: ANSI divide-by-zero hazards on degenerate
-    # groups (single-sample variance, constant series, zero totals) —
-    # all undefined-statistic divisions now try_divide (NULL, matching
-    # DuckDB double x/0.0).
-    "events_value_moments": 13,
-    "events_hourly_burstiness": 13,
-    "events_ab_value_ttest": 13,
-    "nation_supplier_hhi": 13,
-    "lineitem_price_qty_corr": 13,
-    "events_winsorized_stats": 11,
-    "nation_dim": 11,
-    "nation_trade_pagerank": 11,
-    "customer_revenue_percentiles": 11,
-    "doc_contamination_overlap": 11,
-    "order_value_percentiles": 11,
-    "doc_negative_pairs": 11,
-    "customer_order_dates": 11,
-    "doc_decontaminated_sample": 11,
-    "doc_neardup_representatives": 11,
-    "doc_shard_packing": 11,
-    "doc_stratified_cap": 11,
-    "doc_token_jaccard_pairs": 11,
-    "embedding_dim_profile": 12,
-    "embedding_hard_negatives": 12,
-    "embedding_knn_exact": 12,
-    "embedding_knn_ivf": 12,
-    "embedding_knn_label_accuracy": 12,
-    "embedding_knn_lsh": 12,
-    "embedding_label_centroids": 12,
-    "embedding_mutual_nn_pairs": 12,
-    "embedding_near_dup_pairs": 12,
-    "embedding_rrf_fusion": 12,
-    "doc_minhash_near_dups": 11,
-    "doc_simhash_clusters": 11,
-    "doc_neardup_components": 11,
-    "doc_prefix_filter_jaccard": 11,
-    "doc_prefix_filter_neardups": 11,
-    "embedding_norms": 12,
-    "rollup_incremental_equals_full": 11,
-    "orders_customer_join_ivm": 11,
-    "events_user_quota_batch": 11,
-    "priority_price_extremes": 11,
-    "latest_orders_with_ties": 11,
-    "monthly_revenue_mom": 11,
-    "daily_revenue_zscore_28d": 13,
-    "customer_rfm_scores": 11,
-    "revenue_top_decile_share": 11,
-    "hourly_error_rate_24h": 11,
-    "record_revenue_days": 11,
-    "customer_running_balance": 11,
-    "daily_revenue_autocorr": 13,
-    "user_value_twap": 11,
-    "events_hourly_ohlc": 11,
-    "events_value_binned_quantiles": 11,
-    "cohort_ltv_matrix": 11,
-    "daily_revenue_cusum": 11,
-    "corpus_datasheet": 11,
-    "events_user_erasure_audit": 11,
-    "orders_expectation_report": 11,
-    "customer_order_window_corners": 11,
-    "orders_acid_timetravel": 11,
-    "orders_manifest_cdf": 11,
-    "priority_rollup_cdf_maintained": 11,
-    "orders_manifest_history": 11,
-    "orders_cdc_apply_state": 11,
-    # r13: quote-audit reroute paired with its good-frame subtraction
-    # (only standalone-parse-successful fragments move to quarantine).
-    "orders_csv_quarantine_roundtrip": 13,
-    "orders_xml_roundtrip": 11,
-    "events_manifest_pruned_scan": 11,
-    "events_bloom_pruned_lookup": 11,
-    "events_zorder_pruned_scan": 11,
-    "events_value_drift": 11,
-    "orders_snapshot_diff": 11,
-    "segment_revenue_trend": 11,
-    "segment_revenue_trend_slope": 11,
-    "part_pareto_frontier": 11,
-    "rolling_7day_revenue": 11,
-    "cheapest_shipment_supplier": 11,
-    "events_props_json": 11,
-    "events_props_variant": 11,
-    "order_priority_rollup": 11,
-    "order_status_priority_cube": 11,
-    "errors_in_session": 11,
-    "clicks_asof_purchase": 11,
-    "customer_order_gaps": 11,
-    "first_lineitem_per_order": 11,
-    "order_id_formatting": 11,
-    "events_sessionization": 11,
-    # r13: oracle SQL now mirrors the non-finite scrub (r12 advice).
-    "cleaned_events_pipeline": 13,
-    "customer_revenue_decile": 11,
-    "customer_revenue_rank": 11,
-    "events_sketch_profile": 11,
-    "event_transition_matrix": 11,
-    "events_value_forward_fill": 11,
-    "top_event_paths": 11,
-    "part_pair_cooccurrence": 11,
-    "part_also_bought_top3": 11,
-    "events_mergeable_hll_rollup": 11,
-    "embedding_dim_covariance": 12,
-    "corpus_token_df": 11,
-    "doc_curation_pipeline": 11,
-    "doc_weighted_sample": 11,
-    "doc_binary_asset_features": 11,
-    "flight_airline_scorecard": 12,
-    "flight_busiest_routes": 12,
-    "flight_rolling_otp": 12,
-    "flight_delay_distribution": 12,
-    "flight_seasonal_summary": 12,
-    "airport_neighbor_pairs": 12,
-    "flight_airline_dow": 12,
-    "flight_airport_traffic": 12,
-    "flight_weekly_summary": 13,
-    "flight_distance_buckets": 12,
-    "flight_monthly_trends": 12,
-    "flight_efficiency": 12,
-    "flight_daily_summary": 12,
-    "flight_aircraft_utilization": 12,
-    "flight_number_performance": 12,
-    "flight_operational_summary": 12,
-    "flight_weekend_split": 12,
-    "flight_quarterly_summary": 12,
 }
 
 #: Driver sample-window size (the correctness harness samples this many
