@@ -219,3 +219,50 @@ def compact_partitioned_path(
     finally:
         remove_path(spark, staging)
     return done
+
+
+def compact_unpartitioned_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int | None:
+    """Compact an UNPARTITIONED parquet directory to
+    ``ceil(bytes / target_file_bytes)`` files; returns the file count
+    before compaction, or ``None`` when the layout is already compact.
+
+    The maintained corpus silver tables (``pipelines/corpus.py``) are
+    append-per-ingest-batch unpartitioned parquet — every batch leaves
+    its own files, and after thousands of batches the anti-join
+    admission scan pays listing + tiny-file open costs on each ingest.
+    This is the maintenance pass that folds them back: one read of the
+    fragmented table, pinned via ``pin_for_self_overwrite`` (Spark
+    cannot overwrite a path mid-read), one hash repartition to the
+    target count, one overwrite.
+
+    Same concurrency contract as :func:`compact_partitioned_path`:
+    plain parquet has no commit protocol, so run only when no
+    concurrent writer touches the table (the ingest scheduler's
+    maintenance window); manifest-ACID tables use
+    ``ManifestTable.compact`` instead."""
+    census = partition_file_census(spark, path)
+    if set(census) - {""}:
+        raise ValueError(
+            f"{path} is hive-partitioned; use compact_partitioned_path"
+        )
+    nbytes, nfiles = census.get("", (0, 0))
+    n_target = max(1, -(-nbytes // target_file_bytes))
+    if nfiles <= n_target:
+        return None
+
+    from unicargo_medallion_data_pipeline_spark.sources.staging import (
+        pin_for_self_overwrite,
+    )
+
+    pinned, cleanup = pin_for_self_overwrite(
+        spark.read.parquet(path), path, "compact_flat"
+    )
+    try:
+        pinned.repartition(n_target).write.mode("overwrite").parquet(path)
+    finally:
+        cleanup()
+    return nfiles
