@@ -171,8 +171,16 @@ def calibration_dict(
         eff = bracket_spread({r for r, _ in sel.values()}, probes)
     else:
         eff = effective_spread(runs, probes)
+    import statistics
+
     return {
         "probe_sec": [round(p, 3) for p in probes],
+        # median probe = this window's host-throughput anchor (r14
+        # verdict task 2: cross-round deltas must be probe-NORMALIZED —
+        # a 20% slower host shows as a 20% larger median, and
+        # bench_compare.py divides it back out, so drift and plan
+        # regressions finally separate in the artifacts themselves)
+        "probe_median": round(statistics.median(probes), 4),
         # spread of the probes bracketing the rounds that produced the
         # emitted numbers — the steadiness evidence for THESE numbers
         "probe_spread": round(eff, 3) if eff else None,

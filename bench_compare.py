@@ -65,13 +65,32 @@ def spread(artifact: dict) -> float | None:
     return cal.get("probe_spread")
 
 
-def first_seen(artifacts: list[tuple[int, dict]]) -> dict[str, tuple[int, float]]:
-    """query -> (round, seconds) from the EARLIEST artifact measuring it."""
-    base: dict[str, tuple[int, float]] = {}
+def probe_median(artifact: dict) -> float | None:
+    """This artifact's host-throughput anchor: the committed
+    ``probe_median`` (r15+ artifacts), else the median of its raw
+    ``probe_sec`` list (every artifact since r7 carries one)."""
+    import statistics
+
+    cal = artifact.get("calibration") or {}
+    if isinstance(cal.get("probe_median"), (int, float)):
+        return float(cal["probe_median"])
+    probes = cal.get("probe_sec")
+    if isinstance(probes, list) and probes:
+        return float(statistics.median(probes))
+    return None
+
+
+def first_seen(
+    artifacts: list[tuple[int, dict]]
+) -> dict[str, tuple[int, float, float | None]]:
+    """query -> (round, seconds, that round's probe median) from the
+    EARLIEST artifact measuring it."""
+    base: dict[str, tuple[int, float, float | None]] = {}
     for rnd, art in artifacts:
+        pm = probe_median(art)
         for name, sec in art["queries"].items():
             if name not in base and isinstance(sec, (int, float)):
-                base[name] = (rnd, float(sec))
+                base[name] = (rnd, float(sec), pm)
     return base
 
 
@@ -84,13 +103,22 @@ def compare(
     """Returns (rows, hard_fail).  A row is one query's ratio record."""
     base = first_seen(artifacts)
     cur_spread = spread(current)
+    cur_probe = probe_median(current)
     steady = cur_spread is not None and cur_spread <= max_spread
     rows, hard_fail = [], False
     for name, sec in sorted(current["queries"].items()):
         fs = base.get(name)
         ratio = round(sec / fs[1], 2) if fs and fs[1] else None
+        # Probe-normalized ratio (r14 verdict task 2): divide each
+        # window's host throughput back out, so a uniformly slower VM
+        # no longer reads as a uniform plan regression.  The WEAK gate
+        # judges the normalized ratio when both anchors exist.
+        norm_ratio = None
+        if ratio is not None and cur_probe and fs[2]:
+            norm_ratio = round((sec / cur_probe) / (fs[1] / fs[2]), 2)
+        judged = norm_ratio if norm_ratio is not None else ratio
         flag = ""
-        if ratio is not None and ratio > threshold:
+        if judged is not None and judged > threshold:
             flag = "WEAK" if steady else "weak?(noisy window)"
             hard_fail = hard_fail or steady
         rows.append(
@@ -100,6 +128,7 @@ def compare(
                 "first_seen_round": fs[0] if fs else None,
                 "first_seen_sec": fs[1] if fs else None,
                 "ratio": ratio,
+                "norm_ratio": norm_ratio,
                 "flag": flag,
             }
         )
@@ -142,7 +171,9 @@ def main(argv=None) -> int:
         )
         print(
             f"{r['query']:{w}s} {r['sec']:>8.3f}s  {fs:>14s}  "
-            f"ratio={r['ratio'] if r['ratio'] is not None else '—':>5}  {r['flag']}"
+            f"ratio={r['ratio'] if r['ratio'] is not None else '—':>5}  "
+            f"norm={r['norm_ratio'] if r['norm_ratio'] is not None else '—':>5}  "
+            f"{r['flag']}"
         )
     n_weak = sum(1 for r in rows if r["flag"] == "WEAK")
     print(f"\n{n_weak} steady-window regressions over {args.threshold}x")

@@ -12,7 +12,7 @@ def _art(queries, spread=1.1):
 def test_first_seen_takes_earliest_round():
     arts = [(1, _art({"q": 1.0})), (2, _art({"q": 0.5, "r": 2.0}))]
     base = bc.first_seen(arts)
-    assert base == {"q": (1, 1.0), "r": (2, 2.0)}
+    assert base == {"q": (1, 1.0, None), "r": (2, 2.0, None)}
 
 
 def test_steady_regression_flags_and_hard_fails():
@@ -72,3 +72,47 @@ def test_current_flag_committed_r09_artifact_loads():
 
     path = os.path.join(os.path.dirname(bc.__file__), "BENCH_r09.json")
     assert bc.main(["--current", path]) == 0
+
+
+def test_probe_normalized_ratio_separates_drift_from_regression():
+    """r14 verdict task 2: a query 2.4x slower on a host whose probe
+    also ran 2.4x slower is DRIFT (norm ratio 1.0, no flag); the same
+    raw ratio on an equally-fast host is a real regression (norm 2.4,
+    WEAK).  The gate judges the normalized ratio when both windows
+    carry probe anchors."""
+    hist = [
+        (
+            9,
+            {
+                "queries": {"q": 1.0},
+                "calibration": {"probe_spread": 1.1, "probe_sec": [0.10, 0.10]},
+            },
+        )
+    ]
+    drift = {
+        "queries": {"q": 2.4},
+        "calibration": {"probe_spread": 1.1, "probe_sec": [0.24, 0.24]},
+    }
+    rows, hard_fail = bc.compare(drift, hist, threshold=2.0, max_spread=1.6)
+    (r,) = rows
+    assert r["ratio"] == 2.4 and r["norm_ratio"] == 1.0 and r["flag"] == ""
+    assert not hard_fail
+
+    regress = {
+        "queries": {"q": 2.4},
+        "calibration": {"probe_spread": 1.1, "probe_sec": [0.10, 0.10]},
+    }
+    rows, hard_fail = bc.compare(regress, hist, threshold=2.0, max_spread=1.6)
+    (r,) = rows
+    assert r["norm_ratio"] == 2.4 and r["flag"] == "WEAK" and hard_fail
+
+
+def test_probe_median_prefers_committed_field():
+    art = {
+        "queries": {},
+        "calibration": {"probe_median": 0.5, "probe_sec": [0.1, 0.9]},
+    }
+    assert bc.probe_median(art) == 0.5
+    art2 = {"queries": {}, "calibration": {"probe_sec": [0.1, 0.2, 0.9]}}
+    assert bc.probe_median(art2) == 0.2
+    assert bc.probe_median({"queries": {}}) is None

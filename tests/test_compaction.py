@@ -164,3 +164,35 @@ def test_compaction_tolerates_map_columns(spark, tmp_path):
     assert all(n == 1 for _, n in census.values())
     # content identical (map rendered to string for comparison)
     assert key(spark.read.parquet(path)) == before_rows
+
+
+def test_compaction_refuses_bucketed_layout(spark):
+    """r15 task 6: the generic fold-small-files pass must never touch a
+    bucketed table — rewriting its files would strip the bucket-id file
+    naming and the one-file-per-bucket sort contract that
+    save_bucketed_table stamps and read_bucketed_table trusts.  Both
+    compaction entry points refuse on sight of a bucket-named data
+    file, and the corpus maintenance pass inherits the guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from unicargo_medallion_data_pipeline_spark.sources.compaction import (
+        compact_partitioned_path,
+        compact_unpartitioned_path,
+    )
+    from unicargo_medallion_data_pipeline_spark.sources.writers import (
+        save_bucketed_table,
+        table_location,
+    )
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    )
+    name = save_bucketed_table(df, spark, "compact_guard", "b_t", ["k"], 4)
+    loc = table_location(spark, name)
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_unpartitioned_path(spark, loc, target_file_bytes=1)
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_partitioned_path(spark, loc, ["k"], target_file_bytes=1)
+    # untouched: still readable with the full row count
+    assert spark.table(name).count() == 100

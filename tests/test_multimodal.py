@@ -68,17 +68,25 @@ def test_frame_sampling(spark, assets):
     assert frames.filter(F.col("ts_ms") % 1000 != 0).count() == 0
 
 
-def test_resize_end_to_end_with_fake_codec(spark, assets):
+def test_resize_end_to_end_with_default_codec(spark, assets):
     """decode → nearest-neighbour resample → encode runs end-to-end with
-    the deterministic numpy codec: no NotImplementedError anywhere."""
-    from unicargo_medallion_data_pipeline_spark.textops.multimodal import resize_images
+    the AutoCodec default: real PNG assets come back as REAL 32x24 PNGs
+    (r15 — parse-verified), fake-decoded modalities as raw arrays."""
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        PngCodec,
+        resize_images,
+    )
 
     out = {r["asset_id"]: r for r in resize_images(assets, 32, 24).collect()}
     assert len(out) == 64
-    resized = [r for a, r in out.items() if a % 13 != 0]
-    for r in resized:
+    resized = [(a, r) for a, r in out.items() if a % 13 != 0]
+    for a, r in resized:
         assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
-        assert len(r["content"]) == 32 * 24 * r["meta"]["n_channels"]
+        if a % 3 == 0:  # image/png: a genuine PNG with the new dims
+            arr = PngCodec().decode(bytes(r["content"]), 0, 0, 0)
+            assert arr.shape == (24, 32, 3)
+        else:
+            assert len(r["content"]) == 32 * 24 * r["meta"]["n_channels"]
     # corrupt (empty) assets pass through unchanged, stage survives
     for a in (0, 13, 26, 39, 52):
         assert bytes(out[a]["content"]) == b""
@@ -290,3 +298,189 @@ def test_streaming_binary_ingestion_into_assets_table(spark, binary_dir, tmp_pat
     assert key(table) == key(
         spark.read.parquet(os.path.join(batch_dir, f"{corpus.ASSETS_TABLE}.parquet"))
     )
+
+
+def test_truncated_png_dims_are_null_not_garbage(spark):
+    """r14 ADVICE item 1: an intact PNG signature on a file truncated
+    below 24 bytes must yield NULL dims everywhere — including the
+    maintained corpus_assets path (asset_metadata_rows), which has no
+    query-level length guard."""
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        PNG_SIGNATURE,
+        asset_metadata_rows,
+        png_height,
+        png_width,
+    )
+
+    sig = PNG_SIGNATURE
+    full = sig + (13).to_bytes(4, "big") + b"IHDR" + (64).to_bytes(4, "big") + (48).to_bytes(4, "big")
+    rows = [
+        (1, sig),                 # signature only (8B)
+        (2, full[:20]),           # cut mid-width field
+        (3, full[:23]),           # one byte short of the height field
+        (4, full),                # exactly 24B: dims must parse
+    ]
+    df = spark.createDataFrame(rows, "id int, content binary")
+    got = {
+        r.id: (r.w, r.h)
+        for r in df.select(
+            "id",
+            png_width(F.col("content")).alias("w"),
+            png_height(F.col("content")).alias("h"),
+        ).collect()
+    }
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == (64, 48)
+
+    # and through the production silver extractor
+    bin_like = df.select(
+        F.concat(F.lit("mem://"), F.col("id").cast("string")).alias("path"),
+        F.length("content").cast("long").alias("length"),
+        F.current_timestamp().alias("modificationTime"),
+        "content",
+    )
+    meta = {r.path: (r.width, r.height) for r in asset_metadata_rows(bin_like).collect()}
+    assert meta["mem://1"] == (None, None)
+    assert meta["mem://2"] == (None, None)
+    assert meta["mem://4"] == (64, 48)
+
+
+def test_byte_packers_wrap_out_of_range_inputs(spark):
+    """r14 ADVICE item 3: be32/le16/le32 are exported building blocks —
+    values above the field width (or negative longs) must wrap mod
+    2^32 / 2^16 like two's-complement packing, not keep their HIGH
+    nibbles via lpad truncation."""
+    import struct
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import be32, le16, le32
+
+    df = spark.createDataFrame(
+        [(1, (1 << 32) + 5), (2, -1), (3, 0x1_0001), (4, 7)], "id int, v long"
+    )
+    got = {
+        r.id: (bytes(r.b32), bytes(r.l32), bytes(r.l16))
+        for r in df.select(
+            "id",
+            be32(F.col("v")).alias("b32"),
+            le32(F.col("v")).alias("l32"),
+            le16(F.col("v")).alias("l16"),
+        ).collect()
+    }
+    for i, v in [(1, (1 << 32) + 5), (2, -1), (3, 0x1_0001), (4, 7)]:
+        assert got[i][0] == struct.pack(">I", v & 0xFFFFFFFF), f"be32({v})"
+        assert got[i][1] == struct.pack("<I", v & 0xFFFFFFFF), f"le32({v})"
+        assert got[i][2] == struct.pack("<H", v & 0xFFFF), f"le16({v})"
+
+
+def test_png_codec_roundtrip_real_pixels():
+    """r14 verdict task 4: pack → encode → decode round-trips REAL pixel
+    data bit-exactly for every supported channel count, with no media
+    library — IDAT is stdlib zlib, unfilter is numpy."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        PNG_SIGNATURE,
+        PngCodec,
+    )
+
+    png = PngCodec()
+    for ch in (1, 2, 3, 4):
+        rng = np.random.default_rng(ch)
+        arr = (rng.random((13, 17, ch)) * 255).astype(np.uint8)
+        enc = png.encode(arr)
+        assert enc[:8] == PNG_SIGNATURE and enc.endswith(b"IEND\xaeB`\x82")
+        dec = png.decode(enc, 0, 0, 0)
+        assert dec.shape == (13, 17, ch)
+        assert np.array_equal(dec, arr)
+
+
+def test_png_codec_decodes_all_five_filters():
+    """A foreign encoder may use any per-line filter; decode a
+    hand-built PNG exercising filters 0-4 against the reference
+    filtering math run in reverse."""
+    import zlib
+
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import PngCodec
+
+    def chunk(t, d):
+        return (
+            len(d).to_bytes(4, "big") + t + d
+            + (zlib.crc32(t + d) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    w, h, ch = 5, 5, 3
+    rng = np.random.default_rng(0)
+    img = (rng.random((h, w, ch)) * 255).astype(np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int16)
+        f = y % 5
+        raw.append(f)
+        left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = (line - left) % 256
+        elif f == 2:
+            filt = (line - prev) % 256
+        elif f == 3:
+            filt = (line - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - ul
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            filt = (line - pred) % 256
+        raw.extend(int(v) for v in filt)
+        prev = line
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(PngCodec().decode(data, 0, 0, 0), img)
+
+
+def test_png_codec_error_channel():
+    import numpy as np
+    import pytest as _pytest
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import PngCodec
+
+    png = PngCodec()
+    good = png.encode(np.zeros((4, 4, 3), dtype=np.uint8))
+    for bad in (b"", b"notapng", good[:20], good[:40]):
+        with _pytest.raises(ValueError):
+            png.decode(bad, 0, 0, 0)
+
+
+def test_extract_features_real_png_mean_is_pixel_mean(spark, assets):
+    """The PNG quarter's mean_byte is now the mean of DECODED pixels
+    (not of the compressed file bytes) — verified against a driver-side
+    numpy recomputation of the same deterministic image."""
+    import numpy as np
+
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        extract_features,
+    )
+
+    i = 3  # image/png, not corrupt (3 % 13 != 0)
+    w, h = 64 + i % 128, 64 + (i * 3) % 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [(yy + i) % 256, (xx * 3 + i) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    row = (
+        extract_features(assets.filter(F.col("asset_id") == i)).collect()[0]
+    )
+    assert row["decode_status"] == "ok"
+    assert abs(row["mean_byte"] - float(arr.mean())) < 1e-9

@@ -144,6 +144,16 @@ def test_result_hash_canonicalizes_order_and_maps(spark):
     assert h3 != h1
 
 
+def test_result_hash_refuses_duplicate_column_names():
+    """r14 ADVICE item 4: a post-join result carrying two columns with
+    the same name must fail LOUDLY, not hash one copy twice into a
+    misleading pass."""
+    from unicargo_medallion_data_pipeline_spark.oracle import result_hash
+
+    with pytest.raises(ValueError, match="duplicate column"):
+        result_hash(["k", "k", "v"], [])
+
+
 def test_force_window_parser_reads_entry_file():
     names = fp._force_window_names()
     assert isinstance(names, list)

@@ -183,6 +183,17 @@ def result_hash(columns, rows) -> str:
     import hashlib  # noqa: PLC0415
 
     cols = sorted(columns)
+    if len(set(cols)) != len(cols):
+        # r14 ADVICE item 4: r[c] name-indexing under a duplicated
+        # column name would either raise deep in Row or silently hash
+        # one copy twice — a misleading "pass".  No catalog query may
+        # emit duplicate names (the driver's compare couldn't either);
+        # fail loudly at the gate instead.
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(
+            f"result_hash: duplicate column name(s) {dupes} — alias join "
+            "outputs uniquely before hashing"
+        )
     norm = sorted(
         (tuple(_hash_cell(r[c]) for c in cols) for r in rows), key=_sort_key
     )

@@ -293,7 +293,21 @@ def apply_corpus_batch(
             asset_metadata_rows,
         )
 
-        meta = asset_metadata_rows(new_assets)
+        from unicargo_medallion_data_pipeline_spark.operators.cleaning import (
+            canonical_dedup,
+        )
+
+        # One row per path WITHIN the batch too (r14 ADVICE item 2):
+        # the anti-join only dedupes against the existing table, so a
+        # caller unioning two overlapping listings would append the
+        # same path twice and permanently break the exactly-once
+        # contract.  Deterministic winner (min content hash) mirrors
+        # the docs/embeddings admission paths.
+        meta = canonical_dedup(
+            asset_metadata_rows(new_assets),
+            keys=["path"],
+            order_by=[F.asc("content_hash")],
+        )
         as_path = _path(out_dir, ASSETS_TABLE)
         existing_as = read_parquet_or_empty(spark, as_path, like=meta)
         admitted_as = meta.join(

@@ -369,3 +369,117 @@ def asset_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(status == "ok", png_width(content)).alias("width"),
     )
     return audited.orderBy("doc_id")
+
+
+@register(
+    "corpus_assets_maintained_profile",
+    sql=f"""
+    WITH docs1 AS ({SQL_DOCS1}),
+    typed AS (
+        SELECT doc_id,
+               CASE {_PMOD.format(m=4)}
+                 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'audio/wav'
+                 WHEN 2 THEN 'video/mp4'
+                 ELSE 'application/pdf'
+               END AS media_type,
+               CASE {_PMOD.format(m=4)}
+                 WHEN 0 THEN 24 WHEN 1 THEN 12 WHEN 2 THEN 8 ELSE 5
+               END + octet_length(encode(text)) AS n_bytes,
+               CASE WHEN {_PMOD.format(m=4)} = 0
+                    THEN CAST(16 + {_PMOD.format(m=1024)} AS INTEGER)
+               END AS width,
+               CASE WHEN {_PMOD.format(m=4)} = 0
+                    THEN CAST(16 + {_PMOD.format(m=977)} AS INTEGER)
+               END AS height,
+               CASE WHEN {_PMOD.format(m=4)} = 0
+                    THEN CAST(16 + {_PMOD.format(m=1024)} AS VARCHAR)
+                         || ':' || CAST(16 + {_PMOD.format(m=977)} AS VARCHAR)
+                         || ':' || text
+                    ELSE text
+               END AS content_key
+        FROM docs1
+    )
+    SELECT media_type,
+           count(*) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           count(DISTINCT content_key) AS n_distinct_contents,
+           CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels
+    FROM typed
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    operators=("S6", "P10", "A13"),
+)
+def corpus_assets_maintained_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED ``corpus_assets`` silver table under the hash
+    gate (r14 verdict task 3 — the pre-r15 asset family synthesized its
+    blobs per query; this query instead drives the corpus pipeline's
+    batch admission and aggregates what the TABLE holds).
+
+    Flow: synthesize the typed asset lake (same byte layouts as the
+    rest of the family, PNG dims doc_id-derived) as a binaryFile-shaped
+    frame, ingest it through ``pipelines.corpus.apply_corpus_batch``
+    in TWO batches where the second batch REPLAYS every path of the
+    first plus delivers the rest — the path-keyed anti-join admission
+    (plus the r15 intra-batch canonical dedup) must drop all
+    re-deliveries — then read the maintained parquet table back and
+    profile per media type.  The oracle recomputes the per-type counts
+    / bytes / distinct contents / PNG pixel sum from the id arithmetic
+    on the raw documents table, so a green row proves the pipeline's
+    admission is exactly-once AND its metadata extraction
+    (sniff + header-dims at the ``asset_metadata_rows`` layer, not the
+    query layer) is value-exact end-to-end through the maintained
+    state.
+
+    Scale shape: admission is one left-anti join keyed by path per
+    batch (sized by batch x table-keys, never blob bytes — the content
+    column feeds only codegen hash/sniff/dims before the append);
+    the profile is one keyed aggregation over the metadata table.
+    ``n_distinct_contents`` compares md5-distinct (Spark, over real
+    bytes) with key-distinct (oracle, over the injective (w,h,text)
+    construction)."""
+    import os as _os
+
+    from unicargo_medallion_data_pipeline_spark.pipelines.corpus import (
+        ASSETS_TABLE,
+        apply_corpus_batch,
+    )
+    from unicargo_medallion_data_pipeline_spark.sources.readers import (
+        read_parquet_or_empty,
+    )
+    from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
+    from unicargo_medallion_data_pipeline_spark.textops.multimodal import (
+        asset_metadata_rows,
+    )
+
+    docs = docs_with_text(spark, sf_dir)
+    binlike = docs.select(
+        F.concat(F.lit("assets/"), F.col("doc_id").cast("string")).alias("path"),
+        _typed_content(fixed_png_dims=False).alias("content"),
+    ).withColumn("length", F.length("content").cast("long"))
+
+    out_dir = scratch_dir("corpus_assets_q_")
+    first = binlike.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    apply_corpus_batch(spark, out_dir, new_assets=first)
+    # Batch 2 = the FULL lake: every batch-1 path is a re-delivery the
+    # exactly-once admission must drop; the rest is new.
+    apply_corpus_batch(spark, out_dir, new_assets=binlike)
+
+    assets = read_parquet_or_empty(
+        spark,
+        _os.path.join(out_dir, f"{ASSETS_TABLE}.parquet"),
+        like=asset_metadata_rows(binlike),
+    )
+    return (
+        assets.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("content_hash").alias("n_distinct_contents"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias(
+                "total_pixels"
+            ),
+        )
+        .orderBy("media_type")
+    )

@@ -371,10 +371,16 @@ def orders_lineitem_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame
     # executed after the conf was restored — a small sf could broadcast
     # and never exercise the bucketed path the assert vouched for.  The
     # hint makes the asserted plan and the executed plan the same plan.
+    # Guarded reads (r15): the scan-claimed sort order is only trusted
+    # for tables stamped one-file-per-bucket by save_bucketed_table —
+    # a foreign/multi-file bucketed table refuses here instead of
+    # letting the sort-free SMJ return wrong rows.
+    from unicargo_medallion_data_pipeline_spark.sources.writers import read_bucketed_table
+
     joined = (
-        spark.table("bucketed_gold.lineitem_b")
+        read_bucketed_table(spark, "bucketed_gold.lineitem_b")
         .hint("merge")
-        .join(spark.table("bucketed_gold.orders_b"), "l_orderkey")
+        .join(read_bucketed_table(spark, "bucketed_gold.orders_b"), "l_orderkey")
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     if "Exchange" in plan:

@@ -34,14 +34,20 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Don't let a tiny dim table fall back to sort-merge.
     "spark.sql.autoBroadcastJoinThreshold": "32m",
-    # Trust within-bucket sort order at scan time (Spark only honors it
-    # when a bucket is exactly ONE file — which save_bucketed_table now
-    # guarantees by repartitioning onto the bucket hash before writing).
-    # Off by default since Spark 3 because multi-file buckets made it
-    # unsafe; with the one-file contract it removes the per-query Sort
-    # under every sort-merge join on bucketed facts — at 100 TB that is
-    # re-sorting the lake once per query versus never.  Cost: a file
-    # listing at planning, already paid by the scan.
+    # Trust within-bucket sort order at scan time.  SAFETY (r15, pinned
+    # by tests/test_bucket_guard.py): Spark's planner re-verifies the
+    # layout — with this conf on it lists the bucket files and claims
+    # the ordering ONLY when every bucket is a single file, re-sorting
+    # otherwise, so a foreign multi-file bucketed table cannot yield a
+    # wrong sort-free SMJ.  save_bucketed_table guarantees the one-file
+    # layout (repartition onto the bucket hash before write), verifies
+    # it on disk, and stamps spark_graft.one_file_per_bucket;
+    # sources.writers.read_bucketed_table additionally refuses (or
+    # path-scan-degrades) unverifiable tables as defense-in-depth.
+    # Benefit: removes the per-query Sort under every sort-merge join
+    # on bucketed facts — at 100 TB that is re-sorting the lake once
+    # per query versus never.  Cost: a file listing at planning,
+    # already paid by the scan.
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     # Parquet scans: stable 128 MB split targets.
     "spark.sql.files.maxPartitionBytes": "134217728",

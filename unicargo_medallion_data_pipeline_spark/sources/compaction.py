@@ -59,6 +59,38 @@ def partition_file_census(
     return out
 
 
+def refuse_bucketed_layout(spark: SparkSession, path: str) -> None:
+    """Raise if ``path`` holds BUCKETED data files (r15 task 6: the
+    compaction × layout interaction guard).
+
+    A bucketed table's layout contract lives in its FILE NAMES (the
+    ``_NNNNN`` bucket-id suffix Spark's scan planner reads back) and in
+    the one-file-per-bucket sort contract ``save_bucketed_table``
+    stamps; folding those files with a generic repartition-and-rewrite
+    would silently strip both — downstream joins would either lose
+    their exchange-free plan or (on engines that trust stale metadata)
+    read wrong bucket assignments.  Bucketed tables are compact BY
+    CONSTRUCTION (one file per bucket at write); there is never a
+    reason to point this maintenance pass at one, so any bucket-named
+    data file is refused loudly."""
+    from unicargo_medallion_data_pipeline_spark.sources.writers import _bucket_id_of
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        if _bucket_id_of(name) is not None:
+            raise ValueError(
+                f"refusing to compact {path}: {name} is a bucketed data "
+                "file — rewriting would break the one-file-per-bucket "
+                "sort contract (rewrite via save_bucketed_table instead)"
+            )
+
+
 #: Hive's directory name for a NULL partition value.
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -117,6 +149,7 @@ def compact_partitioned_path(
     base-pinned commit turns the same race into a
     ``ConcurrentCommitError`` retry instead of silent loss.
     """
+    refuse_bucketed_layout(spark, path)
     census = partition_file_census(spark, path)
     todo: dict[str, tuple[int, int]] = {}
     for part_dir, (nbytes, nfiles) in census.items():
@@ -244,6 +277,7 @@ def compact_unpartitioned_path(
     concurrent writer touches the table (the ingest scheduler's
     maintenance window); manifest-ACID tables use
     ``ManifestTable.compact`` instead."""
+    refuse_bucketed_layout(spark, path)
     census = partition_file_census(spark, path)
     if set(census) - {""}:
         raise ValueError(

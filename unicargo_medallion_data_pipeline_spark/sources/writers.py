@@ -157,6 +157,126 @@ def write_partitioned_path(
     writer.save(path)
 
 
+#: Table property stamped by :func:`save_bucketed_table` after the
+#: on-disk one-file-per-bucket layout has been VERIFIED.  The session
+#: conf ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+#: (session.py) lets a sort-merge join skip its Sort by trusting the
+#: scan's claimed order — which is only safe when every bucket is a
+#: single sorted file.  The property scopes that session-wide trust to
+#: tables THIS engine wrote and verified: :func:`read_bucketed_table`
+#: refuses (or degrades) any bucketed table without it whose layout
+#: cannot be re-verified on disk (r14 verdict item 1 — the only known
+#: path to a silently wrong SMJ answer).
+ONE_FILE_PER_BUCKET_PROP = "spark_graft.one_file_per_bucket"
+
+#: Bucket id embedded in a bucketed data file name:
+#: ``part-00007-<uuid>_00007.c000.snappy.parquet`` → ``00007``.
+_BUCKET_FILE_RE = None  # compiled lazily below
+
+
+def _bucket_id_of(filename: str) -> int | None:
+    global _BUCKET_FILE_RE
+    import re
+
+    if _BUCKET_FILE_RE is None:
+        _BUCKET_FILE_RE = re.compile(r"_(\d{5})(?:\.c\d+)?\.[a-z0-9.]+$")
+    m = _BUCKET_FILE_RE.search(filename)
+    return int(m.group(1)) if m else None
+
+
+def table_location(spark: SparkSession, name: str) -> str:
+    """Filesystem path of a managed/external table (DESCRIBE EXTENDED)."""
+    from urllib.parse import urlparse
+
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+        if row.col_name == "Location":
+            p = urlparse(row.data_type)
+            if p.scheme in ("", "file"):
+                return p.path
+            return row.data_type
+    raise ValueError(f"no Location for table {name}")
+
+
+def verify_one_file_per_bucket(spark: SparkSession, name: str) -> bool:
+    """True iff every bucket of ``name`` is at most ONE data file on
+    disk (empty buckets write no file).  Local/posix listing for file
+    URIs; non-posix locations return False (cannot verify → untrusted)."""
+    import os
+    from collections import Counter
+
+    try:
+        loc = table_location(spark, name)
+    except ValueError:
+        return False
+    if not os.path.isdir(loc):
+        return False
+    ids = Counter()
+    for f in os.listdir(loc):
+        if f.startswith(("_", ".")):
+            continue
+        b = _bucket_id_of(f)
+        if b is None:
+            return False  # non-bucket-named data file → layout unknown
+        ids[b] += 1
+    return bool(ids) and max(ids.values()) == 1
+
+
+class BucketLayoutError(RuntimeError):
+    """A bucketed table's on-disk layout cannot support the sort-free
+    scan the session conf promises (multi-file buckets, or a foreign
+    write this engine never verified)."""
+
+
+def read_bucketed_table(
+    spark: SparkSession, name: str, on_violation: str = "refuse"
+) -> DataFrame:
+    """Guarded scan of a bucketed table under the engine's
+    ``bucketedTableScan.outputOrdering`` trust (r14 verdict item 1).
+
+    An engine-written table carries :data:`ONE_FILE_PER_BUCKET_PROP`
+    (stamped only after the layout was verified at write time) and is
+    returned as a plain catalog scan — the SMJ above it may drop its
+    sort.  Any other bucketed table (foreign writer, pre-r14 engine,
+    hand-copied files) is re-verified on disk; if one-file-per-bucket
+    cannot be proven:
+
+    - ``on_violation='refuse'`` raises :class:`BucketLayoutError` —
+      wrong rows must never be the failure mode;
+    - ``on_violation='degrade'`` reads the table's files as a PATH scan
+      (no bucket metadata reaches the planner, so joins re-shuffle and
+      re-sort: slower, never wrong).
+
+    Non-bucketed tables pass straight through — the conf only affects
+    bucketed scans.
+    """
+    cat = spark.catalog
+    try:
+        is_bucketed = any(c.isBucket for c in cat.listColumns(name))
+    except Exception:
+        is_bucketed = False
+    if not is_bucketed:
+        return spark.table(name)
+    props = {
+        r.key: r.value for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    }
+    if props.get(ONE_FILE_PER_BUCKET_PROP) == "true" or verify_one_file_per_bucket(
+        spark, name
+    ):
+        return spark.table(name)
+    if on_violation == "degrade":
+        # Path scan: same data, no bucketing/sort metadata → the
+        # planner inserts its own Exchange+Sort. Correct, just slower.
+        return spark.read.format("parquet").schema(
+            spark.table(name).schema
+        ).load(table_location(spark, name))
+    raise BucketLayoutError(
+        f"bucketed table {name} has multi-file (or unverifiable) buckets; "
+        "under spark.sql.legacy.bucketedTableScan.outputOrdering=true a "
+        "sort-merge join over it can return WRONG ROWS. Rewrite it via "
+        "save_bucketed_table, or read with on_violation='degrade'."
+    )
+
+
 def save_bucketed_table(
     df: DataFrame,
     spark: SparkSession,
@@ -211,5 +331,19 @@ def save_bucketed_table(
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .saveAsTable(name)
+    )
+    # Trust is EARNED per table, not assumed session-wide (r14 verdict
+    # item 1): re-verify the layout this write just produced, and only
+    # then stamp the property read_bucketed_table honors.  A failure
+    # here means the writer's own contract broke — fail loudly now,
+    # not as wrong SMJ rows later.
+    if not verify_one_file_per_bucket(spark, name):
+        raise BucketLayoutError(
+            f"save_bucketed_table wrote {name} but the one-file-per-bucket "
+            "layout did not verify on disk"
+        )
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        f"('{ONE_FILE_PER_BUCKET_PROP}'='true')"
     )
     return name

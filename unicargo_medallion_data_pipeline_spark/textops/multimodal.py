@@ -16,13 +16,16 @@ like any narrow map.
 
 Codecs are pluggable: every decode-touching stage takes a ``codec``
 object with ``decode(content, width, height, n_channels) -> ndarray`` and
-``encode(ndarray) -> bytes``.  The default is ``FakeNumpyCodec`` — a
-deterministic pure-numpy stand-in (this container has no image/audio
-libraries) that fabricates pixels by tiling the asset's own bytes, so the
-whole decode → features → resize → frame-sample pipeline runs end-to-end
-and is pytest-verified.  A real deployment swaps in a PIL/opencv/ffmpeg
-codec with the same two methods; none of the Spark-side plumbing
-(schemas, Arrow batching, partitioning, error channel) changes.
+``encode(ndarray) -> bytes``.  The default is ``AutoCodec`` (r15):
+genuine PNG bytes decode through :class:`PngCodec` — a REAL stdlib-only
+PNG implementation (IDAT zlib inflate + all five scanline filters in
+numpy; encode emits spec-complete files any viewer opens) — while the
+non-PNG modalities fall back to ``FakeNumpyCodec``, a deterministic
+pure-numpy stand-in (this container has no wav/mp4/jpeg decoder) that
+fabricates pixels by tiling the asset's own bytes.  A real deployment
+swaps in a PIL/opencv/ffmpeg codec with the same methods; none of the
+Spark-side plumbing (schemas, Arrow batching, partitioning, error
+channel) changes.
 """
 
 from __future__ import annotations
@@ -108,7 +111,10 @@ class FakeNumpyCodec:
         return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
 
-DEFAULT_CODEC = FakeNumpyCodec()
+#: Bound at the END of the module: AutoCodec (real stdlib-zlib PNG
+#: decode for genuine PNG bytes, deterministic fake for the non-PNG
+#: modalities this environment cannot decode).
+DEFAULT_CODEC = None
 
 #: Fallback dims when an asset carries no metadata.
 _DEFAULT_DIMS = (16, 16, 3)
@@ -167,8 +173,23 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     statuses.append("error: missing content")
                     continue
                 try:
-                    feat = _decode_image_stub(bytes(content))
-                    means.append(feat["mean_byte"])
+                    raw = bytes(content)
+                    if raw[:8] == PNG_SIGNATURE:
+                        # r15: REAL pixels for the PNG quarter — IDAT
+                        # inflate + unfilter (PngCodec, stdlib zlib);
+                        # mean over decoded pixel values, and a corrupt/
+                        # truncated PNG lands in the error channel
+                        # instead of fabricating statistics.
+                        import zlib  # noqa: PLC0415
+
+                        try:
+                            arr = PngCodec().decode(raw, 0, 0, 0)
+                        except zlib.error as e:  # bad IDAT stream
+                            raise ValueError(f"bad PNG deflate: {e}") from e
+                        means.append(float(arr.mean()))
+                    else:
+                        feat = _decode_image_stub(raw)
+                        means.append(feat["mean_byte"])
                     statuses.append("ok")
                 except (ValueError, NotImplementedError) as e:
                     means.append(None)
@@ -206,6 +227,11 @@ def resize_images(
                     contents.append(bytes(r["content"]))
                     metas.append(r["meta"])
                     continue
+                # The decoded array is the truth (a real PNG decode
+                # reads its dims from IHDR and may disagree with stale
+                # metadata) — resample indices must come from it, not
+                # from the hint dims.
+                h0, w0, nc = img.shape
                 # Nearest-neighbour resample: pixel-center index mapping.
                 rows = np.minimum(
                     (np.floor((np.arange(height) + 0.5) * h0 / height)).astype(int),
@@ -215,7 +241,15 @@ def resize_images(
                     (np.floor((np.arange(width) + 0.5) * w0 / width)).astype(int),
                     w0 - 1,
                 )
-                contents.append(cdc.encode(img[rows][:, cols]))
+                resized = img[rows][:, cols]
+                # encode_like (AutoCodec): re-encode in the SOURCE
+                # container — a real PNG resizes to a real PNG, fake-
+                # decoded modalities stay raw arrays.  Plain two-method
+                # codecs keep the old symmetric encode.
+                if hasattr(cdc, "encode_like"):
+                    contents.append(cdc.encode_like(bytes(r["content"]), resized))
+                else:
+                    contents.append(cdc.encode(resized))
                 meta = dict(r["meta"]) if r["meta"] is not None else {
                     "width": None, "height": None, "n_channels": nc, "duration_ms": None
                 }
@@ -311,8 +345,12 @@ PDF_MAGIC = b"%PDF-"  # PDF header, bytes 1-5
 
 def be32(col) -> "F.Column":
     """Pack an int column into 4 big-endian bytes (binary), codegen-side:
-    hex → zero-pad to 8 nibbles → unhex."""
-    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+    wrap mod 2^32 → hex → zero-pad to 8 nibbles → unhex.  The pmod mask
+    (r14 ADVICE item 3) makes out-of-range and negative inputs wrap to
+    their two's-complement field value instead of being silently
+    corrupted — ``lpad`` TRUNCATES a too-long hex string to its FIRST n
+    chars, which would keep the high-order nibbles."""
+    return F.unhex(F.lpad(F.hex(F.pmod(col.cast("long"), F.lit(1 << 32))), 8, "0"))
 
 
 def read_be32(content, pos: int) -> "F.Column":
@@ -336,13 +374,19 @@ def is_png(content) -> "F.Column":
 
 
 def png_width(content) -> "F.Column":
-    """IHDR width (bytes 17-20, big-endian); NULL for non-PNG content."""
-    return F.when(is_png(content), read_be32(content, 17))
+    """IHDR width (bytes 17-20, big-endian); NULL for non-PNG content
+    AND for content too short to hold the IHDR dims (r14 ADVICE item 1:
+    an intact signature on a <24-byte truncated file would otherwise
+    parse a short hex slice into a garbage non-NULL value — the
+    maintained ``corpus_assets`` path has no query-level length guard,
+    so the floor must live in the parser)."""
+    return F.when(is_png(content) & (F.length(content) >= 24), read_be32(content, 17))
 
 
 def png_height(content) -> "F.Column":
-    """IHDR height (bytes 21-24, big-endian); NULL for non-PNG content."""
-    return F.when(is_png(content), read_be32(content, 21))
+    """IHDR height (bytes 21-24, big-endian); NULL for non-PNG or
+    truncated (<24B) content — see :func:`png_width`."""
+    return F.when(is_png(content) & (F.length(content) >= 24), read_be32(content, 21))
 
 
 def sniff_media_type(content) -> "F.Column":
@@ -390,14 +434,17 @@ def read_le16(content, pos: int) -> "F.Column":
 
 
 def le16(col) -> "F.Column":
-    """Pack an int column into 2 little-endian bytes (binary)."""
-    padded = F.lpad(F.hex(col.cast("long")), 4, "0")
+    """Pack an int column into 2 little-endian bytes (binary); input
+    wraps mod 2^16 (see :func:`be32` on why the mask must precede
+    ``lpad``)."""
+    padded = F.lpad(F.hex(F.pmod(col.cast("long"), F.lit(1 << 16))), 4, "0")
     return F.unhex(F.concat(F.substring(padded, 3, 2), F.substring(padded, 1, 2)))
 
 
 def le32(col) -> "F.Column":
-    """Pack an int column into 4 little-endian bytes (binary)."""
-    padded = F.lpad(F.hex(col.cast("long")), 8, "0")
+    """Pack an int column into 4 little-endian bytes (binary); input
+    wraps mod 2^32."""
+    padded = F.lpad(F.hex(F.pmod(col.cast("long"), F.lit(1 << 32))), 8, "0")
     return F.unhex(
         F.concat(
             F.substring(padded, 7, 2),
@@ -472,18 +519,232 @@ def asset_metadata_rows(binfiles: DataFrame) -> DataFrame:
 
 
 def synthetic_assets(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table for tests/demos (no external data)."""
+    """Deterministic asset table for tests/demos (no external data).
+
+    r15: the ``image/png`` third carries REAL PNG files (deterministic
+    pixel ramp, encoded by :class:`PngCodec`), so the decode stages
+    exercise genuine IDAT inflate + unfilter end-to-end; wav/mp4 assets
+    keep synthetic raw bytes (no decoder for them in this env)."""
+    import numpy as np
+
     rows = []
+    png = PngCodec()
     for i in range(n):
-        content = bytes((i * 7 + j) % 256 for j in range(100 + (i % 5) * 50))
+        media = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        w, h = 64 + i % 128, 64 + (i * 3) % 128
+        if media == "image/png":
+            yy, xx = np.mgrid[0:h, 0:w]
+            arr = np.stack(
+                [(yy + i) % 256, (xx * 3 + i) % 256, (yy + xx) % 256], axis=-1
+            ).astype(np.uint8)
+            content = png.encode(arr)
+        else:
+            content = bytes((i * 7 + j) % 256 for j in range(100 + (i % 5) * 50))
         if i % 13 == 0:
             content = b""  # corrupt asset → decode error channel
-        media = ["image/png", "audio/wav", "video/mp4"][i % 3]
-        meta = (
-            64 + i % 128,
-            64 + (i * 3) % 128,
-            3,
-            (i % 10) * 1000 if media == "video/mp4" else None,
-        )
+        meta = (w, h, 3, (i % 10) * 1000 if media == "video/mp4" else None)
         rows.append((i, media, content, meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec (r14 verdict task 4): stdlib-only decode/encode — PNG
+# needs nothing beyond zlib (IDAT is a zlib stream; scanline unfilter is
+# byte arithmetic), so the PNG quarter of the asset lake gets GENUINE
+# pixels while the codec seam (mapInPandas plumbing, error channel,
+# batch shape) stays exactly as the pluggable-codec design specified.
+# FakeNumpyCodec is hereby demoted to the non-PNG modalities (no
+# wav/mp4 decoder exists in this environment).
+# Format reference: the public PNG specification (RFC 2083 / ISO 15948)
+# — 8-byte signature, length-type-data-crc chunks, IHDR layout, filter
+# types 0-4 with per-byte mod-256 arithmetic.
+# ---------------------------------------------------------------------------
+
+#: channels per PNG color type (bit depth 8, non-interlaced).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+class PngCodec:
+    """Real PNG decode/encode on stdlib ``zlib`` + numpy.
+
+    ``decode`` parses the chunk stream (IHDR dims/color type win over
+    the caller's metadata hints — the FILE is the truth), inflates the
+    concatenated IDATs, and unfilters scanlines (all five filter types)
+    with mod-256 numpy arithmetic into a ``(h, w, channels)`` uint8
+    array.  ``encode`` emits a spec-complete PNG (signature, IHDR,
+    filter-0 scanlines deflated into one IDAT, IEND, CRCs) that decodes
+    back bit-identically — and that any external viewer can open.
+
+    Supported: bit depth 8, color types 0/2/4/6, non-interlaced — the
+    shapes a training-data lake normalizes to.  Palette (3), 16-bit and
+    interlaced files raise ``ValueError`` into the per-row error
+    channel rather than fabricating pixels.
+    """
+
+    def decode(self, content: bytes, width: int, height: int, n_channels: int):
+        import zlib
+
+        import numpy as np
+
+        content = bytes(content)
+        if not content:
+            raise ValueError("empty asset: nothing to decode")
+        if content[:8] != PNG_SIGNATURE:
+            raise ValueError("not a PNG: bad signature")
+        pos, ihdr, idats = 8, None, []
+        while pos + 8 <= len(content):
+            clen = int.from_bytes(content[pos : pos + 4], "big")
+            ctyp = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + clen]
+            if len(data) < clen:
+                raise ValueError("truncated PNG chunk")
+            if ctyp == b"IHDR":
+                ihdr = data
+            elif ctyp == b"IDAT":
+                idats.append(data)
+            elif ctyp == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if ihdr is None or len(ihdr) < 13:
+            raise ValueError("PNG missing IHDR")
+        w = int.from_bytes(ihdr[0:4], "big")
+        h = int.from_bytes(ihdr[4:8], "big")
+        depth, color, _comp, _filt, interlace = ihdr[8:13]
+        if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+            raise ValueError(
+                f"unsupported PNG (depth={depth}, color={color}, "
+                f"interlace={interlace})"
+            )
+        ch = _PNG_CHANNELS[color]
+        if not idats:
+            raise ValueError("PNG missing IDAT")
+        raw = np.frombuffer(zlib.decompress(b"".join(idats)), dtype=np.uint8)
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        raw = raw.reshape(h, stride + 1)
+        filters, lines = raw[:, 0], raw[:, 1:]
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f, line = int(filters[y]), lines[y]
+            if f == 0:  # None
+                rec = line.copy()
+            elif f == 1:  # Sub: uint8 accumulate wraps mod 256 per spec
+                rec = np.add.accumulate(
+                    line.reshape(w, ch), axis=0, dtype=np.uint8
+                ).reshape(stride)
+            elif f == 2:  # Up
+                rec = line + prev  # uint8 wrap
+            elif f == 3:  # Average: sequential in x (needs left pixel)
+                rec = np.empty(stride, dtype=np.uint8)
+                lp = line.reshape(w, ch).astype(np.int16)
+                pp = prev.reshape(w, ch).astype(np.int16)
+                left = np.zeros(ch, dtype=np.int16)
+                rv = rec.reshape(w, ch)
+                for x in range(w):
+                    left = (lp[x] + ((left + pp[x]) >> 1)) & 0xFF
+                    rv[x] = left
+            elif f == 4:  # Paeth: sequential in x
+                rec = np.empty(stride, dtype=np.uint8)
+                lp = line.reshape(w, ch).astype(np.int16)
+                pp = prev.reshape(w, ch).astype(np.int16)
+                left = np.zeros(ch, dtype=np.int16)
+                ul = np.zeros(ch, dtype=np.int16)
+                rv = rec.reshape(w, ch)
+                for x in range(w):
+                    p = left + pp[x] - ul
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - pp[x]),
+                        np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pp[x], ul)
+                    )
+                    left = (lp[x] + pred) & 0xFF
+                    rv[x] = left
+                    ul = pp[x]
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            out[y] = rec
+            prev = rec
+        return out.reshape(h, w, ch)
+
+    def encode(self, arr) -> bytes:
+        import zlib
+
+        import numpy as np
+
+        a = np.ascontiguousarray(arr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.ndim != 3:
+            raise ValueError(f"expected (h, w[, ch]) array, got shape {arr.shape}")
+        h, w, ch = a.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+        if color is None:
+            raise ValueError(f"unsupported channel count {ch}")
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0])
+        )
+        scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+        scan[:, 1:] = a.reshape(h, w * ch)  # filter byte 0 per line
+        idat = zlib.compress(scan.tobytes(), 6)
+        return (
+            PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+class AutoCodec:
+    """Signature-dispatch codec: genuine PNG bytes decode through
+    :class:`PngCodec` (real pixels), everything else through the
+    deterministic :class:`FakeNumpyCodec` stand-in (this environment
+    has no wav/mp4 decoder).  ``encode_like(content, arr)`` re-encodes
+    in the same container the source bytes used, so a resize stage
+    emits real PNGs for real PNGs and raw arrays for fake-decoded
+    modalities — symmetric per row, stateless, executor-serializable.
+    """
+
+    def __init__(self):
+        self._png = PngCodec()
+        self._fake = FakeNumpyCodec()
+
+    def _of(self, content):
+        return (
+            self._png
+            if content is not None and bytes(content[:8]) == PNG_SIGNATURE
+            else self._fake
+        )
+
+    def decode(self, content, width, height, n_channels):
+        if not content:
+            raise ValueError("empty asset: nothing to decode")
+        return self._of(content).decode(content, width, height, n_channels)
+
+    def encode(self, arr) -> bytes:
+        return self._fake.encode(arr)
+
+    def encode_like(self, content, arr) -> bytes:
+        return self._of(content).encode(arr)
+
+
+#: The engine default (bound here so the classes above exist): real PNG
+#: decode for PNG bytes, deterministic fake elsewhere.
+DEFAULT_CODEC = AutoCodec()
