@@ -139,3 +139,18 @@ def test_non_bucketed_table_passes_through(spark):
         "guard_db.plain_t"
     )
     assert read_bucketed_table(spark, "guard_db.plain_t").count() == 10
+
+
+def test_empty_bucketed_table_verifies_and_reads(spark):
+    """r15 robustness sweep: an empty input writes ZERO bucket files —
+    a valid layout (no bucket has more than one file); the write-time
+    verify must stamp it and the guarded read must return 0 rows, not
+    refuse."""
+    empty = (
+        spark.range(0, 10)
+        .select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+        .filter(F.col("id") < 0)
+    )
+    name = save_bucketed_table(empty, spark, "guard_db", "empty_b", ["k"], 4)
+    assert verify_one_file_per_bucket(spark, name)
+    assert read_bucketed_table(spark, name).count() == 0

@@ -21,11 +21,14 @@ genuine PNG bytes decode through :class:`PngCodec` — a REAL stdlib-only
 PNG implementation (IDAT zlib inflate + all five scanline filters in
 numpy; encode emits spec-complete files any viewer opens) — while the
 non-PNG modalities fall back to ``FakeNumpyCodec``, a deterministic
-pure-numpy stand-in (this container has no wav/mp4/jpeg decoder) that
-fabricates pixels by tiling the asset's own bytes.  A real deployment
-swaps in a PIL/opencv/ffmpeg codec with the same methods; none of the
-Spark-side plumbing (schemas, Arrow batching, partitioning, error
-channel) changes.
+pure-numpy stand-in that fabricates pixels by tiling the asset's own
+bytes.  Audio gets its own REAL codec too: :class:`WavCodec` decodes /
+encodes PCM-16 RIFF/WAVE bit-exactly (chunk walk + numpy, cross-checked
+against stdlib ``wave``), leaving mp4 as the only simulated modality
+(no stdlib-decodable payload).  A real deployment swaps in a
+PIL/opencv/ffmpeg codec with the same methods; none of the Spark-side
+plumbing (schemas, Arrow batching, partitioning, error channel)
+changes.
 """
 
 from __future__ import annotations
@@ -748,3 +751,90 @@ class AutoCodec:
 #: The engine default (bound here so the classes above exist): real PNG
 #: decode for PNG bytes, deterministic fake elsewhere.
 DEFAULT_CODEC = AutoCodec()
+
+
+class WavCodec:
+    """Real PCM WAV decode/encode on stdlib ``struct``-free byte
+    arithmetic + numpy (r15, companion to :class:`PngCodec` — with it,
+    the fabricated-pixel stand-in is needed only for mp4, the one
+    container with no stdlib-decodable payload).
+
+    ``decode(content) -> (samples, sample_rate)`` walks the RIFF chunk
+    stream (tolerating LIST/fact/other chunks in any order), requires
+    PCM (format 1) at 16 bits, and returns an ``(n_frames, n_channels)``
+    int16 array.  ``encode(samples, sample_rate) -> bytes`` emits a
+    spec-complete RIFF/WAVE file (fmt + data, correct sizes) that any
+    audio tool opens.  Unsupported shapes (compressed formats, 8/24/32
+    bit) raise ``ValueError`` into the same per-row error channel the
+    image codecs use.
+
+    Audio is not image-shaped, so this codec is NOT part of
+    :class:`AutoCodec`'s resize path — it serves audio-specific stages
+    (duration/energy features, resampling) and is cross-verified in
+    tests against the independent stdlib ``wave`` module.
+    """
+
+    def decode(self, content: bytes):
+        import numpy as np
+
+        content = bytes(content)
+        if not content:
+            raise ValueError("empty asset: nothing to decode")
+        if len(content) < 12 or content[:4] != RIFF_MAGIC or content[8:12] != WAVE_FORM:
+            raise ValueError("not a WAV: bad RIFF/WAVE header")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(content):
+            ctyp = content[pos : pos + 4]
+            clen = int.from_bytes(content[pos + 4 : pos + 8], "little")
+            body = content[pos + 8 : pos + 8 + clen]
+            if ctyp == b"fmt ":
+                fmt = body
+            elif ctyp == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or len(fmt) < 16:
+            raise ValueError("WAV missing fmt chunk")
+        audio_format = int.from_bytes(fmt[0:2], "little")
+        n_channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if audio_format != 1 or bits != 16:
+            raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+        if n_channels < 1:
+            raise ValueError("WAV with zero channels")
+        if data is None:
+            raise ValueError("WAV missing data chunk")
+        usable = len(data) - (len(data) % (2 * n_channels))
+        samples = np.frombuffer(data[:usable], dtype="<i2")
+        return samples.reshape(-1, n_channels), sample_rate
+
+    def encode(self, samples, sample_rate: int) -> bytes:
+        import numpy as np
+
+        a = np.ascontiguousarray(samples, dtype="<i2")
+        if a.ndim == 1:
+            a = a[:, None]
+        if a.ndim != 2:
+            raise ValueError(f"expected (frames[, channels]) array, got {samples.shape}")
+        n_frames, n_channels = a.shape
+        data = a.tobytes()
+        block_align = n_channels * 2
+        byte_rate = sample_rate * block_align
+        fmt = (
+            (1).to_bytes(2, "little")
+            + n_channels.to_bytes(2, "little")
+            + int(sample_rate).to_bytes(4, "little")
+            + byte_rate.to_bytes(4, "little")
+            + block_align.to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        body = (
+            WAVE_FORM
+            + b"fmt "
+            + len(fmt).to_bytes(4, "little")
+            + fmt
+            + b"data"
+            + len(data).to_bytes(4, "little")
+            + data
+        )
+        return RIFF_MAGIC + len(body).to_bytes(4, "little") + body
