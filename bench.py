@@ -175,11 +175,15 @@ def calibration_dict(
 
     return {
         "probe_sec": [round(p, 3) for p in probes],
-        # median probe = this window's host-throughput anchor (r14
-        # verdict task 2: cross-round deltas must be probe-NORMALIZED —
-        # a 20% slower host shows as a 20% larger median, and
-        # bench_compare.py divides it back out, so drift and plan
-        # regressions finally separate in the artifacts themselves)
+        # r14 verdict task 2: cross-round deltas must be probe-
+        # NORMALIZED so host drift and plan regressions separate in the
+        # artifacts themselves.  probe_anchor is the MINIMUM probe —
+        # the window steady_selection aims the winning attempts at
+        # (CPU-steal noise only inflates a fixed-work probe, so the min
+        # is the cleanest host state observed; an artifact-wide median
+        # would misattribute a noisy artifact's winners, e.g. r12's
+        # 4.8x-spread probe list whose winners ran at the min).
+        "probe_anchor": round(probe_min, 4),
         "probe_median": round(statistics.median(probes), 4),
         # spread of the probes bracketing the rounds that produced the
         # emitted numbers — the steadiness evidence for THESE numbers

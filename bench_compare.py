@@ -65,29 +65,33 @@ def spread(artifact: dict) -> float | None:
     return cal.get("probe_spread")
 
 
-def probe_median(artifact: dict) -> float | None:
+def probe_anchor(artifact: dict) -> float | None:
     """This artifact's host-throughput anchor: the committed
-    ``probe_median`` (r15+ artifacts), else the median of its raw
-    ``probe_sec`` list (every artifact since r7 carries one)."""
-    import statistics
-
+    ``probe_anchor`` (r15+ artifacts), else the MINIMUM of its raw
+    ``probe_sec`` list (every artifact since r7 carries one).  The min,
+    not the median: bench.py's steady_selection aims every winning
+    attempt at the window around the minimum probe (CPU-steal noise
+    only inflates a fixed-work probe), so for a noisy artifact like
+    r12 (probe spread 4.8x, winners taken at ~min) the artifact-wide
+    median would wrongly claim a slow host and turn equal raw timings
+    into a phantom 2.3x normalized regression."""
     cal = artifact.get("calibration") or {}
-    if isinstance(cal.get("probe_median"), (int, float)):
-        return float(cal["probe_median"])
+    if isinstance(cal.get("probe_anchor"), (int, float)):
+        return float(cal["probe_anchor"])
     probes = cal.get("probe_sec")
     if isinstance(probes, list) and probes:
-        return float(statistics.median(probes))
+        return float(min(probes))
     return None
 
 
 def first_seen(
     artifacts: list[tuple[int, dict]]
 ) -> dict[str, tuple[int, float, float | None]]:
-    """query -> (round, seconds, that round's probe median) from the
+    """query -> (round, seconds, that round's probe anchor) from the
     EARLIEST artifact measuring it."""
     base: dict[str, tuple[int, float, float | None]] = {}
     for rnd, art in artifacts:
-        pm = probe_median(art)
+        pm = probe_anchor(art)
         for name, sec in art["queries"].items():
             if name not in base and isinstance(sec, (int, float)):
                 base[name] = (rnd, float(sec), pm)
@@ -103,7 +107,7 @@ def compare(
     """Returns (rows, hard_fail).  A row is one query's ratio record."""
     base = first_seen(artifacts)
     cur_spread = spread(current)
-    cur_probe = probe_median(current)
+    cur_probe = probe_anchor(current)
     steady = cur_spread is not None and cur_spread <= max_spread
     rows, hard_fail = [], False
     for name, sec in sorted(current["queries"].items()):

@@ -123,7 +123,15 @@ def main() -> None:
         .select(F.sum(F.length("content")))
         .collect(),
     }
-    times, cal = steady_time_queries(list(stages), lambda name: stages[name]())
+
+    def _attempt(name: str) -> float:
+        import time
+
+        t0 = time.perf_counter()
+        stages[name]()
+        return time.perf_counter() - t0
+
+    times, cal = steady_time_queries(list(stages), _attempt)
     out = {
         "metric": "multimodal_decode_stages",
         "value": round(sum(times.values()), 3),

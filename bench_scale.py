@@ -93,6 +93,11 @@ QUERIES = [
     "events_sessionization",
     "user_weekly_retention",
     "order_grouping_sets",
+    # r15: the maintained-asset-table pipeline query — its cost is the
+    # two path-keyed admission anti-joins plus the metadata aggregate,
+    # all sized by the doc universe the replication scales linearly
+    # (content bytes feed only narrow codegen hash/sniff/dims maps).
+    "corpus_assets_maintained_profile",
     # r13: the PQ tier (code-table scan must scale with the corpus; the
     # broadcast query/LUT side is fixed) and the winnowed contamination
     # scan (fixed benchmark set doc_id < 10 lives in replica 0, so the

@@ -107,12 +107,14 @@ def test_probe_normalized_ratio_separates_drift_from_regression():
     assert r["norm_ratio"] == 2.4 and r["flag"] == "WEAK" and hard_fail
 
 
-def test_probe_median_prefers_committed_field():
+def test_probe_anchor_prefers_committed_field_else_min():
     art = {
         "queries": {},
-        "calibration": {"probe_median": 0.5, "probe_sec": [0.1, 0.9]},
+        "calibration": {"probe_anchor": 0.5, "probe_sec": [0.1, 0.9]},
     }
-    assert bc.probe_median(art) == 0.5
-    art2 = {"queries": {}, "calibration": {"probe_sec": [0.1, 0.2, 0.9]}}
-    assert bc.probe_median(art2) == 0.2
-    assert bc.probe_median({"queries": {}}) is None
+    assert bc.probe_anchor(art) == 0.5
+    # fallback for r7-r14 artifacts: the MIN of the raw probe list —
+    # the window steady_selection aimed the winners at
+    art2 = {"queries": {}, "calibration": {"probe_sec": [0.15, 0.2, 0.9]}}
+    assert bc.probe_anchor(art2) == 0.15
+    assert bc.probe_anchor({"queries": {}}) is None
