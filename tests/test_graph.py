@@ -152,3 +152,29 @@ def test_pagerank_dedups_node_frame(spark):
         for r in pagerank_integer(dup_nodes, edges, iterations=5).collect()
     }
     assert clean == dup, "duplicate node rows changed pagerank output"
+
+
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    """r15: bounded unrolls skip per-iteration materialization (one
+    lineage chain, one job) while long runs still pin every
+    ``checkpoint_every`` rounds.  The cadence is an execution detail —
+    the exact-integer ranks must be bit-identical at every setting,
+    including a cadence that divides the iteration count mid-run."""
+    from unicargo_medallion_data_pipeline_spark.operators.graph import pagerank_integer
+
+    nodes = spark.createDataFrame([(v,) for v in range(6)], "node bigint")
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 1), (2, 0, 3), (3, 4, 1), (4, 3, 2), (0, 5, 1)],
+        "src bigint, dst bigint, w bigint",
+    )
+
+    def run(**kw):
+        return {
+            r["node"]: r["pagerank_scaled"]
+            for r in pagerank_integer(nodes, edges, iterations=7, **kw).collect()
+        }
+
+    unpinned = run(checkpoint_every=100)   # pure chain, no checkpoint
+    every_round = run(checkpoint_every=1)  # pre-r15 behavior
+    mid_run = run(checkpoint_every=3)      # pins after rounds 3 and 6
+    assert unpinned == every_round == mid_run

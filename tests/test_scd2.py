@@ -336,3 +336,35 @@ def test_scd2_map_entry_reorder_is_noop(spark, tmp_path):
     dim = spark.read.parquet(path)
     assert dim.count() == 1
     assert dim.collect()[0]["is_current"]
+
+
+def test_latest_per_key_surfaces_null_ts_as_survivor(spark):
+    """r15: the NULL-ts rejection no longer runs a dedicated pre-scan of
+    the raw batch — the dedup window orders NULL timestamps FIRST, so a
+    key whose raw rows include a NULL ts (even one SHADOWED by a later
+    non-null snapshot) surfaces a null-ts survivor, which the gate /
+    bootstrap probe then rejects.  Clean keys keep the exact pre-r15
+    latest-by-ts survivor.  Kept a lone row_number so the rn=1 filter
+    still plans as WindowGroupLimit (a second window expression would
+    disable that rewrite and re-sort the whole batch)."""
+    from unicargo_medallion_data_pipeline_spark.operators.scd2 import _latest_per_key
+
+    rows = [
+        (1, "A", "US", None),    # shadowed — must still surface as NULL
+        (1, "B", "US", T(5)),
+        (2, "C", "DE", T(3)),    # clean key: latest-by-ts pick unchanged
+        (2, "C2", "DE", T(1)),
+        (3, "D", "FR", None),    # only-null key
+    ]
+    u = spark.createDataFrame(rows, SCHEMA).withColumnRenamed(
+        "effective_ts", "_ts"
+    )
+    deduped = _latest_per_key(u, ["airline_id"], "_ts", ["name", "country"])
+    got = {
+        r["airline_id"]: (r["name"], r["_ts"] is None)
+        for r in deduped.collect()
+    }
+    assert got == {1: ("A", True), 2: ("C", False), 3: ("D", True)}
+    # the rewrite the ordering trick preserves: top-1-per-key pushdown
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

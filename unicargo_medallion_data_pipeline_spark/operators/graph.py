@@ -98,6 +98,7 @@ def pagerank_integer(
     scale: int = 10**9,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Weighted PageRank in EXACT integer arithmetic — every rank is a
     scaled bigint, every per-edge contribution an integer division, so
@@ -115,9 +116,25 @@ def pagerank_integer(
 
     Scale shape: the edge frame (+ out-weight) is pinned ONCE with a
     localCheckpoint and re-joined each round; each iteration is one
-    keyed join + one sum-groupBy on the dst key, checkpointed so the
-    plan depth stays O(1) instead of O(iterations) (same discipline as
-    connected_components above).  Rank state is one long per node.
+    keyed join + one sum-groupBy on the dst key.  Rank state is one
+    long per node.
+
+    Checkpoint cadence (r15 optimization, guide §5: materialize only
+    when recomputation or plan growth would cost more than the barrier
+    does): the rank lineage is a straight CHAIN — each iteration's
+    frame is consumed exactly once by the next — so nothing is ever
+    recomputed without a checkpoint; the only reason to pin is to stop
+    unbounded plan growth at high iteration counts.  Pinning EVERY
+    iteration (the pre-r15 shape) forced one eager materialization job
+    per round — five scheduler round-trips for the 5-round trade graph,
+    pure overhead at any data size.  Now the chain materializes every
+    ``checkpoint_every`` rounds (default 8): bounded unrolls (PageRank's
+    classic 5-20 rounds) run as ONE Spark job whose plan depth is
+    capped at ``checkpoint_every`` joins, while large ``iterations``
+    still get O(1) lineage.  connected_components keeps its per-round
+    materialization because its convergence test NEEDS a per-round
+    action — there the barrier buys the stop condition, here it bought
+    nothing.
     """
     # dedup like connected_components: a duplicated node id would
     # inflate n_nodes (wrong r0/base) AND fan every outgoing edge out
@@ -143,7 +160,7 @@ def pagerank_integer(
     )
     node_ids = nodes.select(F.col(node_col).alias("_node"))
     r = node_ids.withColumn("_pr", F.lit(r0).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(r, F.col(src_col) == F.col("_node"))
             .select(
@@ -154,14 +171,12 @@ def pagerank_integer(
             .select("_dst", F.expr("_num div _den").alias("_contrib"))
         )
         summed = contrib.groupBy("_dst").agg(F.sum("_contrib").alias("_s"))
-        r = (
-            node_ids.join(summed, F.col("_node") == F.col("_dst"), "left")
-            .select(
-                "_node",
-                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
-                .cast("long")
-                .alias("_pr"),
-            )
-            .localCheckpoint(eager=True)
+        r = node_ids.join(summed, F.col("_node") == F.col("_dst"), "left").select(
+            "_node",
+            (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
+            .cast("long")
+            .alias("_pr"),
         )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+            r = r.localCheckpoint(eager=True)
     return r.select(F.col("_node").alias(node_col), F.col("_pr").alias("pagerank_scaled"))

@@ -79,8 +79,26 @@ def _latest_per_key(updates: DataFrame, key_cols: list[str], ts: str,
         if hashable
         else F.xxhash64(F.to_json(F.struct(*tracked_cols)))
     )
+    # NULL-ts evidence rides the SAME window pass (r15 optimization —
+    # guide §1.2: don't spend a whole extra batch scan on a check a
+    # pass we already pay can carry): ordering NULL timestamps FIRST
+    # makes the survivor of any key whose batch rows include a NULL ts
+    # BE a null-ts row — including when the null row is SHADOWED by a
+    # later non-null snapshot (the reject-all-nulls contract).  Callers
+    # raise off ``_ts IS NULL`` on the deduped frame at their first
+    # action (classification gate / bootstrap probe) instead of running
+    # a dedicated pre-scan of the raw batch; for NULL-free batches the
+    # ordering — and therefore the surviving row — is exactly the
+    # pre-r15 one.  Deliberately NOT a second window function (e.g. a
+    # max(isnull) flag): a lone row_number under a rn=1 filter plans as
+    # WindowGroupLimit (top-1 per key short-circuit, no full-partition
+    # buffering); any additional window expression disables that
+    # rewrite and re-sorts the whole batch — measured +0.6s on the
+    # sf0.1 scd2 bench query, the opposite of the intent.
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts).desc(), payload_hash.desc(), md5_row_json(tracked_cols).desc()
+        F.col(ts).desc_nulls_first(),
+        payload_hash.desc(),
+        md5_row_json(tracked_cols).desc(),
     )
     return (
         updates.withColumn("_rn", F.row_number().over(w))
@@ -106,15 +124,29 @@ def _prepare_updates(
     if clashes:
         raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
     u_raw = updates.select(*cols, F.col(effective_ts_col).alias("_ts"))
-    # Reject NULL timestamps on the RAW batch, before latest-per-key
-    # dedup: a null-ts row shadowed by a later non-null snapshot of the
-    # same key would otherwise be dropped silently instead of raising —
-    # the documented contract is reject-all-nulls.  (The gate agg below
-    # re-checks the surviving rows as defense in depth against a
-    # non-deterministic `updates` source.)
-    if u_raw.filter(F.col("_ts").isNull()).limit(1).count():
-        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
+    # NULL timestamps on the RAW batch are rejected — including rows
+    # shadowed by a later non-null snapshot of the same key (the
+    # documented reject-all-nulls contract).  The evidence travels on
+    # the survivor itself: the dedup window orders NULL ts first (see
+    # _latest_per_key), so "any raw row had a NULL ts" ⇔ "some deduped
+    # row has a NULL _ts".  The pre-r15 implementation instead ran a
+    # dedicated ``filter(isNull).limit(1).count()`` action here — a full
+    # extra pass over every batch, per apply (guide §1.2: remove passes
+    # before tuning anything else).  The incremental path raises off the
+    # classification gate it already runs; bootstrap paths raise via
+    # :func:`_raise_on_null_ts` before their first write.
     return _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
+
+
+def _raise_on_null_ts(updates: DataFrame, effective_ts_col: str) -> None:
+    """Bootstrap-path NULL-ts rejection: one existence probe over the
+    RAW batch (filter + limit 1 — no window, so the dedup pass is not
+    re-executed just for the check).  Only the FIRST batch of a
+    dimension's life pays this action; incremental batches fold the
+    same check into the classification gate they already execute (the
+    NULLS-FIRST dedup ordering carries the evidence there)."""
+    if updates.filter(F.col(effective_ts_col).isNull()).limit(1).count():
+        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
 
 
 def scd2_frame_like(
@@ -178,6 +210,7 @@ def apply_scd2(
     try:
         existing = spark.read.parquet(target_path)
     except AnalysisException:
+        _raise_on_null_ts(updates.select(F.col(effective_ts_col)), effective_ts_col)
         (
             _bootstrap_state(u, cols)
             .write.mode("overwrite")
@@ -223,13 +256,7 @@ def _scd2_delta(
     # append another duplicate "new" current row for it.  (Null-safe
     # equality still hash-joins — Spark plans EqualNullSafe join keys.)
     key_eq = [F.col(k).eqNullSafe(F.col(f"_cur_{k}")) for k in key_cols]
-    # Pin the dedup + classification join: it feeds the gate action AND
-    # both staged writes; unpinned, the window shuffle and current-
-    # partition join would run three times per batch (and a non-
-    # deterministic `updates` could diverge between gate and write).
-    joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left").localCheckpoint(
-        eager=True
-    )
+    raw_joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left")
 
     # eqNullSafe rejects unorderable (map/variant) types at analysis
     # time (r9 hunt); those columns compare via their JSON rendering —
@@ -247,7 +274,7 @@ def _scd2_delta(
     )
 
     def _payload_eq(t: str):
-        dt = joined.schema[t].dataType
+        dt = raw_joined.schema[t].dataType
         if xxhashable(dt):
             return F.col(t).eqNullSafe(F.col(f"_cur_{t}"))
         return canonical_json(F.col(t), dt).eqNullSafe(
@@ -261,28 +288,50 @@ def _scd2_delta(
     # safely but would look unmatched); _cur_from is non-null on every
     # matched row by construction.
     has_match = F.col("_cur_from").isNotNull()
-    changed = joined.filter(has_match & ~same_payload)
-    new_keys = joined.filter(~has_match)
 
     # One classification pass gates everything: out-of-order rejection,
     # the idempotence fast-path (identical snapshot → zero writes), and
     # skipping the history append when nothing closed (an empty staged
     # frame could not be read back anyway).
-    gate = joined.agg(
+    #
+    # Pin the dedup + classification join: it feeds the gate AND both
+    # staged writes; unpinned, the window shuffle and current-partition
+    # join would run three times per batch (and a non-deterministic
+    # `updates` could diverge between gate and write).  The gate rides
+    # the SAME materialization job as an ``observe`` side channel (r15
+    # optimization, guide §1.2/§1.5): the pre-r15 shape ran a separate
+    # aggregate action over the checkpointed blocks — one whole extra
+    # job per batch that computed nothing the checkpoint pass couldn't
+    # carry.  CollectMetrics aggregates while the checkpoint
+    # materializes; ``obs.get`` then reads the finished metrics without
+    # touching the cluster again.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    joined = raw_joined.observe(
+        obs,
         F.sum((has_match & ~same_payload).cast("int")).alias("n_changed"),
         F.sum((~has_match).cast("int")).alias("n_new"),
         F.sum(
             (has_match & ~same_payload & (F.col("_ts") <= F.col("_cur_from"))).cast("int")
         ).alias("n_stale"),
+        # NULLS-FIRST dedup ordering (see _latest_per_key) makes a
+        # null-ts survivor the evidence for BOTH surviving and SHADOWED
+        # null-ts rows of the raw batch, so this existing aggregate
+        # replaces the former dedicated raw-batch pre-scan (r15, guide
+        # §1.2 — one fewer full pass per incremental apply).
         F.sum(F.col("_ts").isNull().cast("int")).alias("n_null_ts"),
-    ).collect()[0]
+    ).localCheckpoint(eager=True)
+    changed = joined.filter(has_match & ~same_payload)
+    new_keys = joined.filter(~has_match)
+    gate = obs.get
     if gate["n_null_ts"]:
         # A null ts evades the stale check (NULL comparison), would
         # bootstrap a null effective_from (misclassifying every later
         # snapshot of that key as new), and would close versions with a
         # null effective_to that as_of reads as still-open.
         raise ValueError(
-            f"{gate['n_null_ts']} update row(s) carry NULL "
+            f"{gate['n_null_ts']} update key(s) carry NULL "
             f"{effective_ts_col!r} values"
         )
     if gate["n_stale"]:
@@ -399,6 +448,7 @@ def apply_scd2_manifest(
     cols = [*key_cols, *tracked_cols]
     versions = table.versions()
     if not versions:
+        _raise_on_null_ts(updates.select(F.col(effective_ts_col)), effective_ts_col)
         table.commit(_bootstrap_state(u, cols), base_version=-1)
         return
     base = versions[-1]

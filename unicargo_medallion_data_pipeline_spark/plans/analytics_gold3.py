@@ -269,22 +269,32 @@ def doc_duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = toked.select(
         "doc_id", "lang", F.explode(grams).alias("g")
     ).localCheckpoint(eager=True)
+    # "Shared" only ever means COUNT(DISTINCT doc_id) >= 2, and a gram
+    # hits two distinct docs exactly when min(doc_id) != max(doc_id) —
+    # min/max are plain map-side-combinable aggregates, while Spark
+    # plans count(DISTINCT key) over a group as TWO aggregate passes
+    # with TWO exchanges (partial dedup on (g, doc_id), then the count
+    # on g).  r15 optimization, guide §2.3-2.4: one exchange instead of
+    # two on the corpus-frequency side, identical truth value for every
+    # gram on any universe (all-NULL doc groups: min=max=NULL → NULL →
+    # otherwise(0), matching countDistinct()=0; NULLs are ignored by
+    # min/max exactly as countDistinct ignores them).  The DuckDB
+    # mirror keeps the declarative COUNT(DISTINCT) form — outputs are
+    # value-identical (oracle + robustness sweeps re-proven r15).
     corpus = inst.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        (F.min("doc_id") != F.max("doc_id")).alias("_shared")
     )
+    shared1 = F.when(F.col("_shared"), 1).otherwise(0)
     return (
         inst.join(corpus, "g")
         .groupBy("doc_id")
         .agg(
             F.min("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
-                "n_shared_instances"
+            F.sum(shared1).alias("n_shared_instances"),
+            (F.sum(shared1).cast("double") / F.count(F.lit(1))).alias(
+                "shared_ngram_rate"
             ),
-            (
-                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("shared_ngram_rate"),
         )
         .orderBy("doc_id")
     )

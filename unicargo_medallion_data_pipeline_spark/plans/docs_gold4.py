@@ -78,15 +78,28 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     see ``test_catalog_outputs_are_scalar_only``).
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(ta.tokens("text")).alias("token"))
-        .distinct()
-    )
+    tok = d.select("doc_id", F.explode(ta.tokens("text")).alias("token"))
+    # One aggregation instead of distinct-then-aggregate (r15, guide
+    # §2.3-2.4): collect_set already deduplicates doc_ids per token
+    # map-side, so the separate DISTINCT pass — a full extra Exchange
+    # of the exploded (doc_id, token) frame plus two HashAggregate
+    # passes — computed nothing the set aggregate does not.  doc_freq
+    # is the set's size, corrected by +1 when a NULL doc_id instance
+    # exists (collect_set drops NULLs, while DISTINCT keeps one NULL
+    # row per token and COUNT(*) counts it — the hostile-universe
+    # sweeps exercise NULL ids).  Postings are unchanged: collect_set
+    # excluded NULLs before this change too.  Values re-proven against
+    # the oracle + robustness sweeps r15.
     postings = F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10)
     return (
         tok.groupBy("token")
         .agg(
-            F.count(F.lit(1)).alias("doc_freq"),
+            (
+                F.size(F.collect_set("doc_id"))
+                + F.max(F.col("doc_id").isNull().cast("int"))
+            )
+            .cast("bigint")
+            .alias("doc_freq"),
             F.array_join(
                 F.transform(postings, lambda x: x.cast("string")), ","
             ).alias("postings"),

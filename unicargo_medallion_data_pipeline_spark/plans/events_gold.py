@@ -155,14 +155,26 @@ def user_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("user_id").cast("string"), F.lit(":"), day.cast("string"))
     )
     thinned = ev.filter(thin_key % 5 == 0)
-    first_week = thinned.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    active = thinned.select(
+    # ONE pass over events instead of two, and no user-grain join (r15,
+    # guide §2.3-2.4): the pre-r15 plan scanned + md5-thinned events
+    # twice (first-touch aggregate AND activity distinct), then joined
+    # the two user-grain frames back together.  The cohort week is just
+    # min(active_week) per user (date_trunc is monotone, so trunc(min
+    # ts) == min(trunc ts) over the user's distinct weeks), so the
+    # activity distinct ALONE carries everything: dedup to (user, week)
+    # first — full map-side partial aggregation, so the exchange moves
+    # user-week grain, never raw events — then attach the cohort with a
+    # per-user min window over that deduped frame.  NULL user_ids /
+    # NULL ts never reach this point — the md5 thinning key is NULL for
+    # them in both engines, so the former join's NULL-key drop is
+    # preserved exactly.  Values re-proven against the oracle +
+    # robustness sweeps r15.
+    weeks = thinned.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("active_week")
     ).distinct()
+    w_user = Window.partitionBy("user_id")
     return (
-        first_week.join(active, "user_id")
+        weeks.withColumn("cohort_week", F.min("active_week").over(w_user))
         .select(
             "cohort_week",
             (F.datediff("active_week", "cohort_week") / 7).cast("int").alias("week_offset"),
