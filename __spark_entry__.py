@@ -64,8 +64,12 @@ _FORCE_WINDOW: dict[str, int] = {
     #
     # r14 verdict task 4: snaps dedup pinned once (localCheckpoint)
     # instead of re-executing per batch filter — plan shape changed
-    # (scans -> rdd_scans), values unchanged.
-    "scd2_as_of_snapshot": 14,
+    # (scans -> rdd_scans), values unchanged.  Re-forced r15: the
+    # classification join went full-outer (untouched current rows ride
+    # it; the second current-partition scan, the anti-join and the
+    # writer's second pin are gone) — values re-proven at sf0.001 +
+    # sf0.01 + hostile seeds.
+    "scd2_as_of_snapshot": 15,
     # r14 10x scale sweep: one-file-per-bucket write + size-scaled
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).

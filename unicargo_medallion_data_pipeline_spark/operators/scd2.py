@@ -255,8 +255,24 @@ def _scd2_delta(
     # never match its existing current row and every re-delivery would
     # append another duplicate "new" current row for it.  (Null-safe
     # equality still hash-joins — Spark plans EqualNullSafe join keys.)
+    #
+    # FULL OUTER, not left (r15 optimization, guide §2.4 — remove
+    # shuffles outright): the untouched current rows (keys absent from
+    # the batch) used to be derived by a SECOND read of the current
+    # partition anti-joined against the changed keys — one extra scan
+    # plus one extra join of O(|current|) per batch.  A full-outer
+    # classification join carries those rows through the SAME pass as
+    # unmatched right-side rows (``_in_u`` NULL), so the current
+    # partition is scanned exactly once per batch and the anti-join
+    # disappears.  ``_in_u`` is the u-side presence marker (a literal
+    # TRUE cannot be NULL on a genuine u row, and key columns cannot
+    # serve — a NULL key matches null-safely); every batch-side
+    # classification below guards on it.
     key_eq = [F.col(k).eqNullSafe(F.col(f"_cur_{k}")) for k in key_cols]
-    raw_joined = u.join(cur, reduce(lambda a, b: a & b, key_eq), "left")
+    raw_joined = u.withColumn("_in_u", F.lit(True)).join(
+        cur, reduce(lambda a, b: a & b, key_eq), "full_outer"
+    )
+    in_u = F.col("_in_u").isNotNull()
 
     # eqNullSafe rejects unorderable (map/variant) types at analysis
     # time (r9 hunt); those columns compare via their JSON rendering —
@@ -308,22 +324,29 @@ def _scd2_delta(
     from pyspark.sql import Observation
 
     obs = Observation()
+    # Every aggregate (and every batch-side filter below) is guarded by
+    # ``in_u``: an untouched current row carries NULLs in the u-side
+    # columns, so unguarded it would read as has_match & ~same_payload
+    # (a phantom "changed") and its NULL ``_ts`` would trip the null-ts
+    # gate.
     joined = raw_joined.observe(
         obs,
-        F.sum((has_match & ~same_payload).cast("int")).alias("n_changed"),
-        F.sum((~has_match).cast("int")).alias("n_new"),
+        F.sum((in_u & has_match & ~same_payload).cast("int")).alias("n_changed"),
+        F.sum((in_u & ~has_match).cast("int")).alias("n_new"),
         F.sum(
-            (has_match & ~same_payload & (F.col("_ts") <= F.col("_cur_from"))).cast("int")
+            (in_u & has_match & ~same_payload & (F.col("_ts") <= F.col("_cur_from"))).cast(
+                "int"
+            )
         ).alias("n_stale"),
         # NULLS-FIRST dedup ordering (see _latest_per_key) makes a
         # null-ts survivor the evidence for BOTH surviving and SHADOWED
         # null-ts rows of the raw batch, so this existing aggregate
         # replaces the former dedicated raw-batch pre-scan (r15, guide
         # §1.2 — one fewer full pass per incremental apply).
-        F.sum(F.col("_ts").isNull().cast("int")).alias("n_null_ts"),
+        F.sum((in_u & F.col("_ts").isNull()).cast("int")).alias("n_null_ts"),
     ).localCheckpoint(eager=True)
-    changed = joined.filter(has_match & ~same_payload)
-    new_keys = joined.filter(~has_match)
+    changed = joined.filter(in_u & has_match & ~same_payload)
+    new_keys = joined.filter(in_u & ~has_match)
     gate = obs.get
     if gate["n_null_ts"]:
         # A null ts evades the stale check (NULL comparison), would
@@ -360,19 +383,27 @@ def _scd2_delta(
         F.col("_ts").alias("effective_to"),
         F.lit(False).alias("is_current"),
     )
-    # Untouched current rows: anti-join must also be null-safe, or a
-    # null-keyed current row would survive alongside its replacement.
-    ck = changed.select(
-        *[F.col(f"_cur_{k}").alias(f"_k_{k}") for k in key_cols]
+    # Untouched current rows ride the full-outer join (``_in_u`` NULL ⇔
+    # the key is absent from the batch); matched-but-unchanged current
+    # rows are has_match & same_payload on the u side.  Both keep their
+    # current-partition invariants (open interval, is_current) by
+    # construction, so effective_to/is_current are reconstructed as
+    # literals rather than carried through the join.  Pre-r15 this was
+    # a second scan of the current partition plus a null-safe anti-join
+    # against the changed keys — both gone.
+    untouched = joined.filter(~in_u).select(
+        *[F.col(f"_cur_{c}").alias(c) for c in cols],
+        F.col("_cur_from").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
     )
-    anti_cond = reduce(
-        lambda a, b: a & b,
-        [current[k].eqNullSafe(ck[f"_k_{k}"]) for k in key_cols],
+    unchanged_cur = joined.filter(in_u & has_match & same_payload).select(
+        *[F.col(f"_cur_{c}").alias(c) for c in cols],
+        F.col("_cur_from").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
     )
-    untouched = current.join(ck, anti_cond, "left_anti").select(
-        *cols, "effective_from", "effective_to", "is_current"
-    )
-    new_current = _with_state(untouched.unionByName(fresh))
+    new_current = _with_state(untouched.unionByName(unchanged_cur).unionByName(fresh))
     closed = _with_state(closed)
     return new_current, closed, int(gate["n_changed"])
 
@@ -388,26 +419,33 @@ def _write_scd2_delta(
     single-commit alternative).
 
     No disk staging (round-10 bench work — the staged write+read-back
-    of both frames was the apply's single largest cost): ``closed``
-    derives SOLELY from the eagerly-checkpointed classification join
-    (its ``_cur_*`` columns are the old current rows), so appending it
-    reads nothing from the table; ``new_current`` does read the current
-    partition it will overwrite (through ``untouched``), so its blocks
-    are pinned with an eager ``localCheckpoint`` first —
-    executor-block-manager storage, cluster-valid unlike a driver
-    tempdir (the reason disk staging was used before).  Crash posture
+    of both frames was the apply's single largest cost), and since r15
+    no second pin either: BOTH frames derive SOLELY from the eagerly-
+    checkpointed full-outer classification join (``closed`` from its
+    ``_cur_*`` columns, ``new_current`` including the untouched current
+    rows that used to re-read the partition being overwritten), so
+    nothing here reads the files the dynamic overwrite replaces and the
+    former ``pin_for_self_overwrite`` materialization of ``new_current``
+    was a whole redundant job per batch (guide §1.2).  The
+    ``UMDP_DISK_STAGING=1`` deployment posture keeps its disk staging
+    (blocks that survive executor loss).  Crash posture
     unchanged: history append FIRST, current overwrite LAST — a crash
     between the two leaves the old current partition intact (retry then
     re-closes — duplicate history rows, dedupable on the full row — but
     never a current partition that forgot its history); an executor
     loss during the overwrite fails the job before the swap completes,
     same as a failure during the old staged write."""
+    import os
+
     from unicargo_medallion_data_pipeline_spark.sources.staging import (
         pin_for_self_overwrite,
         write_dynamic_overwrite,
     )
 
-    pinned, cleanup = pin_for_self_overwrite(new_current, target_path, "scd2")
+    if os.environ.get("UMDP_DISK_STAGING") == "1":
+        pinned, cleanup = pin_for_self_overwrite(new_current, target_path, "scd2")
+    else:
+        pinned, cleanup = new_current, (lambda: None)
     try:
         if n_changed:
             (
