@@ -67,8 +67,11 @@ _FORCE_WINDOW: dict[str, int] = {
     # (scans -> rdd_scans), values unchanged.  Re-forced r15: the
     # classification join went full-outer (untouched current rows ride
     # it; the second current-partition scan, the anti-join and the
-    # writer's second pin are gone) — values re-proven at sf0.001 +
-    # sf0.01 + hostile seeds.
+    # redundant writer pin are gone) — values re-proven at sf0.001 +
+    # sf0.01 + hostile seeds.  NB comments in this dict must avoid
+    # apostrophes/quotes: the textual parser in
+    # plans/fingerprints.py::_force_window_names reads any quoted
+    # span as a name.
     "scd2_as_of_snapshot": 15,
     # r14 10x scale sweep: one-file-per-bucket write + size-scaled
     # bucket count — the warm join now skips its per-query sorts

@@ -410,11 +410,14 @@ def test_weighted_sample_is_shuffle_free_topk(spark, catalog):
     assert "Exchange (" not in p, "weighted sampling must not shuffle"
 
 
-def test_inverted_index_is_two_keyed_shuffles(spark, catalog):
-    """doc_inverted_index: distinct(doc_id, token) + groupBy(token) —
-    exactly two keyed exchanges, no joins, no broadcast."""
+def test_inverted_index_is_one_keyed_shuffle(spark, catalog):
+    """doc_inverted_index (r15 optimization): the distinct-then-aggregate
+    pair fused into ONE collect_set aggregation on token — exactly one
+    keyed exchange, no joins, no broadcast.  The former separate
+    DISTINCT pass was a second full exchange of the exploded
+    (doc_id, token) frame that computed nothing collect_set does not."""
     p = plan_of(catalog["doc_inverted_index"].fn(spark, SF))
-    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 2
+    assert p.count("Exchange (") - p.count("BroadcastExchange (") == 1
     assert "Join" not in p
 
 
