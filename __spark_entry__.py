@@ -79,6 +79,15 @@ _FORCE_WINDOW: dict[str, int] = {
     # localCheckpoints and the per-batch pair pins removed).  Values
     # re-proven at sf0.001 + sf0.01 + empty + fresh hostile seeds.
     "doc_minhash_incremental_near_dups": 16,
+    # r16: frozen IVF/PQ codebooks attach as one-row broadcast DATA
+    # (BNLJ) instead of ~1k-literal plan expressions — plan build and
+    # codegen shrink, arithmetic unchanged.  Values re-proven at both
+    # SFs + empty + fresh hostile seeds for the whole ANN family.
+    "embedding_pq_adc_knn": 16,
+    "embedding_pq_rerank_knn": 16,
+    "embedding_ivfadc_knn": 16,
+    "embedding_knn_ivf": 16,
+    "embedding_knn_ivf_incremental": 16,
     # r14 10x scale sweep: one-file-per-bucket write + size-scaled
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).
