@@ -72,7 +72,11 @@ _FORCE_WINDOW: dict[str, int] = {
     # apostrophes/quotes: the textual parser in
     # plans/fingerprints.py::_force_window_names reads any quoted
     # span as a name.
-    "scd2_as_of_snapshot": 15,
+    # Re-forced r16: bootstrap NULL-ts probe folded into the bootstrap
+    # write action (raise_error in-plan, translated back to the
+    # canonical ValueError) and the gate read is bounded with a direct-
+    # aggregate fallback.  Values re-proven at both SFs + hostile seeds.
+    "scd2_as_of_snapshot": 16,
     # r16 optimization round: per-batch signature writes land in their
     # own partition dir of the maintained table; pair joins read the
     # frozen on-disk state inside ONE final action (both payload

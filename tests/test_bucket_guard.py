@@ -172,14 +172,16 @@ def test_trust_memo_invalidated_by_rewrite(spark):
         (F.col("id") % 10).alias("k"), F.col("id").alias("v")
     )
     name = save_bucketed_table(df, spark, "bg_memo", "t", ["k"], 4)
-    key = (id(spark), name)
-    assert _TRUSTED_BUCKETED.get(key) is True  # write seeds the memo
+    # r16 ADVICE fix: keyed by the LIVE session in a WeakKeyDictionary
+    # (an id(spark) key could be inherited by a new session after id
+    # recycling, handing it a dead session's verdict).
+    assert name in _TRUSTED_BUCKETED.get(spark, set())  # write seeds the memo
     read_bucketed_table(spark, name)           # memo hit, still fine
-    assert _TRUSTED_BUCKETED.get(key) is True
+    assert name in _TRUSTED_BUCKETED.get(spark, set())
 
     # A rewrite through the engine's writer drops the stale verdict
     # before the new write, and re-seeds it only after re-verification.
     save_bucketed_table(df, spark, "bg_memo", "t", ["k"], 8)
-    assert _TRUSTED_BUCKETED.get(key) is True  # re-earned by the write
+    assert name in _TRUSTED_BUCKETED.get(spark, set())  # re-earned by the write
     out = read_bucketed_table(spark, name)
     assert out.count() == 200

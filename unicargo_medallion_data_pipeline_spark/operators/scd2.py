@@ -119,7 +119,11 @@ def _prepare_updates(
     # snapshot re-ingested from an SCD2 export would otherwise produce
     # duplicate/ambiguous columns deep inside the merge instead of a
     # clear error at the API boundary.
-    reserved = {*SCD2_COLS, "_ts", "_rn"}
+    # "_in_u" is the classification join's presence marker (r15 ADVICE:
+    # a payload column literally named _in_u would be silently replaced
+    # by the marker inside _scd2_delta, corrupting the comparison,
+    # instead of raising here at the API boundary).
+    reserved = {*SCD2_COLS, "_ts", "_rn", "_in_u"}
     clashes = [c for c in cols if c in reserved or c.startswith("_cur_")]
     if clashes:
         raise ValueError(f"update columns collide with SCD2 bookkeeping: {clashes}")
@@ -133,20 +137,73 @@ def _prepare_updates(
     # dedicated ``filter(isNull).limit(1).count()`` action here — a full
     # extra pass over every batch, per apply (guide §1.2: remove passes
     # before tuning anything else).  The incremental path raises off the
-    # classification gate it already runs; bootstrap paths raise via
-    # :func:`_raise_on_null_ts` before their first write.
+    # classification gate it already runs; bootstrap paths raise in-plan
+    # from the first write's own action (:func:`_guarded_from`, r16 —
+    # the dedicated probe job is gone there too).
     return _latest_per_key(u_raw, key_cols, "_ts", tracked_cols)
 
 
-def _raise_on_null_ts(updates: DataFrame, effective_ts_col: str) -> None:
-    """Bootstrap-path NULL-ts rejection: one existence probe over the
-    RAW batch (filter + limit 1 — no window, so the dedup pass is not
-    re-executed just for the check).  Only the FIRST batch of a
-    dimension's life pays this action; incremental batches fold the
-    same check into the classification gate they already execute (the
-    NULLS-FIRST dedup ordering carries the evidence there)."""
-    if updates.filter(F.col(effective_ts_col).isNull()).limit(1).count():
-        raise ValueError(f"updates contain NULL {effective_ts_col!r} values")
+#: Sentinel prefix for the in-plan NULL-ts rejection: the bootstrap
+#: write itself raises through ``raise_error`` and the caller
+#: translates the executor exception back into the canonical
+#: ValueError (``_reraise_null_ts``).
+_NULL_TS_MARKER = "SCD2_NULL_EFFECTIVE_TS"
+
+
+def _null_ts_message(effective_ts_col: str) -> str:
+    return f"updates contain NULL {effective_ts_col!r} values"
+
+
+def _guarded_from(effective_ts_col: str):
+    """``effective_from`` expression that REJECTS null timestamps as a
+    side effect of the bootstrap write's own action (r16, guide §1.2 —
+    the pre-r16 bootstrap ran a dedicated filter+limit(1) probe job
+    over the raw batch first).  Coverage is identical: the dedup window
+    orders NULL ts FIRST (see _latest_per_key), so a null-ts survivor
+    is the evidence for surviving AND shadowed null rows, and any task
+    hitting one fails the write job BEFORE its commit — no files become
+    visible, exactly the probe-then-write crash posture."""
+    return F.when(
+        F.col("_ts").isNull(),
+        F.raise_error(
+            F.lit(f"{_NULL_TS_MARKER}: {_null_ts_message(effective_ts_col)}")
+        ),
+    ).otherwise(F.col("_ts"))
+
+
+def _reraise_null_ts(exc: BaseException, effective_ts_col: str) -> None:
+    """Translate the in-plan rejection back into the documented
+    ValueError; re-raise anything else untouched."""
+    if _NULL_TS_MARKER in str(exc):
+        raise ValueError(_null_ts_message(effective_ts_col)) from None
+    raise
+
+
+def _read_gate(obs, joined: DataFrame, gate_aggs: list, timeout_sec: float = 60.0) -> dict:
+    """CollectMetrics side-channel read with a BOUNDED wait (r15 ADVICE:
+    ``Observation.get`` blocks with no timeout, so a Spark regression
+    that stopped firing the QueryExecutionListener for the checkpoint
+    action would hang every incremental apply instead of failing loud).
+    Polls the non-blocking JVM accessor — on a healthy version the
+    first poll already sees the metrics, because the eager checkpoint
+    action has completed — and past the deadline degrades to ONE direct
+    aggregate job over the checkpointed join (the pre-r15 extra-job
+    shape), never a hang."""
+    import time as _time
+
+    jo = getattr(obs, "_jo", None)
+    deadline = _time.monotonic() + timeout_sec
+    while jo is not None:
+        try:
+            delivered = not jo.getRowOrEmpty().isEmpty()
+        except Exception:  # pragma: no cover — accessor shape changed
+            break
+        if delivered:
+            return obs.get
+        if _time.monotonic() >= deadline:  # pragma: no cover — listener regression
+            break
+        _time.sleep(0.05)
+    return joined.agg(*gate_aggs).collect()[0].asDict()  # pragma: no cover
 
 
 def scd2_frame_like(
@@ -165,12 +222,18 @@ def scd2_frame_like(
     return _bootstrap_state(u, [*key_cols, *tracked_cols])
 
 
-def _bootstrap_state(u: DataFrame, cols: list[str]) -> DataFrame:
-    """First-batch state: every surviving snapshot becomes current."""
+def _bootstrap_state(
+    u: DataFrame, cols: list[str], guard_ts_col: str | None = None
+) -> DataFrame:
+    """First-batch state: every surviving snapshot becomes current.
+    With ``guard_ts_col``, the frame's own materialization rejects NULL
+    timestamps in-plan (see :func:`_guarded_from`) — pair the action
+    with :func:`_reraise_null_ts`."""
+    eff = _guarded_from(guard_ts_col) if guard_ts_col else F.col("_ts")
     return _with_state(
         u.select(
             *cols,
-            F.col("_ts").alias("effective_from"),
+            eff.alias("effective_from"),
             F.lit(None).cast("timestamp").alias("effective_to"),
             F.lit(True).alias("is_current"),
         )
@@ -210,14 +273,19 @@ def apply_scd2(
     try:
         existing = spark.read.parquet(target_path)
     except AnalysisException:
-        _raise_on_null_ts(updates.select(F.col(effective_ts_col)), effective_ts_col)
-        (
-            _bootstrap_state(u, cols)
-            .write.mode("overwrite")
-            .format("parquet")
-            .partitionBy("scd_state")
-            .save(target_path)
-        )
+        # The NULL-ts gate rides the bootstrap write itself (r16 — one
+        # job instead of probe + write; a violation fails the job
+        # before any file commits, so the table stays absent).
+        try:
+            (
+                _bootstrap_state(u, cols, guard_ts_col=effective_ts_col)
+                .write.mode("overwrite")
+                .format("parquet")
+                .partitionBy("scd_state")
+                .save(target_path)
+            )
+        except Exception as e:  # noqa: BLE001 — translated or re-raised
+            _reraise_null_ts(e, effective_ts_col)
         return
 
     delta = _scd2_delta(u, existing, cols, key_cols, tracked_cols, effective_ts_col)
@@ -329,8 +397,7 @@ def _scd2_delta(
     # columns, so unguarded it would read as has_match & ~same_payload
     # (a phantom "changed") and its NULL ``_ts`` would trip the null-ts
     # gate.
-    joined = raw_joined.observe(
-        obs,
+    gate_aggs = [
         F.sum((in_u & has_match & ~same_payload).cast("int")).alias("n_changed"),
         F.sum((in_u & ~has_match).cast("int")).alias("n_new"),
         F.sum(
@@ -344,10 +411,11 @@ def _scd2_delta(
         # replaces the former dedicated raw-batch pre-scan (r15, guide
         # §1.2 — one fewer full pass per incremental apply).
         F.sum((in_u & F.col("_ts").isNull()).cast("int")).alias("n_null_ts"),
-    ).localCheckpoint(eager=True)
+    ]
+    joined = raw_joined.observe(obs, *gate_aggs).localCheckpoint(eager=True)
     changed = joined.filter(in_u & has_match & ~same_payload)
     new_keys = joined.filter(in_u & ~has_match)
-    gate = obs.get
+    gate = _read_gate(obs, joined, gate_aggs)
     if gate["n_null_ts"]:
         # A null ts evades the stale check (NULL comparison), would
         # bootstrap a null effective_from (misclassifying every later
@@ -486,8 +554,16 @@ def apply_scd2_manifest(
     cols = [*key_cols, *tracked_cols]
     versions = table.versions()
     if not versions:
-        _raise_on_null_ts(updates.select(F.col(effective_ts_col)), effective_ts_col)
-        table.commit(_bootstrap_state(u, cols), base_version=-1)
+        # Same in-plan NULL-ts gate as the partitioned bootstrap: the
+        # commit's write action carries the check, a violation aborts
+        # before the manifest commit, so no version is minted.
+        try:
+            table.commit(
+                _bootstrap_state(u, cols, guard_ts_col=effective_ts_col),
+                base_version=-1,
+            )
+        except Exception as e:  # noqa: BLE001 — translated or re-raised
+            _reraise_null_ts(e, effective_ts_col)
         return
     base = versions[-1]
     existing = table.read(version=base)

@@ -231,11 +231,21 @@ class BucketLayoutError(RuntimeError):
     write this engine never verified)."""
 
 
-#: (id(session), table name) → True once read_bucketed_table has proven
-#: the table trustworthy (engine stamp or on-disk layout).  Only
+#: session → {table names} read_bucketed_table has proven trustworthy
+#: (engine stamp or on-disk layout).  Keyed by the LIVE SparkSession
+#: object in a WeakKeyDictionary, not ``id(spark)`` (r15 ADVICE:
+#: CPython recycles ids after a stopped session is garbage-collected,
+#: so an id-keyed memo could hand a NEW session a dead session's
+#: verdict — and the dict grew unboundedly).  A weak key cannot be
+#: inherited (the entry dies with the session) and cannot leak.  Only
 #: positive verdicts are stored; save_bucketed_table invalidates the
-#: name it rewrites.
-_TRUSTED_BUCKETED: dict[tuple[int, str], bool] = {}
+#: name it rewrites.  A fresh Python wrapper of the same JVM session
+#: misses the memo and simply re-verifies — the safe direction.
+import weakref as _weakref
+
+_TRUSTED_BUCKETED: "_weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def read_bucketed_table(
@@ -271,8 +281,7 @@ def read_bucketed_table(
     same exposure the catalog itself has between plan and execution).
     Refusals and degraded reads are never memoized.
     """
-    memo_key = (id(spark), name)
-    if _TRUSTED_BUCKETED.get(memo_key):
+    if name in _TRUSTED_BUCKETED.get(spark, ()):
         return spark.table(name)
     cat = spark.catalog
     try:
@@ -287,7 +296,7 @@ def read_bucketed_table(
     if props.get(ONE_FILE_PER_BUCKET_PROP) == "true" or verify_one_file_per_bucket(
         spark, name
     ):
-        _TRUSTED_BUCKETED[memo_key] = True
+        _TRUSTED_BUCKETED.setdefault(spark, set()).add(name)
         return spark.table(name)
     if on_violation == "degrade":
         # Path scan: same data, no bucketing/sort metadata → the
@@ -335,7 +344,7 @@ def save_bucketed_table(
     name = f"{database}.{table}"
     # Any (re)write invalidates a previously memoized trust verdict —
     # the new layout must re-earn it through read_bucketed_table.
-    _TRUSTED_BUCKETED.pop((id(spark), name), None)
+    _TRUSTED_BUCKETED.get(spark, set()).discard(name)
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
@@ -378,5 +387,5 @@ def save_bucketed_table(
     # The write just verified the layout it produced — seed the read
     # guard's memo so the first read skips the redundant catalog round
     # trips (same trust as the stamp itself).
-    _TRUSTED_BUCKETED[(id(spark), name)] = True
+    _TRUSTED_BUCKETED.setdefault(spark, set()).add(name)
     return name
