@@ -92,6 +92,13 @@ _FORCE_WINDOW: dict[str, int] = {
     "embedding_ivfadc_knn": 16,
     "embedding_knn_ivf": 16,
     "embedding_knn_ivf_incremental": 16,
+    # r16: same broadcast-constants treatment for the Rademacher LSH
+    # planes (2k literals per consumer plan, corpus + query side).
+    "embedding_knn_lsh": 16,
+    "embedding_hard_negatives": 16,
+    "embedding_mutual_nn_pairs": 16,
+    "embedding_knn_label_accuracy": 16,
+    "embedding_rrf_fusion": 16,
     # r14 10x scale sweep: one-file-per-bucket write + size-scaled
     # bucket count — the warm join now skips its per-query sorts
     # (census/hash unchanged at sf0.001; execution path changed).

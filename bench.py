@@ -292,6 +292,21 @@ def main() -> None:
 
     timings, calibration = steady_time_queries(list(bench_queries), _attempt)
 
+    # Self-proving parallelism evidence (r15 verdict task 1): the
+    # artifact itself must show the session honored $SPARK_GRAFT_CPUS —
+    # at sf0.1 the 8-vs-32-core wall ratios are ≈1 for the legitimate
+    # reason that per-query time is planning/scheduler-bound, which is
+    # indistinguishable from an ignored knob unless the master and the
+    # effective parallelism are IN the JSON.  Additions-only: the
+    # timing loop and every existing field are untouched.  The
+    # compute-bound core-ratio evidence lives in the 10x-replicated
+    # comparison (tools_r16_core_scaling.py → docs/CORE_SCALING_r16).
+    sc = spark.sparkContext
+    calibration["master"] = sc.master
+    calibration["default_parallelism"] = sc.defaultParallelism
+    calibration["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+    calibration["cpus_env"] = os.environ.get("SPARK_GRAFT_CPUS")
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -34,4 +34,8 @@ def _attempt(name: str) -> float:
 
 
 timings, calibration = steady_time_queries(names, _attempt)
+sc = spark.sparkContext
+calibration["master"] = sc.master
+calibration["default_parallelism"] = sc.defaultParallelism
+calibration["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
 print(json.dumps({"queries": timings, "calibration": calibration}))

@@ -225,12 +225,51 @@ def lsh_buckets_multi(
     Multi-table is the recall lever: a true neighbour is a candidate if it
     collides in ANY table — recall ≈ 1-(1-p)^T for per-table collision
     probability p = (1-θ/π)^n_planes.
+
+    Self-contained literal form; ``cosine_topk_lsh`` uses the
+    broadcast-plane twin below (same rationale as ``ivf_assign_sql``).
     """
     buckets = ", ".join(
         lsh_bucket_sql(f"`{qvec_col}`", dim, n_planes, seed=seed + 1000 * t)
         for t in range(n_tables)
     )
     return F.expr(f"array({buckets})")
+
+
+def _lsh_planes_df(
+    spark, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> DataFrame:
+    """One-row frame carrying the Rademacher planes as DATA:
+    ``lsh_planes[t][p]`` is exactly ``rademacher_plane(seed + 1000*t + p,
+    dim)`` — the same integers the literal form inlines."""
+    planes = [
+        [rademacher_plane(seed + 1000 * t + p, dim) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+    return spark.createDataFrame(
+        [(planes,)], "lsh_planes array<array<array<bigint>>>"
+    )
+
+
+def _lsh_buckets_multi_col(qvec_col: str, n_planes: int, n_tables: int) -> Column:
+    """Broadcast-plane twin of ``lsh_buckets_multi`` — requires the
+    ``_lsh_planes_df`` column on the frame (``_with_consts``).  Value-
+    identical: the per-table bucket is the same ascending-p sum of
+    ``IF(dot(q, plane(t, p)) >= 0, 1<<p, 0)`` over exact int64 terms
+    (``shiftleft(1L, p)`` ≡ the literal ``{1<<p}L``), with the planes
+    read from the broadcast row instead of ~T·P·dim plan literals (r16,
+    guide §3.1/§1.2 — the 4-table × 8-plane × 64-dim form alone put 2k
+    literals into every consumer plan, twice per query: corpus + query
+    side)."""
+    proj = (
+        f"aggregate(zip_with(`{qvec_col}`, `lsh_planes`[t][p], (x, y) -> x * y), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+    return F.expr(
+        f"transform(sequence(0, {n_tables - 1}), t -> "
+        f"CAST(aggregate(sequence(0, {n_planes - 1}), 0L, "
+        f"(acc, p) -> acc + IF({proj} >= 0, shiftleft(1L, p), 0L)) AS BIGINT))"
+    )
 
 
 def ivf_codebook(
@@ -384,21 +423,25 @@ def cosine_topk_lsh(
     # exact integer arithmetic end-to-end (see rademacher_plane), and the
     # norms are computed once per vector, before the per-table explode.
     q_q = quantized(F.col(vec_col))
-    q = queries.select(F.col(id_col).alias("qid"), q_q.alias("q_emb")).select(
+    planes = _lsh_planes_df(queries.sparkSession, dim, n_planes, n_tables)
+    q = _with_consts(
+        queries.select(F.col(id_col).alias("qid"), q_q.alias("q_emb")), planes
+    ).select(
         "qid",
         "q_emb",
         F.sqrt(dot_q(F.col("q_emb"), F.col("q_emb")).cast("double")).alias("q_norm"),
-        F.posexplode_outer(lsh_buckets_multi("q_emb", dim, n_planes, n_tables)).alias(
+        F.posexplode_outer(_lsh_buckets_multi_col("q_emb", n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("vid"), q_q.alias("c_emb")
+    c = _with_consts(
+        ensure_parallelism(corpus).select(F.col(id_col).alias("vid"), q_q.alias("c_emb")),
+        planes,
     ).select(
         "vid",
         "c_emb",
         F.sqrt(dot_q(F.col("c_emb"), F.col("c_emb")).cast("double")).alias("c_norm"),
-        F.posexplode_outer(lsh_buckets_multi("c_emb", dim, n_planes, n_tables)).alias(
+        F.posexplode_outer(_lsh_buckets_multi_col("c_emb", n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
