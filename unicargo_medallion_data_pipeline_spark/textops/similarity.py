@@ -236,19 +236,42 @@ def lsh_buckets_multi(
     return F.expr(f"array({buckets})")
 
 
+#: session → {key: one-row constant frame}.  The constant frames are
+#: pure plan objects over immutable module-level frozen codebooks, so
+#: reusing them per session only skips re-creating the same local
+#: 1-row relation (~50 ms of driver time per createDataFrame on the
+#: harness) — no result, no data, nothing keyed on any input dataset
+#: is cached.  Weak-keyed for the same reason as writers._TRUSTED_BUCKETED:
+#: entries die with their session and cannot be inherited.
+import weakref as _weakref
+
+_CONST_DFS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _session_const(spark, key: tuple, builder) -> DataFrame:
+    per = _CONST_DFS.setdefault(spark, {})
+    if key not in per:
+        per[key] = builder()
+    return per[key]
+
+
 def _lsh_planes_df(
     spark, dim: int, n_planes: int, n_tables: int, seed: int = 42
 ) -> DataFrame:
     """One-row frame carrying the Rademacher planes as DATA:
     ``lsh_planes[t][p]`` is exactly ``rademacher_plane(seed + 1000*t + p,
     dim)`` — the same integers the literal form inlines."""
-    planes = [
-        [rademacher_plane(seed + 1000 * t + p, dim) for p in range(n_planes)]
-        for t in range(n_tables)
-    ]
-    return spark.createDataFrame(
-        [(planes,)], "lsh_planes array<array<array<bigint>>>"
-    )
+
+    def build() -> DataFrame:
+        planes = [
+            [rademacher_plane(seed + 1000 * t + p, dim) for p in range(n_planes)]
+            for t in range(n_tables)
+        ]
+        return spark.createDataFrame(
+            [(planes,)], "lsh_planes array<array<array<bigint>>>"
+        )
+
+    return _session_const(spark, ("lsh", dim, n_planes, n_tables, seed), build)
 
 
 def _lsh_buckets_multi_col(qvec_col: str, n_planes: int, n_tables: int) -> Column:
@@ -535,33 +558,43 @@ _PQ_CONST_SCHEMA = "pq_cents array<array<array<bigint>>>, pq_csq array<array<big
 def _ivf_const_df(spark) -> DataFrame:
     """One-row frame carrying the frozen IVF codebook as DATA.  The
     Python floats ARE the IEEE doubles the literal form's shortest-repr
-    round trip reproduces, so values are bit-identical."""
+    round trip reproduces, so values are bit-identical.  Session-memoized
+    (see _CONST_DFS — a pure plan object over frozen module constants)."""
     from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
         FROZEN_CENTROIDS_Q,
         FROZEN_NORMS,
     )
 
-    return spark.createDataFrame(
-        [(
-            [[int(v) for v in c] for c in FROZEN_CENTROIDS_Q],
-            [float(n) for n in FROZEN_NORMS],
-        )],
-        _IVF_CONST_SCHEMA,
+    return _session_const(
+        spark,
+        ("ivf",),
+        lambda: spark.createDataFrame(
+            [(
+                [[int(v) for v in c] for c in FROZEN_CENTROIDS_Q],
+                [float(n) for n in FROZEN_NORMS],
+            )],
+            _IVF_CONST_SCHEMA,
+        ),
     )
 
 
 def _pq_const_df(spark) -> DataFrame:
+    """Session-memoized like _ivf_const_df."""
     from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
         FROZEN_PQ_CENTROIDS_Q,
         FROZEN_PQ_CSQ,
     )
 
-    return spark.createDataFrame(
-        [(
-            [[[int(v) for v in cent] for cent in book] for book in FROZEN_PQ_CENTROIDS_Q],
-            [[int(v) for v in b] for b in FROZEN_PQ_CSQ],
-        )],
-        _PQ_CONST_SCHEMA,
+    return _session_const(
+        spark,
+        ("pq",),
+        lambda: spark.createDataFrame(
+            [(
+                [[[int(v) for v in cent] for cent in book] for book in FROZEN_PQ_CENTROIDS_Q],
+                [[int(v) for v in b] for b in FROZEN_PQ_CSQ],
+            )],
+            _PQ_CONST_SCHEMA,
+        ),
     )
 
 
