@@ -83,17 +83,20 @@ _FORCE_WINDOW: dict[str, int] = {
     # localCheckpoints and the per-batch pair pins removed).  Values
     # re-proven at sf0.001 + sf0.01 + empty + fresh hostile seeds.
     "doc_minhash_incremental_near_dups": 16,
-    # r16: frozen IVF/PQ codebooks attach as one-row broadcast DATA
-    # (BNLJ) instead of ~1k-literal plan expressions — plan build and
-    # codegen shrink, arithmetic unchanged.  Values re-proven at both
-    # SFs + empty + fresh hostile seeds for the whole ANN family.
+    # r16: the ANN frozen constants (IVF/PQ codebooks, LSH planes) were
+    # moved to one-row broadcast frames mid-round and then REVERTED to
+    # the r15 literal-expression forms after measurement (the 1-row
+    # BNLJ copies the const arrays onto every corpus row — a per-row
+    # cost that grows with the corpus — while the literal parse it
+    # saves is ~5 ms; see OPTIMIZATION_r16.md).  Plans are back to the
+    # r15 shapes, but the churn means the driver should re-verify the
+    # family; values re-proven at both SFs + empty + fresh hostile
+    # seeds in BOTH states.
     "embedding_pq_adc_knn": 16,
     "embedding_pq_rerank_knn": 16,
     "embedding_ivfadc_knn": 16,
     "embedding_knn_ivf": 16,
     "embedding_knn_ivf_incremental": 16,
-    # r16: same broadcast-constants treatment for the Rademacher LSH
-    # planes (2k literals per consumer plan, corpus + query side).
     "embedding_knn_lsh": 16,
     "embedding_hard_negatives": 16,
     "embedding_mutual_nn_pairs": 16,

@@ -124,19 +124,15 @@ def test_topk_uses_take_ordered_not_global_sort(spark, catalog):
 
 def test_exact_pair_baselines_are_the_only_cross_products(spark, catalog):
     # The exact full-pairwise anchors are *documented* cross joins; the
-    # scale paths (LSH) must not contain one.  Since r16 the LSH path
-    # attaches its Rademacher planes as a ONE-ROW broadcast (the
-    # codebase's permitted scalar-broadcast BNLJ pattern — see
-    # textops.similarity._with_consts), once per side: exactly two NL
-    # joins, both with a single-row build, never a data×data product.
-    for name, nl_allowed in (("doc_minhash_near_dups", 0), ("embedding_knn_lsh", 2)):
+    # scale paths (LSH) must not contain one.  (r16 note: attaching the
+    # Rademacher planes as a one-row broadcast BNLJ was tried and
+    # REVERTED — the join copied the ~16KB plane arrays onto every
+    # corpus row, a per-row cost that grows with the corpus, while the
+    # literal parse it saved measures only ~5 ms.)
+    for name in ("doc_minhash_near_dups", "embedding_knn_lsh"):
         plan = plan_of(catalog[name].fn(spark, SF))
         assert "CartesianProduct" not in plan, f"{name}: scale path has a cross product"
-        n_nl = plan.count(") BroadcastNestedLoopJoin")
-        assert n_nl == nl_allowed, (
-            f"{name}: {n_nl} NL joins (expected {nl_allowed} one-row "
-            "const attaches) — a data-sized NL join would be quadratic"
-        )
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: scale path has an NL join"
 
 
 def test_fact_scan_prunes_unused_measures(spark, catalog):

@@ -225,74 +225,12 @@ def lsh_buckets_multi(
     Multi-table is the recall lever: a true neighbour is a candidate if it
     collides in ANY table — recall ≈ 1-(1-p)^T for per-table collision
     probability p = (1-θ/π)^n_planes.
-
-    Self-contained literal form; ``cosine_topk_lsh`` uses the
-    broadcast-plane twin below (same rationale as ``ivf_assign_sql``).
     """
     buckets = ", ".join(
         lsh_bucket_sql(f"`{qvec_col}`", dim, n_planes, seed=seed + 1000 * t)
         for t in range(n_tables)
     )
     return F.expr(f"array({buckets})")
-
-
-#: session → {key: one-row constant frame}.  The constant frames are
-#: pure plan objects over immutable module-level frozen codebooks, so
-#: reusing them per session only skips re-creating the same local
-#: 1-row relation (~50 ms of driver time per createDataFrame on the
-#: harness) — no result, no data, nothing keyed on any input dataset
-#: is cached.  Weak-keyed for the same reason as writers._TRUSTED_BUCKETED:
-#: entries die with their session and cannot be inherited.
-import weakref as _weakref
-
-_CONST_DFS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
-
-
-def _session_const(spark, key: tuple, builder) -> DataFrame:
-    per = _CONST_DFS.setdefault(spark, {})
-    if key not in per:
-        per[key] = builder()
-    return per[key]
-
-
-def _lsh_planes_df(
-    spark, dim: int, n_planes: int, n_tables: int, seed: int = 42
-) -> DataFrame:
-    """One-row frame carrying the Rademacher planes as DATA:
-    ``lsh_planes[t][p]`` is exactly ``rademacher_plane(seed + 1000*t + p,
-    dim)`` — the same integers the literal form inlines."""
-
-    def build() -> DataFrame:
-        planes = [
-            [rademacher_plane(seed + 1000 * t + p, dim) for p in range(n_planes)]
-            for t in range(n_tables)
-        ]
-        return spark.createDataFrame(
-            [(planes,)], "lsh_planes array<array<array<bigint>>>"
-        )
-
-    return _session_const(spark, ("lsh", dim, n_planes, n_tables, seed), build)
-
-
-def _lsh_buckets_multi_col(qvec_col: str, n_planes: int, n_tables: int) -> Column:
-    """Broadcast-plane twin of ``lsh_buckets_multi`` — requires the
-    ``_lsh_planes_df`` column on the frame (``_with_consts``).  Value-
-    identical: the per-table bucket is the same ascending-p sum of
-    ``IF(dot(q, plane(t, p)) >= 0, 1<<p, 0)`` over exact int64 terms
-    (``shiftleft(1L, p)`` ≡ the literal ``{1<<p}L``), with the planes
-    read from the broadcast row instead of ~T·P·dim plan literals (r16,
-    guide §3.1/§1.2 — the 4-table × 8-plane × 64-dim form alone put 2k
-    literals into every consumer plan, twice per query: corpus + query
-    side)."""
-    proj = (
-        f"aggregate(zip_with(`{qvec_col}`, `lsh_planes`[t][p], (x, y) -> x * y), "
-        f"0L, (acc, v) -> acc + v)"
-    )
-    return F.expr(
-        f"transform(sequence(0, {n_tables - 1}), t -> "
-        f"CAST(aggregate(sequence(0, {n_planes - 1}), 0L, "
-        f"(acc, p) -> acc + IF({proj} >= 0, shiftleft(1L, p), 0L)) AS BIGINT))"
-    )
 
 
 def ivf_codebook(
@@ -446,25 +384,21 @@ def cosine_topk_lsh(
     # exact integer arithmetic end-to-end (see rademacher_plane), and the
     # norms are computed once per vector, before the per-table explode.
     q_q = quantized(F.col(vec_col))
-    planes = _lsh_planes_df(queries.sparkSession, dim, n_planes, n_tables)
-    q = _with_consts(
-        queries.select(F.col(id_col).alias("qid"), q_q.alias("q_emb")), planes
-    ).select(
+    q = queries.select(F.col(id_col).alias("qid"), q_q.alias("q_emb")).select(
         "qid",
         "q_emb",
         F.sqrt(dot_q(F.col("q_emb"), F.col("q_emb")).cast("double")).alias("q_norm"),
-        F.posexplode_outer(_lsh_buckets_multi_col("q_emb", n_planes, n_tables)).alias(
+        F.posexplode_outer(lsh_buckets_multi("q_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
-    c = _with_consts(
-        ensure_parallelism(corpus).select(F.col(id_col).alias("vid"), q_q.alias("c_emb")),
-        planes,
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), q_q.alias("c_emb")
     ).select(
         "vid",
         "c_emb",
         F.sqrt(dot_q(F.col("c_emb"), F.col("c_emb")).cast("double")).alias("c_norm"),
-        F.posexplode_outer(_lsh_buckets_multi_col("c_emb", n_planes, n_tables)).alias(
+        F.posexplode_outer(lsh_buckets_multi("c_emb", dim, n_planes, n_tables)).alias(
             "table_idx", "bucket"
         ),
     )
@@ -496,26 +430,6 @@ def cosine_topk_lsh(
 
 # --- Frozen-codebook IVF tier ----------------------------------------------
 
-def _ivf_assign_sql_from(cents_arr: str, norms_arr: str, qvec_sql: str, n_probe: int) -> str:
-    """One template for BOTH forms of the frozen-IVF assignment (the
-    literal standalone form and the broadcast-column form below) so the
-    argmin/tie-break logic cannot drift between them."""
-    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
-        FROZEN_CENTROIDS_Q,
-    )
-
-    k = len(FROZEN_CENTROIDS_Q)
-    dot = (
-        f"aggregate(zip_with({qvec_sql}, {cents_arr}[i], (x, y) -> x * y), "
-        f"0L, (acc, v) -> acc + v)"
-    )
-    return (
-        f"transform(slice(array_sort(transform(sequence(0, {k - 1}), "
-        f"i -> named_struct('ns', -(CAST({dot} AS DOUBLE) / {norms_arr}[i]), "
-        f"'cid', i))), 1, {n_probe}), s -> s.cid)"
-    )
-
-
 def ivf_assign_sql(qvec_sql: str, n_probe: int) -> str:
     """SQL text assigning a quantized vector to its ``n_probe`` nearest
     frozen-codebook cells (array<int> of centroid ids, best first).
@@ -528,13 +442,6 @@ def ivf_assign_sql(qvec_sql: str, n_probe: int) -> str:
     structs.  One expression STRING, not ~1k ``F.lit`` Columns — see
     ``lsh_bucket_sql`` for why (py4j round-trip cost); the centroid
     array literal is constant-folded once by Catalyst.
-
-    This SELF-CONTAINED literal form is for standalone use (tests,
-    ad-hoc SQL).  The DataFrame operators below use the broadcast-
-    column twin (``_ivf_assign_col`` + ``_with_ivf_consts``): parsing +
-    folding the ~1k-literal text costs real driver time on every plan
-    build, where the one-row broadcast ships the same constants as DATA
-    (r16 optimization, guide §3.1/§1.2 — same arithmetic, same values).
     """
     from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
         FROZEN_CENTROIDS_Q,
@@ -545,74 +452,16 @@ def ivf_assign_sql(qvec_sql: str, n_probe: int) -> str:
         "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in FROZEN_CENTROIDS_Q
     )
     nn = ", ".join(f"CAST('{n!r}' AS DOUBLE)" for n in FROZEN_NORMS)
-    return _ivf_assign_sql_from(f"array({cc})", f"array({nn})", qvec_sql, n_probe)
-
-
-#: Schemas of the one-row frozen-constant frames.  GetArrayItem (``a[i]``)
-#: over these columns is 0-based exactly like the literal ``array(...)[i]``
-#: form, so the two twins index identically.
-_IVF_CONST_SCHEMA = "ivf_cents array<array<bigint>>, ivf_norms array<double>"
-_PQ_CONST_SCHEMA = "pq_cents array<array<array<bigint>>>, pq_csq array<array<bigint>>"
-
-
-def _ivf_const_df(spark) -> DataFrame:
-    """One-row frame carrying the frozen IVF codebook as DATA.  The
-    Python floats ARE the IEEE doubles the literal form's shortest-repr
-    round trip reproduces, so values are bit-identical.  Session-memoized
-    (see _CONST_DFS — a pure plan object over frozen module constants)."""
-    from unicargo_medallion_data_pipeline_spark.textops.ivf_frozen import (
-        FROZEN_CENTROIDS_Q,
-        FROZEN_NORMS,
+    k = len(FROZEN_CENTROIDS_Q)
+    dot = (
+        f"aggregate(zip_with({qvec_sql}, array({cc})[i], (x, y) -> x * y), "
+        f"0L, (acc, v) -> acc + v)"
     )
-
-    return _session_const(
-        spark,
-        ("ivf",),
-        lambda: spark.createDataFrame(
-            [(
-                [[int(v) for v in c] for c in FROZEN_CENTROIDS_Q],
-                [float(n) for n in FROZEN_NORMS],
-            )],
-            _IVF_CONST_SCHEMA,
-        ),
+    return (
+        f"transform(slice(array_sort(transform(sequence(0, {k - 1}), "
+        f"i -> named_struct('ns', -(CAST({dot} AS DOUBLE) / array({nn})[i]), "
+        f"'cid', i))), 1, {n_probe}), s -> s.cid)"
     )
-
-
-def _pq_const_df(spark) -> DataFrame:
-    """Session-memoized like _ivf_const_df."""
-    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
-        FROZEN_PQ_CENTROIDS_Q,
-        FROZEN_PQ_CSQ,
-    )
-
-    return _session_const(
-        spark,
-        ("pq",),
-        lambda: spark.createDataFrame(
-            [(
-                [[[int(v) for v in cent] for cent in book] for book in FROZEN_PQ_CENTROIDS_Q],
-                [[int(v) for v in b] for b in FROZEN_PQ_CSQ],
-            )],
-            _PQ_CONST_SCHEMA,
-        ),
-    )
-
-
-def _with_consts(df: DataFrame, const_df: DataFrame) -> DataFrame:
-    """Attach a one-row constant frame to every row via a broadcast
-    nested-loop join (the codebase's permitted 1-row scalar-broadcast
-    pattern).  Replaces inlining the same constants as plan literals:
-    the plan shrinks from ~1k literal nodes to one attribute reference,
-    the SQL-text parse + constant-fold work disappears from every plan
-    build, and the per-row arithmetic is unchanged (GetArrayItem over a
-    broadcast row instead of a folded literal)."""
-    return df.join(F.broadcast(const_df), F.lit(True))
-
-
-def _ivf_assign_col(qvec_sql: str, n_probe: int) -> Column:
-    """Broadcast-column twin of ``ivf_assign_sql`` — requires the
-    ``_ivf_const_df`` columns on the frame (``_with_consts``)."""
-    return F.expr(_ivf_assign_sql_from("`ivf_cents`", "`ivf_norms`", qvec_sql, n_probe))
 
 
 def cosine_topk_ivf_frozen(
@@ -643,15 +492,14 @@ def ivf_frozen_index_rows(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """``(vid, c_emb, cell)`` — the MAINTAINABLE IVF index rows for a
-    corpus batch: quantized vector + top-1 frozen-codebook cell.
-    Per-row maps against the broadcast frozen codebook (one-row BNLJ —
-    no shuffle), so a daily ingest assigns only its NEW vectors and
-    appends; the accumulated table IS the serving index."""
-    base = ensure_parallelism(corpus).select(
+    corpus batch: quantized vector + top-1 frozen-codebook cell.  Pure
+    narrow maps against the frozen centroid literals (no shuffle), so a
+    daily ingest assigns only its NEW vectors and appends; the
+    accumulated table IS the serving index."""
+    return ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("c_emb")
-    )
-    return _with_consts(base, _ivf_const_df(corpus.sparkSession)).select(
-        "vid", "c_emb", _ivf_assign_col("`c_emb`", 1)[0].alias("cell")
+    ).select(
+        "vid", "c_emb", F.expr(ivf_assign_sql("`c_emb`", 1))[0].alias("cell")
     )
 
 
@@ -667,11 +515,10 @@ def cosine_topk_ivf_frozen_on_index(
     ``ivf_frozen_index_rows``) — the search half of
     ``cosine_topk_ivf_frozen``, usable against an incrementally
     maintained index table."""
-    qbase = queries.select(
+    query_cells = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
-    )
-    query_cells = _with_consts(qbase, _ivf_const_df(queries.sparkSession)).select(
-        "qid", "q_emb", F.explode_outer(_ivf_assign_col("`q_emb`", n_probe)).alias("cell")
+    ).select(
+        "qid", "q_emb", F.explode_outer(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell")
     )
     pairs = query_cells.join(corpus_cells, "cell").filter(F.col("qid") != F.col("vid"))
     scored = pairs.select(
@@ -727,72 +574,36 @@ def _pq_literals() -> tuple[str, str, int, int, int]:
     return cents, csq, PQ_M, PQ_KS, PQ_SUBDIM
 
 
-def _pq_encode_sql_from(cents_arr: str, csq_arr: str, qvec_sql: str) -> str:
-    """One template for both the literal and broadcast-column encode
-    forms (same drift rationale as ``_ivf_assign_sql_from``)."""
-    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
-        PQ_KS,
-        PQ_M,
-        PQ_SUBDIM,
-    )
-
-    dot = (
-        f"aggregate(zip_with(slice({qvec_sql}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-        f"{cents_arr}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    )
-    return (
-        f"transform(sequence(0, {PQ_M - 1}), s -> "
-        f"array_sort(transform(sequence(0, {PQ_KS - 1}), c -> "
-        f"named_struct('d', {csq_arr}[s][c] - 2 * {dot}, 'cid', c)))[0].cid)"
-    )
-
-
-def _pq_lut_sql_from(cents_arr: str, qvec_sql: str) -> str:
-    from unicargo_medallion_data_pipeline_spark.textops.pq_frozen import (
-        PQ_KS,
-        PQ_M,
-        PQ_SUBDIM,
-    )
-
-    dot = (
-        f"aggregate(zip_with(slice({qvec_sql}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}), "
-        f"{cents_arr}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    )
-    return (
-        f"transform(sequence(0, {PQ_M - 1}), s -> "
-        f"transform(sequence(0, {PQ_KS - 1}), c -> {dot}))"
-    )
-
-
 def pq_encode_sql(qvec_sql: str) -> str:
     """SQL text: array<int> of the PQ sub-codes of a QUANTIZED vector.
 
     Per subspace s the code is ``argmin_c ||x_s - C[s][c]||^2``
     evaluated as ``CSQ[s][c] - 2 * dot(x_s, C[s][c])`` (the ``||x_s||^2``
     term is constant within the argmin) — exact int64, ties broken
-    (dist asc, cid asc) via array_sort over structs.
-
-    Self-contained literal form (standalone/ad-hoc use); the DataFrame
-    operators use the broadcast-column twin — see ``ivf_assign_sql``."""
-    cents, csq, _m, _ks, _sd = _pq_literals()
-    return _pq_encode_sql_from(cents, csq, qvec_sql)
+    (dist asc, cid asc) via array_sort over structs."""
+    cents, csq, m, ks, sd = _pq_literals()
+    dot = (
+        f"aggregate(zip_with(slice({qvec_sql}, s * {sd} + 1, {sd}), "
+        f"{cents}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_sort(transform(sequence(0, {ks - 1}), c -> "
+        f"named_struct('d', {csq}[s][c] - 2 * {dot}, 'cid', c)))[0].cid)"
+    )
 
 
 def pq_index_rows(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """``(vid, codes array<int>)`` — the MAINTAINABLE PQ index rows for
-    a corpus batch.  Per-row maps against the broadcast frozen
-    codebook (one-row BNLJ — no shuffle): a daily ingest encodes only
-    its NEW vectors and appends;
+    a corpus batch.  Pure narrow maps against frozen literals (no
+    shuffle): a daily ingest encodes only its NEW vectors and appends;
     the accumulated table IS the serving index, at ~4 logical bytes of
     payload per vector."""
-    base = ensure_parallelism(corpus).select(
+    return ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("__q")
-    )
-    return _with_consts(base, _pq_const_df(corpus.sparkSession)).select(
-        "vid", F.expr(_pq_encode_sql_from("`pq_cents`", "`pq_csq`", "`__q`")).alias("codes")
-    )
+    ).select("vid", F.expr(pq_encode_sql("`__q`")).alias("codes"))
 
 
 def pq_lut_sql(qvec_sql: str) -> str:
@@ -800,8 +611,15 @@ def pq_lut_sql(qvec_sql: str) -> str:
     of ``dot(q_s, C[s][c])`` for every (subspace, centroid), exact
     int64.  Computed once per QUERY (m x ks tiny), then every corpus
     code row scores with m array lookups and m-1 additions."""
-    cents, _, _m, _ks, _sd = _pq_literals()
-    return _pq_lut_sql_from(cents, qvec_sql)
+    cents, _, m, ks, sd = _pq_literals()
+    dot = (
+        f"aggregate(zip_with(slice({qvec_sql}, s * {sd} + 1, {sd}), "
+        f"{cents}[s][c], (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(sequence(0, {ks - 1}), c -> {dot}))"
+    )
 
 
 def pq_adc_topk(
@@ -819,12 +637,9 @@ def pq_adc_topk(
     (qid, vid, adc_score bigint, sim_rank) with (score desc, vid asc)
     ranking; only the per-query top-k shuffles."""
     m = _pq_literals()[2]
-    qbase = queries.select(
+    q = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("__q")
-    )
-    q = _with_consts(qbase, _pq_const_df(queries.sparkSession)).select(
-        "qid", F.expr(_pq_lut_sql_from("`pq_cents`", "`__q`")).alias("lut")
-    )
+    ).select("qid", F.expr(pq_lut_sql("`__q`")).alias("lut"))
     pairs = corpus_codes.join(F.broadcast(q), F.col("qid") != F.col("vid"))
     scored = pairs.select(
         "qid",
@@ -888,15 +703,12 @@ def ivfadc_index_rows(
     compressed payload).  One narrow map per batch, appendable like the
     single-index tables; at 10^9 rows this is the whole serving index
     in ~10 bytes of logical payload per vector, clustered by cell."""
-    spark = corpus.sparkSession
-    base = ensure_parallelism(corpus).select(
+    return ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("__q")
-    )
-    both = _with_consts(_with_consts(base, _ivf_const_df(spark)), _pq_const_df(spark))
-    return both.select(
+    ).select(
         "vid",
-        _ivf_assign_col("`__q`", 1)[0].alias("cell"),
-        F.expr(_pq_encode_sql_from("`pq_cents`", "`pq_csq`", "`__q`")).alias("codes"),
+        F.expr(ivf_assign_sql("`__q`", 1))[0].alias("cell"),
+        F.expr(pq_encode_sql("`__q`")).alias("codes"),
     )
 
 
@@ -924,16 +736,14 @@ def ivfadc_topk(
     ever scans the full float table.  Both pruning and compression are
     frozen-literal arithmetic, so the whole pipeline remains
     bit-for-bit oracle-checkable."""
-    spark = queries.sparkSession
     m = _pq_literals()[2]
-    qbase = queries.select(
+    q = queries.select(
         F.col(id_col).alias("qid"), quantized(F.col(vec_col)).alias("q_emb")
-    )
-    q = _with_consts(_with_consts(qbase, _ivf_const_df(spark)), _pq_const_df(spark)).select(
+    ).select(
         "qid",
         "q_emb",
-        F.expr(_pq_lut_sql_from("`pq_cents`", "`q_emb`")).alias("lut"),
-        F.explode(_ivf_assign_col("`q_emb`", n_probe)).alias("cell"),
+        F.expr(pq_lut_sql("`q_emb`")).alias("lut"),
+        F.explode(F.expr(ivf_assign_sql("`q_emb`", n_probe))).alias("cell"),
     )
     cand = index.join(F.broadcast(q), "cell").filter(F.col("qid") != F.col("vid"))
     adc = cand.select(
